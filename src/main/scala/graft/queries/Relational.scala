@@ -1,0 +1,222 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Core relational query surface.
+  *
+  * This is the Spark re-expression of the query capability the reference
+  * (dewi-alliance/helium-etl-lite) delegates to Postgres over the schema it
+  * maintains (see SURVEY.md §2.4–§2.7): point/range predicates over indexed
+  * columns, per-key rollups, joins between the fact and dimension tables.
+  * Each query has a matching ANSI-SQL oracle (DuckDB) in [[oracle]]; column
+  * names are aliased identically on both sides because the driver's compare
+  * sorts columns by name before hashing.
+  *
+  * Scale design: filters/projections are declarative so Catalyst pushes them
+  * into the parquet scan; dimension joins broadcast (region/nation/supplier/
+  * part are tiny relative to the fact tables at any SF); fact-fact joins
+  * shuffle on their join key only after pushed-down filters shrink inputs.
+  * Money aggregates go through exact decimals (order-independent) — see
+  * [[graft.Tables.dec]].
+  */
+object Relational {
+
+  /** T1-analogue predicate + projection; Catalyst pushes both into the scan
+    * (reference pushes its `type == "rewards_v2"` dispatch into extraction,
+    * /root/reference/src/block_processor.rs:56). */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+
+  /** TPC-H Q1-style pricing summary (reference §2.5 downstream rollups). */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Broadcast dimension join: lineitem ⋈ part, rollup by brand. `part` is
+    * a dimension (200 rows/SF-unit) — explicitly broadcast so the fact table
+    * never shuffles (SURVEY §2.4 hash-join mapping of reference S3). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sumd(col("l_extendedprice") ).as("brand_revenue"),
+        sumd(col("l_quantity")).as("brand_qty"))
+
+  /** Multiway star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem.
+    * Dimensions broadcast; the only shuffles are fact-side joins on
+    * o_orderkey/o_custkey — at 100 TB this is the canonical star-schema
+    * plan (broadcast the dim chain, shuffle facts once, AQE coalesces). */
+  private def q04(s: SparkSession, d: String): DataFrame = {
+    val dims = customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Left-semi join — the Spark form of the reference's allowlist membership
+    * filter (T6, /root/reference/src/block_processor.rs:80-121): orders that
+    * have at least one high-quantity lineitem. Semi-join (not inner+distinct)
+    * so the probe side is never duplicated, mirroring the reference's
+    * once-only `continue 'rloop` semantics. */
+  private def q05(s: SparkSession, d: String): DataFrame = {
+    val bigLines = lineitem(s, d).filter(col("l_quantity") >= 49)
+      .select(col("l_orderkey"))
+    orders(s, d)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumd(col("o_totalprice")).as("sum_price"))
+  }
+
+  /** Left-anti join: customers with no high-value orders (NOT EXISTS). The
+    * anti side's filter is pushed into its scan before the join. */
+  private def q06(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 300000)
+    customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** Outer join + null-sentinel coalesce — T4 parity: the reference maps
+    * absent account/gateway to the literal "1Wh4bh"
+    * (/root/reference/src/reward.rs:21-33, README.md:111). Here customers
+    * without orders get the sentinel as their priority bucket. */
+  private def q07(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("o_orderpriority"), lit("1Wh4bh")).as("prio_bucket"))
+      .groupBy(col("prio_bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Window top-N: top 3 orders per customer by price (deterministic
+    * tie-break on o_orderkey). Partition-local sort after a single shuffle
+    * on c_custkey; no global sort. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+  }
+
+  /** Global sort + limit (top-K). Spark executes this as TakeOrderedAndProject
+    * — per-partition top-K then a single driver merge, no full sort of the
+    * fact table; scales as O(n log k) per partition at 100 TB. */
+  private def q09(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+
+  /** Distinct aggregation: exact distinct counts per group (expands to a
+    * two-phase aggregate; the partial phase is map-side so the shuffle
+    * carries only distinct (group, key) pairs). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q01_filter_project" -> q01 _,
+    "q02_agg_pricing_summary" -> q02 _,
+    "q03_join_broadcast_brand" -> q03 _,
+    "q04_star_join_revenue" -> q04 _,
+    "q05_semi_join_allowlist" -> q05 _,
+    "q06_anti_join_no_orders" -> q06 _,
+    "q07_outer_join_sentinel" -> q07 _,
+    "q08_window_topn_per_cust" -> q08 _,
+    "q09_sort_limit_topk" -> q09 _,
+    "q10_distinct_agg" -> q10 _,
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 45""".stripMargin,
+    "q02_agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSumd("l_quantity")} AS sum_qty,
+         |  ${sqlSumd("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_broadcast_brand" ->
+      s"""SELECT p_brand, COUNT(*) AS n_items,
+         |  ${sqlSumd("l_extendedprice")} AS brand_revenue,
+         |  ${sqlSumd("l_quantity")} AS brand_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+    "q04_star_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_semi_join_allowlist" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${sqlSumd("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE EXISTS (SELECT 1 FROM lineitem
+         |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+         |GROUP BY o_orderpriority""".stripMargin,
+    "q06_anti_join_no_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q07_outer_join_sentinel" ->
+      """SELECT COALESCE(o_orderpriority, '1Wh4bh') AS prio_bucket,
+        |  COUNT(*) AS n_rows
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY COALESCE(o_orderpriority, '1Wh4bh')""".stripMargin,
+    "q08_window_topn_per_cust" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q09_sort_limit_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+  )
+}
