@@ -24,7 +24,14 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String)    = t(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
+    * nanos are read as raw longs; set the switch here so every session that
+    * touches events works regardless of builder config. Queries convert with
+    * `timestamp_micros(ts div 1000)` (UTC session). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+  }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 

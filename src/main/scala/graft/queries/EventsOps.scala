@@ -1,0 +1,147 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Event-stream analytics over the `events` table — the batch face of the
+  * reference's streaming surface (SURVEY §2.8): time-bucketed rollups,
+  * semi-structured payload extraction (the reference stores txn payloads as
+  * jsonb, /root/reference/src/transaction.rs:22), sessionization, and an
+  * as-of ("most recent prior") join.
+  *
+  * `ts` arrives as long nanoseconds (see [[graft.Tables.events]]). All
+  * time arithmetic stays in integer nanos so Spark and the DuckDB oracle
+  * agree exactly; calendar bucketing converts to civil date in UTC.
+  *
+  * Scale design: every query here groups or windows by (user_id) or by
+  * (day, type) — both shuffle once on that key and never sort globally.
+  * Sessionization is the classic gaps-and-islands formulation: one window
+  * sort per user partition, then an aggregation; at 100 TB the same plan
+  * holds provided user_id is not pathologically skewed (AQE skew-join/agg
+  * handles the rest).
+  */
+object EventsOps {
+
+  private def withTs(df: DataFrame): DataFrame =
+    df.withColumn("ts_us", expr("ts div 1000"))
+
+  /** Tumbling daily window per event type (reference §2.8 maps its 10s poll
+    * micro-batches onto `window()` aggregation; daily here for stable
+    * civil-time bucketing). */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    withTs(events(s, d))
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumd(col("value")).as("sum_value"))
+
+  /** JSON payload extraction — jsonb parity (T9/K2): pull a typed field out
+    * of the semi-structured `props` column, aggregate by it. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
+  /** Sessionization (gaps-and-islands): a new session starts when the gap
+    * to the previous event of the same user exceeds 30 min. Output: per
+    * user, number of sessions and largest session size. */
+  private def q13(s: SparkSession, d: String): DataFrame = {
+    // DuckDB timestamps are µs-precision (parquet nanos truncate on read),
+    // so all ordering and gap arithmetic uses per-value truncated µs.
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val gapUs = 1800L * 1000 * 1000
+    withTs(events(s, d))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("sess_len"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), max(col("sess_len")).as("max_sess_len"))
+  }
+
+  /** As-of join, window formulation: for each purchase, the most recent
+    * strictly-prior click of the same user. Because ts is monotone within
+    * the window frame, `max(case when click then ts)` over
+    * (unbounded preceding .. 1 preceding) IS the as-of lookup — one
+    * partition-local sort, no self-join, no shuffle beyond user_id. */
+  private def q14(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTs(events(s, d))
+      .withColumn("prev_click_ts",
+        max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase" && col("prev_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        (col("ts_us") - col("prev_click_ts")).as("gap_us"))
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q11_time_bucket_daily" -> q11 _,
+    "q12_json_extract_agg" -> q12 _,
+    "q13_sessionize" -> q13 _,
+    "q14_asof_prev_click" -> q14 _,
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q11_time_bucket_daily" ->
+      s"""SELECT CAST(ts AS DATE) AS day, event_type,
+         |  COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${sqlSumd("value")} AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q12_json_extract_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q13_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |          LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |            ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |        FROM events)),
+        |sess AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM flagged),
+        |lens AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS sess_len
+        |  FROM sess GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions, MAX(sess_len) AS max_sess_len
+        |FROM lens GROUP BY user_id""".stripMargin,
+    "q14_asof_prev_click" ->
+      """SELECT event_id, user_id,
+        |  ts_us - prev_click_ts AS gap_us
+        |FROM (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+        |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' AND prev_click_ts IS NOT NULL""".stripMargin,
+  )
+}

@@ -146,6 +146,74 @@ object Relational {
         countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
 
+  /** Hierarchical rollup (region → nation → ALL): Spark `rollup` ≡ SQL
+    * GROUP BY ROLLUP; rollup nulls labelled via coalesce (names are
+    * non-null in data). Partial aggregation keeps the shuffle small. */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"), col("sum_bal"))
+
+  /** Aggregate + HAVING: suppliers shipping above-threshold quantity. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(sumd(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 14000)
+
+  /** Correlated-subquery analogue: customers above their nation's average
+    * balance. Re-expressed as a broadcast join against the per-nation
+    * aggregate; the comparison is `bal * cnt > sum` so both engines compare
+    * identical doubles (no division, no rounding). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val natAgg = customer(s, d)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(sumd(col("c_acctbal")).as("nat_sum"), count(lit(1)).as("nat_cnt"))
+    customer(s, d)
+      .join(broadcast(natAgg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") * col("nat_cnt") > col("nat_sum"))
+      .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+  }
+
+  /** Set operations: nations that have customers but no suppliers
+    * (EXCEPT), plus the INTERSECT count as a second column view. */
+  private def q18(s: SparkSession, d: String): DataFrame = {
+    val custNations = customer(s, d).select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = supplier(s, d).select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.except(suppNations)
+      .unionAll(custNations.intersect(suppNations)
+        .withColumn("nationkey", col("nationkey") + 1000))
+  }
+
+  /** Conditional (pivot-style) aggregation over order status. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"),
+        sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice")))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("price_f"))
+
+  /** Scalar string-function battery (§2.7): substr/upper/length/concat
+    * pushed through codegen, aggregated per language. */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        max(length(col("text"))).as("max_len"),
+        min(upper(substring(col("text"), 1, 8))).as("min_prefix"),
+        countDistinct(concat(col("source"), lit("#"), col("lang"))).as("n_src_lang"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -157,6 +225,12 @@ object Relational {
     "q08_window_topn_per_cust" -> q08 _,
     "q09_sort_limit_topk" -> q09 _,
     "q10_distinct_agg" -> q10 _,
+    "q15_rollup_region_nation" -> q15 _,
+    "q16_having_threshold" -> q16 _,
+    "q17_above_nation_avg" -> q17 _,
+    "q18_setops_nations" -> q18 _,
+    "q19_conditional_agg" -> q19 _,
+    "q20_string_funcs" -> q20 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -218,5 +292,51 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q15_rollup_region_nation" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+         |  COALESCE(n_name, 'ALL') AS nation_name,
+         |  COUNT(*) AS n_cust, ${sqlSumd("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q16_having_threshold" ->
+      s"""SELECT l_suppkey, ${sqlSumd("l_quantity")} AS total_qty,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING ${sqlSumd("l_quantity")} > 14000""".stripMargin,
+    "q17_above_nation_avg" ->
+      s"""WITH nat AS (
+         |  SELECT c_nationkey AS nk, ${sqlSumd("c_acctbal")} AS nat_sum,
+         |    COUNT(*) AS nat_cnt
+         |  FROM customer GROUP BY c_nationkey)
+         |SELECT c_custkey, c_acctbal, c_nationkey
+         |FROM customer JOIN nat ON c_nationkey = nk
+         |WHERE c_acctbal * nat_cnt > nat_sum""".stripMargin,
+    "q18_setops_nations" ->
+      """SELECT nationkey FROM (
+        |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |   EXCEPT
+        |   SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nationkey + 1000 AS nationkey FROM
+        |    (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |     INTERSECT
+        |     SELECT DISTINCT s_nationkey AS nationkey FROM supplier))""".stripMargin,
+    "q19_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS price_f
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q20_string_funcs" ->
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+        |  MAX(LENGTH(text)) AS max_len,
+        |  MIN(UPPER(SUBSTRING(text, 1, 8))) AS min_prefix,
+        |  COUNT(DISTINCT source || '#' || lang) AS n_src_lang
+        |FROM documents GROUP BY lang""".stripMargin,
   )
 }
