@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty ++
       graft.queries.Relational.queries ++
-      graft.queries.EventsOps.queries
+      graft.queries.EventsOps.queries ++
+      graft.queries.HeliumQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     ListMap.empty ++
       graft.queries.Relational.oracle ++
-      graft.queries.EventsOps.oracle
+      graft.queries.EventsOps.oracle ++
+      graft.queries.HeliumQueries.oracle
 }

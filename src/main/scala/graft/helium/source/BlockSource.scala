@@ -1,0 +1,150 @@
+package graft.helium.source
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.helium.{FixtureNode, NodeClient}
+
+/** Custom DataSourceV2 streaming source for the Helium block stream — the
+  * Spark-native form of the reference's poll loop (S1/S2: height poll at
+  * /root/reference/src/main.rs:55-64 + per-height `blocks::get_raw` at
+  * src/block_processor.rs:29).
+  *
+  * Offsets are block heights: a micro-batch covers the half-open height
+  * range (start, end], exactly the drain-until-caught-up loop of
+  * src/follower.rs:70-97 — but the heights inside one batch are fetched in
+  * parallel across `partitions` executor slices, which is the scale-out the
+  * single-threaded reference lacks (SURVEY §3.1).
+  *
+  * Rows are (height, json) — payload parsing happens declaratively with
+  * `from_json` downstream so Catalyst can prune/push as usual.
+  *
+  * Usage:
+  * {{{
+  *   spark.readStream.format(classOf[BlockSourceProvider].getName)
+  *     .option("fixtures", "/path/to/fixturedir")   // FixtureNode backend
+  *     .option("startHeight", "0")
+  *     .option("partitions", "4")
+  *     .load()
+  * }}}
+  */
+class BlockSourceProvider extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    BlockSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BlockTable(properties.asScala.toMap)
+}
+
+object BlockSource {
+  val schema: StructType = StructType(Seq(
+    StructField("height", LongType, nullable = false),
+    StructField("json", StringType, nullable = false)))
+
+  def nodeFor(options: Map[String, String]): NodeClient =
+    options.get("fixtures") match {
+      case Some(dir) => new FixtureNode(dir)
+      case None => throw new IllegalArgumentException(
+        "heliumblocks source requires a 'fixtures' option (node backend)")
+    }
+}
+
+class BlockTable(options: Map[String, String]) extends Table with SupportsRead {
+  override def name(): String = "helium_blocks"
+  override def schema(): StructType = BlockSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = BlockSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new BlockMicroBatchStream(options)
+      }
+    }
+}
+
+/** Height offset — serialized as a plain long in the offset log. */
+case class HeightOffset(height: Long) extends Offset {
+  override def json(): String = height.toString
+}
+
+class BlockMicroBatchStream(options: Map[String, String])
+    extends MicroBatchStream {
+  private val node = BlockSource.nodeFor(options)
+  private val startHeight = options.getOrElse("startHeight", "0").toLong
+  private val numPartitions = options.getOrElse("partitions", "4").toInt
+  /** Backpressure cap — maxOffsetsPerTrigger analogue (SURVEY §2.8). */
+  private val maxPerBatch = options.get("maxBlocksPerBatch").map(_.toLong)
+
+  override def initialOffset(): Offset = HeightOffset(startHeight)
+  override def deserializeOffset(json: String): Offset =
+    HeightOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def latestOffset(): Offset = {
+    val tip = node.height()
+    HeightOffset(tip)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HeightOffset].height
+    val rawE = end.asInstanceOf[HeightOffset].height
+    val e = maxPerBatch.map(m => math.min(rawE, s + m)).getOrElse(rawE)
+    if (e <= s) return Array.empty
+    // split (s, e] into ranges; one fetch loop per partition (the
+    // reference fetches serially: src/follower.rs:86-97)
+    val n = math.min(numPartitions.toLong, e - s).toInt
+    (0 until n).map { i =>
+      val lo = s + 1 + i * (e - s) / n
+      val hi = s + (i + 1) * (e - s) / n
+      HeightRangePartition(lo, hi, options): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val hr = p.asInstanceOf[HeightRangePartition]
+        new BlockPartitionReader(hr)
+      }
+    }
+}
+
+/** Inclusive height range [lo, hi] assigned to one executor task. */
+case class HeightRangePartition(lo: Long, hi: Long,
+    options: Map[String, String]) extends InputPartition
+
+class BlockPartitionReader(p: HeightRangePartition)
+    extends PartitionReader[InternalRow] {
+  private val node = BlockSource.nodeFor(p.options)
+  private var h = p.lo - 1
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    h += 1
+    if (h > p.hi) return false
+    node.getBlockJson(h) match {
+      case Some(json) =>
+        current = InternalRow(h, UTF8String.fromString(json))
+        true
+      case None =>
+        // A gap mid-range means the node lied about its height — the
+        // reference aborts the tick (src/block_processor.rs:31-34).
+        throw new IllegalStateException(s"Couldn't get block $h")
+    }
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

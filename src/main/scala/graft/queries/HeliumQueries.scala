@@ -1,0 +1,112 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.helium.{FixtureNode, Follower, Model, Pipeline}
+import graft.helium.Model._
+
+/** The reference's own query surface, oracle-checked end-to-end: these run
+  * the actual extraction pipeline (SURVEY §3.1) over the committed block
+  * fixtures and aggregate the resulting `rewards`/`transactions` tables the
+  * way the reference's Postgres indexes anticipate
+  * (migrations/V1__create_rewards.sql:10-11 — by gateway, by block;
+  * V3:44-45 — by type, by block). The DuckDB oracle replays the same
+  * extraction in SQL over the same JSONL, so the whole pipeline —
+  * dispatch, enrichment join, flatten, sentinel, allowlists, envelopes —
+  * is hash-verified, not just the final rollup.
+  *
+  * The fixture dir is independent of the driver's sfDir on purpose: these
+  * queries exercise the Helium data model, which the TPC-H-ish tables
+  * can't.
+  */
+object HeliumQueries {
+
+  private val fixDir = "/root/repo/src/test/resources/fixtures/basic"
+
+  private def load(s: SparkSession): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val node = new FixtureNode(fixDir)
+    val blockJsons = (0L to node.height()).flatMap(node.getBlockJson)
+    val blocks = Follower.parseBlocks(blockJsons.toDF("json"))
+    val payloads = s.read.text(s"$fixDir/txns.jsonl")
+      .select(from_json(col("value"), Model.txnSchema).as("t")).select("t.*")
+    (blocks, payloads)
+  }
+
+  private def h01(s: SparkSession, d: String): DataFrame = {
+    val (blocks, payloads) = load(s)
+    Pipeline.run(EtlMode.Rewards, blocks, payloads).rewards
+      .groupBy(col("gateway"))
+      .agg(sum(col("amount")).as("total_amount"), count(lit(1)).as("n_rewards"))
+  }
+
+  private def h02(s: SparkSession, d: String): DataFrame = {
+    val (blocks, payloads) = load(s)
+    val lists = Allowlists(accounts = Set("acct1"), gateways = Set("gw2"))
+    Pipeline.run(EtlMode.Filters, blocks, payloads, lists).rewards
+      .select(col("block"), col("transaction_hash"), col("account"),
+        col("gateway"), col("amount"), col("type"))
+  }
+
+  private def h03(s: SparkSession, d: String): DataFrame = {
+    val (blocks, payloads) = load(s)
+    Pipeline.run(EtlMode.Full, blocks, payloads).transactions.get
+      .groupBy(col("type"))
+      .agg(count(lit(1)).as("n_txns"), min(col("block")).as("first_block"))
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "h01_rewards_by_gateway" -> h01 _,
+    "h02_rewards_filters_mode" -> h02 _,
+    "h03_txn_envelopes_by_type" -> h03 _,
+  )
+
+  private val flatCte =
+    s"""WITH stubs AS (
+       |  SELECT b.height AS block, b.time, t.hash, t.type
+       |  FROM read_json_auto('$fixDir/blocks.jsonl') b,
+       |       UNNEST(b.transactions) AS u(t)
+       |),
+       |payloads AS (
+       |  SELECT hash, type, fields FROM read_json_auto('$fixDir/txns.jsonl')
+       |),
+       |flat AS (
+       |  SELECT s.block, s.hash AS transaction_hash, s.time,
+       |         r.account, r.gateway, r.amount, r.type
+       |  FROM stubs s
+       |  JOIN payloads p ON s.hash = p.hash
+       |  , UNNEST(json_transform(p.fields,
+       |      '{"rewards":[{"account":"VARCHAR","gateway":"VARCHAR","amount":"BIGINT","type":"VARCHAR"}]}').rewards) AS ur(r)
+       |  WHERE s.type = 'rewards_v2'
+       |)""".stripMargin
+
+  val oracle: ListMap[String, String] = ListMap(
+    "h01_rewards_by_gateway" ->
+      s"""$flatCte
+         |SELECT COALESCE(gateway, '1Wh4bh') AS gateway,
+         |       SUM(amount) AS total_amount, COUNT(*) AS n_rewards
+         |FROM flat GROUP BY 1""".stripMargin,
+    "h02_rewards_filters_mode" ->
+      s"""$flatCte
+         |SELECT block, transaction_hash,
+         |       COALESCE(account, '1Wh4bh') AS account,
+         |       COALESCE(gateway, '1Wh4bh') AS gateway, amount, type
+         |FROM flat
+         |WHERE account IN ('acct1') OR gateway IN ('gw2')""".stripMargin,
+    "h03_txn_envelopes_by_type" ->
+      s"""WITH stubs AS (
+         |  SELECT b.height AS block, t.hash, t.type
+         |  FROM read_json_auto('$fixDir/blocks.jsonl') b,
+         |       UNNEST(b.transactions) AS u(t)
+         |),
+         |payloads AS (
+         |  SELECT hash, fields FROM read_json_auto('$fixDir/txns.jsonl')
+         |)
+         |SELECT s.type, COUNT(*) AS n_txns, MIN(s.block) AS first_block
+         |FROM stubs s JOIN payloads p ON s.hash = p.hash
+         |GROUP BY s.type""".stripMargin,
+  )
+}
