@@ -23,7 +23,10 @@ object SparkEntry {
     ListMap.empty ++
       graft.queries.Relational.queries ++
       graft.queries.EventsOps.queries ++
-      graft.queries.HeliumQueries.queries
+      graft.queries.HeliumQueries.queries ++
+      graft.queries.TextDedupOps.queries ++
+      graft.queries.SimilarityOps.queries ++
+      graft.queries.MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -31,5 +34,8 @@ object SparkEntry {
     ListMap.empty ++
       graft.queries.Relational.oracle ++
       graft.queries.EventsOps.oracle ++
-      graft.queries.HeliumQueries.oracle
+      graft.queries.HeliumQueries.oracle ++
+      graft.queries.TextDedupOps.oracle ++
+      graft.queries.SimilarityOps.oracle ++
+      graft.queries.MultimodalOps.oracle
 }

@@ -1,0 +1,95 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, decoded/feature-extracted in batches.
+  *
+  * The decode itself is STUBBED (this container has no image/audio codecs)
+  * with a deterministic fake — but the Spark-side structure is real and
+  * tested: schema, batch shape, partition-parallel execution, and the
+  * projection contract (payload is pruned away the moment features are
+  * extracted, so the wide binary column never travels through a shuffle).
+  *
+  * 100 TB notes: media payloads dominate bytes; the rules that matter are
+  * (1) never groupBy/join on a plan that still carries `payload` — extract
+  * features first, then shuffle the narrow rows; (2) decode per-partition
+  * in batches (here via `mapPartitions` over an iterator — the Scala
+  * analogue of Arrow-batched Pandas UDFs) so codec init cost amortizes.
+  */
+object Media {
+
+  /** An opaque media record: binary payload + typed envelope. */
+  case class MediaRecord(
+      media_id: Long,
+      kind: String,            // image | audio | video
+      payload: Array[Byte],
+      source: String)
+
+  /** Extracted features — narrow, shuffle-safe. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      source: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      checksum: String)
+
+  /** Build a media table from `documents` (text bytes standing in for real
+    * payloads — deterministic, schema-faithful). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      col("source"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: a real build would call an image/audio codec here (the
+    * `???` seam). The fake derives deterministic dimensions from payload
+    * bytes so tests and oracles can check the plumbing end-to-end. */
+  private def decodeOne(r: MediaRecord): MediaFeatures = {
+    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg bindings)
+    val n = r.payload.length.toLong
+    MediaFeatures(
+      media_id = r.media_id,
+      kind = r.kind,
+      source = r.source,
+      n_bytes = n,
+      width = (n % 640).toInt,
+      height = ((n * 7) % 480).toInt,
+      n_frames = if (r.kind == "video") (n % 24 + 1).toInt else 1,
+      checksum = java.security.MessageDigest.getInstance("MD5")
+        .digest(r.payload).map("%02x".format(_)).mkString)
+  }
+
+  /** Batched partition-parallel decode: iterator-in/iterator-out, one codec
+    * "session" per partition (the amortization seam). */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would happen here (codec contexts, model load)
+      it.map(decodeOne)
+    }
+  }
+
+  /** Resize stub: same batch plumbing, payload-in/payload-out — shows the
+    * transform-preserving path (e.g. thumbnailing before feature
+    * extraction). Truncation stands in for the real resample. */
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map(r => if (r.payload.length <= maxBytes) r
+        else r.copy(payload = r.payload.take(maxBytes)))
+    }
+  }
+}

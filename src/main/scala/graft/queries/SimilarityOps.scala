@@ -1,0 +1,169 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.VectorFns._
+
+/** Similarity search over the `embeddings` table: brute-force cosine top-k
+  * as the exact baseline, LSH-bucketed ANN as the scale path, per-label
+  * centroids, and embedding-cosine near-dup pairs.
+  *
+  * Scale design: the query set is always the broadcast side; candidates
+  * stream partition-parallel. Brute force is O(Q·N) per-row math with a
+  * top-k window shuffling k rows per query; the ANN variant first buckets
+  * both sides by an 8-bit random-hyperplane signature, so the join touches
+  * only same-bucket pairs (~N/256 candidates per query) — the same
+  * structure an IVF index gives, expressed as a plain equi-join Catalyst
+  * can shuffle-or-broadcast as sizes dictate.
+  */
+object SimilarityOps {
+
+  private val DIMS = 64
+  private val NQ = 8          // query vectors: vec_id < 8
+  private val TOPK = 5
+  private val PLANES = 8
+
+  private def withQ(df: DataFrame): DataFrame =
+    df.withColumn("qv", qvec(col("embedding")))
+      .withColumn("n2", norm2q(col("qv")))
+
+  /** Brute-force exact cosine top-k for each query vector. */
+  private def s01(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val cands = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("cand_id"), col("qv"), col("n2"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
+  /** ANN via random-hyperplane LSH: candidates share the query's 8-bit
+    * signature bucket; exact cosine re-ranks within the bucket. */
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    val planes = lshPlanes(PLANES, DIMS)
+    val emb = withQ(embeddings(s, d))
+      .withColumn("sig", lshSignature(col("qv"), planes))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"), col("sig"))
+    val cands = emb.filter(col("vec_id") >= NQ)
+      .select(col("vec_id").as("cand_id"), col("qv"), col("n2"), col("sig"))
+    val scored = cands.join(broadcast(queries), Seq("sig"))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
+  /** Per-label centroid stats on the quantized grid — integer-exact. */
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val sums = emb
+      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    sums.groupBy(col("label"))
+      .agg(sum(col("s") * col("s")).as("centroid_norm2"),
+        max(col("n")).as("n_vecs"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), all-pairs.
+    * The synthetic embeddings contain no true duplicates (max pair cosine
+    * ≈0.5–0.6), so the threshold 0.45 exercises the operator on real rows. */
+  private def s04(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val a = emb.select(col("vec_id").as("a_id"), col("qv").as("a_qv"),
+      col("n2").as("a_n2"))
+    val b = emb.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
+      col("n2").as("b_n2"))
+    a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("a_qv"), col("b_qv")), col("a_n2"), col("b_n2")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "s01_knn_bruteforce" -> s01 _,
+    "s02_ann_lsh" -> s02 _,
+    "s03_label_centroids" -> s03 _,
+    "s04_embedding_neardup" -> s04 _,
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val qvSql = sqlQvec("embedding")
+  private def dot(a: String, b: String) = sqlDotq(a, b, DIMS)
+
+  private val embCte =
+    s"""emb AS (
+       |  SELECT vec_id, label, $qvSql AS qv FROM embeddings),
+       |embn AS (
+       |  SELECT vec_id, label, qv, ${dot("qv", "qv")} AS n2 FROM emb)""".stripMargin
+
+  val oracle: ListMap[String, String] = ListMap(
+    "s01_knn_bruteforce" ->
+      s"""WITH $embCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+         |  FROM embn q JOIN embn c
+         |    ON q.vec_id < $NQ AND c.vec_id >= $NQ)
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $TOPK""".stripMargin,
+    "s02_ann_lsh" ->
+      s"""WITH $embCte,
+         |sigs AS (
+         |  SELECT vec_id, qv, n2,
+         |    ${sqlLshSignature("qv", PLANES, DIMS)} AS sig
+         |  FROM embn),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+         |  FROM sigs q JOIN sigs c
+         |    ON q.sig = c.sig AND q.vec_id < $NQ AND c.vec_id >= $NQ)
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "s03_label_centroids" ->
+      s"""WITH $embCte,
+         |dims AS (
+         |  SELECT label, i, SUM(qv[i])::BIGINT AS s, COUNT(*) AS n
+         |  FROM embn, range(1, ${DIMS + 1}) AS r(i)
+         |  GROUP BY label, i)
+         |SELECT label, SUM(s * s)::BIGINT AS centroid_norm2,
+         |  MAX(n) AS n_vecs
+         |FROM dims GROUP BY label""".stripMargin,
+    "s04_embedding_neardup" ->
+      s"""WITH $embCte
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+         |FROM embn a JOIN embn b ON a.vec_id < b.vec_id
+         |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin,
+  )
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.functions.Portable._
+import graft.functions.TextFns._
+
+/** Text analysis + deduplication over `documents` — the LLM-training-data
+  * operators (BASELINE.json north star). Everything per-row is pure Column
+  * expressions (no UDFs); shuffles only on hashed group keys.
+  *
+  * 100 TB design notes:
+  *  - exact dedup: shuffle carries (hash, doc_id) pairs only, not text;
+  *  - MinHash signatures are computed per-row with higher-order functions —
+  *    the usual explode(shingle)→groupBy(min) formulation shuffles
+  *    |docs|·|shingles|·k rows, this shuffles zero. LSH banding then joins
+  *    docs only within band buckets (candidate pairs ≪ n²); the final
+  *    Jaccard verify touches candidate pairs only.
+  *  - All thresholds are integer per-mille values: engine-portable, no
+  *    float boundary flakes.
+  */
+object TextDedupOps {
+
+  private val K = 3            // shingle width (tokens)
+  private val MINHASH_K = 12   // signature length
+  private val BANDS = 4        // 4 bands × 3 rows: catches jaccard ≳ 0.63
+  private val ROWS = MINHASH_K / BANDS
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")))
+
+  // ---- text analysis ----
+
+  private def t01(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        sum(alphaTokenCount(col("text"))).as("sum_alpha"),
+        sum(stopwordCount(col("text"))).as("sum_stop"),
+        max(col("n_words")).as("max_words"))
+
+  /** Integer quality score (per-mille stopword + alpha-token density),
+    * bucketed by centiles. */
+  private def t02(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .withColumn("score_pm",
+        expr("(1000L * " + stopAlphaSql + ") DIV n_words"))
+      .withColumn("bucket", expr("score_pm DIV 100"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+
+  private val stopAlphaSql =
+    """(size(filter(filter(split(text, ' '), t -> t != ''),
+      |            t -> t IN ('the','a','of','and','to','in','is')))
+      | + size(filter(filter(split(text, ' '), t -> t != ''),
+      |            t -> t rlike '^[a-zA-Z]{2,}$')))""".stripMargin.replaceAll("\n", " ")
+
+  /** Heuristic lang-ID confusion matrix vs the labelled `lang` column. */
+  private def t03(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("predicted", langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Token counting: whitespace vs regex ("BPE-ish") tokenization. */
+  private def t04(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .groupBy(col("source"))
+      .agg(
+        sum(col("n_words")).as("ws_tokens"),
+        sum(alphaTokenCount(col("text"))).as("alpha_tokens"),
+        sum(length(col("text"))).as("n_bytes"))
+
+  /** Normalized fingerprint dup groups (case/punct-insensitive). */
+  private def t05(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_dups") > 1)
+
+  // ---- dedup ----
+
+  /** Exact dedup groups by content hash. */
+  private def d01(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_dups") > 1)
+
+  /** Survivor counts per source after exact dedup (keep min doc_id). */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    documents(s, d)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_after"))
+  }
+
+  /** MinHash + LSH near-dup pairs, Jaccard-verified.
+    * shingle sets → 12 minhashes (per-row) → 4 band keys → self-join on
+    * band key → distinct candidate pairs → exact Jaccard ≥ 500‰. */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    val sigd = documents(s, d)
+      .withColumn("ss", shingles(col("text"), K))
+      .filter(size(col("ss")) > 0)
+      .withColumn("sig", minhashSignature(col("ss"), MINHASH_K))
+    val banded = sigd.select(
+      col("doc_id"), col("ss"),
+      explode(array((0 until BANDS).map(b =>
+        bandKey(col("sig"), b, ROWS)): _*)).as("band_key"))
+    val a = banded.select(col("doc_id").as("a_id"), col("ss").as("a_ss"),
+      col("band_key"))
+    val b = banded.select(col("doc_id").as("b_id"), col("ss").as("b_ss"),
+      col("band_key"))
+    val cand = a.join(b, Seq("band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_ss", "b_ss")
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .withColumn("inter", size(array_intersect(col("a_ss"), col("b_ss"))))
+      .withColumn("uni",
+        size(col("a_ss")) + size(col("b_ss")) - col("inter"))
+      .withColumn("jaccard_pm", expr("(1000L * inter) DIV uni"))
+      .filter(col("jaccard_pm") >= 500)
+      .select(col("a_id"), col("b_id"), col("jaccard_pm"))
+  }
+
+  /** SimHash(16) exact-bucket near-dups. */
+  private def d04(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .withColumn("sh", simhash(col("toks"), 16))
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "t01_text_stats" -> t01 _,
+    "t02_quality_buckets" -> t02 _,
+    "t03_langid_confusion" -> t03 _,
+    "t04_token_counts" -> t04 _,
+    "t05_fingerprint_dups" -> t05 _,
+    "d01_exact_dup_groups" -> d01 _,
+    "d02_exact_dedup_survivors" -> d02 _,
+    "d03_minhash_lsh_pairs" -> d03 _,
+    "d04_simhash_buckets" -> d04 _,
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val toksSql =
+    "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val alphaSql =
+    s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
+  private val stopSql =
+    s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is')))"
+  private val shingleSql =
+    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - $K + 2, 1)),
+       |  i -> array_to_string(($toksSql)[i:i+${K - 1}], ' ')))""".stripMargin
+      .replaceAll("\n", " ")
+  private def minhashSql(col: String): String =
+    "[" + (0 until MINHASH_K).map(seed =>
+      s"list_min(list_transform($col, x -> ${sqlHash60("x", seed)}))")
+      .mkString(", ") + "]"
+  private def bandKeySql(sig: String): String =
+    "[" + (0 until BANDS).map(b =>
+      s"md5($b || ',' || array_to_string(($sig)[${b * ROWS + 1}:${b * ROWS + ROWS}], ','))")
+      .mkString(", ") + "]"
+  private val simhashSql = {
+    val n = s"len($toksSql)"
+    (0 until 16).map { j =>
+      val ones = s"len(list_filter($toksSql, t -> ${sqlHash60("t", 1000 + j)} % 2 = 1))"
+      s"(CASE WHEN $ones * 2 > $n THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+  private val fpSql =
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')))"
+
+  val oracle: ListMap[String, String] = ListMap(
+    "t01_text_stats" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  SUM(len($toksSql)) AS sum_words,
+         |  SUM($alphaSql) AS sum_alpha,
+         |  SUM($stopSql) AS sum_stop,
+         |  MAX(len($toksSql)) AS max_words
+         |FROM documents GROUP BY lang""".stripMargin,
+    "t02_quality_buckets" ->
+      s"""WITH scored AS (
+         |  SELECT (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
+         |         len($toksSql) AS n_words
+         |  FROM documents WHERE len($toksSql) > 0)
+         |SELECT score_pm // 100 AS bucket, COUNT(*) AS n_docs,
+         |       SUM(n_words) AS sum_words
+         |FROM scored GROUP BY 1""".stripMargin,
+    "t03_langid_confusion" ->
+      s"""SELECT lang,
+         |  CASE WHEN len($toksSql) > 0
+         |        AND $stopSql * 1000 >= len($toksSql) * 60
+         |       THEN 'en' ELSE 'other' END AS predicted,
+         |  COUNT(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "t04_token_counts" ->
+      s"""SELECT source, SUM(len($toksSql)) AS ws_tokens,
+         |  SUM($alphaSql) AS alpha_tokens,
+         |  SUM(LENGTH(text)) AS n_bytes
+         |FROM documents GROUP BY source""".stripMargin,
+    "t05_fingerprint_dups" ->
+      s"""SELECT $fpSql AS fp, COUNT(*) AS n_dups,
+         |  MIN(doc_id) AS canonical_id
+         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "d01_exact_dup_groups" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
+        |  MIN(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "d02_exact_dedup_survivors" ->
+      """SELECT source, COUNT(*) AS n_docs_after FROM (
+        |  SELECT source, doc_id,
+        |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |  FROM documents)
+        |WHERE doc_id = keeper GROUP BY source""".stripMargin,
+    "d03_minhash_lsh_pairs" ->
+      s"""WITH sigs AS (
+         |  SELECT doc_id, ss, ${minhashSql("ss")} AS sig
+         |  FROM (SELECT doc_id, $shingleSql AS ss FROM documents)
+         |  WHERE len(ss) > 0),
+         |banded AS (
+         |  SELECT doc_id, ss, UNNEST(${bandKeySql("sig")}) AS band_key
+         |  FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM banded a JOIN banded b USING (band_key)
+         |  WHERE a.doc_id < b.doc_id),
+         |verified AS (
+         |  SELECT a_id, b_id,
+         |    len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+         |    len(sa.ss) + len(sb.ss)
+         |      - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS uni
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = a_id
+         |  JOIN sigs sb ON sb.doc_id = b_id)
+         |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
+         |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin,
+    "d04_simhash_buckets" ->
+      s"""SELECT $simhashSql AS sh, COUNT(*) AS n_docs,
+         |  MIN(doc_id) AS canonical_id
+         |FROM documents WHERE len($toksSql) > 0
+         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+  )
+}

@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.helium.SparkSuite
+import TextFns._
+import VectorFns._
+
+class FunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokens drop empties; shingles are distinct full-width k-grams") {
+    val df = Seq("a b c d ", "a b", "").toDF("text")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("sh", shingles(col("text"), 3))
+    val rows = df.select("toks", "sh").as[(Seq[String], Seq[String])].collect()
+    assert(rows(0) == ((Seq("a", "b", "c", "d"), Seq("a b c", "b c d"))))
+    assert(rows(1)._2.isEmpty) // shorter than k
+    assert(rows(2)._1.isEmpty)
+  }
+
+  test("minhash signature: identical shingle sets share all k values; " +
+    "signature is permutation-of-set invariant") {
+    val df = Seq("x y z w v", "v w z y x x y z w v", "q r s t u")
+      .toDF("text")
+      .withColumn("sig", minhashSignature(shingles(col("text"), 1), 8))
+    val sigs = df.select("sig").as[Seq[Long]].collect()
+    // doc1 has the same unigram *set* as doc0 => identical signature
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+    assert(sigs(0).length == 8)
+  }
+
+  test("jaccard via array_intersect matches hand computation") {
+    val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
+      .select(shingles(col("t1"), 1).as("s1"), shingles(col("t2"), 1).as("s2"))
+      .select(size(array_intersect(col("s1"), col("s2"))).as("i"),
+        (size(col("s1")) + size(col("s2"))).as("tot"))
+    val (i, tot) = df.as[(Int, Int)].head()
+    assert(i == 3 && tot - i == 5) // jaccard 3/5
+  }
+
+  test("simhash: near-identical token multisets collide, disjoint ones don't") {
+    val df = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
+      .toDF("text").withColumn("sh", simhash(tokens(col("text")), 16))
+    val sh = df.select("sh").as[Long].collect()
+    assert(sh(0) == sh(1))
+    assert(sh(0) != sh(2))
+    assert(sh.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("fingerprint normalizes case/punctuation/whitespace") {
+    val df = Seq("Hello,  World!", "hello world", "other text")
+      .toDF("text").withColumn("fp", fingerprint(col("text")))
+    val fp = df.select("fp").as[String].collect()
+    assert(fp(0) == fp(1))
+    assert(fp(0) != fp(2))
+  }
+
+  test("quantized cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    val df = Seq(
+      (Array(0.5f, 0.25f, -0.125f), Array(0.5f, 0.25f, -0.125f)),
+      (Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(qvec(col("a")).as("qa"), qvec(col("b")).as("qb"))
+      .select(cosineQ(dotq(col("qa"), col("qb")),
+        norm2q(col("qa")), norm2q(col("qb"))).as("cos"))
+    val cos = df.as[Double].collect()
+    assert(math.abs(cos(0) - 1.0) < 1e-12) // sqrt(n)*sqrt(n) != n exactly
+    assert(cos(1) == 0.0)
+  }
+
+  test("lsh planes are ±1 and deterministic; equal vectors share signatures") {
+    val p1 = lshPlanes(8, 64)
+    val p2 = lshPlanes(8, 64)
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(v => v == 1 || v == -1))
+    // not all-same (would mean a degenerate hash)
+    assert(p1.flatten.toSet == Set(1, -1))
+
+    val v = Array.tabulate(64)(i => (i % 7 - 3) / 10.0f)
+    val df = Seq((v, v)).toDF("a", "b")
+      .select(lshSignature(qvec(col("a")), p1).as("sa"),
+        lshSignature(qvec(col("b")), p1).as("sb"))
+    val (sa, sb) = df.as[(Long, Long)].head()
+    assert(sa == sb && sa >= 0 && sa < 256)
+  }
+
+  test("hash60 is non-negative, < 2^60, seed-sensitive") {
+    val df = Seq("abc", "abd").toDF("s")
+      .select(Portable.hash60(col("s"), 0).as("h0"),
+        Portable.hash60(col("s"), 1).as("h1"))
+    val rows = df.as[(Long, Long)].collect()
+    rows.foreach { case (h0, h1) =>
+      assert(h0 >= 0 && h0 < (1L << 60))
+      assert(h0 != h1)
+    }
+    assert(rows(0)._1 != rows(1)._1)
+  }
+}
