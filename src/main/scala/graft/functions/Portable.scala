@@ -31,4 +31,19 @@ object Portable {
   /** DuckDB SQL fragment computing the same value as [[hash60]]. */
   def sqlHash60(expr: String, seed: Int): String =
     s"(('0x' || substr(md5('${seed}_' || $expr), 1, 15))::BIGINT)"
+
+  /** k fixed 60-bit mixing constants (JVM MD5 of "mix_i" — same bytes any
+    * engine would derive). XORing one base hash with k constants replaces k
+    * independent MD5 evaluations in MinHash/SimHash: one MD5 per element
+    * instead of k — the difference between 24M and 2M digests per million
+    * shingles. XOR by a constant is a permutation of the hash space, which
+    * is all min-wise hashing needs in practice. */
+  def mixConstants(k: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(k) { i =>
+      val hex = md.digest(s"mix_$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16).toLong
+    }
+  }
 }

@@ -27,13 +27,46 @@ object TextFns {
         (s, i) => i <= size(ts) - k))
   }
 
-  /** MinHash signature: for each of `k` seeded hash functions, the minimum
-    * [[Portable.hash60]] over the shingle set. Computed entirely per-row —
-    * no explode, no shuffle (the naive explode+groupBy(min) formulation
+  /** Numeric k-shingles: hash each token once (MD5-derived, mod 2^40),
+    * then combine k consecutive token hashes with a small-coefficient
+    * polynomial mod 2^40 — no shingle strings are ever built and MD5 runs
+    * per token, not per (shingle × hash-function). Coefficients stay below
+    * 2^20 so every product fits in 60 bits (ANSI-safe in both engines).
+    * Collision probability at 2^40 over millions of shingles is
+    * negligible; set semantics (distinct) are preserved.
+    */
+  val ShingleMod: Long = 1L << 40
+  val ShingleCoef: Array[Long] = Array(1L, 524287L, 914219L) // < 2^20
+
+  def hashedShingles(text: Column, k: Int): Column = {
+    require(k <= ShingleCoef.length, s"k=$k needs more coefficients")
+    val thm = transform(tokens(text), t => pmod(hash60(t, 0), lit(ShingleMod)))
+    val n = size(thm)
+    val raw = transform(thm, (_, i) => {
+      val combined = (0 until k).map(j =>
+        element_at(thm, i + j + 1) * lit(ShingleCoef(j))).reduce(_ + _)
+      when(i <= n - k, pmod(combined, lit(ShingleMod)))
+        .otherwise(lit(null).cast("long"))
+    })
+    array_distinct(filter(raw, h => h.isNotNull))
+  }
+
+  /** Base 60-bit hashes of a string array — materialize this as its own
+    * column (one MD5 per element) before deriving MinHash/SimHash from it;
+    * the derivations below are pure integer ops over the hashed array. */
+  def hash60Array(arr: Column, seed: Int): Column =
+    transform(arr, x => hash60(x, seed))
+
+  /** MinHash signature from pre-hashed elements: the i-th hash function is
+    * `h XOR C_i` ([[Portable.mixConstants]]), so the k minima need k cheap
+    * integer passes, not k MD5 passes. Computed entirely per-row — no
+    * explode, no shuffle (the naive explode+groupBy(min) formulation
     * shuffles |docs|·|shingles|·k rows; this shuffles nothing). */
-  def minhashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map(seed =>
-      array_min(transform(shingleSet, sh => hash60(sh, seed)))): _*)
+  def minhashFromHashes(hashedArr: Column, k: Int): Column = {
+    val cs = Portable.mixConstants(k)
+    array((0 until k).map(i =>
+      array_min(transform(hashedArr, h => h.bitwiseXOR(lit(cs(i)))))): _*)
+  }
 
   /** LSH band key: hash of one band's slice of the signature. Banding with
     * b bands of r rows catches pairs with Jaccard ≳ (1/b)^(1/r). */
@@ -42,13 +75,15 @@ object TextFns {
       transform(slice(sig, band * rowsPerBand + 1, rowsPerBand),
         x => x.cast("string"))))
 
-  /** SimHash over tokens, `bits` wide (≤ 32): bit j is set iff the number
-    * of tokens whose hash60(token, j-th-seed) is odd exceeds half the token
-    * count — a portable majority-of-signs formulation. */
-  def simhash(tokenArr: Column, bits: Int): Column = {
-    val n = size(tokenArr)
+  /** SimHash from pre-hashed tokens, `bits` wide (≤ 32): output bit j is
+    * set iff the j-th bit is 1 in the majority of token hashes — a portable
+    * majority-of-signs formulation, all integer ops over one hashed array
+    * (one MD5 per token total, not per bit). */
+  def simhashFromHashes(hashedArr: Column, bits: Int): Column = {
+    val n = size(hashedArr)
     val terms = (0 until bits).map { j =>
-      val ones = size(filter(tokenArr, t => hash60(t, 1000 + j) % 2 === 1))
+      val ones = size(filter(hashedArr,
+        h => shiftright(h, j).bitwiseAND(lit(1L)) === 1))
       when(ones * 2 > n, lit(1L << j)).otherwise(lit(0L))
     }
     terms.reduce(_ + _)

@@ -27,9 +27,15 @@ object VectorFns {
   def qvec(v: Column): Column =
     transform(v, x => round(x.cast("double") * 10000).cast("long"))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotq(a: Column, b: Column): Column =
+  /** Integer dot product — composable higher-order-function form. Kept as
+    * the reference semantics; the hot paths use [[DotQ]], a fused codegen
+    * expression with identical results (see FunctionsSpec equality test). */
+  def dotqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Integer dot product via the native [[DotQ]] expression. Callers must
+    * have run [[DotQ.register]] on the session (queries do). */
+  def dotq(a: Column, b: Column): Column = DotQ.dotq(a, b)
 
   /** Squared norm (integer). */
   def norm2q(a: Column): Column = dotq(a, a)

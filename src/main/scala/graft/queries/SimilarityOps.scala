@@ -28,9 +28,11 @@ object SimilarityOps {
   private val TOPK = 5
   private val PLANES = 8
 
-  private def withQ(df: DataFrame): DataFrame =
+  private def withQ(df: DataFrame): DataFrame = {
+    graft.functions.DotQ.register(df.sparkSession)
     df.withColumn("qv", qvec(col("embedding")))
       .withColumn("n2", norm2q(col("qv")))
+  }
 
   /** Brute-force exact cosine top-k for each query vector. */
   private def s01(s: SparkSession, d: String): DataFrame = {

@@ -108,26 +108,39 @@ object TextDedupOps {
   }
 
   /** MinHash + LSH near-dup pairs, Jaccard-verified.
-    * shingle sets → 12 minhashes (per-row) → 4 band keys → self-join on
-    * band key → distinct candidate pairs → exact Jaccard ≥ 500‰. */
+    *
+    * numeric shingle sets (one MD5 per token, see
+    * [[graft.functions.TextFns.hashedShingles]]) → 12 minhashes by XOR
+    * mixing → 4 band keys → id-only self-join on band key → distinct
+    * candidate pairs → fetch shingle sets for candidates only → exact
+    * Jaccard ≥ 500‰.
+    *
+    * The signature table is cached: the band self-join and both verify
+    * joins read it instead of recomputing the hash chain (at cluster scale
+    * this is the materialized signature table every LSH pipeline keeps).
+    * Only doc_ids travel through the band join; shingle sets are joined
+    * back for the (few) candidate pairs. */
   private def d03(s: SparkSession, d: String): DataFrame = {
     val sigd = documents(s, d)
-      .withColumn("ss", shingles(col("text"), K))
-      .filter(size(col("ss")) > 0)
-      .withColumn("sig", minhashSignature(col("ss"), MINHASH_K))
+      .withColumn("hs", hashedShingles(col("text"), K))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", minhashFromHashes(col("hs"), MINHASH_K))
+      .select(col("doc_id"), col("hs"), col("sig"))
+      .persist()
     val banded = sigd.select(
-      col("doc_id"), col("ss"),
+      col("doc_id"),
       explode(array((0 until BANDS).map(b =>
         bandKey(col("sig"), b, ROWS)): _*)).as("band_key"))
-    val a = banded.select(col("doc_id").as("a_id"), col("ss").as("a_ss"),
-      col("band_key"))
-    val b = banded.select(col("doc_id").as("b_id"), col("ss").as("b_ss"),
-      col("band_key"))
-    val cand = a.join(b, Seq("band_key"))
+    val cand = banded.select(col("doc_id").as("a_id"), col("band_key"))
+      .join(banded.select(col("doc_id").as("b_id"), col("band_key")),
+        Seq("band_key"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_ss", "b_ss")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val ss = sigd.select(col("doc_id"), col("hs"))
     cand
+      .join(ss.select(col("doc_id").as("a_id"), col("hs").as("a_ss")), Seq("a_id"))
+      .join(ss.select(col("doc_id").as("b_id"), col("hs").as("b_ss")), Seq("b_id"))
       .withColumn("inter", size(array_intersect(col("a_ss"), col("b_ss"))))
       .withColumn("uni",
         size(col("a_ss")) + size(col("b_ss")) - col("inter"))
@@ -140,7 +153,8 @@ object TextDedupOps {
   private def d04(s: SparkSession, d: String): DataFrame =
     docsWithTokens(s, d)
       .filter(col("n_words") > 0)
-      .withColumn("sh", simhash(col("toks"), 16))
+      .withColumn("hb", hash60Array(col("toks"), 999))
+      .withColumn("sh", simhashFromHashes(col("hb"), 16))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)
@@ -165,22 +179,23 @@ object TextDedupOps {
     s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
   private val stopSql =
     s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is')))"
-  private val shingleSql =
-    s"""list_distinct(list_transform(range(1, greatest(len($toksSql) - $K + 2, 1)),
-       |  i -> array_to_string(($toksSql)[i:i+${K - 1}], ' ')))""".stripMargin
-      .replaceAll("\n", " ")
-  private def minhashSql(col: String): String =
-    "[" + (0 until MINHASH_K).map(seed =>
-      s"list_min(list_transform($col, x -> ${sqlHash60("x", seed)}))")
+  private def minhashSql(col: String): String = {
+    val cs = mixConstants(MINHASH_K)
+    "[" + (0 until MINHASH_K).map(i =>
+      s"list_min(list_transform($col, h -> xor(h, ${cs(i)})))")
       .mkString(", ") + "]"
+  }
+  private def hash60ArraySql(col: String, seed: Int): String =
+    s"list_transform($col, x -> ${sqlHash60("x", seed)})"
   private def bandKeySql(sig: String): String =
     "[" + (0 until BANDS).map(b =>
       s"md5($b || ',' || array_to_string(($sig)[${b * ROWS + 1}:${b * ROWS + ROWS}], ','))")
       .mkString(", ") + "]"
   private val simhashSql = {
-    val n = s"len($toksSql)"
+    // operates on a pre-hashed `hb` column (see d04 oracle CTE)
+    val n = "len(hb)"
     (0 until 16).map { j =>
-      val ones = s"len(list_filter($toksSql, t -> ${sqlHash60("t", 1000 + j)} % 2 = 1))"
+      val ones = s"len(list_filter(hb, h -> (h >> $j) & 1 = 1))"
       s"(CASE WHEN $ones * 2 > $n THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
   }
@@ -230,10 +245,18 @@ object TextDedupOps {
         |  FROM documents)
         |WHERE doc_id = keeper GROUP BY source""".stripMargin,
     "d03_minhash_lsh_pairs" ->
-      s"""WITH sigs AS (
+      s"""WITH thm AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+         |  FROM thm),
+         |sigs AS (
          |  SELECT doc_id, ss, ${minhashSql("ss")} AS sig
-         |  FROM (SELECT doc_id, $shingleSql AS ss FROM documents)
-         |  WHERE len(ss) > 0),
+         |  FROM hs WHERE len(ss) > 0),
          |banded AS (
          |  SELECT doc_id, ss, UNNEST(${bandKeySql("sig")}) AS band_key
          |  FROM sigs),
@@ -252,9 +275,11 @@ object TextDedupOps {
          |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
          |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin,
     "d04_simhash_buckets" ->
-      s"""SELECT $simhashSql AS sh, COUNT(*) AS n_docs,
+      s"""WITH hashed AS (
+         |  SELECT doc_id, ${hash60ArraySql(toksSql, 999)} AS hb
+         |  FROM documents WHERE len($toksSql) > 0)
+         |SELECT $simhashSql AS sh, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS canonical_id
-         |FROM documents WHERE len($toksSql) > 0
-         |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+         |FROM hashed GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
   )
 }

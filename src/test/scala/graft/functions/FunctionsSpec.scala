@@ -9,6 +9,21 @@ import VectorFns._
 
 class FunctionsSpec extends SparkSuite {
   import spark.implicits._
+  DotQ.register(spark)
+
+  test("DotQ native expression equals the composable HOF form") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((
+      Array.fill(64)(rnd.nextInt(20000).toLong - 10000),
+      Array.fill(64)(rnd.nextInt(20000).toLong - 10000)))
+    val df = rows.toDF("a", "b")
+      .select(dotq(col("a"), col("b")).as("native"),
+        dotqHof(col("a"), col("b")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    // the native expression is what the analyzer resolved to (the
+    // executed plan may constant-fold local input into a LocalTableScan)
+    assert(df.queryExecution.analyzed.toString.contains("dotq"))
+  }
 
   test("tokens drop empties; shingles are distinct full-width k-grams") {
     val df = Seq("a b c d ", "a b", "").toDF("text")
@@ -24,7 +39,8 @@ class FunctionsSpec extends SparkSuite {
     "signature is permutation-of-set invariant") {
     val df = Seq("x y z w v", "v w z y x x y z w v", "q r s t u")
       .toDF("text")
-      .withColumn("sig", minhashSignature(shingles(col("text"), 1), 8))
+      .withColumn("sig",
+        minhashFromHashes(hash60Array(shingles(col("text"), 1), 0), 8))
     val sigs = df.select("sig").as[Seq[Long]].collect()
     // doc1 has the same unigram *set* as doc0 => identical signature
     assert(sigs(0) == sigs(1))
@@ -43,7 +59,9 @@ class FunctionsSpec extends SparkSuite {
 
   test("simhash: near-identical token multisets collide, disjoint ones don't") {
     val df = Seq("a b c d e f g h", "a b c d e f g h", "q r s t u v w x")
-      .toDF("text").withColumn("sh", simhash(tokens(col("text")), 16))
+      .toDF("text")
+      .withColumn("sh",
+        simhashFromHashes(hash60Array(tokens(col("text")), 999), 16))
     val sh = df.select("sh").as[Long].collect()
     assert(sh(0) == sh(1))
     assert(sh(0) != sh(2))
