@@ -1,0 +1,60 @@
+package graft.helium
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** §2.8 extension surface: event-time windowed aggregation with a
+  * watermark over a MemoryStream — the Structured-Streaming capabilities
+  * the reference's schema anticipates downstream (SURVEY §2.8 last row). */
+class StreamingWindowSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tumbling event-time window with watermark aggregates per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "kind", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(6), "a", 4.0),
+        (t(6), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("kind"), col("n"), col("sv"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "a", 2L, 3.0),
+        ("2024-01-01 10:05:00", "a", 1L, 4.0),
+        ("2024-01-01 10:05:00", "b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("migrate registers catalog tables over sink output (K6 parity)") {
+    val root = java.nio.file.Files.createTempDirectory("migr").toString
+    // produce one committed batch through the real pipeline + sink
+    val node = new FixtureNode(fixture("basic"))
+    val blocks = Follower.parseBlocks(
+      (100L to 105L).flatMap(node.getBlockJson).toDF("json"))
+    val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Full)
+    val out = Pipeline.run(Model.EtlMode.Full, blocks, payloads)
+    new ExactlyOnceSink(spark, root).commit(out, 0, 105, 100)
+
+    Migrate.run(spark, root)
+    assert(spark.sql("SELECT count(*) FROM rewards").head().getLong(0) == 5)
+    assert(spark.sql("SELECT count(*) FROM transactions").head().getLong(0) == 7)
+    assert(spark.sql(
+      "SELECT sum(amount) FROM rewards WHERE gateway = 'gw2'")
+      .head().getLong(0) == 35)
+    spark.sql("DROP TABLE IF EXISTS rewards")
+    spark.sql("DROP TABLE IF EXISTS transactions")
+    spark.sql("DROP TABLE IF EXISTS filters")
+  }
+}
