@@ -63,15 +63,76 @@ class BlockTable(options: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = "helium_blocks"
   override def schema(): StructType = BlockSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new Scan {
-        override def readSchema(): StructType = BlockSource.schema
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new BlockMicroBatchStream(options)
-      }
+    new BlockScanBuilder(options)
+}
+
+/** Batch-read scan builder with height-predicate pushdown — the SURVEY §4
+  * "ingest-time filter pushdown" made declarative: `=`, `>`, `>=`, `<`,
+  * `<=` predicates on `height` shrink the fetched range at the source, so
+  * a backfill query over a height slice never touches the rest of the
+  * chain (the reference achieves the analogous laziness imperatively by
+  * only dereferencing what it will load, block_processor.rs:56-58). */
+class BlockScanBuilder(options: Map[String, String])
+    extends ScanBuilder with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
+  private var lo: Long = options.getOrElse("startHeight", "0").toLong + 1
+  private var hi: Long = Long.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("height", _: java.lang.Number) => true
+      case GreaterThan("height", _: java.lang.Number) => true
+      case GreaterThanOrEqual("height", _: java.lang.Number) => true
+      case LessThan("height", _: java.lang.Number) => true
+      case LessThanOrEqual("height", _: java.lang.Number) => true
+      case _ => false
     }
+    accepted.foreach {
+      case EqualTo(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue); hi = math.min(hi, v.longValue)
+      case GreaterThan(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue + 1)
+      case GreaterThanOrEqual(_, v: java.lang.Number) =>
+        lo = math.max(lo, v.longValue)
+      case LessThan(_, v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue - 1)
+      case LessThanOrEqual(_, v: java.lang.Number) =>
+        hi = math.min(hi, v.longValue)
+      case _ => ()
+    }
+    pushed = accepted
+    rejected // Spark re-applies these on top
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = BlockSource.schema
+    override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+      new BlockMicroBatchStream(options)
+    override def toBatch: Batch = this
+
+    override def planInputPartitions(): Array[InputPartition] = {
+      val node = BlockSource.nodeFor(options)
+      val tip = math.min(hi, node.height())
+      if (tip < lo) return Array.empty
+      val n = math.min(options.getOrElse("partitions", "4").toLong,
+        tip - lo + 1).toInt
+      (0 until n).map { i =>
+        val l = lo + i * (tip - lo + 1) / n
+        val h = lo + (i + 1) * (tip - lo + 1) / n - 1
+        HeightRangePartition(l, h, options, lenient = true): InputPartition
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+          new BlockPartitionReader(p.asInstanceOf[HeightRangePartition])
+      }
+  }
 }
 
 /** Height offset — serialized as a plain long in the offset log. */
@@ -122,9 +183,14 @@ class BlockMicroBatchStream(options: Map[String, String])
     }
 }
 
-/** Inclusive height range [lo, hi] assigned to one executor task. */
+/** Inclusive height range [lo, hi] assigned to one executor task.
+  * `lenient` (batch slices) skips heights the node doesn't have; the
+  * streaming tip-follower is strict — a gap mid-range means the node lied
+  * about its height and the reference aborts the tick
+  * (src/block_processor.rs:31-34). */
 case class HeightRangePartition(lo: Long, hi: Long,
-    options: Map[String, String]) extends InputPartition
+    options: Map[String, String], lenient: Boolean = false)
+  extends InputPartition
 
 class BlockPartitionReader(p: HeightRangePartition)
     extends PartitionReader[InternalRow] {
@@ -133,17 +199,19 @@ class BlockPartitionReader(p: HeightRangePartition)
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    h += 1
-    if (h > p.hi) return false
-    node.getBlockJson(h) match {
-      case Some(json) =>
-        current = InternalRow(h, UTF8String.fromString(json))
-        true
-      case None =>
-        // A gap mid-range means the node lied about its height — the
-        // reference aborts the tick (src/block_processor.rs:31-34).
-        throw new IllegalStateException(s"Couldn't get block $h")
+    while (true) {
+      h += 1
+      if (h > p.hi) return false
+      node.getBlockJson(h) match {
+        case Some(json) =>
+          current = InternalRow(h, UTF8String.fromString(json))
+          return true
+        case None if p.lenient => () // skip gap, keep scanning
+        case None =>
+          throw new IllegalStateException(s"Couldn't get block $h")
+      }
     }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()

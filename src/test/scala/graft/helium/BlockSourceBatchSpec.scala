@@ -1,0 +1,41 @@
+package graft.helium
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.source.BlockSourceProvider
+
+/** Batch reads over the custom source with height-predicate pushdown
+  * (SURVEY §4 ingest-time filter pushdown, declarative form). */
+class BlockSourceBatchSpec extends SparkSuite {
+
+  private def read() = spark.read
+    .format(classOf[BlockSourceProvider].getName)
+    .option("fixtures", fixture("basic"))
+    .load()
+
+  test("batch read scans the node's blocks (lenient over gaps)") {
+    // fixture has blocks 100..105; heights 1..99 are gaps
+    val df = read()
+    assert(df.count() == 6)
+    assert(df.agg(min("height"), max("height")).head()
+      == org.apache.spark.sql.Row(100L, 105L))
+  }
+
+  test("height predicates are pushed into the scan range") {
+    val df = read().filter(col("height") >= 102 && col("height") < 105)
+    assert(df.select("height").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(102L, 103L, 104L))
+    // pushdown visible in the physical plan: PushedFilters non-empty
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"))
+  }
+
+  test("pushed slice feeds the batch pipeline end-to-end") {
+    val blocks = Follower.parseBlocks(
+      read().filter(col("height") === 102).select("json"))
+    val node = new FixtureNode(fixture("basic"))
+    val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+    val out = Pipeline.run(Model.EtlMode.Rewards, blocks, payloads)
+    assert(out.rewards.count() == 2) // r102 has 2 rewards
+  }
+}

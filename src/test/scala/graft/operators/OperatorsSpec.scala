@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+
+class OperatorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("buck").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    Bucketing.writeBucketed(li.withColumnRenamed("l_orderkey", "k"),
+      "li_b", "k", 8, s"$dir/li")
+    Bucketing.writeBucketed(o.withColumnRenamed("o_orderkey", "k"),
+      "o_b", "k", 8, s"$dir/o")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b").join(spark.table("o_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      // and it's still correct
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("salted sum/count equals the unsalted aggregation") {
+    val ev = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey").as("k"), col("l_quantity").as("v"))
+    val plain = ev.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Salting.saltedSumCount(ev, "k", "v", 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    // double sums may differ in ulps across grouping orders; compare keys
+    // and counts exactly, sums approximately
+    assert(plain.map(t => (t._1, t._3)) == salted.map(t => (t._1, t._3)))
+    val ps = plain.toSeq.sortBy(_._1).map(_._2)
+    val ss = salted.toSeq.sortBy(_._1).map(_._2)
+    ps.zip(ss).foreach { case (a, b) => assert(math.abs(a - b) < 1e-6) }
+  }
+
+  test("salted join equals the plain join") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val plain = li.join(o, "k")
+    val salted = Salting.saltedJoin(li, o, "k", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.columns.sorted.toSeq == plain.columns.sorted.toSeq)
+    val pk = plain.groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sk = salted.groupBy("k").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pk == sk)
+  }
+}
