@@ -141,11 +141,16 @@ case class HeightOffset(height: Long) extends Offset {
 }
 
 class BlockMicroBatchStream(options: Map[String, String])
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
+
   private val node = BlockSource.nodeFor(options)
   private val startHeight = options.getOrElse("startHeight", "0").toLong
   private val numPartitions = options.getOrElse("partitions", "4").toInt
-  /** Backpressure cap — maxOffsetsPerTrigger analogue (SURVEY §2.8). */
+  /** Backpressure cap — maxOffsetsPerTrigger analogue (SURVEY §2.8). The
+    * cap must shrink the *committed* end offset (admission control), never
+    * the planned partitions, or capped blocks would be silently skipped. */
   private val maxPerBatch = options.get("maxBlocksPerBatch").map(_.toLong)
 
   override def initialOffset(): Offset = HeightOffset(startHeight)
@@ -154,15 +159,22 @@ class BlockMicroBatchStream(options: Map[String, String])
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def latestOffset(): Offset = {
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerBatch.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val tip = node.height()
-    HeightOffset(tip)
+    val s = start.asInstanceOf[HeightOffset].height
+    HeightOffset(maxPerBatch.map(m => math.min(tip, s + m)).getOrElse(tip))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HeightOffset].height
-    val rawE = end.asInstanceOf[HeightOffset].height
-    val e = maxPerBatch.map(m => math.min(rawE, s + m)).getOrElse(rawE)
+    val e = end.asInstanceOf[HeightOffset].height
     if (e <= s) return Array.empty
     // split (s, e] into ranges; one fetch loop per partition (the
     // reference fetches serially: src/follower.rs:86-97)

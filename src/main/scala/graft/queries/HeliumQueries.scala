@@ -58,10 +58,26 @@ object HeliumQueries {
       .agg(count(lit(1)).as("n_txns"), min(col("block")).as("first_block"))
   }
 
+  /** §2.6 parity note made real: per-gateway reward deltas across blocks
+    * (`Window.partitionBy(gateway).orderBy(block)`) over the pipeline's
+    * own output. */
+  private def h04(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (blocks, payloads) = load(s)
+    val w = Window.partitionBy(col("gateway"))
+      .orderBy(col("block"), col("type"))
+    Pipeline.run(EtlMode.Rewards, blocks, payloads).rewards
+      .withColumn("prev_amount", lag(col("amount"), 1).over(w))
+      .filter(col("prev_amount").isNotNull)
+      .select(col("gateway"), col("block"), col("type"),
+        (col("amount") - col("prev_amount")).as("delta"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "h01_rewards_by_gateway" -> h01 _,
     "h02_rewards_filters_mode" -> h02 _,
     "h03_txn_envelopes_by_type" -> h03 _,
+    "h04_reward_deltas" -> h04 _,
   )
 
   private val flatCte =
@@ -96,6 +112,14 @@ object HeliumQueries {
          |       COALESCE(gateway, '1Wh4bh') AS gateway, amount, type
          |FROM flat
          |WHERE account IN ('acct1') OR gateway IN ('gw2')""".stripMargin,
+    "h04_reward_deltas" ->
+      s"""$flatCte
+         |SELECT gateway, block, type, amount - prev_amount AS delta FROM (
+         |  SELECT COALESCE(gateway, '1Wh4bh') AS gateway, block, type, amount,
+         |    LAG(amount) OVER (PARTITION BY COALESCE(gateway, '1Wh4bh')
+         |      ORDER BY block, type) AS prev_amount
+         |  FROM flat)
+         |WHERE prev_amount IS NOT NULL""".stripMargin,
     "h03_txn_envelopes_by_type" ->
       s"""WITH stubs AS (
          |  SELECT b.height AS block, t.hash, t.type

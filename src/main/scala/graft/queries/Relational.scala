@@ -214,6 +214,24 @@ object Relational {
         min(upper(substring(col("text"), 1, 8))).as("min_prefix"),
         countDistinct(concat(col("source"), lit("#"), col("lang"))).as("n_src_lang"))
 
+  /** Full cube over two dims (§2.5 "cube/rollup built in"). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+
+  /** HLL approximate distinct (§2.5) — approximate by construction, so no
+    * cross-engine oracle: the driver records the rows-only check. The
+    * ScalaTest asserts the estimate lands within 5% of exact. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        count(lit(1)).as("n_rows"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -231,6 +249,8 @@ object Relational {
     "q18_setops_nations" -> q18 _,
     "q19_conditional_agg" -> q19 _,
     "q20_string_funcs" -> q20 _,
+    "q21_cube_status_priority" -> q21 _,
+    "q22_approx_distinct" -> q22 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -338,5 +358,12 @@ object Relational {
         |  MIN(UPPER(SUBSTRING(text, 1, 8))) AS min_prefix,
         |  COUNT(DISTINCT source || '#' || lang) AS n_src_lang
         |FROM documents GROUP BY lang""".stripMargin,
+    "q21_cube_status_priority" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n_orders, ${sqlSumd("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    // q22_approx_distinct: intentionally no oracle (HLL estimates are
+    // engine-specific); rows-only check + ScalaTest accuracy bound.
   )
 }

@@ -159,6 +159,35 @@ object TextDedupOps {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)
 
+  /** Exact all-pairs n-gram Jaccard via inverted index — the ground truth
+    * d03's LSH approximates (same shingles, same 500‰ threshold, no
+    * banding, no sampling). Explode (doc, shingle), self-join on shingle,
+    * count hits per pair = |A∩B| exactly; pairs sharing zero shingles
+    * never materialize, so the join output is Σ_sh cnt(sh)² instead of
+    * n²·|shingle| — the formulation that survives scale-up. The ScalaTest
+    * asserts d03's LSH output is a subset of this exact result. */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    val hsTab = documents(s, d)
+      .withColumn("hs", hashedShingles(col("text"), K))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
+      .persist()
+    val ex = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val inter = ex.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(ex.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = hsTab.select(col("doc_id"), col("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("jaccard_pm",
+        expr("(1000L * inter) DIV (na + nb - inter)"))
+      .filter(col("jaccard_pm") >= 500)
+      .select(col("a_id"), col("b_id"), col("jaccard_pm"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -169,6 +198,7 @@ object TextDedupOps {
     "d02_exact_dedup_survivors" -> d02 _,
     "d03_minhash_lsh_pairs" -> d03 _,
     "d04_simhash_buckets" -> d04 _,
+    "d05_ngram_jaccard_exact" -> d05 _,
   )
 
   // ---- DuckDB oracles ----
@@ -274,6 +304,28 @@ object TextDedupOps {
          |  JOIN sigs sb ON sb.doc_id = b_id)
          |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
          |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin,
+    "d05_ngram_jaccard_exact" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+         |  FROM thm),
+         |sized AS (SELECT doc_id, ss, len(ss) AS n FROM hs WHERE len(ss) > 0),
+         |ex AS (SELECT doc_id, UNNEST(ss) AS shingle FROM sized),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  (1000 * inter) // (sa.n + sb.n - inter) AS jaccard_pm
+         |FROM inter
+         |JOIN sized sa ON sa.doc_id = a_id
+         |JOIN sized sb ON sb.doc_id = b_id
+         |WHERE (1000 * inter) // (sa.n + sb.n - inter) >= 500""".stripMargin,
     "d04_simhash_buckets" ->
       s"""WITH hashed AS (
          |  SELECT doc_id, ${hash60ArraySql(toksSql, 999)} AS hb

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+
+/** Spot checks on query-surface pieces the DuckDB oracle can't cover. */
+class QuerySurfaceSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  test("q22 approx_count_distinct lands within 5% of exact") {
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"))
+    val approx = SparkEntry.queries("q22_approx_distinct")(spark, sf)
+    val joined = exact.join(approx, "l_returnflag")
+      .select(col("exact"), col("approx_orders"))
+      .collect()
+    joined.foreach { r =>
+      val (e, a) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      assert(math.abs(e - a) / e < 0.05, s"approx $a vs exact $e")
+    }
+  }
+
+  test("every declared query returns rows at sf0.01 except dup-hunters on clean data") {
+    val mayBeEmpty = Set("d01_exact_dup_groups", "t05_fingerprint_dups")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries keys with matching columns impossible to typo") {
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(ok.subsetOf(qk), s"oracle-only keys: ${ok -- qk}")
+  }
+
+  test("LSH near-dup pairs (d03) are a subset of exact Jaccard pairs (d05)") {
+    val lsh = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("d05_ngram_jaccard_exact")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs exact Jaccard rejects: ${lsh -- exact}")
+    // and LSH recall on this data is high (banding catches jacc >= ~0.63;
+    // every observed near-dup pair here is far above that)
+    assert(lsh.nonEmpty && exact.nonEmpty)
+  }
+
+  test("jsonb typed view via Spark 4 Variant (txn fields path)") {
+    import spark.implicits._
+    val env = Seq(
+      (100L, "h1", "payment_v1", """{"payer":"acctA","amount":10}"""),
+      (101L, "h2", "payment_v1", """{"payer":"acctB","amount":20}"""))
+      .toDF("block", "hash", "type", "fields")
+    val v = env.withColumn("vf", parse_json(col("fields")))
+      .select(col("block"),
+        variant_get(col("vf"), "$.payer", "string").as("payer"),
+        variant_get(col("vf"), "$.amount", "long").as("amount"))
+    assert(v.as[(Long, String, Long)].collect().toSet
+      == Set((100L, "acctA", 10L), (101L, "acctB", 20L)))
+  }
+}

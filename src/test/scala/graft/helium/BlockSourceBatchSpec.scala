@@ -30,6 +30,30 @@ class BlockSourceBatchSpec extends SparkSuite {
     assert(plan.contains("BatchScan"))
   }
 
+  test("maxBlocksPerBatch caps the streaming batch size (backpressure)") {
+    val root = java.nio.file.Files.createTempDirectory("bp").toString
+    new StateStore(spark, root).advance(Model.IngestState(99, 100))
+    var batches = 0
+    val q = spark.readStream
+      .format(classOf[BlockSourceProvider].getName)
+      .option("fixtures", fixture("basic"))
+      .option("startHeight", "99")
+      .option("maxBlocksPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        assert(n <= 2, s"batch of $n exceeds cap")
+        if (n > 0) batches += 1
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches >= 3) // 6 blocks / cap 2
+    } finally q.stop()
+  }
+
   test("pushed slice feeds the batch pipeline end-to-end") {
     val blocks = Follower.parseBlocks(
       read().filter(col("height") === 102).select("json"))
