@@ -232,6 +232,19 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
         count(lit(1)).as("n_rows"))
 
+  /** Equi + range join (§2.4 range row): lineitems shipped within 30 days
+    * of their order's date. The equi key (orderkey) carries the shuffle;
+    * the range predicate evaluates post-match — no nested-loop explosion. */
+  private def q23(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_quick_ships"),
+        sumd(col("l_extendedprice")).as("quick_revenue"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -251,6 +264,7 @@ object Relational {
     "q20_string_funcs" -> q20 _,
     "q21_cube_status_priority" -> q21 _,
     "q22_approx_distinct" -> q22 _,
+    "q23_range_join_shipwindow" -> q23 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -365,5 +379,13 @@ object Relational {
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     // q22_approx_distinct: intentionally no oracle (HLL estimates are
     // engine-specific); rows-only check + ScalaTest accuracy bound.
+    "q23_range_join_shipwindow" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_quick_ships,
+         |  ${sqlSumd("l_extendedprice")} AS quick_revenue
+         |FROM lineitem JOIN orders
+         |  ON l_orderkey = o_orderkey
+         |  AND l_shipdate >= o_orderdate
+         |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+         |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.{MinHashAgg, TextFns}
+
+/** Streaming incremental near-duplicate detection — the stateful-streaming
+  * face of the dedup suite (SURVEY §2.8 last row:
+  * `flatMapGroupsWithState`), shaped for a training-data ingest pipeline:
+  * documents arrive continuously; each is admitted iff its MinHash
+  * signature does not collide with any signature already admitted in its
+  * LSH band-bucket.
+  *
+  * State is keyed by band bucket (not by document), so lookups touch only
+  * the colliding bucket's signatures — the streaming analogue of d03's
+  * band join. State per key is the admitted signatures in that bucket;
+  * memory is bounded by admitted-docs × bands, and a production deployment
+  * would add state TTL via the timeout conf.
+  */
+object IncrementalDedup {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Banded(bucket: String, doc_id: Long, sig: Seq[Long])
+  case class Verdict(doc_id: Long, bucket: String, duplicateOf: Long)
+
+  val K = 3
+  val MINHASH_K = 12
+  val BANDS = 4
+  private val ROWS = MINHASH_K / BANDS
+
+  /** Per-batch signature+banding plan (same math as d03, so batch and
+    * streaming dedup agree). */
+  def band(docs: Dataset[Doc]): Dataset[Banded] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withColumn("hs", TextFns.hashedShingles(col("text"), K))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", TextFns.minhashFromHashes(col("hs"), MINHASH_K))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until BANDS).map(b =>
+          TextFns.bandKey(col("sig"), b, ROWS)): _*)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("sig"))
+      .as[Banded]
+  }
+
+  /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against
+    * any previously-admitted signature in the same bucket. Emits one
+    * Verdict per detected duplicate (first sighting is admitted silently). */
+  def detect(banded: Dataset[Banded], threshPm: Long = 500)
+      : Dataset[Verdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], Verdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: String, rows: Iterator[Banded],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[Verdict]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            admitted.find { case (_, sig) =>
+              MinHashAgg.estimateJaccardPm(sig, r.sig) >= threshPm
+            } match {
+              case Some((origId, _)) =>
+                out += Verdict(r.doc_id, bucket, origId)
+              case None =>
+                admitted = (r.doc_id, r.sig) :: admitted
+            }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+}

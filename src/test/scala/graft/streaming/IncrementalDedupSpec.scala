@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.MinHashAgg
+import graft.helium.SparkSuite
+import IncrementalDedup._
+
+class IncrementalDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest tonight"
+  private val nearDup = base.replace("tonight", "today")
+  private val unrelated = "completely different words about spark query " +
+    "engines processing massive distributed datasets with shuffles"
+
+  test("MinHashAgg merge equals signature of unioned sets; estimator sane") {
+    val agg = new MinHashAgg(4)
+    val s1 = Seq(5L, 9L, 2L, 7L)
+    val s2 = Seq(3L, 11L, 4L, 1L)
+    val merged = agg.finish(agg.merge(agg.reduce(agg.zero, s1), agg.zero.clone()
+      match { case z => agg.reduce(z, s2) }))
+    assert(merged == Seq(3L, 9L, 2L, 1L))
+    assert(MinHashAgg.estimateJaccardPm(s1, s1) == 1000)
+    assert(MinHashAgg.estimateJaccardPm(s1, s2) == 0)
+  }
+
+  test("streaming near-dup detection: dup flagged across micro-batches, " +
+    "state persists, unrelated docs admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val verdicts = detect(band(input.toDS()))
+    val q = verdicts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(Doc(1, base), Doc(2, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 0) // both admitted
+
+      input.addData(Doc(3, nearDup)) // later batch: near-dup of doc 1
+      q.processAllAvailable()
+      val flagged = spark.table("dedup_out")
+        .select("doc_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L)))
+
+      input.addData(Doc(4, base)) // exact dup, later still
+      q.processAllAvailable()
+      val flagged2 = spark.table("dedup_out")
+        .select("doc_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged2 == Set((3L, 1L), (4L, 1L)))
+    } finally q.stop()
+  }
+}
