@@ -9,6 +9,10 @@ class QuerySurfaceSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("entry flagship returns rows at sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("q22 approx_count_distinct lands within 5% of exact") {
     val exact = Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))

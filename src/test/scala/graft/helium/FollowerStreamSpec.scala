@@ -80,6 +80,43 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.rewardsTable().count() == once)
   }
 
+  test("compaction consolidates closed batches, preserves rows, newest batch untouched") {
+    val fixDir = tmpDir("fixt3")
+    val root = tmpDir("root4")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    // three batches; the last (blocks 104-105) yields ZERO rewards (r105
+    // has an empty rewards list) so it writes no partition at all — the
+    // newest *existing* partition is batch 1, and that is what compaction
+    // must protect (it is the only one that could still be a replay
+    // target after a crash-before-cursor).
+    Seq((100L to 101L, 0L), (102L to 103L, 1L), (104L to 105L, 2L))
+      .foreach { case (range, id) =>
+        val blocks = Follower.parseBlocks(
+          range.flatMap(node.getBlockJson).toDF("json"))
+        val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+        sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+          id, range.last, 100)
+      }
+    val before = sink.rewardsTable().count()
+    assert(before == 5)
+
+    sink.compact("rewards", targetPartitions = 1)
+    val after = sink.rewardsTable()
+    assert(after.count() == before)
+    // batch 0 consolidated into -1; newest existing batch (1) untouched
+    assert(after.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-1L, 1L))
+    // compacting again with nothing new closed is a no-op
+    sink.compact("rewards")
+    assert(sink.rewardsTable().count() == before)
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L, 1L))
+  }
+
   test("cursor is monotonic — backwards advance is refused") {
     val root = tmpDir("root3")
     val store = new StateStore(spark, root)
