@@ -38,18 +38,37 @@ object TextFns {
   val ShingleMod: Long = 1L << 40
   val ShingleCoef: Array[Long] = Array(1L, 524287L, 914219L) // < 2^20
 
-  def hashedShingles(text: Column, k: Int): Column = {
+  /** Per-token 40-bit hashes, ordered. MATERIALIZE THIS AS ITS OWN COLUMN
+    * (`withColumn`) before deriving shingles/winnowing from it: the
+    * derivations reference their input several times per element, and if
+    * the input is this raw expression rather than a column attribute,
+    * every reference re-evaluates the whole MD5 pass — O(n²·md5) per row
+    * instead of O(n·k) integer ops. */
+  def tokenHashSeq(text: Column): Column =
+    transform(tokens(text), t => pmod(hash60(t, 0), lit(ShingleMod)))
+
+  /** Ordered shingle-hash sequence from a token-hash array: k shifted
+    * slices combined with the coefficient polynomial, mod 2^40. O(n·k)
+    * per row, array inputs only as HOF arguments (see safety rule). */
+  def shingleSeqFromHashes(th: Column, k: Int): Column = {
     require(k <= ShingleCoef.length, s"k=$k needs more coefficients")
-    val thm = transform(tokens(text), t => pmod(hash60(t, 0), lit(ShingleMod)))
-    val n = size(thm)
-    val raw = transform(thm, (_, i) => {
-      val combined = (0 until k).map(j =>
-        element_at(thm, i + j + 1) * lit(ShingleCoef(j))).reduce(_ + _)
-      when(i <= n - k, pmod(combined, lit(ShingleMod)))
-        .otherwise(lit(null).cast("long"))
-    })
-    array_distinct(filter(raw, h => h.isNotNull))
+    val n = size(th)
+    val len = n - (k - 1)
+    val scaled = (0 until k).map(j =>
+      transform(slice(th, lit(j + 1), len), x => x * lit(ShingleCoef(j))))
+    val summed = scaled.reduce((a, b) => zip_with(a, b, (x, y) => x + y))
+    val sq = transform(summed, x => pmod(x, lit(ShingleMod)))
+    when(n >= k, sq).otherwise(emptyLongArray)
   }
+
+  /** Distinct shingle-hash set from a materialized [[tokenHashSeq]]. */
+  def shingleSetFromHashes(th: Column, k: Int): Column =
+    array_distinct(shingleSeqFromHashes(th, k))
+
+  /** Convenience composition — fine for tests and small inputs; hot paths
+    * must materialize [[tokenHashSeq]] first (see its scaladoc). */
+  def hashedShingles(text: Column, k: Int): Column =
+    array_distinct(hashedShingleSeq(text, k))
 
   /** Base 60-bit hashes of a string array — materialize this as its own
     * column (one MD5 per element) before deriving MinHash/SimHash from it;
@@ -88,6 +107,39 @@ object TextFns {
     }
     terms.reduce(_ + _)
   }
+
+  /** Evaluation-safety rule for everything below: per-element work must
+    * reference ONLY lambda variables; whole-array inputs appear ONLY as
+    * higher-order-function *arguments* (evaluated once per row). An array
+    * referenced *inside* a lambda (element_at/slice/size on the outer
+    * expression) is re-evaluated per element, and once CollapseProject
+    * inlines the upstream chain that turns an O(n) pass into O(n²)–O(n³)
+    * interpreted evaluation per row. Hence the shifted-slice `zip_with`
+    * chains: k shifted views, combined pairwise. */
+  private def emptyLongArray: Column =
+    array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType))
+
+  /** Winnowing fingerprints (the MOSS rolling-hash scheme): over the
+    * *sequence* of shingle hashes (order preserved, not the distinct set),
+    * take the minimum of every sliding window of `w`, then distinct. Two
+    * documents sharing a long run of text share the run's winnowed minima
+    * regardless of alignment — the guarantee plain shingle sampling lacks.
+    * Sliding minima via w shifted slices folded with `least`. */
+  def winnowing(hashedSeq: Column, w: Int): Column = {
+    val n = size(hashedSeq)
+    val len = n - (w - 1)
+    val shifted = (0 until w).map(j => slice(hashedSeq, lit(j + 1), len))
+    val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
+    when(n >= w, array_distinct(mins)).otherwise(emptyLongArray)
+  }
+
+  /** Ordered (non-distinct) numeric shingle sequence — the winnowing
+    * input; same hashing as [[hashedShingles]] without the set collapse.
+    * Convenience composition; hot paths use [[shingleSeqFromHashes]] over
+    * a materialized [[tokenHashSeq]] column. */
+  def hashedShingleSeq(text: Column, k: Int): Column =
+    shingleSeqFromHashes(tokenHashSeq(text), k)
 
   /** Normalized-text fingerprint: lowercase, strip non [a-z ], collapse
     * runs of spaces, trim, md5. Catches case/punctuation near-dups. */

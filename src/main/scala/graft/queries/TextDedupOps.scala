@@ -88,6 +88,40 @@ object TextDedupOps {
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_dups") > 1)
 
+  /** Winnowing (rolling-hash) fingerprint overlap — MOSS-style document
+    * fingerprinting: per doc, the distinct minima of sliding windows
+    * (w=4) over the ordered shingle-hash sequence; pairs whose fingerprint
+    * containment ≥ 500‰ of the smaller set. Inverted-index join, same
+    * scale shape as d05. */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    val W = 4
+    val fpTab = documents(s, d)
+      // materialize the hash sequence as its own column before windowing:
+      // composing the expressions inline would re-evaluate the whole
+      // MD5+mix construction inside every per-window lambda reference
+      // (O(n²·md5) per row)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("sq", shingleSeqFromHashes(col("th"), K))
+      .withColumn("fps", winnowing(col("sq"), W))
+      .filter(size(col("fps")) > 0)
+      .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
+      .persist()
+    val ex = fpTab.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val inter = ex.select(col("doc_id").as("a_id"), col("fp"))
+      .join(ex.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = fpTab.select(col("doc_id"), col("n"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+      .withColumn("containment_pm",
+        expr("(1000L * inter) DIV least(na, nb)"))
+      .filter(col("containment_pm") >= 500)
+      .select(col("a_id"), col("b_id"), col("containment_pm"))
+  }
+
   // ---- dedup ----
 
   /** Exact dedup groups by content hash. */
@@ -122,7 +156,8 @@ object TextDedupOps {
     * back for the (few) candidate pairs. */
   private def d03(s: SparkSession, d: String): DataFrame = {
     val sigd = documents(s, d)
-      .withColumn("hs", hashedShingles(col("text"), K))
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs", shingleSetFromHashes(col("th"), K))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", minhashFromHashes(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("hs"), col("sig"))
@@ -168,7 +203,8 @@ object TextDedupOps {
     * asserts d03's LSH output is a subset of this exact result. */
   private def d05(s: SparkSession, d: String): DataFrame = {
     val hsTab = documents(s, d)
-      .withColumn("hs", hashedShingles(col("text"), K))
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs", shingleSetFromHashes(col("th"), K))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .persist()
@@ -194,6 +230,7 @@ object TextDedupOps {
     "t03_langid_confusion" -> t03 _,
     "t04_token_counts" -> t04 _,
     "t05_fingerprint_dups" -> t05 _,
+    "t06_winnowing_overlap" -> t06 _,
     "d01_exact_dup_groups" -> d01 _,
     "d02_exact_dedup_survivors" -> d02 _,
     "d03_minhash_lsh_pairs" -> d03 _,
@@ -264,6 +301,33 @@ object TextDedupOps {
       s"""SELECT $fpSql AS fp, COUNT(*) AS n_dups,
          |  MIN(doc_id) AS canonical_id
          |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "t06_winnowing_overlap" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |seq AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod}) AS sq
+         |  FROM thm),
+         |fps AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(sq) - 4 + 2, 1)),
+         |      i -> list_min(sq[i:i+3]))) AS fps
+         |  FROM seq),
+         |sized AS (SELECT doc_id, fps, len(fps) AS n FROM fps WHERE len(fps) > 0),
+         |ex AS (SELECT doc_id, UNNEST(fps) AS fp FROM sized),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  (1000 * inter) // least(sa.n, sb.n) AS containment_pm
+         |FROM inter
+         |JOIN sized sa ON sa.doc_id = a_id
+         |JOIN sized sb ON sb.doc_id = b_id
+         |WHERE (1000 * inter) // least(sa.n, sb.n) >= 500""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
         |  MIN(doc_id) AS canonical_id

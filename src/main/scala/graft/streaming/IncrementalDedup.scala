@@ -36,7 +36,8 @@ object IncrementalDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.toDF()
-      .withColumn("hs", TextFns.hashedShingles(col("text"), K))
+      .withColumn("th", TextFns.tokenHashSeq(col("text")))
+      .withColumn("hs", TextFns.shingleSetFromHashes(col("th"), K))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", TextFns.minhashFromHashes(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("sig"),
