@@ -73,6 +73,52 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
 
+  /** IVF-style ANN: a 16-list inverted file. Coarse "centroids" are a
+    * deterministic seed subset of the vectors themselves (vec_id 100–115 —
+    * a data-dependent quantizer an offline k-means would refine); every
+    * vector is assigned to its max-cosine centroid list, queries probe
+    * their top-`nprobe`=2 lists and re-rank exactly inside them. The scan
+    * per query touches ~2/16 of the corpus — the IVF structure — and every
+    * step is an equi-join or window Catalyst shuffles/broadcasts by size.
+    * Complements s02 (LSH) as the second ANN scale path. */
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    val NC0 = 100
+    val NC1 = 115
+    val emb = withQ(embeddings(s, d))
+    val cents = emb.filter(col("vec_id").between(NC0, NC1))
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"))
+    def assign(side: DataFrame, idCol: String, top: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= top)
+        .drop("c_qv", "c_n2", "c_cos", "crk")
+    }
+    val lists = assign(
+      emb.filter(col("vec_id") >= NQ)
+        .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+      "cand_id", top = 1)
+      .select(col("c_id"), col("cand_id"), col("qv"), col("n2"))
+    val probes = assign(
+      emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
+      "query_id", top = 2)
+      .select(col("c_id"), col("query_id"),
+        col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val scored = lists.join(broadcast(probes), Seq("c_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
   /** Per-label centroid stats on the quantized grid — integer-exact. */
   private def s03(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
@@ -106,6 +152,7 @@ object SimilarityOps {
     "s02_ann_lsh" -> s02 _,
     "s03_label_centroids" -> s03 _,
     "s04_embedding_neardup" -> s04 _,
+    "s05_ann_ivf" -> s05 _,
   )
 
   // ---- DuckDB oracles ----
@@ -159,6 +206,39 @@ object SimilarityOps {
          |SELECT label, SUM(s * s)::BIGINT AS centroid_norm2,
          |  MAX(n) AS n_vecs
          |FROM dims GROUP BY label""".stripMargin,
+    "s05_ann_ivf" ->
+      s"""WITH $embCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM embn
+         |  WHERE vec_id BETWEEN 100 AND 115),
+         |cand_assign AS (
+         |  SELECT c_id, cand_id, qv, n2 FROM (
+         |    SELECT c.c_id, v.vec_id AS cand_id, v.qv, v.n2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c WHERE v.vec_id >= $NQ)
+         |  WHERE crk <= 1),
+         |probes AS (
+         |  SELECT c_id, query_id, q_qv, q_n2 FROM (
+         |    SELECT c.c_id, v.vec_id AS query_id, v.qv AS q_qv, v.n2 AS q_n2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c WHERE v.vec_id < $NQ)
+         |  WHERE crk <= 2),
+         |scored AS (
+         |  SELECT p.query_id, l.cand_id,
+         |    CAST(${dot("l.qv", "p.q_qv")} AS DOUBLE)
+         |      / (sqrt(CAST(l.n2 AS DOUBLE)) * sqrt(CAST(p.q_n2 AS DOUBLE))) AS cos
+         |  FROM cand_assign l JOIN probes p USING (c_id))
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
     "s04_embedding_neardup" ->
       s"""WITH $embCte
          |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

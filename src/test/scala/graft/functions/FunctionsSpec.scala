@@ -68,6 +68,36 @@ class FunctionsSpec extends SparkSuite {
     assert(sh.forall(v => v >= 0 && v < (1L << 16)))
   }
 
+  test("winnowing: shared text runs share fingerprints regardless of alignment") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val doc1 = s"one two three $run"
+    val doc2 = s"$run nine ten eleven"          // same run, different offset
+    val doc3 = "totally different words here about nothing shared at all x y"
+    val df = Seq(doc1, doc2, doc3).toDF("text")
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("sq", shingleSeqFromHashes(col("th"), 3))
+      .withColumn("fps", winnowing(col("sq"), 4))
+    val fps = df.select("fps").as[Seq[Long]].collect().map(_.toSet)
+    assert((fps(0) & fps(1)).nonEmpty)   // shared run => shared minima
+    assert((fps(0) & fps(2)).isEmpty)
+    // shorter than window => empty, not error
+    val short = Seq("a b").toDF("text")
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("sq", shingleSeqFromHashes(col("th"), 3))
+      .withColumn("fps", winnowing(col("sq"), 4))
+      .select("fps").as[Seq[Long]].head()
+    assert(short.isEmpty)
+  }
+
+  test("numeric shingle set equals string shingle set cardinality (no collisions on sample)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs", shingleSetFromHashes(col("th"), 3))
+      .withColumn("ss", shingles(col("text"), 3))
+      .select(size(col("hs")).as("a"), size(col("ss")).as("b"))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+  }
+
   test("fingerprint normalizes case/punctuation/whitespace") {
     val df = Seq("Hello,  World!", "hello world", "other text")
       .toDF("text").withColumn("fp", fingerprint(col("text")))
