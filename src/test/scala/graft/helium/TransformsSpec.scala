@@ -79,6 +79,28 @@ class TransformsSpec extends SparkSuite {
       || ex.getCause != null && ex.getCause.getMessage.contains("rbad"))
   }
 
+  test("T5 checked narrowing: arithmetic overflow raises under ANSI " +
+    "(reference i64::try_from().unwrap() parity, src/reward.rs:35-36)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true") // Spark 4 default
+    val big = Seq(Long.MaxValue, Long.MaxValue).toDF("amount")
+    val ex = intercept[Exception] {
+      big.agg(org.apache.spark.sql.functions.sum(
+        $"amount" * 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(m =>
+      m.contains("ARITHMETIC_OVERFLOW") || m.contains("overflow")))
+    // a JSON amount beyond Long range nulls out rather than silently
+    // wrapping (parse-level narrowing)
+    val parsed = Seq("""{"amount": 99999999999999999999999}""").toDF("fields")
+      .select(org.apache.spark.sql.functions.from_json(
+        $"fields", Model.rewardsV2Schema.add("amount",
+          org.apache.spark.sql.types.LongType)).as("p"))
+      .select("p.amount")
+    assert(parsed.head().isNullAt(0))
+  }
+
   test("K2 enum validation rejects unknown transaction type") {
     val env = Seq((100L, "x1", "bogus_v1", "{}"))
       .toDF("block", "hash", "type", "fields")
