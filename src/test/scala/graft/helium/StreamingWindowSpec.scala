@@ -37,6 +37,27 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("session window: events within 5-minute gaps coalesce into sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = input.toDF().toDF("ts", "kind", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // 10:00, 10:03 chain one session; 10:20 starts another
+      input.addData((t(0), "a", 1.0), (t(3), "a", 1.0), (t(20), "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select(col("session_window.start").cast("string"), col("n"))
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("2024-01-01 10:00:00", 2L), ("2024-01-01 10:20:00", 1L)))
+    } finally q.stop()
+  }
+
   test("migrate registers catalog tables over sink output (K6 parity)") {
     val root = java.nio.file.Files.createTempDirectory("migr").toString
     // produce one committed batch through the real pipeline + sink
