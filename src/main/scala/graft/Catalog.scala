@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface entry point: register every testdata table as a temp view so
+  * the whole engine is reachable through `spark.sql(...)` — the reference's
+  * own query interface is SQL over its Postgres schema (SURVEY §2 preamble),
+  * and this is the Spark-native equivalent for the analytics tables.
+  * (The Helium ingest tables get real catalog entries via
+  * [[graft.helium.Migrate]]; these are the driver-provided read-only inputs,
+  * hence temp views.)
+  */
+object Catalog {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach { t =>
+      Tables.t(spark, dir, t).createOrReplaceTempView(t)
+    }
+}

@@ -55,6 +55,25 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(lsh.nonEmpty && exact.nonEmpty)
   }
 
+  test("SQL surface: registered views answer the same query as the DataFrame plan") {
+    Catalog.registerAll(spark, sf)
+    val sql = spark.sql(
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin)
+      .orderBy("r_name", "n_name").collect().toSeq
+    val df = SparkEntry.queries("q04_star_join_revenue")(spark, sf)
+      .orderBy("r_name", "n_name").collect().toSeq
+    assert(sql == df)
+  }
+
   test("jsonb typed view via Spark 4 Variant (txn fields path)") {
     import spark.implicits._
     val env = Seq(
