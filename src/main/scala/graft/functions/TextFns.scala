@@ -65,11 +65,6 @@ object TextFns {
   def shingleSetFromHashes(th: Column, k: Int): Column =
     array_distinct(shingleSeqFromHashes(th, k))
 
-  /** Convenience composition — fine for tests and small inputs; hot paths
-    * must materialize [[tokenHashSeq]] first (see its scaladoc). */
-  def hashedShingles(text: Column, k: Int): Column =
-    array_distinct(hashedShingleSeq(text, k))
-
   /** Base 60-bit hashes of a string array — materialize this as its own
     * column (one MD5 per element) before deriving MinHash/SimHash from it;
     * the derivations below are pure integer ops over the hashed array. */
@@ -133,13 +128,6 @@ object TextFns {
     val mins = shifted.reduce((a, b) => zip_with(a, b, (x, y) => least(x, y)))
     when(n >= w, array_distinct(mins)).otherwise(emptyLongArray)
   }
-
-  /** Ordered (non-distinct) numeric shingle sequence — the winnowing
-    * input; same hashing as [[hashedShingles]] without the set collapse.
-    * Convenience composition; hot paths use [[shingleSeqFromHashes]] over
-    * a materialized [[tokenHashSeq]] column. */
-  def hashedShingleSeq(text: Column, k: Int): Column =
-    shingleSeqFromHashes(tokenHashSeq(text), k)
 
   /** Normalized-text fingerprint: lowercase, strip non [a-z ], collapse
     * runs of spaces, trim, md5. Catches case/punctuation near-dups. */

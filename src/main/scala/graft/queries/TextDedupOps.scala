@@ -144,7 +144,7 @@ object TextDedupOps {
   /** MinHash + LSH near-dup pairs, Jaccard-verified.
     *
     * numeric shingle sets (one MD5 per token, see
-    * [[graft.functions.TextFns.hashedShingles]]) → 12 minhashes by XOR
+    * [[graft.functions.TextFns.shingleSetFromHashes]]) → 12 minhashes by XOR
     * mixing → 4 band keys → id-only self-join on band key → distinct
     * candidate pairs → fetch shingle sets for candidates only → exact
     * Jaccard ≥ 500‰.
