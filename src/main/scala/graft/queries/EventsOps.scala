@@ -93,11 +93,41 @@ object EventsOps {
         (col("ts_us") - col("prev_click_ts")).as("gap_us"))
   }
 
+  /** Three-stage funnel (signup → later click → later purchase): per-user
+    * stage timestamps derived by successive conditional mins, then stage
+    * population counts. Each phase is one aggregation over the user key —
+    * three shuffles on user_id total, no self-join explosion; at scale the
+    * three aggs pipeline over the same hash partitioning (Catalyst reuses
+    * the exchange). */
+  private def q15(s: SparkSession, d: String): DataFrame = {
+    val ev = withTs(events(s, d))
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("signup_ts"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(signup, Seq("user_id"))
+      .filter(col("ts_us") >= col("signup_ts"))
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(col("ts_us")).as("click_ts"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, Seq("user_id"))
+      .filter(col("ts_us") >= col("click_ts"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("purchase_ts"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).withColumn("stage", lit(name))
+    stage(signup, "1_signup")
+      .unionByName(stage(click, "2_click_after_signup"))
+      .unionByName(stage(purchase, "3_purchase_after_click"))
+      .select(col("stage"), col("n_users"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q11_time_bucket_daily" -> q11 _,
     "q12_json_extract_agg" -> q12 _,
     "q13_sessionize" -> q13 _,
     "q14_asof_prev_click" -> q14 _,
+    "q24_funnel_stages" -> q15 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -143,5 +173,24 @@ object EventsOps {
         |      AS prev_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' AND prev_click_ts IS NOT NULL""".stripMargin,
+    "q24_funnel_stages" ->
+      """WITH signup AS (
+        |  SELECT user_id, MIN(epoch_us(ts)) AS signup_ts
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |click AS (
+        |  SELECT e.user_id, s.signup_ts, MIN(epoch_us(e.ts)) AS click_ts
+        |  FROM events e JOIN signup s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s.signup_ts
+        |  GROUP BY e.user_id, s.signup_ts),
+        |purchase AS (
+        |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_ts
+        |  FROM events e JOIN click c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_ts
+        |  GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM signup
+        |UNION ALL
+        |SELECT '2_click_after_signup', COUNT(*) FROM click
+        |UNION ALL
+        |SELECT '3_purchase_after_click', COUNT(*) FROM purchase""".stripMargin,
   )
 }
