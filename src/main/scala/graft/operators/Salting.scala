@@ -24,15 +24,21 @@ object Salting {
   /** Two-phase salted sum/count over a possibly-skewed key. Exact: sum and
     * count are decomposable, so pre-aggregating per (key, salt) then
     * combining per key gives identical results with `salts`-way parallel
-    * reduction of the hot key. */
-  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
-      salts: Int): DataFrame =
+    * reduction of the hot key. Pass an exact-typed value expression
+    * (decimal/long) when the result must be independent of the salt
+    * grouping (double partial sums are order-sensitive). */
+  def saltedSumCount(df: DataFrame, key: String, value: Column,
+      outName: String, salts: Int): DataFrame =
     df.withColumn("__salt", saltCol(salts))
       .groupBy(col(key), col("__salt"))
-      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+      .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(col(key))
-      .agg(sum(col("__psum")).as(s"sum_$valueCol"),
+      .agg(sum(col("__psum")).as(outName),
         sum(col("__pcnt")).as("n_rows"))
+
+  def saltedSumCount(df: DataFrame, key: String, valueCol: String,
+      salts: Int): DataFrame =
+    saltedSumCount(df, key, col(valueCol), s"sum_$valueCol", salts)
 
   /** Salted broadcast-free join: big side scattered across salts, small
     * side replicated per salt. Result equals `big.join(small, key)`. */

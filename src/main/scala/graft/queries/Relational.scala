@@ -245,6 +245,16 @@ object Relational {
       .agg(count(lit(1)).as("n_quick_ships"),
         sumd(col("l_extendedprice")).as("quick_revenue"))
 
+  /** Salted two-phase aggregation exposed through the gate: identical
+    * result to a plain groupBy (the oracle IS the plain SQL), computed via
+    * [[graft.operators.Salting]] — the skew path stays semantics-exact.
+    * Value goes through decimal so partial sums are order-independent. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salting.saltedSumCount(
+      lineitem(s, d), "l_suppkey", dec(col("l_quantity")), "sum_qty", 8)
+      .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
+        col("n_rows"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -265,6 +275,7 @@ object Relational {
     "q21_cube_status_priority" -> q21 _,
     "q22_approx_distinct" -> q22 _,
     "q23_range_join_shipwindow" -> q23 _,
+    "q25_salted_agg" -> q25 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -387,5 +398,9 @@ object Relational {
          |  AND l_shipdate >= o_orderdate
          |  AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
          |GROUP BY o_orderpriority""".stripMargin,
+    "q25_salted_agg" ->
+      s"""SELECT l_suppkey, ${sqlSumd("l_quantity")} AS sum_qty,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
   )
 }

@@ -122,6 +122,27 @@ object TextDedupOps {
       .select(col("a_id"), col("b_id"), col("containment_pm"))
   }
 
+  /** tf-idf-style distinctive terms per language, on an integer surrogate
+    * (tf·10⁶ / df — no transcendental functions, so the oracle matches
+    * exactly): explode tokens once, compute per-(lang, token) term counts
+    * and per-token document frequency, score, top-3 per lang. The explode
+    * shuffles (token) pairs only — the standard distributed tf-idf shape. */
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+    val df_ = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(df_, Seq("token"))
+      .withColumn("score", expr("(tf * 1000000L) DIV df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("token"), col("score"), col("rk"))
+  }
+
   // ---- dedup ----
 
   /** Exact dedup groups by content hash. */
@@ -231,6 +252,7 @@ object TextDedupOps {
     "t04_token_counts" -> t04 _,
     "t05_fingerprint_dups" -> t05 _,
     "t06_winnowing_overlap" -> t06 _,
+    "t07_tfidf_top_terms" -> t07 _,
     "d01_exact_dup_groups" -> d01 _,
     "d02_exact_dedup_survivors" -> d02 _,
     "d03_minhash_lsh_pairs" -> d03 _,
@@ -328,6 +350,19 @@ object TextDedupOps {
          |JOIN sized sa ON sa.doc_id = a_id
          |JOIN sized sb ON sb.doc_id = b_id
          |WHERE (1000 * inter) // least(sa.n, sb.n) >= 500""".stripMargin,
+    "t07_tfidf_top_terms" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, UNNEST($toksSql) AS token FROM documents),
+         |dfreq AS (
+         |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+         |tf AS (
+         |  SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token)
+         |SELECT lang, token, score, rk FROM (
+         |  SELECT tf.lang, tf.token, (tf.tf * 1000000) // dfreq.df AS score,
+         |    ROW_NUMBER() OVER (PARTITION BY tf.lang
+         |      ORDER BY (tf.tf * 1000000) // dfreq.df DESC, tf.token ASC) AS rk
+         |  FROM tf JOIN dfreq ON tf.token = dfreq.token)
+         |WHERE rk <= 3""".stripMargin,
     "d01_exact_dup_groups" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
         |  MIN(doc_id) AS canonical_id
