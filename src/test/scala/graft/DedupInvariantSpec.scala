@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+
+import graft.helium.SparkSuite
+
+/** Dedup invariants on a *generated* corpus with planted near-duplicates —
+  * complements the real-data subset test in QuerySurfaceSpec. */
+class DedupInvariantSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** 60 base docs + 15 planted near-dups (1-2 token edits) + 5 exact dups,
+    * written as a documents-shaped parquet dir so the production queries
+    * run unchanged. */
+  private lazy val corpusDir: String = {
+    val rnd = new scala.util.Random(123)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron",
+      "pi", "rho", "sigma", "tau", "upsilon")
+    def randDoc(): String =
+      Seq.fill(40 + rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    val bases = Seq.fill(60)(randDoc())
+    val nearDups = (0 until 15).map { i =>
+      val toks = bases(i).split(" ")
+      toks.updated(rnd.nextInt(toks.length), "EDITED").mkString(" ")
+    }
+    val exactDups = bases.take(5)
+    val all = bases ++ nearDups ++ exactDups
+    val dir = Files.createTempDirectory("corpus").toString
+    all.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 3}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup finds exactly the planted exact duplicates") {
+    val groups = SparkEntry.queries("d01_exact_dup_groups")(spark, corpusDir)
+    assert(groups.count() == 5)
+  }
+
+  test("LSH near-dup pairs are a subset of exact Jaccard pairs and find planted dups") {
+    val lsh = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = SparkEntry.queries("d05_ngram_jaccard_exact")(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // planted near-dups (base i, 60+i) have jaccard far above threshold;
+    // the exact pass must find every one of them
+    val planted = (0 until 15).map(i => (i.toLong, 60L + i)).toSet
+    assert(planted.subsetOf(exact), s"missed exact: ${planted -- exact}")
+    // and LSH recall on planted pairs is high (banding catches jacc>=~0.63)
+    val recall = (planted & lsh).size.toDouble / planted.size
+    assert(recall >= 0.8, s"LSH recall $recall")
+  }
+
+  test("winnowing containment also surfaces the planted near-dups") {
+    val winnow = SparkEntry.queries("t06_winnowing_overlap")(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (0 until 15).map(i => (i.toLong, 60L + i)).toSet
+    assert((planted & winnow).size >= 12, s"winnowing found ${(planted & winnow).size}/15")
+  }
+}
