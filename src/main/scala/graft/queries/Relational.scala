@@ -255,6 +255,31 @@ object Relational {
       .select(col("l_suppkey"), col("sum_qty").cast("double").as("sum_qty"),
         col("n_rows"))
 
+  /** Aggregation to a sorted array (collect_list is unordered by contract;
+    * sort_array pins it) — emitted as a joined string for byte-stable
+    * comparison. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(concat_ws("|", sort_array(collect_list(col("s_name"))))
+        .as("suppliers"),
+        count(lit(1)).as("n_supp"))
+
+  /** Exact string edit distance (levenshtein is bit-identical across
+    * engines) between consecutive sampled documents — the character-level
+    * face of the dedup suite. */
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val sample = documents(s, d).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text"))
+    val a = sample.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+    val b = sample.select(col("doc_id").as("b_id"), col("text").as("b_text"))
+    a.join(b, col("b_id") === col("a_id") + 100)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
+        (length(col("a_text")) + length(col("b_text"))).as("len_sum"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -276,6 +301,8 @@ object Relational {
     "q22_approx_distinct" -> q22 _,
     "q23_range_join_shipwindow" -> q23 _,
     "q25_salted_agg" -> q25 _,
+    "q26_collect_sorted" -> q26 _,
+    "q27_edit_distance" -> q27 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -402,5 +429,17 @@ object Relational {
       s"""SELECT l_suppkey, ${sqlSumd("l_quantity")} AS sum_qty,
          |  COUNT(*) AS n_rows
          |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q26_collect_sorted" ->
+      """SELECT n_name,
+        |  array_to_string(list_sort(list(s_name)), '|') AS suppliers,
+        |  COUNT(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q27_edit_distance" ->
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  levenshtein(a.text, b.text) AS edit_dist,
+        |  LENGTH(a.text) + LENGTH(b.text) AS len_sum
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+        |WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 = 0""".stripMargin,
   )
 }
