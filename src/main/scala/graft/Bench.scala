@@ -19,7 +19,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     def runAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>

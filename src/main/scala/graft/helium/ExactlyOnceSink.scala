@@ -1,5 +1,6 @@
 package graft.helium
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -12,10 +13,14 @@ import Model._
   * Spark's equivalent (SURVEY §2.2 K4): make the data write *idempotent per
   * batch* and advance the cursor only after the write succeeds:
   *
-  *   - every batch writes with `batch_id=<id>` as a partition value using
-  *     dynamic partition overwrite, so re-processing a batch (crash before
-  *     cursor advance, streaming retry of the same epoch) replaces its own
-  *     partition and nothing else;
+  *   - every batch writes with `batch_id=<max block height in the batch>`
+  *     as a partition value using dynamic partition overwrite. The key is
+  *     derived from the batch's CONTENT, not the streaming engine's epoch
+  *     counter, so replays stay idempotent even if the checkpoint directory
+  *     is lost and epoch ids restart at 0: the same height range always
+  *     lands on the same partition. If a post-reset replay covers a wider
+  *     range (more blocks arrived), the stale uncommitted partition —
+  *     recognizable as any id above the durable cursor — is dropped first;
   *   - the cursor ([[StateStore]]) moves forward only on success.
   *
   * At 100 TB this layout also gives partition pruning on batch ranges, and
@@ -26,65 +31,153 @@ import Model._
 class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
   val state = new StateStore(spark, root)
 
-  private def writeBatch(df: DataFrame, table: String, batchId: Long): Unit =
-    df.withColumn("batch_id", lit(batchId))
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tableDir(table: String) = new Path(s"$root/$table")
+  private def tmpDir(table: String) = new Path(s"$root/_compact_$table")
+  private def manifestPath(table: String) =
+    new Path(s"$root/_compact_$table.manifest")
+
+  private def partitionIds(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("batch_id="))
+      .map(_.stripPrefix("batch_id=").toLong)
+  }
+
+  private[helium] def writeBatch(df: DataFrame, table: String, key: Long,
+      prevCursor: Long): Unit = {
+    // Any positive partition above the durable cursor is an uncommitted
+    // leftover of a crashed attempt. Normally the replay has the same key
+    // and dynamic overwrite replaces it; after a checkpoint reset the
+    // replayed range can end higher (new key), so delete stale ids
+    // explicitly — the final state must be exactly the replayed batch.
+    partitionIds(table)
+      .filter(id => id >= 0 && id > prevCursor && id != key)
+      .foreach(id => fs.delete(new Path(tableDir(table), s"batch_id=$id"), true))
+    df.withColumn("batch_id", lit(key))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/$table")
+  }
 
   /** Commit one batch: rewards (+ transactions in Full mode) then cursor.
-    * `maxHeight` is the highest block height contained in the batch — the
-    * cursor value after commit, exactly like `follower_info.height` after
-    * the reference's per-block txn. */
-  def commit(out: Pipeline.Output, batchId: Long, maxHeight: Long,
+    * `maxHeight` is the highest block height contained in the batch — both
+    * the partition key and the cursor value after commit, exactly like
+    * `follower_info.height` after the reference's per-block txn. */
+  def commit(out: Pipeline.Output, maxHeight: Long,
       firstBlock: Long): Unit = {
-    writeBatch(out.rewards, "rewards", batchId)
-    out.transactions.foreach(writeBatch(_, "transactions", batchId))
+    val prev = state.load().map(_.height).getOrElse(Long.MinValue)
+    writeBatch(out.rewards, "rewards", maxHeight, prev)
+    out.transactions.foreach(writeBatch(_, "transactions", maxHeight, prev))
     state.advance(IngestState(maxHeight, firstBlock))
   }
 
-  def rewardsTable(): DataFrame = spark.read.parquet(s"$root/rewards")
-  def transactionsTable(): DataFrame = spark.read.parquet(s"$root/transactions")
+  def rewardsTable(): DataFrame = {
+    recover("rewards")
+    spark.read.parquet(s"$root/rewards")
+  }
+  def transactionsTable(): DataFrame = {
+    recover("transactions")
+    spark.read.parquet(s"$root/transactions")
+  }
 
-  /** Compact closed batches: every `batch_id` partition except the newest
-    * is rewritten into one consolidated partition (`batch_id = -1`,
-    * accumulating) with `targetPartitions` files.
+  /** Compact closed batches: every positive `batch_id` partition except the
+    * newest, plus all previous consolidated generations, is rewritten into
+    * one NEW consolidated partition (`batch_id = -generation`, decreasing)
+    * with `targetPartitions` files.
     *
     * Why safe: the cursor is monotonic and replay can only re-run the
     * batch *after* the stored cursor, i.e. at most the newest committed
     * batch — which compaction never touches. Why needed: a 10 s trigger
     * writes ~8.6k batch partitions/day; at cluster scale the accumulated
     * small files dominate scan planning cost. Compaction is the standard
-    * maintenance pass (cf. Delta OPTIMIZE), expressed on plain parquet. */
+    * maintenance pass (cf. Delta OPTIMIZE), expressed on plain parquet.
+    *
+    * Crash safety: the consolidated data is staged outside the table, then
+    * a manifest (newGen + source ids) is persisted as the commit point,
+    * then the swap runs: one atomic directory rename publishes the new
+    * generation, and only after that do the superseded source partitions
+    * get deleted (idempotent final step). [[recover]] rolls an interrupted
+    * swap forward from the manifest — there is no window where committed
+    * history exists solely in the staging directory. */
   def compact(table: String, targetPartitions: Int = 8): Unit = {
-    import org.apache.hadoop.fs.Path
-    val dir = new Path(s"$root/$table")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recover(table) // finish any interrupted swap before planning a new one
+    val dir = tableDir(table)
     if (!fs.exists(dir)) return
-    val batches = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-    val closed = batches.sorted.dropRight(1).filter(_ != -1L)
+    val ids = partitionIds(table)
+    val closed = ids.filter(_ >= 0).sorted.dropRight(1)
     if (closed.isEmpty) return
+    val gens = ids.filter(_ < 0)
+    val newGen = (gens :+ 0L).min - 1
+    val sources = closed ++ gens
 
-    val keep = (closed :+ -1L).map(x => x: Any)
-    val df = spark.read.parquet(s"$root/$table")
+    val tmp = tmpDir(table)
+    fs.delete(tmp, true) // a tmp without manifest is a dead write
+    val keep = sources.map(x => x: Any)
+    spark.read.parquet(s"$root/$table")
       .filter(col("batch_id").isin(keep: _*))
       .drop("batch_id")
-    val tmp = s"$root/_compact_$table"
-    df.repartition(targetPartitions).write.mode("overwrite").parquet(tmp)
+      .repartition(targetPartitions)
+      .write.mode("overwrite").parquet(tmp.toString)
 
-    // swap: remove compacted sources, move tmp under batch_id=-1
-    (closed :+ -1L).foreach { b =>
-      fs.delete(new Path(dir, s"batch_id=$b"), true)
+    // Commit point. Written via create-then-rename so the manifest is
+    // either absent or complete, never truncated.
+    val mf = manifestPath(table)
+    val mfTmp = new Path(mf.toString + ".tmp")
+    val out = fs.create(mfTmp, true)
+    out.write(s"$newGen\n${sources.mkString(",")}\n".getBytes("UTF-8"))
+    out.close()
+    fs.rename(mfTmp, mf)
+
+    finishSwap(table, newGen, sources)
+  }
+
+  /** Finish-or-rollback check for an interrupted [[compact]]. Idempotent;
+    * called on every table read and at the start of every compaction. */
+  def recover(table: String): Unit = {
+    val mf = manifestPath(table)
+    if (!fs.exists(mf)) {
+      // staging data without a commit point: roll back
+      fs.delete(tmpDir(table), true)
+      return
     }
-    val dest = new Path(dir, "batch_id=-1")
-    fs.mkdirs(dest)
-    fs.listStatus(new Path(tmp))
-      .filter(_.getPath.getName.startsWith("part-"))
-      .foreach(f => fs.rename(f.getPath, new Path(dest, f.getPath.getName)))
-    fs.delete(new Path(tmp), true)
+    val in = fs.open(mf)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val lines = txt.split("\n")
+    val newGen = lines(0).trim.toLong
+    val sources =
+      if (lines.length > 1 && lines(1).trim.nonEmpty)
+        lines(1).trim.split(",").map(_.toLong).toSeq
+      else Seq.empty[Long]
+    finishSwap(table, newGen, sources)
+  }
+
+  /** The swap, entered only once the manifest exists: publish the new
+    * generation by a single atomic rename, then delete the superseded
+    * sources, then drop the manifest. Every step is idempotent, so a crash
+    * anywhere re-runs to completion via [[recover]]. */
+  private def finishSwap(table: String, newGen: Long,
+      sources: Seq[Long]): Unit = {
+    val dir = tableDir(table)
+    val dest = new Path(dir, s"batch_id=$newGen")
+    val tmp = tmpDir(table)
+    if (!fs.exists(dest)) {
+      if (!fs.exists(tmp)) {
+        // staging lost before publish — roll back, sources are untouched
+        fs.delete(manifestPath(table), false)
+        return
+      }
+      fs.delete(new Path(tmp, "_SUCCESS"), false)
+      fs.rename(tmp, dest) // the publish: atomic directory rename
+    }
+    sources.foreach(b => fs.delete(new Path(dir, s"batch_id=$b"), true))
+    fs.delete(tmp, true)
+    fs.delete(manifestPath(table), false)
   }
 }

@@ -88,14 +88,16 @@ object Follower {
       .option("checkpointLocation",
         checkpoint.getOrElse(s"$root/_checkpoint"))
       .trigger(trigger)
-      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+      .foreachBatch { (raw: DataFrame, _: Long) =>
         if (!raw.isEmpty) {
           val blocks = parseBlocks(raw).cache()
           try {
             val payloads = fetchPayloads(spark, node, blocks, mode)
             val out = Pipeline.run(mode, blocks, payloads, lists)
+            // partition key = batch content (max height), not the epoch id:
+            // stays idempotent across checkpoint resets (ExactlyOnceSink)
             val maxH = blocks.agg(max(col("height"))).head().getLong(0)
-            sink.commit(out, batchId, maxH, st.first_block)
+            sink.commit(out, maxH, st.first_block)
           } finally blocks.unpersist()
         }
       }

@@ -83,12 +83,19 @@ object Backfill {
       // find a rewards_v2 stub and jump to its start_epoch (rs:169-185)
       val stubHashes = """\{"hash"\s*:\s*"([^"]+)"\s*,\s*"type"\s*:\s*"rewards_v2"\}""".r
         .findAllMatchIn(blockJson).map(_.group(1)).toList
-      stubHashes.foreach { h =>
-        node.getTxnJson(h).foreach { txn =>
-          // `fields` is a JSON-escaped string, so the key may appear as
-          // \"start_epoch\" — allow the escaped form.
-          """start_epoch\\?"?\s*:\s*(\d+)""".r.findFirstMatchIn(txn)
-            .foreach(m => height = m.group(1).toLong)
+      val it = stubHashes.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        node.getTxnJson(h) match {
+          case None =>
+            // reference aborts the scan when a rewards txn fetch fails
+            // (follower.rs:179-183 Err arm) — best safe height wins
+            return lastSafe
+          case Some(txn) =>
+            // `fields` is a JSON-escaped string, so the key may appear as
+            // \"start_epoch\" — allow the escaped form.
+            """start_epoch\\?"?\s*:\s*(\d+)""".r.findFirstMatchIn(txn)
+              .foreach(m => height = m.group(1).toLong)
         }
       }
       lastSafe = height

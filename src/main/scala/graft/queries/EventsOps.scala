@@ -139,7 +139,7 @@ object EventsOps {
          |FROM events GROUP BY 1, 2""".stripMargin,
     "q12_json_extract_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,

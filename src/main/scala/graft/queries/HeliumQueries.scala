@@ -103,7 +103,7 @@ object HeliumQueries {
     "h01_rewards_by_gateway" ->
       s"""$flatCte
          |SELECT COALESCE(gateway, '1Wh4bh') AS gateway,
-         |       SUM(amount) AS total_amount, COUNT(*) AS n_rewards
+         |       SUM(amount)::BIGINT AS total_amount, COUNT(*) AS n_rewards
          |FROM flat GROUP BY 1""".stripMargin,
     "h02_rewards_filters_mode" ->
       s"""$flatCte

@@ -39,10 +39,10 @@ object MultimodalOps {
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
         |  source,
         |  COUNT(*) AS n_media,
-        |  SUM(octet_length(encode(text))) AS total_bytes,
-        |  SUM(octet_length(encode(text)) % 640) AS sum_width,
+        |  SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
+        |  SUM(octet_length(encode(text)) % 640)::BIGINT AS sum_width,
         |  SUM(CASE WHEN ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
-        |       THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END) AS sum_frames,
+        |       THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END)::BIGINT AS sum_frames,
         |  COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY 1, 2""".stripMargin,
   )

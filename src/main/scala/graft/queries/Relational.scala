@@ -119,7 +119,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("rn"))
@@ -210,7 +210,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        max(length(col("text"))).as("max_len"),
+        max(length(col("text"))).cast("long").as("max_len"),
         min(upper(substring(col("text"), 1, 8))).as("min_prefix"),
         countDistinct(concat(col("source"), lit("#"), col("lang"))).as("n_src_lang"))
 
@@ -276,8 +276,8 @@ object Relational {
     val b = sample.select(col("doc_id").as("b_id"), col("text").as("b_text"))
     a.join(b, col("b_id") === col("a_id") + 100)
       .select(col("a_id"), col("b_id"),
-        levenshtein(col("a_text"), col("b_text")).as("edit_dist"),
-        (length(col("a_text")) + length(col("b_text"))).as("len_sum"))
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"),
+        (length(col("a_text")) + length(col("b_text"))).cast("long").as("len_sum"))
   }
 
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
@@ -397,15 +397,15 @@ object Relational {
         |     SELECT DISTINCT s_nationkey AS nationkey FROM supplier))""".stripMargin,
     "q19_conditional_agg" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+        |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+        |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+        |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
         |    THEN CAST(o_totalprice AS DECIMAL(18,2))
         |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS price_f
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "q20_string_funcs" ->
-      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+      """SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS sum_chars,
         |  MAX(LENGTH(text)) AS max_len,
         |  MIN(UPPER(SUBSTRING(text, 1, 8))) AS min_prefix,
         |  COUNT(DISTINCT source || '#' || lang) AS n_src_lang

@@ -47,7 +47,7 @@ object SimilarityOps {
         cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TOPK)
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
@@ -68,7 +68,7 @@ object SimilarityOps {
         cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
@@ -114,7 +114,7 @@ object SimilarityOps {
         cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }

@@ -46,7 +46,7 @@ object TextDedupOps {
         sum(col("n_words")).as("sum_words"),
         sum(alphaTokenCount(col("text"))).as("sum_alpha"),
         sum(stopwordCount(col("text"))).as("sum_stop"),
-        max(col("n_words")).as("max_words"))
+        max(col("n_words")).cast("long").as("max_words"))
 
   /** Integer quality score (per-mille stopword + alpha-token density),
     * bucketed by centiles. */
@@ -138,7 +138,7 @@ object TextDedupOps {
       .orderBy(col("score").desc, col("token").asc)
     tf.join(df_, Seq("token"))
       .withColumn("score", expr("(tf * 1000000L) DIV df"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 3)
       .select(col("lang"), col("token"), col("score"), col("rk"))
   }
@@ -294,9 +294,9 @@ object TextDedupOps {
   val oracle: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
-         |  SUM(len($toksSql)) AS sum_words,
-         |  SUM($alphaSql) AS sum_alpha,
-         |  SUM($stopSql) AS sum_stop,
+         |  SUM(len($toksSql))::BIGINT AS sum_words,
+         |  SUM($alphaSql)::BIGINT AS sum_alpha,
+         |  SUM($stopSql)::BIGINT AS sum_stop,
          |  MAX(len($toksSql)) AS max_words
          |FROM documents GROUP BY lang""".stripMargin,
     "t02_quality_buckets" ->
@@ -305,7 +305,7 @@ object TextDedupOps {
          |         len($toksSql) AS n_words
          |  FROM documents WHERE len($toksSql) > 0)
          |SELECT score_pm // 100 AS bucket, COUNT(*) AS n_docs,
-         |       SUM(n_words) AS sum_words
+         |       SUM(n_words)::BIGINT AS sum_words
          |FROM scored GROUP BY 1""".stripMargin,
     "t03_langid_confusion" ->
       s"""SELECT lang,
@@ -315,9 +315,9 @@ object TextDedupOps {
          |  COUNT(*) AS n_docs
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "t04_token_counts" ->
-      s"""SELECT source, SUM(len($toksSql)) AS ws_tokens,
-         |  SUM($alphaSql) AS alpha_tokens,
-         |  SUM(LENGTH(text)) AS n_bytes
+      s"""SELECT source, SUM(len($toksSql))::BIGINT AS ws_tokens,
+         |  SUM($alphaSql)::BIGINT AS alpha_tokens,
+         |  SUM(LENGTH(text))::BIGINT AS n_bytes
          |FROM documents GROUP BY source""".stripMargin,
     "t05_fingerprint_dups" ->
       s"""SELECT $fpSql AS fp, COUNT(*) AS n_dups,
@@ -429,7 +429,7 @@ object TextDedupOps {
       s"""WITH hashed AS (
          |  SELECT doc_id, ${hash60ArraySql(toksSql, 999)} AS hb
          |  FROM documents WHERE len($toksSql) > 0)
-         |SELECT $simhashSql AS sh, COUNT(*) AS n_docs,
+         |SELECT ($simhashSql)::BIGINT AS sh, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS canonical_id
          |FROM hashed GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
   )

@@ -54,6 +54,20 @@ class BackfillSpec extends AnyFunSuite {
     assert(first >= 496 && first <= 500)
   }
 
+  test("failed rewards txn fetch aborts the scan at the last safe height (reference Err arm)") {
+    // follower.rs:179-183 — a degraded node that serves blocks but fails
+    // the rewards payload fetch must stop the walk, not silently keep
+    // scanning block-by-block past the failure.
+    val rewardBlocks = Map(500L -> 471L, 470L -> 440L)
+    val node = new MockNode(tip = 500, oldest = 0, rewardBlocks = rewardBlocks) {
+      override def getTxnJson(hash: String): Option[String] =
+        if (hash == "r470") None else super.getTxnJson(hash)
+    }
+    // walk: 500 jumps to 471, steps to 470; 470's txn fetch fails ->
+    // abort with lastSafe = 471 (the post-jump height)
+    assert(Backfill.firstBlock(node) == 471L)
+  }
+
   test("permanently missing block after first failure throws (reference panic parity)") {
     val node = new MockNode(tip = 300, oldest = 200, rewardBlocks = Map.empty)
     intercept[IllegalStateException] { Backfill.firstBlock(node) }

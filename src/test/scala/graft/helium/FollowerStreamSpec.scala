@@ -73,10 +73,10 @@ class FollowerStreamSpec extends SparkSuite {
     val payloads = Follower.fetchPayloads(spark, node, blocks, EtlMode.Rewards)
     val out = Pipeline.run(EtlMode.Rewards, blocks, payloads)
 
-    sink.commit(out, batchId = 7, maxHeight = 105, firstBlock = 100)
+    sink.commit(out, maxHeight = 105, firstBlock = 100)
     val once = sink.rewardsTable().count()
-    // crash-before-cursor replay: same batch id, same data
-    sink.commit(out, batchId = 7, maxHeight = 105, firstBlock = 100)
+    // crash-before-cursor replay: same height range, same data
+    sink.commit(out, maxHeight = 105, firstBlock = 100)
     assert(sink.rewardsTable().count() == once)
   }
 
@@ -90,16 +90,16 @@ class FollowerStreamSpec extends SparkSuite {
 
     // three batches; the last (blocks 104-105) yields ZERO rewards (r105
     // has an empty rewards list) so it writes no partition at all — the
-    // newest *existing* partition is batch 1, and that is what compaction
-    // must protect (it is the only one that could still be a replay
-    // target after a crash-before-cursor).
-    Seq((100L to 101L, 0L), (102L to 103L, 1L), (104L to 105L, 2L))
-      .foreach { case (range, id) =>
+    // newest *existing* partition is batch_id=103, and that is what
+    // compaction must protect (it is the only one that could still be a
+    // replay target after a crash-before-cursor).
+    Seq(100L to 101L, 102L to 103L, 104L to 105L)
+      .foreach { range =>
         val blocks = Follower.parseBlocks(
           range.flatMap(node.getBlockJson).toDF("json"))
         val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
         sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
-          id, range.last, 100)
+          range.last, 100)
       }
     val before = sink.rewardsTable().count()
     assert(before == 5)
@@ -107,14 +107,111 @@ class FollowerStreamSpec extends SparkSuite {
     sink.compact("rewards", targetPartitions = 1)
     val after = sink.rewardsTable()
     assert(after.count() == before)
-    // batch 0 consolidated into -1; newest existing batch (1) untouched
+    // batch 101 consolidated into gen -1; newest (103) untouched
     assert(after.select("batch_id").distinct().as[Long].collect().toSet
-      == Set(-1L, 1L))
+      == Set(-1L, 103L))
     // compacting again with nothing new closed is a no-op
     sink.compact("rewards")
     assert(sink.rewardsTable().count() == before)
     assert(sink.rewardsTable().select("batch_id").distinct()
-      .as[Long].collect().toSet == Set(-1L, 1L))
+      .as[Long].collect().toSet == Set(-1L, 103L))
+  }
+
+  test("compaction crash windows: recover() rolls forward or back, never loses rows") {
+    val fixDir = tmpDir("fixt4")
+    val root = tmpDir("root5")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    Seq(100L to 101L, 102L to 103L, 104L to 105L).foreach { range =>
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+        range.last, 100)
+    }
+    // data rows only — batch_id is layout, not data, and changes on swap
+    val before = sink.rewardsTable().drop("batch_id")
+      .orderBy("block", "amount").collect().toSeq
+
+    // Crash window A: consolidated staging written + manifest persisted,
+    // crash before any delete/rename (the window the old delete-then-rename
+    // swap lost data in). Stage exactly what compact() would: the closed
+    // partition (101), then the commit-point manifest.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = s"$root/_compact_rewards"
+    spark.read.parquet(s"$root/rewards")
+      .filter(col("batch_id") === 101L).drop("batch_id")
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val mf = new org.apache.hadoop.fs.Path(s"$root/_compact_rewards.manifest")
+    val o = fs.create(mf, true); o.write("-1\n101\n".getBytes("UTF-8")); o.close()
+
+    // next read triggers recover(): swap completes, rows identical
+    val afterA = sink.rewardsTable()
+    assert(afterA.drop("batch_id").orderBy("block", "amount").collect().toSeq == before)
+    assert(afterA.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-1L, 103L))
+    assert(!fs.exists(mf) && !fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+
+    // Crash window B: staging written but NO manifest (crash mid-job or
+    // before the commit point) — recover() rolls back, table untouched.
+    spark.read.parquet(s"$root/rewards")
+      .filter(col("batch_id") === -1L).drop("batch_id")
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    val afterB = sink.rewardsTable()
+    assert(afterB.drop("batch_id").orderBy("block", "amount").collect().toSeq == before)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(tmp)))
+
+    // Crash window C: manifest exists, the new generation (-2) is already
+    // published and the source (-1) already deleted — recover() must just
+    // finish the idempotent deletes and drop the manifest.
+    val dir = s"$root/rewards"
+    spark.read.parquet(dir).filter(col("batch_id") === -1L).drop("batch_id")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/batch_id=-2")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch_id=-1"), true)
+    val o2 = fs.create(mf, true); o2.write("-2\n-1\n".getBytes("UTF-8")); o2.close()
+    val afterC = sink.rewardsTable()
+    assert(afterC.drop("batch_id").orderBy("block", "amount").collect().toSeq == before)
+    assert(afterC.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(-2L, 103L))
+  }
+
+  test("replay after checkpoint reset with a wider range drops the stale partition") {
+    val fixDir = tmpDir("fixt5")
+    val root = tmpDir("root6")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long], advanceCursor: Boolean): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      val out = Pipeline.run(Model.EtlMode.Rewards, blocks, payloads)
+      if (advanceCursor) sink.commit(out, range.last, 100)
+      else { // simulate crash-before-cursor: data written, cursor not moved
+        val prev = sink.state.load().map(_.height).getOrElse(Long.MinValue)
+        sink.writeBatch(out.rewards, "rewards", range.last, prev)
+      }
+    }
+
+    commitRange(100L to 101L, advanceCursor = true)   // cursor=101, part 101
+    commitRange(102L to 103L, advanceCursor = false)  // crash: part 103 staged
+    // checkpoint reset: the replayed batch now covers 102..105 (wider,
+    // new key 105). The stale 103 partition must go; no duplicates.
+    commitRange(102L to 105L, advanceCursor = true)
+
+    val rows = sink.rewardsTable()
+    assert(rows.select("batch_id").distinct().as[Long].collect().toSet
+      == Set(101L, 105L))
+    // fixture rewards: 3 in block 100, 2 in block 102 — each exactly once
+    assert(rows.count() == 5)
+    assert(rows.select("block").as[Long].collect().sorted.toSeq
+      == Seq(100L, 100L, 100L, 102L, 102L))
   }
 
   test("cursor is monotonic — backwards advance is refused") {

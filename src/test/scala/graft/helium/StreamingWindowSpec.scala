@@ -66,7 +66,7 @@ class StreamingWindowSpec extends SparkSuite {
       (100L to 105L).flatMap(node.getBlockJson).toDF("json"))
     val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Full)
     val out = Pipeline.run(Model.EtlMode.Full, blocks, payloads)
-    new ExactlyOnceSink(spark, root).commit(out, 0, 105, 100)
+    new ExactlyOnceSink(spark, root).commit(out, 105, 100)
 
     Migrate.run(spark, root)
     assert(spark.sql("SELECT count(*) FROM rewards").head().getLong(0) == 5)

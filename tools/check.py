@@ -61,8 +61,10 @@ def main():
     for name in sorted(result_dirs):
         spark_glob = f"{out}/{name}/*.parquet"
         try:
-            scols = [d[0] for d in con.execute(
-                f"DESCRIBE SELECT * FROM '{spark_glob}'").fetchall()]
+            sdesc = con.execute(
+                f"DESCRIBE SELECT * FROM '{spark_glob}'").fetchall()
+            scols = [d[0] for d in sdesc]
+            stypes = {d[0]: d[1] for d in sdesc}
         except Exception as e:
             failures.append((name, f"spark output unreadable: {e}")); continue
         order = ", ".join(f'"{c}"' for c in sorted(scols))
@@ -76,11 +78,22 @@ def main():
                 passed.append((name, f"{status} {len(srows)} rows"))
             continue
         try:
-            dres = con.execute(oracle[name])
-            dcols = [d[0] for d in dres.description]
+            ddesc = con.execute(
+                f"DESCRIBE SELECT * FROM ({oracle[name]})").fetchall()
+            dcols = [d[0] for d in ddesc]
+            dtypes = {d[0]: d[1] for d in ddesc}
             if sorted(dcols) != sorted(scols):
                 failures.append((name,
                     f"schema mismatch spark={sorted(scols)} duck={sorted(dcols)}"))
+                continue
+            # Driver's gate hashes typed values: HUGEINT-vs-BIGINT (etc.)
+            # drift must fail locally too, not just value drift.
+            tbad = [(c, stypes[c], dtypes[c]) for c in sorted(scols)
+                    if stypes[c] != dtypes[c]]
+            if tbad:
+                failures.append((name,
+                    "type mismatch " + "; ".join(
+                        f"{c}: spark={s} duck={d}" for c, s, d in tbad)))
                 continue
             dorder = ", ".join(f'"{c}"' for c in sorted(dcols))
             drows = con.execute(
