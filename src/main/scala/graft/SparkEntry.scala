@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap.empty ++
       graft.queries.Relational.queries ++
+      graft.queries.AdvancedOps.queries ++
       graft.queries.EventsOps.queries ++
       graft.queries.HeliumQueries.queries ++
       graft.queries.TextDedupOps.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ListMap.empty ++
       graft.queries.Relational.oracle ++
+      graft.queries.AdvancedOps.oracle ++
       graft.queries.EventsOps.oracle ++
       graft.queries.HeliumQueries.oracle ++
       graft.queries.TextDedupOps.oracle ++

@@ -81,6 +81,34 @@ object Media {
     }
   }
 
+  /** One sampled frame of a video payload — narrow, shuffle-safe. */
+  case class FrameSample(
+      media_id: Long,
+      source: String,
+      frame_idx: Int,
+      feat: Long)
+
+  /** Frame sampling: every `stride`-th frame of each video decoded to a
+    * per-frame feature (deterministic fake behind the same codec seam as
+    * [[decodeFeatures]]). Iterator-in/iterator-out flatMap inside
+    * `mapPartitions`, so one codec session amortizes across a partition
+    * and the wide payload never outlives the partition — only the narrow
+    * (id, idx, feat) rows continue into shuffles. */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would happen here (demuxer/decoder contexts)
+      it.filter(_.kind == "video").flatMap { r =>
+        // ??? <- real frame decode goes here (e.g. ffmpeg seek+decode)
+        val n = r.payload.length.toLong
+        val nFrames = (n % 24 + 1).toInt
+        (0 until nFrames by stride).iterator.map(i =>
+          FrameSample(r.media_id, r.source, i, (n * 31 + i) % 1000))
+      }
+    }
+  }
+
   /** Resize stub: same batch plumbing, payload-in/payload-out — shows the
     * transform-preserving path (e.g. thumbnailing before feature
     * extraction). Truncation stands in for the real resample. */

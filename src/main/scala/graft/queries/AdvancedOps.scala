@@ -1,0 +1,148 @@
+package graft.queries
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+
+/** Second-wave relational surface: the SQL-analytics operators the
+  * reference's Postgres schema implies downstream (SURVEY §2.5–§2.6) that
+  * round 1 did not yet cover as distinct physical shapes — grouping sets
+  * beyond rollup/cube, window frames (running totals, full-frame
+  * first/last), exact percentiles, and native pivot.
+  *
+  * Scale notes follow the same discipline as [[Relational]]: dimension
+  * joins broadcast, aggregates are partial-before-shuffle, window
+  * functions shuffle once on the partition key and sort partition-locally,
+  * and money math goes through exact decimals ([[graft.Tables.dec]]) so
+  * results are independent of accumulation order (and thus of
+  * parallelism). */
+object AdvancedOps {
+
+  /** GROUPING SETS that no rollup/cube can express: region-only totals and
+    * nation-only totals from one pass. One shuffle; Spark expands the sets
+    * via `Expand` (each input row fans out once per set) before the
+    * partial aggregate, so the fact scan happens once — the reason to use
+    * grouping sets instead of two queries + union at 100 TB. */
+  private def q28(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name")), Seq(col("n_name"))),
+        col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sumd(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"), col("sum_bal"))
+
+  /** Running total — a window FRAME (ROWS UNBOUNDED PRECEDING..CURRENT),
+    * not just a ranking: per-supplier cumulative quantity in
+    * (orderkey, linenumber) order. One shuffle on l_suppkey, then a
+    * partition-local sort; the frame is computed in a single pass (Spark's
+    * WindowExec running aggregate), so cost is O(rows) not O(rows·frame). */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .filter(col("l_suppkey") % 50 === 0)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+  }
+
+  /** Exact median (percentile with linear interpolation — Spark `percentile`
+    * ≡ DuckDB `quantile_cont`, both R-7). Quantities are integral doubles,
+    * so the 0.5-interpolation (a+b)/2 is exact in both engines. Exact
+    * percentile buffers per-group values — fine for bounded group counts;
+    * the sketch path for wide groups is q22's approx_count_distinct
+    * cousin `percentile_approx`. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Native pivot operator (wide conditional aggregation with explicit
+    * value list — the list keeps the plan static, no driver-side distinct
+    * scan). Same single-shuffle shape as a plain groupBy: pivot values
+    * become aggregate expressions, not extra passes. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sumd(col("o_totalprice")))
+
+  /** Full-frame window first/last: each user's first and last event type
+    * over their whole history (ROWS UNBOUNDED PRECEDING..UNBOUNDED
+    * FOLLOWING), then rolled up. Tie-broken on event_id; event time is
+    * compared at microsecond precision on both engines (events.ts is
+    * nanos-as-long here, µs timestamps in DuckDB). */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_ev"),
+        last(col("event_type")).over(w).as("last_ev"))
+      .groupBy(col("user_id"), col("first_ev"), col("last_ev"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "q28_grouping_sets" -> q28 _,
+    "q29_running_total" -> q29 _,
+    "q30_exact_median" -> q30 _,
+    "q31_pivot_status" -> q31 _,
+    "q32_first_last_event" -> q32 _,
+  )
+
+  val oracle: ListMap[String, String] = ListMap(
+    "q28_grouping_sets" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS region_name,
+         |  COALESCE(n_name, 'ALL') AS nation_name,
+         |  COUNT(*) AS n_cust, ${sqlSumd("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY GROUPING SETS ((r_name), (n_name))""".stripMargin,
+    "q29_running_total" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_qty
+        |FROM lineitem WHERE l_suppkey % 50 = 0""".stripMargin,
+    "q30_exact_median" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q31_pivot_status" ->
+      s"""SELECT o_orderpriority,
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'F'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'O'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "O",
+         |  CAST(SUM(CASE WHEN o_orderstatus = 'P'
+         |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "P"
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q32_first_last_event" ->
+      """SELECT user_id, first_ev, last_ev, COUNT(*) AS n_events FROM (
+        |  SELECT user_id,
+        |    FIRST_VALUE(event_type) OVER w AS first_ev,
+        |    LAST_VALUE(event_type) OVER w AS last_ev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |GROUP BY user_id, first_ev, last_ev""".stripMargin,
+  )
+}

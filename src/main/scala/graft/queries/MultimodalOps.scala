@@ -30,8 +30,23 @@ object MultimodalOps {
         countDistinct(col("checksum")).as("n_distinct"))
   }
 
+  /** Frame-sampling rollup: every 4th frame of each video payload decoded
+    * to a per-frame feature, aggregated per source. The frame explosion
+    * happens executor-side inside the batched decode (never a Spark
+    * explode of payload bytes); only narrow frame rows shuffle. */
+  private def m02(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    Media.sampleFrames(media, stride = 4).toDF()
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("feat")).as("sum_feat"),
+        countDistinct(col("media_id")).as("n_videos"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
+    "m02_frame_sample" -> m02 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -45,5 +60,14 @@ object MultimodalOps {
         |       THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END)::BIGINT AS sum_frames,
         |  COUNT(DISTINCT md5(text)) AS n_distinct
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT source, COUNT(*) AS n_frames, SUM(feat)::BIGINT AS sum_feat,
+        |  COUNT(DISTINCT doc_id) AS n_videos
+        |FROM (
+        |  SELECT doc_id, source,
+        |    (octet_length(encode(text)) * 31
+        |     + UNNEST(range(0, octet_length(encode(text)) % 24 + 1, 4))) % 1000 AS feat
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |GROUP BY source""".stripMargin,
   )
 }

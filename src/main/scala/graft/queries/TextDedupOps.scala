@@ -245,6 +245,63 @@ object TextDedupOps {
       .select(col("a_id"), col("b_id"), col("jaccard_pm"))
   }
 
+  /** SimHash near-dups at hamming distance ≤ 3 — the multi-probe variant
+    * of d04 (which only catches distance 0). Pigeonhole banding: split the
+    * 16-bit simhash into 4 nibbles; any pair within distance 3 agrees on
+    * ≥1 nibble, so an equi-join per nibble-band yields all candidates, and
+    * `bit_count(xor)` verifies exactly. Same scale shape as MinHash-LSH:
+    * the join carries (doc_id, band-nibble) only, candidates ≪ n². */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    val sh = docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .withColumn("hb", hash60Array(col("toks"), 999))
+      .withColumn("sh", simhashFromHashes(col("hb"), 16))
+      .select(col("doc_id"), col("sh"))
+      .persist()
+    val banded = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftRight(col("sh"), b * 4).bitwiseAND(lit(15L)).as("nib"))): _*))
+        .as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.nib"))
+    banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+        col("band"), col("nib"))
+      .join(banded.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sh", "b_sh")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_sh").bitwiseXOR(col("b_sh"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Near-dup CLUSTERS from near-dup pairs: connected components over the
+    * exact-Jaccard pair graph (d05). Components, not pairs, are what a
+    * dedup pass acts on — min(doc_id) per component is the canonical
+    * survivor and everything else is droppable. The iterative
+    * min-label-propagation operator is [[graft.operators.ConnectedComponents]];
+    * the oracle replays reachability with a recursive CTE. */
+  private def d06(s: SparkSession, d: String): DataFrame =
+    graft.operators.ConnectedComponents
+      .run(d05(s, d), src = "a_id", dst = "b_id")
+      .select(col("node").as("doc_id"), col("comp"))
+
+  /** BPE-ish regex pre-tokenization (letter runs / digit runs / punctuation
+    * runs — the GPT-2-style pre-tokenizer shape, ASCII classes so Java and
+    * RE2 regex agree byte-for-byte), vs the whitespace counts of t04. */
+  private def t08(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bpe",
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+"), lit(0))))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("bpe")).as("bpe_tokens"),
+        max(col("bpe")).cast("long").as("max_bpe"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -253,11 +310,14 @@ object TextDedupOps {
     "t05_fingerprint_dups" -> t05 _,
     "t06_winnowing_overlap" -> t06 _,
     "t07_tfidf_top_terms" -> t07 _,
+    "t08_bpe_tokens" -> t08 _,
     "d01_exact_dup_groups" -> d01 _,
     "d02_exact_dedup_survivors" -> d02 _,
     "d03_minhash_lsh_pairs" -> d03 _,
     "d04_simhash_buckets" -> d04 _,
     "d05_ngram_jaccard_exact" -> d05 _,
+    "d06_neardup_components" -> d06 _,
+    "d07_simhash_hamming" -> d07 _,
   )
 
   // ---- DuckDB oracles ----
@@ -290,6 +350,31 @@ object TextDedupOps {
   }
   private val fpSql =
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')))"
+
+  /** d05's exact all-pairs Jaccard — shared verbatim by the d06 component
+    * oracle (embedded as a derived-table CTE). */
+  private val d05Sql: String =
+    s"""WITH thm AS (
+       |  SELECT doc_id,
+       |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+       |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+       |  FROM thm),
+       |sized AS (SELECT doc_id, ss, len(ss) AS n FROM hs WHERE len(ss) > 0),
+       |ex AS (SELECT doc_id, UNNEST(ss) AS shingle FROM sized),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+       |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  (1000 * inter) // (sa.n + sb.n - inter) AS jaccard_pm
+       |FROM inter
+       |JOIN sized sa ON sa.doc_id = a_id
+       |JOIN sized sb ON sb.doc_id = b_id
+       |WHERE (1000 * inter) // (sa.n + sb.n - inter) >= 500""".stripMargin
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
@@ -403,28 +488,25 @@ object TextDedupOps {
          |  JOIN sigs sb ON sb.doc_id = b_id)
          |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
          |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin,
-    "d05_ngram_jaccard_exact" ->
-      s"""WITH thm AS (
-         |  SELECT doc_id,
-         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
-         |  FROM documents),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
-         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
-         |  FROM thm),
-         |sized AS (SELECT doc_id, ss, len(ss) AS n FROM hs WHERE len(ss) > 0),
-         |ex AS (SELECT doc_id, UNNEST(ss) AS shingle FROM sized),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT a_id, b_id,
-         |  (1000 * inter) // (sa.n + sb.n - inter) AS jaccard_pm
-         |FROM inter
-         |JOIN sized sa ON sa.doc_id = a_id
-         |JOIN sized sb ON sb.doc_id = b_id
-         |WHERE (1000 * inter) // (sa.n + sb.n - inter) >= 500""".stripMargin,
+    "d05_ngram_jaccard_exact" -> d05Sql,
+    "d06_neardup_components" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS doc_id, MIN(label) AS comp
+         |FROM reach GROUP BY node""".stripMargin,
+    "t08_bpe_tokens" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')))::BIGINT AS bpe_tokens,
+        |  MAX(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')))::BIGINT AS max_bpe
+        |FROM documents GROUP BY lang""".stripMargin,
     "d04_simhash_buckets" ->
       s"""WITH hashed AS (
          |  SELECT doc_id, ${hash60ArraySql(toksSql, 999)} AS hb
@@ -432,5 +514,16 @@ object TextDedupOps {
          |SELECT ($simhashSql)::BIGINT AS sh, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS canonical_id
          |FROM hashed GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    // The oracle does the naive all-pairs hamming scan — which also proves
+    // the Spark side's pigeonhole banding loses no pairs.
+    "d07_simhash_hamming" ->
+      s"""WITH hashed AS (
+         |  SELECT doc_id, ${hash60ArraySql(toksSql, 999)} AS hb
+         |  FROM documents WHERE len($toksSql) > 0),
+         |sh AS (SELECT doc_id, ($simhashSql)::BIGINT AS sh FROM hashed)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
   )
 }

@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.helium.SparkSuite
+
+/** [[ConnectedComponents]] — the pairs→clusters step of the dedup suite. */
+class ConnectedComponentsSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("three separate components resolve to their min ids") {
+    val m = comps(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("a long chain converges (diameter > 1 rounds)") {
+    // 0-1-2-...-12 as a path: worst case for min-propagation depth
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val m = comps(edges)
+    assert(m.size == 13 && m.values.forall(_ == 0L))
+  }
+
+  test("orientation and duplicate edges are irrelevant") {
+    val m1 = comps(Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 7L)))
+    assert(m1 == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
+  }
+
+  test("d06 components agree with d05 pairs: every near-dup pair shares a component") {
+    val sf = "/root/testdata/sf0.01"
+    val pairs = graft.SparkEntry.queries("d05_ngram_jaccard_exact")(spark, sf)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = graft.SparkEntry.queries("d06_neardup_components")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across components")
+    }
+    // every component label is the min member id (canonical survivor)
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label)
+    }
+  }
+}
