@@ -1,0 +1,58 @@
+package graft
+
+import graft.helium.SparkSuite
+
+/** Physical-plan assertions for the round-2 operators: the point is not
+  * just that results match the oracle but that Catalyst produced the plan
+  * each query was designed around (SURVEY §4 discipline — "the plan you'd
+  * want, not the first one that passed"). */
+class PlanAuditSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q28 grouping sets compiles to one Expand over a single scan") {
+    val p = plan("q28_grouping_sets")
+    assert(p.contains("Expand"), s"no Expand in:\n$p")
+    // one pass over customer: the fact table is scanned once, not per set
+    assert("customer\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q29/q32 window frames shuffle once on the partition key") {
+    Seq("q29_running_total", "q32_first_last_event").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q lost its window:\n$p")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q has $exchanges shuffles, want 1:\n$p")
+    }
+  }
+
+  test("q29 pushes the suppkey filter into the parquet scan") {
+    val p = plan("q29_running_total")
+    assert(p.contains("PushedFilters") || p.contains("Filter"), p)
+    // projection pruning: only the 4 needed columns are read
+    assert(!p.contains("l_extendedprice"), s"scan reads unneeded columns:\n$p")
+  }
+
+  test("q31 pivot is a single aggregate, no per-value passes") {
+    val p = plan("q31_pivot_status")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1,
+      s"pivot should scan orders once:\n$p")
+  }
+
+  test("d07 hamming join is hash-based — no nested loop, no cartesian") {
+    val p = plan("d07_simhash_hamming")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d07 degenerated to all-pairs:\n$p")
+  }
+
+  test("star join q04 broadcasts every dimension") {
+    val p = plan("q04_star_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllIn(p).size <= 1, p)
+  }
+}
