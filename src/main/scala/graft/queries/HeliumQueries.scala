@@ -73,11 +73,31 @@ object HeliumQueries {
         (col("amount") - col("prev_amount")).as("delta"))
   }
 
+  /** The cross-table join the reference's indexes anticipate
+    * (migrations/V1:10-11 `rewards(transaction_hash)` ⋈ V3 transactions):
+    * reward rows joined back to their envelope. At fixture scale the
+    * envelope side broadcasts; at chain scale both tables are written
+    * partitioned by batch (ExactlyOnceSink), so the equi-join on hash
+    * shuffles once — or not at all if both sinks are bucketed by hash
+    * ([[graft.operators.Bucketing]]). */
+  private def h05(s: SparkSession, d: String): DataFrame = {
+    val (blocks, payloads) = load(s)
+    val out = Pipeline.run(EtlMode.Full, blocks, payloads)
+    val tx = out.transactions.get
+      .select(col("hash"), col("type").as("txn_type"))
+    out.rewards
+      .join(broadcast(tx), col("transaction_hash") === col("hash"))
+      .groupBy(col("block"), col("txn_type"))
+      .agg(count(lit(1)).as("n_rewards"),
+        sum(col("amount")).as("total_amount"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "h01_rewards_by_gateway" -> h01 _,
     "h02_rewards_filters_mode" -> h02 _,
     "h03_txn_envelopes_by_type" -> h03 _,
     "h04_reward_deltas" -> h04 _,
+    "h05_rewards_txn_join" -> h05 _,
   )
 
   private val flatCte =
@@ -132,5 +152,13 @@ object HeliumQueries {
          |SELECT s.type, COUNT(*) AS n_txns, MIN(s.block) AS first_block
          |FROM stubs s JOIN payloads p ON s.hash = p.hash
          |GROUP BY s.type""".stripMargin,
+    "h05_rewards_txn_join" ->
+      s"""$flatCte
+         |SELECT f.block, p.type AS txn_type,
+         |  COUNT(*) AS n_rewards, SUM(f.amount)::BIGINT AS total_amount
+         |FROM flat f
+         |JOIN (SELECT hash, type FROM read_json_auto('$fixDir/txns.jsonl')) p
+         |  ON f.transaction_hash = p.hash
+         |GROUP BY 1, 2""".stripMargin,
   )
 }
