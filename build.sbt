@@ -14,6 +14,10 @@ run / fork := true
 // Pass forked-run stdout through verbatim: the bench/verify harness parses
 // a bare JSON line, which sbt's default logger would prefix with "[info] ".
 run / outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time" banner so the JSON line
+// stays the last thing on stdout for last-line parsers.
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
