@@ -30,6 +30,31 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(m1 == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
   }
 
+  test("random graphs match a union-find reference (property)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(25 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      // find() path-compresses to the root, which by construction is the
+      // min id of the component (we always attach max under min)
+      assert(comps(edges) == expected)
+    }
+  }
+
   test("d06 components agree with d05 pairs: every near-dup pair shares a component") {
     val sf = "/root/testdata/sf0.01"
     val pairs = graft.SparkEntry.queries("d05_ngram_jaccard_exact")(spark, sf)
