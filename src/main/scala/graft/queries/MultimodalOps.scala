@@ -44,9 +44,25 @@ object MultimodalOps {
         countDistinct(col("media_id")).as("n_videos"))
   }
 
+  /** Resize (thumbnail) path: payload-in/payload-out transform, then
+    * feature extraction on the RESIZED payloads — checks the
+    * transform-preserving seam end-to-end (payload bytes cap at 512,
+    * checksum recomputed on the truncated bytes). */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    val resized = Media.resize(media, maxBytes = 512)
+    Media.decodeFeatures(resized).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("resized_bytes"),
+        countDistinct(col("checksum")).as("n_distinct"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
     "m02_frame_sample" -> m02 _,
+    "m03_resize_rollup" -> m03 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -69,5 +85,11 @@ object MultimodalOps {
         |     + UNNEST(range(0, octet_length(encode(text)) % 24 + 1, 4))) % 1000 AS feat
         |  FROM documents WHERE doc_id % 3 = 2)
         |GROUP BY source""".stripMargin,
+    "m03_resize_rollup" ->
+      """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |  COUNT(*) AS n_media,
+        |  SUM(least(octet_length(encode(text)), 512))::BIGINT AS resized_bytes,
+        |  COUNT(DISTINCT md5(substring(text, 1, 512))) AS n_distinct
+        |FROM documents GROUP BY 1""".stripMargin,
   )
 }
