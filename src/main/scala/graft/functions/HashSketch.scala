@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+
+/** Single-pass native sketch expressions over a pre-hashed `array<long>`
+  * column — the custom-`Expression` tier of the builder contract, used
+  * where the composable HOF forms have the right SEMANTICS but the wrong
+  * CONSTANT FACTOR:
+  *
+  *  - the HOF SimHash ([[TextFns.simhashFromHashes]]) runs `bits` separate
+  *    `size(filter(...))` passes — 48 interpreted array traversals per row
+  *    for the 48-bit hamming variant (d07);
+  *  - the HOF MinHash ([[TextFns.minhashFromHashes]]) runs `k` separate
+  *    `array_min(transform(...))` passes.
+  *
+  * These expressions traverse the array ONCE, updating all counters/minima
+  * per element, with whole-stage codegen. Output values are bit-identical
+  * to the HOF forms (asserted in FunctionsSpec), so the DuckDB oracles are
+  * untouched. The HOF forms stay in [[TextFns]] as the executable spec.
+  */
+object HashSketch {
+
+  /** Register both functions in the session registry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_bits", exprs => SimHashBits(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+  }
+
+  def simhashBits(arr: Column, bits: Int): Column =
+    call_function("simhash_bits", arr, lit(bits))
+
+  def minhashSig(arr: Column, k: Int): Column =
+    call_function("minhash_sig", arr, lit(k))
+
+  private[functions] def constInt(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $e")
+  }
+
+  private[functions] def checkArr(t: DataType, fn: String): TypeCheckResult =
+    t match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn expects array<bigint>, got $other")
+    }
+}
+
+/** SimHash: output bit j set iff bit j is 1 in the strict majority of the
+  * input hashes. Matches `TextFns.simhashFromHashes` exactly (empty array
+  * → 0, null array → null). `right` must be an integer literal. */
+case class SimHashBits(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private val bits = HashSketch.constInt(right, "simhash_bits(bits)")
+  require(bits >= 1 && bits <= 63, s"bits must be in [1,63], got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketch.checkArr(left.dataType, "simhash_bits")
+
+  override def nullSafeEval(input: Any, bitsIgnored: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val cnt = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < bits) { cnt(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < bits) { if (2 * cnt(j) > n) r |= (1L << j); j += 1 }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $cnt = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $a.getLong($i);
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    $cnt[$j] += (int) (($h >>> $j) & 1L);
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  if (2 * $cnt[$j] > $n) $r |= (1L << $j);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "simhash_bits"
+}
+
+/** MinHash signature: k minima of `h XOR C_i` over the input hashes, one
+  * array pass. Matches `TextFns.minhashFromHashes` exactly, including the
+  * degenerate empty-array case (k nulls — `array_min` of empty is null).
+  * `right` must be an integer literal. */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private val k = HashSketch.constInt(right, "minhash_sig(k)")
+  require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+  private val cs: Array[Long] = Portable.mixConstants(k)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketch.checkArr(left.dataType, "minhash_sig")
+
+  override def nullSafeEval(input: Any, kIgnored: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](k))
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = a.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = h ^ cs(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("minhashConsts", cs, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
+         |} else {
+         |  long[] $mins = new long[$k];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = $h ^ $csRef[$j];
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  Object[] $out = new Object[$k];
+         |  for (int $j = 0; $j < $k; $j++) $out[$j] = (Long) $mins[$j];
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "minhash_sig"
+}

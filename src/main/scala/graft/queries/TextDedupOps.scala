@@ -176,11 +176,12 @@ object TextDedupOps {
     * Only doc_ids travel through the band join; shingle sets are joined
     * back for the (few) candidate pairs. */
   private def d03(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
     val sigd = documents(s, d)
       .withColumn("th", tokenHashSeq(col("text")))
       .withColumn("hs", shingleSetFromHashes(col("th"), K))
       .filter(size(col("hs")) > 0)
-      .withColumn("sig", minhashFromHashes(col("hs"), MINHASH_K))
+      .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("hs"), col("sig"))
       .persist()
     val banded = sigd.select(
@@ -206,14 +207,16 @@ object TextDedupOps {
   }
 
   /** SimHash(16) exact-bucket near-dups. */
-  private def d04(s: SparkSession, d: String): DataFrame =
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
     docsWithTokens(s, d)
       .filter(col("n_words") > 0)
       .withColumn("hb", hash60Array(col("toks"), 999))
-      .withColumn("sh", simhashFromHashes(col("hb"), 16))
+      .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 16))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") > 1)
+  }
 
   /** Exact all-pairs n-gram Jaccard via inverted index — the ground truth
     * d03's LSH approximates (same shingles, same 500‰ threshold, no
@@ -256,10 +259,11 @@ object TextDedupOps {
     * nibbles floods the join with ~n²/16 candidates; measured 10.2 s →
     * 0.9 s at sf0.1 from this choice alone). */
   private def d07(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
     val sh = docsWithTokens(s, d)
       .filter(col("n_words") > 0)
       .withColumn("hb", hash60Array(col("toks"), 999))
-      .withColumn("sh", simhashFromHashes(col("hb"), 48))
+      .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 48))
       .select(col("doc_id"), col("sh"))
       .persist()
     val banded = sh.select(col("doc_id"), col("sh"),

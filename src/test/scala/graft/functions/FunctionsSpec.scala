@@ -48,6 +48,26 @@ class FunctionsSpec extends SparkSuite {
     assert(sigs(0).length == 8)
   }
 
+  test("native single-pass sketches are bit-identical to the HOF forms") {
+    HashSketch.register(spark)
+    val docs = Seq("a b c d e f", "x", "", "the quick brown fox the quick",
+      "z z z z z z z z").toDF("text")
+      .withColumn("hb", hash60Array(tokens(col("text")), 999))
+      .withColumn("hs", shingleSetFromHashes(tokenHashSeq(col("text")), 3))
+    val rows = docs.select(
+      simhashFromHashes(col("hb"), 16).as("sh_hof"),
+      HashSketch.simhashBits(col("hb"), 16).as("sh_nat"),
+      simhashFromHashes(col("hb"), 48).as("sh48_hof"),
+      HashSketch.simhashBits(col("hb"), 48).as("sh48_nat"),
+      minhashFromHashes(col("hs"), 12).as("mh_hof"),
+      HashSketch.minhashSig(col("hs"), 12).as("mh_nat")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "simhash16 mismatch")
+      assert(r.getLong(2) == r.getLong(3), "simhash48 mismatch")
+      assert(r.getSeq[Any](4) == r.getSeq[Any](5), "minhash mismatch")
+    }
+  }
+
   test("jaccard via array_intersect matches hand computation") {
     val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
       .select(shingles(col("t1"), 1).as("s1"), shingles(col("t2"), 1).as("s2"))
