@@ -26,12 +26,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   */
 object HashSketch {
 
-  /** Register both functions in the session registry (idempotent). */
+  /** Register all native sketch functions in the session registry
+    * (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_bits", exprs => SimHashBits(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_seq", exprs => ShingleSeq(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_set", exprs => WinnowSet(exprs(0), exprs(1)), "built-in")
   }
 
   def simhashBits(arr: Column, bits: Int): Column =
@@ -39,6 +44,12 @@ object HashSketch {
 
   def minhashSig(arr: Column, k: Int): Column =
     call_function("minhash_sig", arr, lit(k))
+
+  def shingleSeq(th: Column, k: Int): Column =
+    call_function("shingle_seq", th, lit(k))
+
+  def winnowSet(seq: Column, w: Int): Column =
+    call_function("winnow_set", seq, lit(w))
 
   private[functions] def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
@@ -185,4 +196,155 @@ case class MinHashSig(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "minhash_sig"
+}
+
+/** Shingle-hash sequence: out(i) = (Σ_j th(i+j)·C_j) mod 2^40 for the k
+  * token hashes starting at i — one pass, no intermediate slice arrays.
+  * Matches `TextFns.shingleSeqFromHashes` exactly (fewer than k tokens →
+  * empty array). `right` must be an integer literal. */
+case class ShingleSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private val k = HashSketch.constInt(right, "shingle_seq(k)")
+  require(k >= 1 && k <= TextFns.ShingleCoef.length,
+    s"k must be in [1,${TextFns.ShingleCoef.length}], got $k")
+  private val coef: Array[Long] = TextFns.ShingleCoef.take(k)
+  private val mod: Long = TextFns.ShingleMod
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketch.checkArr(left.dataType, "shingle_seq")
+
+  override def nullSafeEval(input: Any, kIgnored: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val len = n - (k - 1)
+    if (len <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      var s = 0L
+      var j = 0
+      while (j < k) { s += a.getLong(i + j) * coef(j); j += 1 }
+      out(i) = java.lang.Math.floorMod(s, mod)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val coefRef = ctx.addReferenceObj("shingleCoefs", coef, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val len = ctx.freshName("len")
+      val s = ctx.freshName("s")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int $len = $n - ${k - 1};
+         |if ($len <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+         |} else {
+         |  Object[] $out = new Object[$len];
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    long $s = 0L;
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      $s += $a.getLong($i + $j) * $coefRef[$j];
+         |    }
+         |    $out[$i] = (Long) Math.floorMod($s, ${mod}L);
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "shingle_seq"
+}
+
+/** Winnowing fingerprint set: distinct minima of every sliding window of
+  * `w` over the hash sequence, first-occurrence order — one pass with a
+  * naive w-wide window min (w is small). Matches `TextFns.winnowing`
+  * exactly (fewer than w hashes → empty array). `right` must be an
+  * integer literal. */
+case class WinnowSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private val w = HashSketch.constInt(right, "winnow_set(w)")
+  require(w >= 1 && w <= 64, s"w must be in [1,64], got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketch.checkArr(left.dataType, "winnow_set")
+
+  override def nullSafeEval(input: Any, wIgnored: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val len = n - (w - 1)
+    if (len <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < len) {
+      var m = Long.MaxValue
+      var j = 0
+      while (j < w) {
+        val v = a.getLong(i + j)
+        if (v < m) m = v
+        j += 1
+      }
+      seen.add(m)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next().longValue(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val len = ctx.freshName("len")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      val idx = ctx.freshName("idx")
+      val it = ctx.freshName("it")
+      s"""
+         |int $n = $a.numElements();
+         |int $len = $n - ${w - 1};
+         |if ($len <= 0) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[0]);
+         |} else {
+         |  java.util.LinkedHashSet<Long> $seen = new java.util.LinkedHashSet<Long>();
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    long $m = Long.MAX_VALUE;
+         |    for (int $j = 0; $j < $w; $j++) {
+         |      long $v = $a.getLong($i + $j);
+         |      if ($v < $m) $m = $v;
+         |    }
+         |    $seen.add((Long) $m);
+         |  }
+         |  Object[] $out = new Object[$seen.size()];
+         |  int $idx = 0;
+         |  java.util.Iterator<Long> $it = $seen.iterator();
+         |  while ($it.hasNext()) { $out[$idx++] = $it.next(); }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "winnow_set"
 }

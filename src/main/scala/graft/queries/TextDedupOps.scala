@@ -94,6 +94,7 @@ object TextDedupOps {
     * containment ≥ 500‰ of the smaller set. Inverted-index join, same
     * scale shape as d05. */
   private def t06(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
     val W = 4
     val fpTab = documents(s, d)
       // materialize the hash sequence as its own column before windowing:
@@ -101,8 +102,8 @@ object TextDedupOps {
       // MD5+mix construction inside every per-window lambda reference
       // (O(n²·md5) per row)
       .withColumn("th", tokenHashSeq(col("text")))
-      .withColumn("sq", shingleSeqFromHashes(col("th"), K))
-      .withColumn("fps", winnowing(col("sq"), W))
+      .withColumn("sq", graft.functions.HashSketch.shingleSeq(col("th"), K))
+      .withColumn("fps", graft.functions.HashSketch.winnowSet(col("sq"), W))
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
       .persist()
@@ -179,7 +180,8 @@ object TextDedupOps {
     graft.functions.HashSketch.register(s)
     val sigd = documents(s, d)
       .withColumn("th", tokenHashSeq(col("text")))
-      .withColumn("hs", shingleSetFromHashes(col("th"), K))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
       .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("hs"), col("sig"))
@@ -226,9 +228,11 @@ object TextDedupOps {
     * n²·|shingle| — the formulation that survives scale-up. The ScalaTest
     * asserts d03's LSH output is a subset of this exact result. */
   private def d05(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
     val hsTab = documents(s, d)
       .withColumn("th", tokenHashSeq(col("text")))
-      .withColumn("hs", shingleSetFromHashes(col("th"), K))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .persist()

@@ -66,6 +66,18 @@ class FunctionsSpec extends SparkSuite {
       assert(r.getLong(2) == r.getLong(3), "simhash48 mismatch")
       assert(r.getSeq[Any](4) == r.getSeq[Any](5), "minhash mismatch")
     }
+    val seqRows = docs
+      .withColumn("th", tokenHashSeq(col("text")))
+      .select(
+        shingleSeqFromHashes(col("th"), 3).as("sq_hof"),
+        HashSketch.shingleSeq(col("th"), 3).as("sq_nat"),
+        winnowing(shingleSeqFromHashes(col("th"), 3), 4).as("wn_hof"),
+        HashSketch.winnowSet(HashSketch.shingleSeq(col("th"), 3), 4).as("wn_nat"))
+      .collect()
+    seqRows.foreach { r =>
+      assert(r.getSeq[Any](0) == r.getSeq[Any](1), "shingle_seq mismatch")
+      assert(r.getSeq[Any](2) == r.getSeq[Any](3), "winnow_set mismatch")
+    }
   }
 
   test("jaccard via array_intersect matches hand computation") {
