@@ -41,8 +41,11 @@ object ConnectedComponents {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // seed with min(self, neighbours) — same cost as a distinct over the
+    // endpoints, but already one propagation hop ahead
+    var labels = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("a").as("node"), least(col("a"), col("nb")).as("comp"))
       .localCheckpoint(true)
     // decimal sum: overflow-proof certificate at any node-id magnitude
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -35,11 +35,14 @@ object IncrementalDedup {
   def band(docs: Dataset[Doc]): Dataset[Banded] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    graft.functions.HashSketch.register(spark)
     docs.toDF()
       .withColumn("th", TextFns.tokenHashSeq(col("text")))
-      .withColumn("hs", TextFns.shingleSetFromHashes(col("th"), K))
+      .withColumn("hs", array_distinct(
+        graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
-      .withColumn("sig", TextFns.minhashFromHashes(col("hs"), MINHASH_K))
+      .withColumn("sig",
+        graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("sig"),
         explode(array((0 until BANDS).map(b =>
           TextFns.bandKey(col("sig"), b, ROWS)): _*)).as("bucket"))
