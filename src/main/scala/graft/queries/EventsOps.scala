@@ -122,12 +122,30 @@ object EventsOps {
       .select(col("stage"), col("n_users"))
   }
 
+  /** Cohort retention: users grouped by first-seen day; per (cohort day,
+    * day offset), how many distinct users were active. Two shuffles on
+    * user_id (first-seen agg + join back), one on the cohort key — the
+    * standard retention-matrix shape; the cohort table is small relative
+    * to events, so the join back broadcasts at any realistic scale. */
+  private def q33(s: SparkSession, d: String): DataFrame = {
+    val ev = withTs(events(s, d))
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      .select(col("user_id"), col("day"))
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    ev.join(broadcast(cohort), Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q11_time_bucket_daily" -> q11 _,
     "q12_json_extract_agg" -> q12 _,
     "q13_sessionize" -> q13 _,
     "q14_asof_prev_click" -> q14 _,
     "q24_funnel_stages" -> q15 _,
+    "q33_cohort_retention" -> q33 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -192,5 +210,14 @@ object EventsOps {
         |SELECT '2_click_after_signup', COUNT(*) FROM click
         |UNION ALL
         |SELECT '3_purchase_after_click', COUNT(*) FROM purchase""".stripMargin,
+    "q33_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, e.day)::BIGINT AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_active
+        |FROM ev e JOIN cohort c ON e.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }
