@@ -107,6 +107,7 @@ object TextDedupOps {
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
       .persist()
+    // df>1 prefilter note: see d05 — same trade-off applies here
     val ex = fpTab.select(col("doc_id"), explode(col("fps")).as("fp"))
     val inter = ex.select(col("doc_id").as("a_id"), col("fp"))
       .join(ex.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
@@ -236,6 +237,10 @@ object TextDedupOps {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .persist()
+    // At 100 TB, add a df>1 semi-filter on shingles before this self-join
+    // (singleton shingles cannot pair; at billions of docs most are
+    // singletons). At bench scale the extra aggregation costs more than
+    // the join it saves, so the direct join stays.
     val ex = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val inter = ex.select(col("doc_id").as("a_id"), col("shingle"))
       .join(ex.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
