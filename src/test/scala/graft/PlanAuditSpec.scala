@@ -49,6 +49,13 @@ class PlanAuditSpec extends SparkSuite {
       s"d07 degenerated to all-pairs:\n$p")
   }
 
+  test("h05/q33 broadcast the small side of their joins") {
+    Seq("h05_rewards_txn_join", "q33_cohort_retention").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+    }
+  }
+
   test("star join q04 broadcasts every dimension") {
     val p = plan("q04_star_join_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)

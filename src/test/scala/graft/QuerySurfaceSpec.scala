@@ -55,6 +55,25 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(lsh.nonEmpty && exact.nonEmpty)
   }
 
+  test("ANN recall: LSH (s02) and IVF (s05) top-3 hit the brute-force top-3") {
+    // ground truth: exact top-3 per query from the brute-force scan
+    val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .filter(col("rank") <= 3).select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(name: String): Double = {
+      val got = SparkEntry.queries(name)(spark, sf)
+        .select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val lsh = recallOf("s02_ann_lsh")
+    val ivf = recallOf("s05_ann_ivf")
+    // single-table LSH probes one bucket; IVF probes 2/16 lists — both
+    // must find a meaningful share of the true neighbours on this data
+    assert(lsh >= 0.3, s"LSH recall $lsh")
+    assert(ivf >= 0.5, s"IVF recall $ivf")
+  }
+
   test("SQL surface: registered views answer the same query as the DataFrame plan") {
     Catalog.registerAll(spark, sf)
     val sql = spark.sql(
