@@ -39,10 +39,17 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only the last 2000 chars of stdout and parses the
+    // final line as JSON (BENCH_r02 was truncated mid-line at ~2.4KB and
+    // failed to parse). Keep this line SHORT: short query ids (the prefix
+    // before the first '_' is unique across the surface), 3-decimal values,
+    // basename-only sf.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = sfDir.split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -71,7 +71,16 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     * `follower_info.height` after the reference's per-block txn. */
   def commit(out: Pipeline.Output, maxHeight: Long,
       firstBlock: Long): Unit = {
-    val prev = state.load().map(_.height).getOrElse(Long.MinValue)
+    // Cursor-loss guard: if the StateStore file is missing/corrupt while
+    // data partitions survive (metadata-only failure), a MinValue cursor
+    // would make the stale-partition sweep delete ALL committed history.
+    // Derive a floor from the max existing positive partition id instead —
+    // treat everything already on disk as committed and delete nothing.
+    val prev = state.load().map(_.height).getOrElse {
+      val existing = (partitionIds("rewards") ++ partitionIds("transactions"))
+        .filter(_ >= 0)
+      if (existing.isEmpty) Long.MinValue else existing.max
+    }
     writeBatch(out.rewards, "rewards", maxHeight, prev)
     out.transactions.foreach(writeBatch(_, "transactions", maxHeight, prev))
     state.advance(IngestState(maxHeight, firstBlock))
@@ -132,7 +141,13 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     val out = fs.create(mfTmp, true)
     out.write(s"$newGen\n${sources.mkString(",")}\n".getBytes("UTF-8"))
     out.close()
-    fs.rename(mfTmp, mf)
+    // Hadoop rename reports most failures by RETURNING FALSE, not throwing.
+    // An unchecked false here would fall through to finishSwap and delete
+    // source partitions without a commit point on disk.
+    if (!fs.rename(mfTmp, mf))
+      throw new java.io.IOException(
+        s"compact($table): manifest rename $mfTmp -> $mf failed; aborting " +
+          "before swap (sources and staging untouched)")
 
     finishSwap(table, newGen, sources)
   }
@@ -174,7 +189,14 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
         return
       }
       fs.delete(new Path(tmp, "_SUCCESS"), false)
-      fs.rename(tmp, dest) // the publish: atomic directory rename
+      // The publish: one atomic directory rename. rename=false (not an
+      // exception) is how Hadoop FS reports most failures — proceeding
+      // would delete the sources AND the staged replacement, losing all
+      // compacted history. Abort with everything intact; recover() retries.
+      if (!fs.rename(tmp, dest))
+        throw new java.io.IOException(
+          s"compact($table): publish rename $tmp -> $dest failed; aborting " +
+            "with sources, staging, and manifest intact")
     }
     sources.foreach(b => fs.delete(new Path(dir, s"batch_id=$b"), true))
     fs.delete(tmp, true)

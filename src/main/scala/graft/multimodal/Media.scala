@@ -66,8 +66,15 @@ object Media {
       width = (n % 640).toInt,
       height = ((n * 7) % 480).toInt,
       n_frames = if (r.kind == "video") (n % 24 + 1).toInt else 1,
-      checksum = java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString)
+      // md5 over the UPPERCASE-HEX encoding of the payload bytes (not the
+      // raw bytes): DuckDB 1.0's md5() only accepts VARCHAR, so hashing the
+      // hex string is the only oracle-expressible checksum with BYTE
+      // semantics — a byte-truncated payload is a substr() of its hex.
+      checksum = {
+        val hexStr = r.payload.map("%02X".format(_)).mkString
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      })
   }
 
   /** Batched partition-parallel decode: iterator-in/iterator-out, one codec

@@ -47,9 +47,13 @@ object ConnectedComponents {
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("node"), least(col("a"), col("nb")).as("comp"))
       .localCheckpoint(true)
-    // decimal sum: overflow-proof certificate at any node-id magnitude
+    // decimal sum: overflow-proof certificate at any node-id magnitude.
+    // coalesce to 0: sum over an empty frame is NULL, and a null certificate
+    // NPEs the convergence compare (zero-edge inputs are legal — any corpus
+    // with no near-dup pairs).
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head()
+      df.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head()
         .getDecimal(0)
 
     var prev = labelSum(labels)

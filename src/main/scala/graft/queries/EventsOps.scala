@@ -125,15 +125,18 @@ object EventsOps {
   /** Cohort retention: users grouped by first-seen day; per (cohort day,
     * day offset), how many distinct users were active. Two shuffles on
     * user_id (first-seen agg + join back), one on the cohort key — the
-    * standard retention-matrix shape; the cohort table is small relative
-    * to events, so the join back broadcasts at any realistic scale. */
+    * standard retention-matrix shape. The cohort side has one row per
+    * DISTINCT user, which is unbounded at 100 TB, so no broadcast hint:
+    * a shuffle join on user_id is the safe default, and AQE will still
+    * pick broadcast at runtime whenever the cohort side is actually
+    * small. */
   private def q33(s: SparkSession, d: String): DataFrame = {
     val ev = withTs(events(s, d))
       .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
       .select(col("user_id"), col("day"))
     val cohort = ev.groupBy(col("user_id"))
       .agg(min(col("day")).as("cohort_day"))
-    ev.join(broadcast(cohort), Seq("user_id"))
+    ev.join(cohort, Seq("user_id"))
       .groupBy(col("cohort_day"),
         datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"))

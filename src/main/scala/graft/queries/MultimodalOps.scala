@@ -74,7 +74,7 @@ object MultimodalOps {
         |  SUM(octet_length(encode(text)) % 640)::BIGINT AS sum_width,
         |  SUM(CASE WHEN ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
         |       THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END)::BIGINT AS sum_frames,
-        |  COUNT(DISTINCT md5(text)) AS n_distinct
+        |  COUNT(DISTINCT md5(hex(encode(text)))) AS n_distinct
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "m02_frame_sample" ->
       """SELECT source, COUNT(*) AS n_frames, SUM(feat)::BIGINT AS sum_feat,
@@ -89,7 +89,7 @@ object MultimodalOps {
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
         |  COUNT(*) AS n_media,
         |  SUM(least(octet_length(encode(text)), 512))::BIGINT AS resized_bytes,
-        |  COUNT(DISTINCT md5(substring(text, 1, 512))) AS n_distinct
+        |  COUNT(DISTINCT md5(substr(hex(encode(text)), 1, 1024))) AS n_distinct
         |FROM documents GROUP BY 1""".stripMargin,
   )
 }

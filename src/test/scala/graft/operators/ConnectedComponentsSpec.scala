@@ -25,6 +25,13 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(m.size == 13 && m.values.forall(_ == 0L))
   }
 
+  test("empty edge input returns an empty labeling (no NPE)") {
+    // regression: sum over an empty frame is NULL; the convergence
+    // certificate must coalesce it, not NPE — a corpus with zero near-dup
+    // pairs is a legal d06 input
+    assert(comps(Seq.empty).isEmpty)
+  }
+
   test("orientation and duplicate edges are irrelevant") {
     val m1 = comps(Seq((5L, 9L), (9L, 5L), (5L, 9L), (9L, 7L)))
     assert(m1 == Map(5L -> 5L, 9L -> 5L, 7L -> 5L))
