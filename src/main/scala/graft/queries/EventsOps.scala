@@ -142,6 +142,24 @@ object EventsOps {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Trailing 7-day RANGE window frame per user — the value-bounded frame
+    * kind (q29 covers ROWS frames): per event, count and integer-sum of the
+    * user's events in the preceding 7 days including this one. RANGE frames
+    * are order-insensitive among ts peers, so the result is deterministic
+    * without a tie-break column. One shuffle on user_id + a partition-local
+    * sort — the same shape at any scale. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val sevenDaysUs = 7L * 86400 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-sevenDaysUs, 0)
+    withTs(events(s, d))
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("trail_cnt", count(lit(1)).over(w))
+      .withColumn("trail_sum_k", sum(col("k")).over(w))
+      .select(col("event_id"), col("user_id"), col("trail_cnt"),
+        col("trail_sum_k"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q11_time_bucket_daily" -> q11 _,
     "q12_json_extract_agg" -> q12 _,
@@ -149,6 +167,7 @@ object EventsOps {
     "q14_asof_prev_click" -> q14 _,
     "q24_funnel_stages" -> q15 _,
     "q33_cohort_retention" -> q33 _,
+    "q34_trailing_window" -> q34 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -222,5 +241,14 @@ object EventsOps {
         |  COUNT(DISTINCT e.user_id) AS n_active
         |FROM ev e JOIN cohort c ON e.user_id = c.user_id
         |GROUP BY 1, 2""".stripMargin,
+    "q34_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS trail_cnt,
+        |  (SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER w)::BIGINT
+        |    AS trail_sum_k
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, props
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 }

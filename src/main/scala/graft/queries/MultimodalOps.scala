@@ -59,10 +59,34 @@ object MultimodalOps {
         countDistinct(col("checksum")).as("n_distinct"))
   }
 
+  /** Cross-modal join: media features ⋈ the embedding table on shared ids —
+    * the "every training sample carries text, media, AND an embedding"
+    * shape. Features are extracted BEFORE the join (only narrow rows carry
+    * into the shuffle; the binary payload never leaves its scan partition),
+    * then both narrow sides shuffle on the id — the standard co-partition
+    * join at 100 TB, no broadcast assumption on either side. */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotQ.register(s)
+    val media = Media.mediaFromDocuments(documents(s, d))
+    val feats = Media.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"))
+    val embn = embeddings(s, d)
+      .withColumn("qv", graft.functions.VectorFns.qvec(col("embedding")))
+      .withColumn("n2", graft.functions.VectorFns.norm2q(col("qv")))
+      .select(col("vec_id"), col("label"), col("n2"))
+    feats.join(embn, col("media_id") === col("vec_id"))
+      .groupBy(col("kind"), col("label"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("n2")).as("sum_norm2"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
     "m02_frame_sample" -> m02 _,
     "m03_resize_rollup" -> m03 _,
+    "m04_crossmodal_join" -> m04 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -91,5 +115,22 @@ object MultimodalOps {
         |  SUM(least(octet_length(encode(text)), 512))::BIGINT AS resized_bytes,
         |  COUNT(DISTINCT md5(substr(hex(encode(text)), 1, 1024))) AS n_distinct
         |FROM documents GROUP BY 1""".stripMargin,
+    "m04_crossmodal_join" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id AS media_id,
+         |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         |    octet_length(encode(text))::BIGINT AS n_bytes
+         |  FROM documents),
+         |embn AS (
+         |  SELECT vec_id, label,
+         |    ${graft.functions.VectorFns.sqlDotq("qv", "qv", 64)} AS n2
+         |  FROM (SELECT vec_id, label,
+         |          ${graft.functions.VectorFns.sqlQvec("embedding")} AS qv
+         |        FROM embeddings))
+         |SELECT kind, label, COUNT(*) AS n_items,
+         |  SUM(n_bytes)::BIGINT AS total_bytes,
+         |  SUM(n2)::BIGINT AS sum_norm2
+         |FROM feats JOIN embn ON media_id = vec_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

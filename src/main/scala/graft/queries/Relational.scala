@@ -280,6 +280,23 @@ object Relational {
         (length(col("a_text")) + length(col("b_text"))).cast("long").as("len_sum"))
   }
 
+  /** Deterministic stratified sample: ~10% of orders per priority stratum,
+    * selected by an MD5-derived hash of the key (not `rand()` — the sample
+    * must be reproducible across engines, runs, and cluster sizes, which is
+    * exactly what a training-data pipeline needs for holdout splits). The
+    * hash predicate is a pure per-row filter ahead of the aggregate, so at
+    * 100 TB it prunes 90% of rows before any shuffle. */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(graft.functions.Portable.hash60(
+        col("o_orderkey").cast("string"), 777) % 1000 < 100)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        sumd(col("o_totalprice")).as("sum_price"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -303,6 +320,7 @@ object Relational {
     "q25_salted_agg" -> q25 _,
     "q26_collect_sorted" -> q26 _,
     "q27_edit_distance" -> q27 _,
+    "q35_stratified_sample" -> q35 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -441,5 +459,13 @@ object Relational {
         |  LENGTH(a.text) + LENGTH(b.text) AS len_sum
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
         |WHERE a.doc_id % 100 = 0 AND b.doc_id % 100 = 0""".stripMargin,
+    "q35_stratified_sample" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_sampled,
+         |  ${sqlSumd("o_totalprice")} AS sum_price,
+         |  MIN(o_orderkey) AS min_key,
+         |  MAX(o_orderkey) AS max_key
+         |FROM orders
+         |WHERE ${graft.functions.Portable.sqlHash60("o_orderkey::VARCHAR", 777)} % 1000 < 100
+         |GROUP BY o_orderpriority""".stripMargin,
   )
 }

@@ -147,12 +147,47 @@ object SimilarityOps {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /** Nearest-centroid assignment + confusion matrix: every vector is
+    * assigned to the label whose centroid it is most cosine-similar to;
+    * output is (true label, assigned label, count). Because cosine is
+    * scale-invariant, the per-label SUM vector serves as the centroid —
+    * no division, every coordinate an exact integer, so the oracle
+    * reproduces the doubles bit-for-bit.
+    *
+    * Scale: centroid build is one posexplode + groupBy (map-side partial),
+    * yielding |labels| rows — broadcast-justified by label cardinality
+    * (bounded, unlike q33's per-user cohort); assignment is a per-row
+    * argmax over the broadcast list, one final shuffle on the (tiny)
+    * confusion key. */
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val cents = emb
+      .select(col("label").as("c_label"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+        x => x.getField("s")).as("cqv"))
+      .withColumn("cn2", norm2q(col("cqv")))
+    val scored = emb.select(col("vec_id"), col("label"), col("qv"), col("n2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_label").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
     "s03_label_centroids" -> s03 _,
     "s04_embedding_neardup" -> s04 _,
     "s05_ann_ivf" -> s05 _,
+    "s06_centroid_assign" -> s06 _,
   )
 
   // ---- DuckDB oracles ----
@@ -247,5 +282,28 @@ object SimilarityOps {
          |FROM embn a JOIN embn b ON a.vec_id < b.vec_id
          |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
          |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin,
+    "s06_centroid_assign" ->
+      s"""WITH $embCte,
+         |dims AS (
+         |  SELECT label AS c_label, i, SUM(qv[i])::BIGINT AS s
+         |  FROM embn, range(1, ${DIMS + 1}) AS r(i)
+         |  GROUP BY c_label, i),
+         |cents AS (
+         |  SELECT c_label, list(s ORDER BY i) AS cqv FROM dims GROUP BY c_label),
+         |centn AS (
+         |  SELECT c_label, cqv, ${dot("cqv", "cqv")} AS cn2 FROM cents),
+         |scored AS (
+         |  SELECT v.vec_id, v.label, c.c_label,
+         |    CAST(${dot("v.qv", "c.cqv")} AS DOUBLE)
+         |      / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos
+         |  FROM embn v CROSS JOIN centn c),
+         |best AS (
+         |  SELECT vec_id, label, c_label FROM (
+         |    SELECT vec_id, label, c_label,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, c_label ASC) AS rk
+         |    FROM scored) WHERE rk = 1)
+         |SELECT label, c_label AS assigned, COUNT(*) AS n_vecs
+         |FROM best GROUP BY 1, 2""".stripMargin,
   )
 }

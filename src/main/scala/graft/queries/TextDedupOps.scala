@@ -305,6 +305,58 @@ object TextDedupOps {
       .run(d05(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("doc_id"), col("comp"))
 
+  /** Near-dup dedup SURVIVOR selection — the step that turns d06's clusters
+    * into a cleaned corpus: within each near-dup component keep the min
+    * doc_id (the canonical survivor), drop the rest; docs in no component
+    * survive untouched. Built on the d03 LSH pairs (the scale path — at
+    * 100 TB the exact all-pairs d05 is the audit, LSH is the pipeline).
+    * Output: per-source before/after counts — the dedup-rate report every
+    * training-data pipeline ships with. */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .run(d03(s, d), src = "a_id", dst = "b_id")
+      .select(col("node").as("doc_id"), col("comp"))
+    documents(s, d)
+      .join(comp, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("comp").isNull || col("comp") === col("doc_id"), 1L)
+          .otherwise(0L)).as("n_after"))
+  }
+
+  /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
+    * integer-arithmetic rules (too short; mean word length outside [3,10];
+    * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
+    * pass-all count. All compares are cross-multiplied integers (no
+    * division, no floats) so the oracle matches exactly; at scale this is
+    * one scan + one narrow groupBy. */
+  private def t09(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .withColumn("sum_tok_len",
+        expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_sym",
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[^a-zA-Z0-9 ]", ""))).cast("long"))
+      .withColumn("f_short", when(col("n_words") < 50, 1L).otherwise(0L))
+      .withColumn("f_wordlen",
+        when(col("sum_tok_len") < col("n_words") * 3
+          || col("sum_tok_len") > col("n_words") * 10, 1L).otherwise(0L))
+      .withColumn("f_symbol",
+        when(col("n_sym") * 1000L > length(col("text")).cast("long") * 100L, 1L)
+          .otherwise(0L))
+      .withColumn("f_stop",
+        when(stopwordCount(col("text")) < 2, 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_short")).as("n_fail_short"),
+        sum(col("f_wordlen")).as("n_fail_wordlen"),
+        sum(col("f_symbol")).as("n_fail_symbol"),
+        sum(col("f_stop")).as("n_fail_stop"),
+        sum(when(col("f_short") + col("f_wordlen") + col("f_symbol")
+          + col("f_stop") === 0, 1L).otherwise(0L)).as("n_pass_all"))
+
   /** BPE-ish regex pre-tokenization (letter runs / digit runs / punctuation
     * runs — the GPT-2-style pre-tokenizer shape, ASCII classes so Java and
     * RE2 regex agree byte-for-byte), vs the whitespace counts of t04. */
@@ -335,6 +387,8 @@ object TextDedupOps {
     "d05_ngram_jaccard_exact" -> d05 _,
     "d06_neardup_components" -> d06 _,
     "d07_simhash_hamming" -> d07 _,
+    "d08_dedup_survivors" -> d08 _,
+    "t09_quality_rules" -> t09 _,
   )
 
   // ---- DuckDB oracles ----
@@ -393,6 +447,39 @@ object TextDedupOps {
        |JOIN sized sa ON sa.doc_id = a_id
        |JOIN sized sb ON sb.doc_id = b_id
        |WHERE (1000 * inter) // (sa.n + sb.n - inter) >= 500""".stripMargin
+
+  /** d03's LSH pipeline in SQL — shared verbatim by the d08 survivor oracle
+    * (embedded as a derived table, same pattern as d05Sql/d06). */
+  private val d03Sql: String =
+    s"""WITH thm AS (
+       |  SELECT doc_id,
+       |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+       |  FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+       |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+       |  FROM thm),
+       |sigs AS (
+       |  SELECT doc_id, ss, ${minhashSql("ss")} AS sig
+       |  FROM hs WHERE len(ss) > 0),
+       |banded AS (
+       |  SELECT doc_id, ss, UNNEST(${bandKeySql("sig")}) AS band_key
+       |  FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM banded a JOIN banded b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id),
+       |verified AS (
+       |  SELECT a_id, b_id,
+       |    len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
+       |    len(sa.ss) + len(sb.ss)
+       |      - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS uni
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = a_id
+       |  JOIN sigs sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
+       |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin
 
   val oracle: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
@@ -476,36 +563,7 @@ object TextDedupOps {
         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
         |  FROM documents)
         |WHERE doc_id = keeper GROUP BY source""".stripMargin,
-    "d03_minhash_lsh_pairs" ->
-      s"""WITH thm AS (
-         |  SELECT doc_id,
-         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
-         |  FROM documents),
-         |hs AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
-         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
-         |  FROM thm),
-         |sigs AS (
-         |  SELECT doc_id, ss, ${minhashSql("ss")} AS sig
-         |  FROM hs WHERE len(ss) > 0),
-         |banded AS (
-         |  SELECT doc_id, ss, UNNEST(${bandKeySql("sig")}) AS band_key
-         |  FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-         |  FROM banded a JOIN banded b USING (band_key)
-         |  WHERE a.doc_id < b.doc_id),
-         |verified AS (
-         |  SELECT a_id, b_id,
-         |    len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS inter,
-         |    len(sa.ss) + len(sb.ss)
-         |      - len(list_filter(sa.ss, x -> list_contains(sb.ss, x))) AS uni
-         |  FROM cand
-         |  JOIN sigs sa ON sa.doc_id = a_id
-         |  JOIN sigs sb ON sb.doc_id = b_id)
-         |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
-         |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin,
+    "d03_minhash_lsh_pairs" -> d03Sql,
     "d05_ngram_jaccard_exact" -> d05Sql,
     "d06_neardup_components" ->
       s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
@@ -532,6 +590,49 @@ object TextDedupOps {
          |SELECT ($simhashSql)::BIGINT AS sh, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS canonical_id
          |FROM hashed GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "d08_dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS doc_id, MIN(label) AS comp
+         |         FROM reach GROUP BY node)
+         |SELECT d.source, COUNT(*) AS n_before,
+         |  SUM(CASE WHEN c.comp IS NULL OR c.comp = d.doc_id
+         |       THEN 1 ELSE 0 END)::BIGINT AS n_after
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
+    "t09_quality_rules" ->
+      s"""WITH f AS (
+         |  SELECT source,
+         |    len($toksSql) AS n_words,
+         |    COALESCE(list_sum(list_transform($toksSql, t -> length(t))), 0)::BIGINT AS sum_tok_len,
+         |    (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))::BIGINT AS n_sym,
+         |    length(text)::BIGINT AS n_chars,
+         |    $stopSql AS n_stop
+         |  FROM documents),
+         |flags AS (
+         |  SELECT source,
+         |    CASE WHEN n_words < 50 THEN 1 ELSE 0 END AS f_short,
+         |    CASE WHEN sum_tok_len < n_words * 3
+         |           OR sum_tok_len > n_words * 10 THEN 1 ELSE 0 END AS f_wordlen,
+         |    CASE WHEN n_sym * 1000 > n_chars * 100 THEN 1 ELSE 0 END AS f_symbol,
+         |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop
+         |  FROM f)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(f_short)::BIGINT AS n_fail_short,
+         |  SUM(f_wordlen)::BIGINT AS n_fail_wordlen,
+         |  SUM(f_symbol)::BIGINT AS n_fail_symbol,
+         |  SUM(f_stop)::BIGINT AS n_fail_stop,
+         |  SUM(CASE WHEN f_short + f_wordlen + f_symbol + f_stop = 0
+         |       THEN 1 ELSE 0 END)::BIGINT AS n_pass_all
+         |FROM flags GROUP BY source""".stripMargin,
     // The oracle does the naive all-pairs hamming scan — which also proves
     // the Spark side's pigeonhole banding loses no pairs.
     "d07_simhash_hamming" ->

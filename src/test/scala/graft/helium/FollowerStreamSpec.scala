@@ -80,6 +80,41 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.rewardsTable().count() == once)
   }
 
+  test("cursor-loss guard: losing the StateStore never sweeps committed partitions") {
+    val fixDir = tmpDir("fixtcl")
+    val root = tmpDir("rootcl")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+        range.last, 100)
+    }
+    commitRange(100L to 101L)
+    commitRange(102L to 103L)
+    val committed = sink.rewardsTable().count()
+    assert(committed == 5) // blocks 104-105 carry no rewards in this fixture
+
+    // metadata-only failure: the cursor files vanish, data partitions survive
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+
+    // next commit must NOT treat the surviving partitions as stale leftovers
+    // (an unguarded MinValue cursor would fs.delete batch 101 and 103 before
+    // writing the new batch)
+    commitRange(104L to 105L)
+    assert(sink.rewardsTable().count() == committed)
+    import spark.implicits.newLongEncoder
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+  }
+
   test("compaction consolidates closed batches, preserves rows, newest batch untouched") {
     val fixDir = tmpDir("fixt3")
     val root = tmpDir("root4")
