@@ -72,11 +72,14 @@ object VectorFns {
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** DuckDB fragment for [[lshSignature]] over a quantized list column. */
-  def sqlLshSignature(qv: String, nPlanes: Int, dims: Int): String =
+  /** DuckDB fragment for [[lshSignature]] over a quantized list column.
+    * `off` selects a plane block: plane j of the fragment is global plane
+    * `off + j` (seed 2000+off+j), matching `lshPlanes(...).slice(off, off+n)`
+    * on the Spark side — the basis for multi-table LSH. */
+  def sqlLshSignature(qv: String, nPlanes: Int, dims: Int, off: Int = 0): String =
     (0 until nPlanes).map { j =>
       val d = s"list_sum(list_transform(range(1, ${dims + 1}), " +
-        s"i -> ($qv)[i] * (CASE WHEN ${Portable.sqlHash60(s"(i-1)::VARCHAR", 2000 + j)} % 2 = 1 THEN 1 ELSE -1 END)))"
+        s"i -> ($qv)[i] * (CASE WHEN ${Portable.sqlHash60(s"(i-1)::VARCHAR", 2000 + off + j)} % 2 = 1 THEN 1 ELSE -1 END)))"
       s"(CASE WHEN $d > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

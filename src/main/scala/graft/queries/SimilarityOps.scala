@@ -26,7 +26,9 @@ object SimilarityOps {
   private val DIMS = 64
   private val NQ = 8          // query vectors: vec_id < 8
   private val TOPK = 5
-  private val PLANES = 8
+  private val PLANES = 4      // hyperplanes per LSH table (bucket = 4 bits)
+  private val TABLES = 4      // OR-amplified LSH tables
+  private val NPROBE = 4      // IVF lists probed per query
 
   private def withQ(df: DataFrame): DataFrame = {
     graft.functions.DotQ.register(df.sparkSession)
@@ -52,18 +54,36 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
 
-  /** ANN via random-hyperplane LSH: candidates share the query's 8-bit
-    * signature bucket; exact cosine re-ranks within the bucket. */
+  /** ANN via multi-table random-hyperplane LSH (OR-amplification): TABLES
+    * independent 4-plane tables; a vector is a candidate for a query if
+    * they share a bucket in ANY table, then exact cosine re-ranks the
+    * distinct candidates. One table of k planes has recall p^k per
+    * neighbour (p = 1 − θ/π); L tables lift it to 1 − (1−p^k)^L — the same
+    * AND/OR banding trade as MinHash-LSH (d03), with (k, L) as the
+    * recall/cost knobs. The band join carries ids only; signatures are
+    * 4-bit so buckets stay populated at any corpus size. */
   private def s02(s: SparkSession, d: String): DataFrame = {
-    val planes = lshPlanes(PLANES, DIMS)
+    val allPlanes = lshPlanes(TABLES * PLANES, DIMS)
     val emb = withQ(embeddings(s, d))
-      .withColumn("sig", lshSignature(col("qv"), planes))
-    val queries = emb.filter(col("vec_id") < NQ)
-      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
-        col("n2").as("q_n2"), col("sig"))
-    val cands = emb.filter(col("vec_id") >= NQ)
-      .select(col("vec_id").as("cand_id"), col("qv"), col("n2"), col("sig"))
-    val scored = cands.join(broadcast(queries), Seq("sig"))
+      .withColumn("probe", explode(array((0 until TABLES).map(t =>
+        struct(lit(t).as("tab"),
+          lshSignature(col("qv"), allPlanes.slice(t * PLANES, (t + 1) * PLANES))
+            .as("sig"))): _*)))
+      .select(col("vec_id"), col("qv"), col("n2"),
+        col("probe.tab"), col("probe.sig"))
+    val cand = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("tab"), col("sig"))
+      .join(emb.filter(col("vec_id") >= NQ)
+        .select(col("vec_id").as("cand_id"), col("tab"), col("sig")),
+        Seq("tab", "sig"))
+      .select("query_id", "cand_id")
+      .dropDuplicates("query_id", "cand_id")
+    val side = withQ(embeddings(s, d))
+    val scored = cand
+      .join(side.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), Seq("query_id"))
+      .join(side.select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+        Seq("cand_id"))
       .withColumn("cos",
         cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
     val w = Window.partitionBy(col("query_id"))
@@ -77,8 +97,9 @@ object SimilarityOps {
     * deterministic seed subset of the vectors themselves (vec_id 100–115 —
     * a data-dependent quantizer an offline k-means would refine); every
     * vector is assigned to its max-cosine centroid list, queries probe
-    * their top-`nprobe`=2 lists and re-rank exactly inside them. The scan
-    * per query touches ~2/16 of the corpus — the IVF structure — and every
+    * their top-NPROBE lists and re-rank exactly inside them. The scan
+    * per query touches ~NPROBE/16 of the corpus — the IVF structure, with
+    * nprobe as the recall/cost knob — and every
     * step is an equi-join or window Catalyst shuffles/broadcasts by size.
     * Complements s02 (LSH) as the second ANN scale path. */
   private def s05(s: SparkSession, d: String): DataFrame = {
@@ -106,7 +127,7 @@ object SimilarityOps {
     val probes = assign(
       emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
-      "query_id", top = 2)
+      "query_id", top = NPROBE)
       .select(col("c_id"), col("query_id"),
         col("qv").as("q_qv"), col("n2").as("q_n2"))
     val scored = lists.join(broadcast(probes), Seq("c_id"))
@@ -217,16 +238,23 @@ object SimilarityOps {
          |  FROM scored) WHERE rank <= $TOPK""".stripMargin,
     "s02_ann_lsh" ->
       s"""WITH $embCte,
-         |sigs AS (
-         |  SELECT vec_id, qv, n2,
-         |    ${sqlLshSignature("qv", PLANES, DIMS)} AS sig
-         |  FROM embn),
+         |banded AS (
+         |  SELECT vec_id, n2, t.tab,
+         |    CASE t.tab ${(0 until TABLES).map(t =>
+                 s"WHEN $t THEN ${sqlLshSignature("qv", PLANES, DIMS, t * PLANES)}")
+                 .mkString(" ")} END AS sig
+         |  FROM embn, UNNEST([${(0 until TABLES).mkString(", ")}]) AS t(tab)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM banded q JOIN banded c ON q.tab = c.tab AND q.sig = c.sig
+         |  WHERE q.vec_id < $NQ AND c.vec_id >= $NQ),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |  SELECT cand.query_id, cand.cand_id,
          |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
          |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
-         |  FROM sigs q JOIN sigs c
-         |    ON q.sig = c.sig AND q.vec_id < $NQ AND c.vec_id >= $NQ)
+         |  FROM cand
+         |  JOIN embn q ON q.vec_id = cand.query_id
+         |  JOIN embn c ON c.vec_id = cand.cand_id)
          |SELECT query_id, cand_id, rank, cos FROM (
          |  SELECT query_id, cand_id, cos,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
@@ -263,7 +291,7 @@ object SimilarityOps {
          |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
          |        c.c_id ASC) AS crk
          |    FROM embn v CROSS JOIN cents c WHERE v.vec_id < $NQ)
-         |  WHERE crk <= 2),
+         |  WHERE crk <= $NPROBE),
          |scored AS (
          |  SELECT p.query_id, l.cand_id,
          |    CAST(${dot("l.qv", "p.q_qv")} AS DOUBLE)

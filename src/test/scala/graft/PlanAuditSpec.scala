@@ -62,4 +62,38 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") ||
       "SortMergeJoin".r.findAllIn(p).size <= 1, p)
   }
+
+  test("q34 RANGE frame shuffles once on user_id") {
+    val p = plan("q34_trailing_window")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"q34 should shuffle exactly once:\n$p")
+  }
+
+  test("q35 sample filter runs before the aggregate, single scan") {
+    val p = plan("q35_stratified_sample")
+    assert(p.contains("Filter"), s"sample predicate missing:\n$p")
+    assert("orders\\.parquet".r.findAllIn(p).size == 1, p)
+    // projection pruning: o_comment is never read
+    assert(!p.contains("o_comment"), s"scan reads unneeded columns:\n$p")
+  }
+
+  test("s06 broadcasts the centroid side (bounded by label cardinality)") {
+    val p = plan("s06_centroid_assign")
+    // crossJoin(broadcast(cents)) against 10 centroid rows IS the intended
+    // broadcast nested-loop: per-row argmax over a tiny broadcast list
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s06 lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m04 cross-modal join never shuffles the binary payload") {
+    val p = plan("m04_crossmodal_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the payload column must not appear in any exchange: features are
+    // extracted before the join, so only narrow rows move
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(!exchanges.contains("payload"), s"payload in a shuffle:\n$exchanges")
+  }
 }
