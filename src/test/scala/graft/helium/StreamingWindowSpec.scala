@@ -58,6 +58,57 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to a prior click within 10 min") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    // watermarks bound the join state on BOTH sides — without them the
+    // runtime must buffer each side forever (the 100 TB failure mode)
+    val c = clicks.toDF().toDF("c_ts", "user").withWatermark("c_ts", "20 minutes")
+    val b = buys.toDF().toDF("b_ts", "b_user").withWatermark("b_ts", "20 minutes")
+    val joined = b.join(c,
+      col("user") === col("b_user") &&
+        col("c_ts") <= col("b_ts") &&
+        col("c_ts") >= col("b_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("b_user"), col("b_ts").cast("string"), col("c_ts").cast("string"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attr_out").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      clicks.addData((t(0), "u1"), (t(25), "u2"))
+      buys.addData((t(5), "u1"), (t(30), "u1"))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").as[(String, String, String)]
+        .collect().toSet
+      // u1's 10:05 purchase attributes to the 10:00 click; the 10:30
+      // purchase is outside every click's 10-minute window; u2 never buys
+      assert(rows == Set(("u1", "2024-01-01 10:05:00", "2024-01-01 10:00:00")))
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first arrival only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    // the streaming face of d01/d02: state holds one entry per key only
+    // within the watermark horizon, so memory is bounded by the horizon's
+    // key cardinality, not the stream's
+    val deduped = input.toDF().toDF("ts", "content_hash")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((t(0), "h1"), (t(1), "h1"), (t(2), "h2"))
+      q.processAllAvailable()
+      input.addData((t(3), "h1"), (t(4), "h3"))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .select(col("content_hash")).as[String].collect().toSeq
+      assert(rows.sorted == Seq("h1", "h2", "h3"))
+    } finally q.stop()
+  }
+
   test("migrate registers catalog tables over sink output (K6 parity)") {
     val root = java.nio.file.Files.createTempDirectory("migr").toString
     // produce one committed batch through the real pipeline + sink
