@@ -96,12 +96,43 @@ object AdvancedOps {
       .agg(count(lit(1)).as("n_events"))
   }
 
+  /** Exact multi-quantile in one aggregation pass: the full quartile
+    * profile per group as an array (one per-group sort, not one scan per
+    * quantile). Spark `percentile(col, array(...))` ≡ DuckDB
+    * `quantile_cont(col, [...])`, both R-7 linear interpolation — exact
+    * doubles on integral inputs. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
+          .as("qty_quartiles"),
+        count(lit(1)).as("n_rows"))
+
+  /** Salted replicate-join under the correctness gate: the skew-safe join
+    * ([[graft.operators.Salting.saltedJoin]] — big side scattered across
+    * salts, small side replicated per salt) must produce byte-identical
+    * aggregates to the plain join the oracle runs. The salt never leaks
+    * into results; it only splits the hot key's reducer `salts` ways. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salting
+      .saltedJoin(
+        lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
+        orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        key = "l_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sumd(col("l_extendedprice")).as("sum_price"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q28_grouping_sets" -> q28 _,
     "q29_running_total" -> q29 _,
     "q30_exact_median" -> q30 _,
     "q31_pivot_status" -> q31 _,
     "q32_first_last_event" -> q32 _,
+    "q36_quartiles" -> q36 _,
+    "q37_salted_join" -> q37 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -144,5 +175,16 @@ object AdvancedOps {
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY user_id, first_ev, last_ev""".stripMargin,
+    "q36_quartiles" ->
+      """SELECT l_linestatus,
+        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    // the oracle is the PLAIN join — proving the salt rewrite is invisible
+    "q37_salted_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_lines,
+         |  ${sqlSumd("l_extendedprice")} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
   )
 }
