@@ -92,12 +92,32 @@ object HeliumQueries {
         sum(col("amount")).as("total_amount"))
   }
 
+  /** Query-time typed view over STORED envelopes (T9 at read time): what a
+    * downstream consumer of the reference's Postgres does with
+    * `fields::jsonb` — re-parse the opaque payload with the rewards_v2
+    * schema and aggregate inside it. The pipeline stored `fields` opaque
+    * (K2 parity); `from_json` makes it columnar again at query time, and
+    * Catalyst prunes the parse to just the accessed fields. */
+  private def h06(s: SparkSession, d: String): DataFrame = {
+    val (blocks, payloads) = load(s)
+    val tx = Pipeline.run(EtlMode.Full, blocks, payloads).transactions.get
+    tx.filter(col("type") === "rewards_v2")
+      .withColumn("p", from_json(col("fields"), Model.rewardsV2Schema))
+      .select(col("block"), explode(col("p.rewards")).as("r"))
+      .groupBy(col("r.type").as("reward_type"))
+      .agg(
+        count(lit(1)).as("n_rewards"),
+        sum(col("r.amount")).as("total_amount"),
+        countDistinct(col("block")).as("n_blocks"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "h01_rewards_by_gateway" -> h01 _,
     "h02_rewards_filters_mode" -> h02 _,
     "h03_txn_envelopes_by_type" -> h03 _,
     "h04_reward_deltas" -> h04 _,
     "h05_rewards_txn_join" -> h05 _,
+    "h06_payload_typed_view" -> h06 _,
   )
 
   private val flatCte =
@@ -160,5 +180,11 @@ object HeliumQueries {
          |JOIN (SELECT hash, type FROM read_json_auto('$fixDir/txns.jsonl')) p
          |  ON f.transaction_hash = p.hash
          |GROUP BY 1, 2""".stripMargin,
+    "h06_payload_typed_view" ->
+      s"""$flatCte
+         |SELECT type AS reward_type, COUNT(*) AS n_rewards,
+         |  SUM(amount)::BIGINT AS total_amount,
+         |  COUNT(DISTINCT block) AS n_blocks
+         |FROM flat GROUP BY 1""".stripMargin,
   )
 }
