@@ -120,7 +120,7 @@ object AdvancedOps {
         lineitem(s, d).select(col("l_orderkey"), col("l_extendedprice")),
         orders(s, d).select(col("o_orderkey").as("l_orderkey"),
           col("o_orderpriority")),
-        key = "l_orderkey", salts = 8)
+        key = "l_orderkey", salts = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         sumd(col("l_extendedprice")).as("sum_price"))
