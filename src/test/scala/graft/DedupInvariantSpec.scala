@@ -57,6 +57,26 @@ class DedupInvariantSpec extends SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall")
   }
 
+  test("d08 survivor accounting: dropped docs are exactly non-minimal component members") {
+    val byColumns = SparkEntry.queries("d08_dedup_survivors")(spark, corpusDir)
+      .select("source", "n_before", "n_after")
+      .as[(String, Long, Long)].collect()
+    val totalBefore = byColumns.map(_._2).sum
+    val totalAfter = byColumns.map(_._3).sum
+    assert(totalBefore == 80) // 60 bases + 15 near + 5 exact
+    // every doc the pipeline dropped must be a non-minimal member of some
+    // near-dup component built from the LSH pairs
+    val pairs = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, corpusDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    val comp = graft.operators.ConnectedComponents
+      .run(pairs.toSeq.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val expectedDropped = comp.count { case (node, label) => node != label }
+    assert(totalBefore - totalAfter == expectedDropped,
+      s"dropped ${totalBefore - totalAfter}, components imply $expectedDropped")
+    assert(totalAfter < totalBefore) // the planted dups force real drops
+  }
+
   test("winnowing containment also surfaces the planted near-dups") {
     val winnow = SparkEntry.queries("t06_winnowing_overlap")(spark, corpusDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
