@@ -202,6 +202,16 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** Semantic dedup clusters: connected components over the
+    * embedding-cosine near-dup pairs (s04) — the embedding-space analog of
+    * d06's text clusters. A training pipeline drops every member but
+    * min(vec_id) per cluster; the component operator is the same
+    * [[graft.operators.ConnectedComponents]] (one shuffle per round). */
+  private def s07(s: SparkSession, d: String): DataFrame =
+    graft.operators.ConnectedComponents
+      .run(s04(s, d), src = "a_id", dst = "b_id")
+      .select(col("node").as("vec_id"), col("comp"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -209,6 +219,7 @@ object SimilarityOps {
     "s04_embedding_neardup" -> s04 _,
     "s05_ann_ivf" -> s05 _,
     "s06_centroid_assign" -> s06 _,
+    "s07_semantic_dedup" -> s07 _,
   )
 
   // ---- DuckDB oracles ----
@@ -221,6 +232,18 @@ object SimilarityOps {
        |  SELECT vec_id, label, $qvSql AS qv FROM embeddings),
        |embn AS (
        |  SELECT vec_id, label, qv, ${dot("qv", "qv")} AS n2 FROM emb)""".stripMargin
+
+  /** s04's all-pairs cosine near-dup SQL — shared verbatim by the s07
+    * semantic-dedup oracle (embedded under a recursive CTE, the d05/d06
+    * pattern). */
+  private val s04Sql: String =
+    s"""WITH $embCte
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |FROM embn a JOIN embn b ON a.vec_id < b.vec_id
+       |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_knn_bruteforce" ->
@@ -302,14 +325,20 @@ object SimilarityOps {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY cos DESC, cand_id ASC) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
-    "s04_embedding_neardup" ->
-      s"""WITH $embCte
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
-         |FROM embn a JOIN embn b ON a.vec_id < b.vec_id
-         |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
-         |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin,
+    "s04_embedding_neardup" -> s04Sql,
+    "s07_semantic_dedup" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($s04Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
+         |SELECT node AS vec_id, MIN(label) AS comp
+         |FROM reach GROUP BY node""".stripMargin,
     "s06_centroid_assign" ->
       s"""WITH $embCte,
          |dims AS (
