@@ -27,19 +27,46 @@ import org.apache.spark.storage.StorageLevel
   * across rounds; `localCheckpoint` truncates lineage so the plan does not
   * grow with iteration count (the classic iterative-DataFrame trap). The
   * driver only ever sees one aggregated Long per round, never row data.
+  *
+  * Size-based algorithm selection: below [[LocalEdgeCutoff]] edges the
+  * whole graph is collected and solved with path-compressed union-find on
+  * the driver — the same size-cutoff reasoning Spark applies when choosing
+  * broadcast over shuffle joins. Near-dup pair graphs are the common case
+  * and are tiny relative to the corpus; the distributed rounds exist for
+  * the genuinely large graphs where collecting would not fit.
   */
 object ConnectedComponents {
+
+  /** Edge-count cutoff below which the component computation runs as
+    * driver-side union-find instead of iterative propagation — the same
+    * size-based algorithm selection Spark applies to joins (broadcast vs
+    * shuffle). Near-dup pair graphs are tiny relative to the corpus
+    * (pairs ≪ docs after LSH), so the common case pays one collect of the
+    * deduplicated edge list instead of diameter+1 distributed rounds; a
+    * pair list above the cutoff takes the distributed path unchanged.
+    * 2M edges ≈ 32 MB collected — well under driver budgets that already
+    * accept 10 MB+ broadcast tables. */
+  val LocalEdgeCutoff = 2000000L
 
   /** @param edges two-column DataFrame of undirected edges (any orientation,
     *              duplicates fine)
     * @return (node, comp) — one row per node that appears in an edge;
     *         comp = min node id reachable, i.e. the component label */
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, localCutoff: Long = LocalEdgeCutoff): DataFrame = {
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (sym.count() <= localCutoff) {
+      val local = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      sym.unpersist()
+      val result = localUnionFind(local)
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return result.toSeq.toDF("node", "comp")
+    }
 
     // seed with min(self, neighbours) — same cost as a distinct over the
     // endpoints, but already one propagation hop ahead
@@ -74,5 +101,23 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Path-compressed union-find over a collected edge list; always attaches
+    * the larger root under the smaller, so every root is the min id of its
+    * component — identical labels to the distributed propagation (the
+    * property test runs both paths against each other). */
+  private def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet.iterator
+      .map((x: Long) => x -> find(x)).toMap
   }
 }

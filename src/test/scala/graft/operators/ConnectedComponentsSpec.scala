@@ -6,10 +6,20 @@ import graft.helium.SparkSuite
 class ConnectedComponentsSpec extends SparkSuite {
   import org.apache.spark.sql.functions._
 
+  /** Runs BOTH execution paths — driver union-find (default cutoff) and
+    * distributed propagation (cutoff 0) — and asserts they agree before
+    * returning the labeling. */
   private def comps(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    val local = ConnectedComponents.run(edges.toDF("src", "dst"))
       .as[(Long, Long)].collect().toMap
+    val distributed = ConnectedComponents
+      .run(edges.toDF("src", "dst"), localCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed,
+      s"local union-find and distributed propagation disagree: " +
+        s"${local.toSet -- distributed.toSet} vs ${distributed.toSet -- local.toSet}")
+    local
   }
 
   test("three separate components resolve to their min ids") {
