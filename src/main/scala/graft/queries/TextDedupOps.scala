@@ -325,6 +325,27 @@ object TextDedupOps {
           .otherwise(0L)).as("n_after"))
   }
 
+  /** Per-source union MinHash signature via the custom typed Aggregator
+    * ([[graft.functions.MinHashAgg]] — SURVEY §2.9's reserved Aggregator
+    * slot, here under the oracle gate): the signature of the UNION of all
+    * of a source's shingle sets is the elementwise min of the per-doc
+    * signatures. Associative+commutative merge ⇒ map-side partial
+    * aggregation; the shuffle carries k longs per source, never shingle
+    * sets — the cheap cross-corpus similarity screen at any scale. */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val union = udaf(new graft.functions.MinHashAgg(MINHASH_K),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    documents(s, d)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
+      .groupBy(col("source"))
+      .agg(union(col("sig")).as("union_sig"), count(lit(1)).as("n_docs"))
+  }
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -388,6 +409,7 @@ object TextDedupOps {
     "d06_neardup_components" -> d06 _,
     "d07_simhash_hamming" -> d07 _,
     "d08_dedup_survivors" -> d08 _,
+    "d09_source_signatures" -> d09 _,
     "t09_quality_rules" -> t09 _,
   )
 
@@ -608,6 +630,23 @@ object TextDedupOps {
          |       THEN 1 ELSE 0 END)::BIGINT AS n_after
          |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
          |GROUP BY d.source""".stripMargin,
+    "d09_source_signatures" ->
+      s"""WITH thm AS (
+         |  SELECT source,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |hs AS (
+         |  SELECT source,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}").mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+         |  FROM thm),
+         |sigs AS (
+         |  SELECT source, ${minhashSql("ss")} AS sig
+         |  FROM hs WHERE len(ss) > 0)
+         |SELECT source,
+         |  [${(1 to MINHASH_K).map(i => s"MIN(sig[$i])").mkString(", ")}] AS union_sig,
+         |  COUNT(*) AS n_docs
+         |FROM sigs GROUP BY source""".stripMargin,
     "t09_quality_rules" ->
       s"""WITH f AS (
          |  SELECT source,
