@@ -160,6 +160,25 @@ object EventsOps {
         col("trail_sum_k"))
   }
 
+  /** IGNORE NULLS window navigation — the native operator behind q14's
+    * max-of-case as-of emulation: for every event, the value `k` of the
+    * user's most recent prior purchase (nulls for non-purchases skipped by
+    * the frame function itself). Same single shuffle + partition-local
+    * sort as every window here. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withTs(events(s, d))
+      .withColumn("purchase_k",
+        when(col("event_type") === "purchase",
+          get_json_object(col("props"), "$.k").cast("long")))
+      .withColumn("prev_purchase_k",
+        last(col("purchase_k"), ignoreNulls = true).over(w))
+      .filter(col("prev_purchase_k").isNotNull)
+      .select(col("event_id"), col("user_id"), col("prev_purchase_k"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q11_time_bucket_daily" -> q11 _,
     "q12_json_extract_agg" -> q12 _,
@@ -168,6 +187,7 @@ object EventsOps {
     "q24_funnel_stages" -> q15 _,
     "q33_cohort_retention" -> q33 _,
     "q34_trailing_window" -> q34 _,
+    "q38_ignore_nulls_nav" -> q38 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -250,5 +270,16 @@ object EventsOps {
         |      FROM events)
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
         |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q38_ignore_nulls_nav" ->
+      """SELECT event_id, user_id, prev_purchase_k FROM (
+        |  SELECT event_id, user_id,
+        |    LAST_VALUE(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id
+        |        ORDER BY epoch_us(ts), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prev_purchase_k
+        |  FROM events)
+        |WHERE prev_purchase_k IS NOT NULL""".stripMargin,
   )
 }
