@@ -87,6 +87,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q38 IGNORE NULLS navigation shuffles once on user_id") {
+    val p = plan("q38_ignore_nulls_nav")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d09 typed Aggregator runs with map-side partial aggregation") {
+    val p = plan("d09_source_signatures")
+    // partial + final ObjectHashAggregate around one exchange: the shuffle
+    // carries k-long signature buffers per source, not shingle sets
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"no partial aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("m04 cross-modal join never shuffles the binary payload") {
     val p = plan("m04_crossmodal_join")
     assert(!p.contains("CartesianProduct") &&
