@@ -109,9 +109,15 @@ object ConnectedComponents {
     * property test runs both paths against each other). */
   private def localUnionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find: recursion depth equals chain length before
+    // compression, which can approach the edge cutoff on adversarial
+    // insert orders — deep enough to overflow the stack
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

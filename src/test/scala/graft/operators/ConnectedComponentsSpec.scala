@@ -35,6 +35,19 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(m.size == 13 && m.values.forall(_ == 0L))
   }
 
+  test("local path survives a deep chain inserted in worst-case order") {
+    import spark.implicits._
+    // reversed insertion builds maximal parent chains before compression —
+    // the order that overflowed the stack with a recursive find. Local
+    // path only: a 100k-diameter chain is exactly what the distributed
+    // propagation is NOT for (it would need 100k rounds).
+    val n = 100000L
+    val edges = (n - 1 to 0L by -1).map(i => (i, i + 1))
+    val m = ConnectedComponents.run(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(m.size == n + 1 && m.values.forall(_ == 0L))
+  }
+
   test("empty edge input returns an empty labeling (no NPE)") {
     // regression: sum over an empty frame is NULL; the convergence
     // certificate must coalesce it, not NPE — a corpus with zero near-dup
