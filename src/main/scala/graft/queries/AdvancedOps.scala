@@ -125,6 +125,20 @@ object AdvancedOps {
       .agg(count(lit(1)).as("n_lines"),
         sumd(col("l_extendedprice")).as("sum_price"))
 
+  /** Sketch percentiles — the 100 TB path q30/q36's exact forms defer to:
+    * `percentile_approx` (KLL-style quantile sketch) holds bounded state
+    * per group regardless of group width, where exact percentile buffers
+    * every value. Approximate by construction ⇒ no cross-engine oracle
+    * (rows-only gate); the ScalaTest asserts each estimate lands within
+    * one quantity unit of the exact quartiles. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("approx_quartiles"),
+        count(lit(1)).as("n_rows"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q28_grouping_sets" -> q28 _,
     "q29_running_total" -> q29 _,
@@ -133,6 +147,7 @@ object AdvancedOps {
     "q32_first_last_event" -> q32 _,
     "q36_quartiles" -> q36 _,
     "q37_salted_join" -> q37 _,
+    "q39_approx_quartiles" -> q39 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(

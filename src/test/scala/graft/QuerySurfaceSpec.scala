@@ -27,6 +27,21 @@ class QuerySurfaceSpec extends SparkSuite {
     }
   }
 
+  test("q39 approx quartiles land within one unit of the exact quartiles") {
+    val exact = SparkEntry.queries("q36_quartiles")(spark, sf)
+      .select("l_linestatus", "qty_quartiles").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    SparkEntry.queries("q39_approx_quartiles")(spark, sf)
+      .select("l_linestatus", "approx_quartiles").collect()
+      .foreach { r =>
+        val approx = r.getSeq[Double](1)
+        val e = exact(r.getString(0))
+        approx.zip(e).foreach { case (a, x) =>
+          assert(math.abs(a - x) <= 1.0, s"approx $a vs exact $x")
+        }
+      }
+  }
+
   test("every declared query returns rows at sf0.01 except dup-hunters on clean data") {
     val mayBeEmpty = Set("d01_exact_dup_groups", "t05_fingerprint_dups")
     SparkEntry.queries.foreach { case (name, fn) =>
