@@ -15,15 +15,21 @@ import graft.functions.{MinHashAgg, TextFns}
   *
   * State is keyed by band bucket (not by document), so lookups touch only
   * the colliding bucket's signatures — the streaming analogue of d03's
-  * band join. State per key is the admitted signatures in that bucket;
-  * memory is bounded by admitted-docs × bands, and a production deployment
-  * would add state TTL via the timeout conf.
+  * band join. State per key is the admitted signatures in that bucket.
+  * [[detect]] keeps state forever (exact within the stream's lifetime);
+  * [[detectWithTtl]] bounds memory with an event-time TTL — a bucket idle
+  * longer than the TTL (relative to the watermark) drops its signatures,
+  * so state is bounded by the docs admitted within one TTL horizon, the
+  * same contract as `dropDuplicatesWithinWatermark`.
   */
 object IncrementalDedup {
 
   case class Doc(doc_id: Long, text: String)
   case class Banded(bucket: String, doc_id: Long, sig: Seq[Long])
   case class Verdict(doc_id: Long, bucket: String, duplicateOf: Long)
+  case class TimedDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+  case class TimedBanded(bucket: String, doc_id: Long, sig: Seq[Long],
+      ts: java.sql.Timestamp)
 
   val K = 3
   val MINHASH_K = 12
@@ -48,6 +54,70 @@ object IncrementalDedup {
           TextFns.bandKey(col("sig"), b, ROWS)): _*)).as("bucket"))
       .select(col("bucket"), col("doc_id"), col("sig"))
       .as[Banded]
+  }
+
+  /** Event-time banding: same signature math as [[band]] plus the event
+    * timestamp and a watermark, feeding [[detectWithTtl]]. */
+  def bandTimed(docs: Dataset[TimedDoc],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedBanded] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.HashSketch.register(spark)
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("th", TextFns.tokenHashSeq(col("text")))
+      .withColumn("hs", array_distinct(
+        graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig",
+        graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
+      .select(col("doc_id"), col("sig"), col("ts"),
+        explode(array((0 until BANDS).map(b =>
+          TextFns.bandKey(col("sig"), b, ROWS)): _*)).as("bucket"))
+      .select(col("bucket"), col("doc_id"), col("sig"), col("ts"))
+      .as[TimedBanded]
+  }
+
+  /** [[detect]] with bounded state: each batch re-arms the bucket's
+    * event-time timeout to (max event time seen) + `ttl`; once the
+    * watermark passes that, the bucket's admitted signatures are dropped.
+    * Documents re-arriving after the horizon are admitted as fresh — the
+    * deliberate trade that keeps state finite on an unbounded stream. */
+  def detectWithTtl(banded: Dataset[TimedBanded],
+      ttlMs: Long, threshPm: Long = 500): Dataset[Verdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], Verdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: String, rows: Iterator[TimedBanded],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var admitted = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[Verdict]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_.doc_id).foreach { r =>
+              maxTs = math.max(maxTs, r.ts.getTime)
+              admitted.find { case (_, sig) =>
+                MinHashAgg.estimateJaccardPm(sig, r.sig) >= threshPm
+              } match {
+                case Some((origId, _)) =>
+                  out += Verdict(r.doc_id, bucket, origId)
+                case None =>
+                  admitted = (r.doc_id, r.sig) :: admitted
+              }
+            }
+            state.update(admitted)
+            // must arm strictly past the current watermark or Spark throws
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
+      }
   }
 
   /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against

@@ -54,4 +54,31 @@ class IncrementalDedupSpec extends SparkSuite {
       assert(flagged2 == Set((3L, 1L), (4L, 1L)))
     } finally q.stop()
   }
+
+  test("TTL variant expires idle bucket state once the watermark passes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[TimedDoc]
+    // ttl = 10 minutes of event time, zero watermark delay
+    val verdicts = detectWithTtl(bandTimed(input.toDS()), ttlMs = 10L * 60 * 1000)
+    val q = verdicts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ttl_out").start()
+    try {
+      input.addData(TimedDoc(1, base, t(0)))
+      q.processAllAvailable()
+      input.addData(TimedDoc(2, nearDup, t(5))) // inside horizon: flagged
+      q.processAllAvailable()
+      input.addData(TimedDoc(3, unrelated, t(30))) // advances the watermark
+      q.processAllAvailable()
+      input.addData(TimedDoc(4, "totally fresh content mentioning llamas " +
+        "and weather balloons drifting over quiet mountain villages", t(31))) // timeout fires this batch
+      q.processAllAvailable()
+      input.addData(TimedDoc(5, base, t(32))) // bucket expired: admitted fresh
+      q.processAllAvailable()
+      val flagged = spark.table("ttl_out")
+        .select("doc_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((2L, 1L)), s"got $flagged")
+    } finally q.stop()
+  }
 }
