@@ -37,6 +37,8 @@ object HashSketch {
       "shingle_seq", exprs => ShingleSeq(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_set", exprs => WinnowSet(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_sig", exprs => LshSig(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   def simhashBits(arr: Column, bits: Int): Column =
@@ -51,6 +53,9 @@ object HashSketch {
   def winnowSet(seq: Column, w: Int): Column =
     call_function("winnow_set", seq, lit(w))
 
+  def lshSig(qv: Column, nPlanes: Int, off: Int): Column =
+    call_function("lsh_sig", qv, lit(nPlanes), lit(off))
+
   private[functions] def constInt(e: Expression, name: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
@@ -63,6 +68,92 @@ object HashSketch {
       case other => TypeCheckResult.TypeCheckFailure(
         s"$fn expects array<bigint>, got $other")
     }
+}
+
+/** Random-hyperplane LSH signature, fused: bit j of the output is set iff
+  * dot(qv, plane_{off+j}) > 0, all `nPlanes` dots accumulated in ONE pass
+  * over the vector. The HOF form ([[VectorFns.lshSignature]]) materializes
+  * one zip_with product array per plane — nPlanes array allocations and
+  * traversals per row. Plane signs are the MD5-derived ±1 matrix of
+  * [[VectorFns.lshPlanes]] (global plane index = off + j, seed 2000+off+j),
+  * precomputed here to [[LshSig.MaxDims]] components; bit-identity with
+  * the HOF form (for equal vector/plane lengths) is asserted in
+  * FunctionsSpec. `second`/`third` must be integer literals. */
+case class LshSig(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private val nPlanes = HashSketch.constInt(second, "lsh_sig(nPlanes)")
+  private val off = HashSketch.constInt(third, "lsh_sig(off)")
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1,63], got $nPlanes")
+  require(off >= 0, s"off must be >= 0, got $off")
+  // memoized: Catalyst copies expressions dozens of times during
+  // analysis/optimization, and withNewChildrenInternal -> copy() re-runs
+  // initializers — recomputing 8k MD5 digests per copy cost ~1s/query
+  // before the cache
+  private val signs: Array[Array[Int]] = LshSig.signsFor(nPlanes, off)
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketch.checkArr(first.dataType, "lsh_sig")
+
+  override def nullSafeEval(input: Any, p2: Any, p3: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), LshSig.MaxDims)
+    var r = 0L
+    var j = 0
+    while (j < nPlanes) {
+      val row = signs(j)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a.getLong(i) * row(i); i += 1 }
+      if (s > 0) r |= (1L << j)
+      j += 1
+    }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val signsRef = ctx.addReferenceObj("lshSigns", signs, "int[][]")
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val r = ctx.freshName("r")
+      val row = ctx.freshName("row")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), ${LshSig.MaxDims});
+         |long $r = 0L;
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  int[] $row = $signsRef[$j];
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += $a.getLong($i) * $row[$i];
+         |  }
+         |  if ($s > 0) $r |= (1L << $j);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+  override def prettyName: String = "lsh_sig"
+}
+
+object LshSig {
+  /** Precomputed plane width; vectors longer than this are truncated (the
+    * engine's embeddings are 64-dim — see SimilarityOps.DIMS). */
+  val MaxDims = 512
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Int]]]()
+
+  private[functions] def signsFor(nPlanes: Int, off: Int): Array[Array[Int]] =
+    cache.computeIfAbsent((nPlanes, off), _ =>
+      VectorFns.lshPlanes(off + nPlanes, MaxDims).slice(off, off + nPlanes))
 }
 
 /** SimHash: output bit j set iff bit j is 1 in the strict majority of the

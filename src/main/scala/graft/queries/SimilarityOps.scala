@@ -63,11 +63,13 @@ object SimilarityOps {
     * recall/cost knobs. The band join carries ids only; signatures are
     * 4-bit so buckets stay populated at any corpus size. */
   private def s02(s: SparkSession, d: String): DataFrame = {
-    val allPlanes = lshPlanes(TABLES * PLANES, DIMS)
+    graft.functions.HashSketch.register(s)
     val emb = withQ(embeddings(s, d))
       .withColumn("probe", explode(array((0 until TABLES).map(t =>
         struct(lit(t).as("tab"),
-          lshSignature(col("qv"), allPlanes.slice(t * PLANES, (t + 1) * PLANES))
+          // fused native signature (one pass over qv for all 4 planes);
+          // bit-identical to lshSignature(qv, lshPlanes(..).slice(..))
+          graft.functions.HashSketch.lshSig(col("qv"), PLANES, t * PLANES)
             .as("sig"))): _*)))
       .select(col("vec_id"), col("qv"), col("n2"),
         col("probe.tab"), col("probe.sig"))

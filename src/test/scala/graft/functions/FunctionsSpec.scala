@@ -80,6 +80,24 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("native lsh_sig is bit-identical to the HOF plane signature") {
+    HashSketch.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dims = 64
+    val vecs = Seq.fill(40)(Seq.fill(dims)(rnd.nextLong() % 20000))
+      .toDF("qv")
+    val allPlanes = VectorFns.lshPlanes(16, dims)
+    (0 until 4).foreach { t =>
+      val rows = vecs.select(
+        VectorFns.lshSignature(col("qv"),
+          allPlanes.slice(t * 4, (t + 1) * 4)).as("hof"),
+        HashSketch.lshSig(col("qv"), 4, t * 4).as("nat")).collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"lsh_sig mismatch in table $t"))
+    }
+  }
+
   test("jaccard via array_intersect matches hand computation") {
     val df = Seq(("a b c d", "b c d e")).toDF("t1", "t2")
       .select(shingles(col("t1"), 1).as("s1"), shingles(col("t2"), 1).as("s2"))
