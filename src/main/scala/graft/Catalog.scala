@@ -16,7 +16,12 @@ object Catalog {
     "lineitem", "events", "documents", "embeddings")
 
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach { t =>
-      Tables.t(spark, dir, t).createOrReplaceTempView(t)
+    tableNames.foreach {
+      // events is TIMESTAMP(NANOS) parquet: must go through Tables.events,
+      // which flips the nanosAsLong switch — Tables.t would make view
+      // registration fail in any session that hasn't touched events yet
+      // (latent order-dependence the shared test session masked)
+      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+      case t => Tables.t(spark, dir, t).createOrReplaceTempView(t)
     }
 }

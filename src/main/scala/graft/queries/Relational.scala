@@ -297,6 +297,21 @@ object Relational {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
 
+  /** Correlated EXISTS subquery through the SQL surface — exercises
+    * Catalyst's subquery decorrelation (RewriteSubquery rewrites the
+    * correlated EXISTS into a left-semi join; q05 is the hand-written
+    * equivalent). The oracle runs the IDENTICAL ANSI SQL, so this also
+    * pins the SQL-entry-point parity the reference's Postgres consumers
+    * would rely on. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)""".stripMargin)
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -321,6 +336,7 @@ object Relational {
     "q26_collect_sorted" -> q26 _,
     "q27_edit_distance" -> q27 _,
     "q35_stratified_sample" -> q35 _,
+    "q40_exists_subquery" -> q40 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -467,5 +483,10 @@ object Relational {
          |FROM orders
          |WHERE ${graft.functions.Portable.sqlHash60("o_orderkey::VARCHAR", 777)} % 1000 < 100
          |GROUP BY o_orderpriority""".stripMargin,
+    "q40_exists_subquery" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 400000)""".stripMargin,
   )
 }
