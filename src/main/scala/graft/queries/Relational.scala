@@ -312,6 +312,18 @@ object Relational {
         |                AND o.o_totalprice > 400000)""".stripMargin)
   }
 
+  /** Bag-semantics set operations — EXCEPT ALL / INTERSECT ALL keep
+    * MULTIPLICITY (q18 covers the set-semantics forms): the multiset of
+    * customer nations minus the supplier nations' multiset, unioned with
+    * the intersection's multiset (tagged). Spark plans both as aggregate
+    * + generate (count difference replication), one shuffle each. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sup = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    c.exceptAll(sup).withColumn("op", lit("except_all"))
+      .unionAll(c.intersectAll(sup).withColumn("op", lit("intersect_all")))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -337,6 +349,7 @@ object Relational {
     "q27_edit_distance" -> q27 _,
     "q35_stratified_sample" -> q35 _,
     "q40_exists_subquery" -> q40 _,
+    "q41_bag_setops" -> q41 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -488,5 +501,15 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 400000)""".stripMargin,
+    "q41_bag_setops" ->
+      """SELECT nationkey, 'except_all' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT ALL
+        |  SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'intersect_all' AS op FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT ALL
+        |  SELECT s_nationkey FROM supplier)""".stripMargin,
   )
 }
