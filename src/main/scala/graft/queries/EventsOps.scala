@@ -179,6 +179,25 @@ object EventsOps {
       .select(col("event_id"), col("user_id"), col("prev_purchase_k"))
   }
 
+  /** Time-series gap filling: the dense daily calendar per event type,
+    * zero-filled where no events occurred — `sequence(min_day, max_day)`
+    * exploded per type, left-joined back to the sparse daily counts. The
+    * calendar side is |types| × |days| (tiny relative to events at any
+    * scale); the only data-sized work is the one daily aggregation. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val daily = withTs(events(s, d))
+      .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    cal.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q11_time_bucket_daily" -> q11 _,
     "q12_json_extract_agg" -> q12 _,
@@ -188,6 +207,7 @@ object EventsOps {
     "q33_cohort_retention" -> q33 _,
     "q34_trailing_window" -> q34 _,
     "q38_ignore_nulls_nav" -> q38 _,
+    "q42_gap_fill_calendar" -> q42 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -281,5 +301,19 @@ object EventsOps {
         |      AS prev_purchase_k
         |  FROM events)
         |WHERE prev_purchase_k IS NOT NULL""".stripMargin,
+    "q42_gap_fill_calendar" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |  FROM daily GROUP BY 1),
+        |cal AS (
+        |  SELECT event_type,
+        |    lo + UNNEST(range(0, date_diff('day', lo, hi) + 1))::INT AS day
+        |  FROM bounds)
+        |SELECT c.event_type, c.day, COALESCE(d.n, 0)::BIGINT AS n_events
+        |FROM cal c LEFT JOIN daily d
+        |  ON d.event_type = c.event_type AND d.day = c.day""".stripMargin,
   )
 }

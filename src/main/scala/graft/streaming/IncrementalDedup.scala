@@ -120,6 +120,70 @@ object IncrementalDedup {
       }
   }
 
+  case class VecDoc(vec_id: Long, embedding: Seq[Float])
+  case class VecBanded(bucket: Long, vec_id: Long, qv: Seq[Long])
+  case class VecVerdict(vec_id: Long, duplicateOf: Long, cosMilli: Long)
+
+  /** Embedding-side banding: quantize, compute the four 4-bit hyperplane
+    * table signatures (same fused [[graft.functions.HashSketch.lshSig]]
+    * as batch s02), one bucket row per table. Streaming semantic dedup =
+    * s07's pair detection in incremental form. */
+  def bandVectors(docs: Dataset[VecDoc]): Dataset[VecBanded] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.HashSketch.register(spark)
+    docs.toDF()
+      .withColumn("qv", graft.functions.VectorFns.qvec(col("embedding")))
+      .select(col("vec_id"), col("qv"),
+        explode(array((0 until BANDS).map(t =>
+          (lit(t.toLong * 16) +
+            graft.functions.HashSketch.lshSig(col("qv"), 4, t * 4))
+            .as("bucket")): _*)).as("bucket"))
+      .select(col("bucket"), col("vec_id"), col("qv"))
+      .as[VecBanded]
+  }
+
+  /** Admit a vector iff no previously-admitted vector in any shared LSH
+    * bucket has cosine ≥ `cosMilliThresh`/1000 with it (exact cosine on
+    * the quantized grid verifies every bucket collision — LSH only
+    * prunes). */
+  def detectVecDups(banded: Dataset[VecBanded], cosMilliThresh: Long = 950)
+      : Dataset[VecVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    def cosMilli(a: Seq[Long], b: Seq[Long]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0L
+      else math.round(1000.0 * dot / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], VecVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[VecBanded],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[VecVerdict]
+          rows.toSeq.sortBy(_.vec_id).foreach { r =>
+            admitted.collectFirst {
+              case (origId, qv) if cosMilli(qv, r.qv) >= cosMilliThresh =>
+                (origId, cosMilli(qv, r.qv))
+            } match {
+              case Some((origId, cm)) =>
+                out += VecVerdict(r.vec_id, origId, cm)
+              case None =>
+                admitted = (r.vec_id, r.qv) :: admitted
+            }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
   /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against
     * any previously-admitted signature in the same bucket. Emits one
     * Verdict per detected duplicate (first sighting is admitted silently). */

@@ -55,6 +55,31 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup: near-identical vector flagged across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 64
+    val v = Seq.tabulate(dims)(i => (math.sin(i + 1) * 0.5).toFloat)
+    // tiny uniform scale: cosine with v is ~1.0 (scale-invariant)
+    val vDup = v.map(x => x * 1.01f)
+    val unrelated = Seq.tabulate(dims)(i =>
+      (math.cos(3 * i + 2) * (if (i % 2 == 0) 0.7 else -0.6)).toFloat)
+    val input = MemoryStream[VecDoc]
+    val verdicts = detectVecDups(bandVectors(input.toDS()))
+    val q = verdicts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vec_out").start()
+    try {
+      input.addData(VecDoc(1, v), VecDoc(2, unrelated))
+      q.processAllAvailable()
+      assert(spark.table("vec_out").count() == 0) // both admitted
+      input.addData(VecDoc(3, vDup)) // next batch: near-dup of vec 1
+      q.processAllAvailable()
+      val flagged = spark.table("vec_out")
+        .select("vec_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L)), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("TTL variant expires idle bucket state once the watermark passes the horizon") {
     implicit val sqlCtx = spark.sqlContext
     def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
