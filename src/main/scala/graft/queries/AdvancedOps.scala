@@ -139,6 +139,26 @@ object AdvancedOps {
           .as("approx_quartiles"),
         count(lit(1)).as("n_rows"))
 
+  /** The ranking-function family beyond row_number (q08): rank with gaps,
+    * dense_rank, quartile ntile, percent_rank and cume_dist per customer
+    * balance within nation. All are single-pass partition-local functions
+    * after one shuffle on the partition key; percent_rank/cume_dist emit
+    * (rank−1)/(n−1) and rank/n as exact rational doubles, identical in
+    * both engines. Deterministic total order via the acctbal+custkey
+    * tie-break. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    customer(s, d)
+      .filter(col("c_nationkey") < 5)
+      .select(col("c_nationkey"), col("c_custkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q28_grouping_sets" -> q28 _,
     "q29_running_total" -> q29 _,
@@ -148,6 +168,7 @@ object AdvancedOps {
     "q36_quartiles" -> q36 _,
     "q37_salted_join" -> q37 _,
     "q39_approx_quartiles" -> q39 _,
+    "q43_rank_family" -> q43 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -201,5 +222,15 @@ object AdvancedOps {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    "q43_rank_family" ->
+      """SELECT c_nationkey, c_custkey,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM customer WHERE c_nationkey < 5
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
   )
 }
