@@ -159,6 +159,24 @@ object AdvancedOps {
         cume_dist().over(w).as("cume"))
   }
 
+  /** Unpivot (melt) — the inverse of q31's pivot and the standard
+    * wide-to-long reshape for feature tables: per-returnflag metric
+    * columns melt into (flag, metric, value) rows. Narrow transform after
+    * the aggregate — the Expand-based unpivot touches only the aggregated
+    * rows, never the fact table. */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_price"),
+        max(col("l_discount")).cast("double").as("max_disc"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty"), col("sum_price"), col("max_disc")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q28_grouping_sets" -> q28 _,
     "q29_running_total" -> q29 _,
@@ -169,6 +187,7 @@ object AdvancedOps {
     "q37_salted_join" -> q37 _,
     "q39_approx_quartiles" -> q39 _,
     "q43_rank_family" -> q43 _,
+    "q44_unpivot_metrics" -> q44 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -222,6 +241,15 @@ object AdvancedOps {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    "q44_unpivot_metrics" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag,
+         |    ${sqlSumd("l_quantity")} AS sum_qty,
+         |    ${sqlSumd("l_extendedprice")} AS sum_price,
+         |    CAST(MAX(l_discount) AS DOUBLE) AS max_disc
+         |  FROM lineitem GROUP BY l_returnflag)
+         |UNPIVOT agg ON sum_qty, sum_price, max_disc
+         |INTO NAME metric VALUE value""".stripMargin,
     "q43_rank_family" ->
       """SELECT c_nationkey, c_custkey,
         |  RANK() OVER w AS rnk,
