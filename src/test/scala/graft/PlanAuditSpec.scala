@@ -102,6 +102,27 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("q40 EXISTS decorrelates to a hash semi-join, not a nested loop") {
+    val p = plan("q40_exists_subquery")
+    assert(p.contains("LeftSemi"), s"EXISTS not decorrelated:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q43 ranking family computes all five functions in one Window over one shuffle") {
+    val p = plan("q43_rank_family")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("Window".r.findAllIn(p).size >= 1, p)
+  }
+
+  test("q44 unpivot expands AFTER the aggregate (no fact-table expand)") {
+    val p = plan("q44_unpivot_metrics")
+    assert(p.contains("Expand"), p)
+    // the Expand must sit above the aggregate: exactly one scan, and the
+    // aggregate appears below the expand in the plan tree (printed above it)
+    assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
   test("m04 cross-modal join never shuffles the binary payload") {
     val p = plan("m04_crossmodal_join")
     assert(!p.contains("CartesianProduct") &&
