@@ -142,7 +142,8 @@ case class HeightOffset(height: Long) extends Offset {
 
 class BlockMicroBatchStream(options: Map[String, String])
     extends MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.ReadLimit
 
   private val node = BlockSource.nodeFor(options)
@@ -152,6 +153,13 @@ class BlockMicroBatchStream(options: Map[String, String])
     * cap must shrink the *committed* end offset (admission control), never
     * the planned partitions, or capped blocks would be silently skipped. */
   private val maxPerBatch = options.get("maxBlocksPerBatch").map(_.toLong)
+  /** Trigger.AvailableNow contract: the tip captured at query start; all
+    * batches (plural, when maxPerBatch splits the drain) stop here, then
+    * the query terminates — the bounded backfill-run pattern. */
+  private var fixedTip: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedTip = Some(node.height())
 
   override def initialOffset(): Offset = HeightOffset(startHeight)
   override def deserializeOffset(json: String): Offset =
@@ -167,10 +175,13 @@ class BlockMicroBatchStream(options: Map[String, String])
     maxPerBatch.map(m => ReadLimit.maxRows(m)).getOrElse(ReadLimit.allAvailable())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val tip = node.height()
+    val tip = fixedTip.getOrElse(node.height())
     val s = start.asInstanceOf[HeightOffset].height
     HeightOffset(maxPerBatch.map(m => math.min(tip, s + m)).getOrElse(tip))
   }
+
+  override def reportLatestOffset(): Offset =
+    HeightOffset(fixedTip.getOrElse(node.height()))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[HeightOffset].height

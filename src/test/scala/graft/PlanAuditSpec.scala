@@ -123,6 +123,13 @@ class PlanAuditSpec extends SparkSuite {
     assert("lineitem\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("q23 range join rides the equi key — no nested loop") {
+    val p = plan("q23_range_join_shipwindow")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"range predicate degenerated to all-pairs:\n$p")
+  }
+
   test("m04 cross-modal join never shuffles the binary payload") {
     val p = plan("m04_crossmodal_join")
     assert(!p.contains("CartesianProduct") &&

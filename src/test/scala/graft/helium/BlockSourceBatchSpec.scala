@@ -54,6 +54,32 @@ class BlockSourceBatchSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow + cap drains in MULTIPLE batches then self-terminates") {
+    // the SupportsTriggerAvailableNow contract: the tip is pinned at query
+    // start, admission control still splits the drain (6 blocks / cap 2 =
+    // 3 batches), and the query stops at the pinned tip instead of polling
+    val root = java.nio.file.Files.createTempDirectory("an").toString
+    var batches = 0
+    var rows = 0L
+    val q = spark.readStream
+      .format(classOf[BlockSourceProvider].getName)
+      .option("fixtures", fixture("basic"))
+      .option("startHeight", "99")
+      .option("maxBlocksPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$root/_cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count()
+        assert(n <= 2, s"batch of $n exceeds cap")
+        if (n > 0) { batches += 1; rows += n }
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(batches == 3 && rows == 6, s"got $batches batches / $rows rows")
+  }
+
   test("pushed slice feeds the batch pipeline end-to-end") {
     val blocks = Follower.parseBlocks(
       read().filter(col("height") === 102).select("json"))

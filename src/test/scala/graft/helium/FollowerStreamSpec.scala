@@ -80,6 +80,22 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.rewardsTable().count() == once)
   }
 
+  test("Trigger.AvailableNow drains all pending blocks then terminates (backfill run)") {
+    val fixDir = tmpDir("fixtan")
+    val root = tmpDir("rootan")
+    copyFixture(fixDir)
+    val store = new StateStore(spark, root)
+    store.advance(IngestState(99, 100))
+
+    val q = Follower.start(spark, fixDir, root, EtlMode.Rewards,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    // AvailableNow processes everything pending and stops on its own —
+    // the bounded backfill-run pattern (vs the 10s daemon trigger)
+    assert(q.awaitTermination(120000), "AvailableNow query did not terminate")
+    assert(spark.read.parquet(s"$root/rewards").count() == 5)
+    assert(store.load().get.height == 105)
+  }
+
   test("cursor-loss guard: losing the StateStore never sweeps committed partitions") {
     val fixDir = tmpDir("fixtcl")
     val root = tmpDir("rootcl")
