@@ -346,6 +346,24 @@ object TextDedupOps {
       .agg(union(col("sig")).as("union_sig"), count(lit(1)).as("n_docs"))
   }
 
+  /** LSH quality report — recall of the approximate pair-finder (d03)
+    * against the exact ground truth (d05), as a GATED QUERY: the
+    * observability metric a production dedup pipeline tracks when tuning
+    * (k, bands). False positives are structurally impossible (d03
+    * Jaccard-verifies every candidate), so the report is exact-count,
+    * lsh-count, true positives, and integer per-mille recall. */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    val lsh = d03(s, d).select(col("a_id"), col("b_id"))
+    val exact = d05(s, d).select(col("a_id"), col("b_id"))
+    val tp = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
+    lsh.agg(count(lit(1)).as("n_lsh"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .withColumn("recall_pm",
+        when(col("n_exact") > 0, expr("(1000L * n_tp) DIV n_exact"))
+          .otherwise(1000L))
+  }
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -410,6 +428,7 @@ object TextDedupOps {
     "d07_simhash_hamming" -> d07 _,
     "d08_dedup_survivors" -> d08 _,
     "d09_source_signatures" -> d09 _,
+    "d10_lsh_recall_report" -> d10 _,
     "t09_quality_rules" -> t09 _,
   )
 
@@ -612,6 +631,18 @@ object TextDedupOps {
          |SELECT ($simhashSql)::BIGINT AS sh, COUNT(*) AS n_docs,
          |  MIN(doc_id) AS canonical_id
          |FROM hashed GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+    "d10_lsh_recall_report" ->
+      s"""WITH lsh AS (SELECT a_id, b_id FROM ($d03Sql)),
+         |ex AS (SELECT a_id, b_id FROM ($d05Sql)),
+         |tp AS (SELECT a_id, b_id FROM lsh SEMI JOIN ex USING (a_id, b_id))
+         |SELECT
+         |  (SELECT COUNT(*) FROM lsh) AS n_lsh,
+         |  (SELECT COUNT(*) FROM ex) AS n_exact,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  CASE WHEN (SELECT COUNT(*) FROM ex) > 0
+         |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+         |              // (SELECT COUNT(*) FROM ex)
+         |       ELSE 1000 END AS recall_pm""".stripMargin,
     "d08_dedup_survivors" ->
       s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
          |edges AS (
