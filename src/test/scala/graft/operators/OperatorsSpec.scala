@@ -33,6 +33,54 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("materialized LSH signature table bucketed by band key joins shuffle-free") {
+    // the IMPLEMENTATION/README claim made concrete: at cluster scale the
+    // d03 signature table is persisted bucketed by band_key, so the
+    // candidate self-join (the dedup pipeline's recurring cost) reads
+    // co-located buckets from disk instead of shuffling
+    import graft.functions.TextFns._
+    graft.functions.HashSketch.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("sigb").toString
+    val banded = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs", array_distinct(
+        graft.functions.HashSketch.shingleSeq(col("th"), 3)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), 12))
+      .select(col("doc_id"),
+        explode(array((0 until 4).map(b => bandKey(col("sig"), b, 3)): _*))
+          .as("band_key"))
+    Bucketing.writeBucketed(banded, "sig_b", "band_key", 8, s"$dir/sigs")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = spark.table("sig_b")
+      val cand = t.select(col("doc_id").as("a_id"), col("band_key"))
+        .join(t.select(col("doc_id").as("b_id"), col("band_key")), Seq("band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      val plan = cand.queryExecution.executedPlan.toString
+      // the JOIN itself must not shuffle; the dropDuplicates ABOVE it still
+      // aggregates (genuinely key-changing work). In the printed plan the
+      // join's inputs appear after the join node line, so assert no
+      // exchange below the first join operator.
+      val joinIdx = "SortMergeJoin|ShuffledHashJoin".r
+        .findFirstMatchIn(plan).map(_.start)
+      assert(joinIdx.isDefined, s"no hash join in plan:\n$plan")
+      val belowJoin = plan.substring(joinIdx.get)
+      assert(!belowJoin.contains("Exchange hashpartitioning"),
+        s"bucketed signature join should not shuffle its inputs:\n$plan")
+      // and candidates match the unbucketed formulation
+      val direct = banded.select(col("doc_id").as("a_id"), col("band_key"))
+        .join(banded.select(col("doc_id").as("b_id"), col("band_key")), Seq("band_key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").dropDuplicates("a_id", "b_id")
+      assert(cand.count() == direct.count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS sig_b")
+    }
+  }
+
   test("salted sum/count equals the unsalted aggregation") {
     val ev = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_suppkey").as("k"), col("l_quantity").as("v"))
