@@ -56,7 +56,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    if (line.length > 1800)
+      System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
+        "driver tail captures 2000; shorten keys before this truncates")
+    println(line)
     spark.stop()
   }
 }

@@ -169,10 +169,9 @@ object IncrementalDedup {
           var admitted = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[VecVerdict]
           rows.toSeq.sortBy(_.vec_id).foreach { r =>
-            admitted.collectFirst {
-              case (origId, qv) if cosMilli(qv, r.qv) >= cosMilliThresh =>
-                (origId, cosMilli(qv, r.qv))
-            } match {
+            admitted.iterator
+              .map { case (origId, qv) => (origId, cosMilli(qv, r.qv)) }
+              .find(_._2 >= cosMilliThresh) match {
               case Some((origId, cm)) =>
                 out += VecVerdict(r.vec_id, origId, cm)
               case None =>
