@@ -214,6 +214,22 @@ object SimilarityOps {
       .run(s04(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("vec_id"), col("comp"))
 
+  /** ANN quality report — recall of the multi-table LSH (s02) against the
+    * brute-force top-3 ground truth (s01), gated like d10: the metric that
+    * drives the (planes, tables, nprobe) tuning loop in production. */
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    val truth = s01(s, d).filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    val got = s02(s, d).select(col("query_id"), col("cand_id"))
+    val tp = got.join(truth, Seq("query_id", "cand_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(got.agg(count(lit(1)).as("n_got")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .withColumn("recall_pm",
+        when(col("n_truth") > 0, expr("(1000L * n_tp) DIV n_truth"))
+          .otherwise(1000L))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -222,6 +238,7 @@ object SimilarityOps {
     "s05_ann_ivf" -> s05 _,
     "s06_centroid_assign" -> s06 _,
     "s07_semantic_dedup" -> s07 _,
+    "s08_ann_recall_report" -> s08 _,
   )
 
   // ---- DuckDB oracles ----
@@ -247,44 +264,62 @@ object SimilarityOps {
        |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin
 
+  private val s01Sql: String =
+    s"""WITH $embCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+       |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+       |  FROM embn q JOIN embn c
+       |    ON q.vec_id < $NQ AND c.vec_id >= $NQ)
+       |SELECT query_id, cand_id, rank, cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TOPK""".stripMargin
+
+  private val s02Sql: String =
+    s"""WITH $embCte,
+       |banded AS (
+       |  SELECT vec_id, n2, t.tab,
+       |    CASE t.tab ${(0 until TABLES).map(t =>
+               s"WHEN $t THEN ${sqlLshSignature("qv", PLANES, DIMS, t * PLANES)}")
+               .mkString(" ")} END AS sig
+       |  FROM embn, UNNEST([${(0 until TABLES).mkString(", ")}]) AS t(tab)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM banded q JOIN banded c ON q.tab = c.tab AND q.sig = c.sig
+       |  WHERE q.vec_id < $NQ AND c.vec_id >= $NQ),
+       |scored AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+       |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+       |  FROM cand
+       |  JOIN embn q ON q.vec_id = cand.query_id
+       |  JOIN embn c ON c.vec_id = cand.cand_id)
+       |SELECT query_id, cand_id, rank, cos FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id ASC) AS rank
+       |  FROM scored) WHERE rank <= 3""".stripMargin
+
   val oracle: ListMap[String, String] = ListMap(
-    "s01_knn_bruteforce" ->
-      s"""WITH $embCte,
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
-         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
-         |  FROM embn q JOIN embn c
-         |    ON q.vec_id < $NQ AND c.vec_id >= $NQ)
-         |SELECT query_id, cand_id, rank, cos FROM (
-         |  SELECT query_id, cand_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, cand_id ASC) AS rank
-         |  FROM scored) WHERE rank <= $TOPK""".stripMargin,
-    "s02_ann_lsh" ->
-      s"""WITH $embCte,
-         |banded AS (
-         |  SELECT vec_id, n2, t.tab,
-         |    CASE t.tab ${(0 until TABLES).map(t =>
-                 s"WHEN $t THEN ${sqlLshSignature("qv", PLANES, DIMS, t * PLANES)}")
-                 .mkString(" ")} END AS sig
-         |  FROM embn, UNNEST([${(0 until TABLES).mkString(", ")}]) AS t(tab)),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
-         |  FROM banded q JOIN banded c ON q.tab = c.tab AND q.sig = c.sig
-         |  WHERE q.vec_id < $NQ AND c.vec_id >= $NQ),
-         |scored AS (
-         |  SELECT cand.query_id, cand.cand_id,
-         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
-         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
-         |  FROM cand
-         |  JOIN embn q ON q.vec_id = cand.query_id
-         |  JOIN embn c ON c.vec_id = cand.cand_id)
-         |SELECT query_id, cand_id, rank, cos FROM (
-         |  SELECT query_id, cand_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, cand_id ASC) AS rank
-         |  FROM scored) WHERE rank <= 3""".stripMargin,
+    "s01_knn_bruteforce" -> s01Sql,
+    "s02_ann_lsh" -> s02Sql,
+    "s08_ann_recall_report" ->
+      s"""WITH truth AS (
+         |  SELECT query_id, cand_id FROM ($s01Sql) WHERE rank <= 3),
+         |got AS (SELECT query_id, cand_id FROM ($s02Sql)),
+         |tp AS (SELECT query_id, cand_id FROM got
+         |       SEMI JOIN truth USING (query_id, cand_id))
+         |SELECT
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM got) AS n_got,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+         |              // (SELECT COUNT(*) FROM truth)
+         |       ELSE 1000 END AS recall_pm""".stripMargin,
     "s03_label_centroids" ->
       s"""WITH $embCte,
          |dims AS (
