@@ -116,6 +116,34 @@ object Media {
     }
   }
 
+  /** One fixed-size shard of a payload. */
+  case class PayloadChunk(
+      media_id: Long,
+      kind: String,
+      chunk_idx: Int,
+      chunk: Array[Byte])
+
+  /** Chunk payloads into fixed-size shards executor-side — the sharding
+    * step before object-store upload / transport of large blobs. The
+    * explosion happens inside `mapPartitions` (never a byte-level Spark
+    * explode), and each output row carries one bounded chunk, so
+    * downstream shuffles move at most `chunkBytes` per row. */
+  def chunkPayloads(media: Dataset[MediaRecord],
+      chunkBytes: Int): Dataset[PayloadChunk] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val nChunks = math.max((n + chunkBytes - 1) / chunkBytes, 1)
+        (0 until nChunks).iterator.map { i =>
+          PayloadChunk(r.media_id, r.kind, i,
+            r.payload.slice(i * chunkBytes, math.min((i + 1) * chunkBytes, n)))
+        }
+      }
+    }
+  }
+
   /** Resize stub: same batch plumbing, payload-in/payload-out — shows the
     * transform-preserving path (e.g. thumbnailing before feature
     * extraction). Truncation stands in for the real resample. */

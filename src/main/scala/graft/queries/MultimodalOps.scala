@@ -82,11 +82,27 @@ object MultimodalOps {
         sum(col("n2")).as("sum_norm2"))
   }
 
+  /** Payload chunking rollup: every payload sharded into 256-byte chunks
+    * executor-side ([[Media.chunkPayloads]]); per kind, chunk counts and
+    * reassembly byte totals — verifying the sharding is lossless
+    * (sum of chunk bytes = sum of payload bytes). */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    Media.chunkPayloads(media, chunkBytes = 256).toDF()
+      .groupBy(col("kind"))
+      .agg(
+        countDistinct(col("media_id")).as("n_media"),
+        count(lit(1)).as("n_chunks"),
+        sum(length(col("chunk"))).as("total_bytes"),
+        max(col("chunk_idx")).cast("long").as("max_chunk_idx"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
     "m02_frame_sample" -> m02 _,
     "m03_resize_rollup" -> m03 _,
     "m04_crossmodal_join" -> m04 _,
+    "m05_chunked_payloads" -> m05 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -132,5 +148,16 @@ object MultimodalOps {
          |  SUM(n2)::BIGINT AS sum_norm2
          |FROM feats JOIN embn ON media_id = vec_id
          |GROUP BY 1, 2""".stripMargin,
+    "m05_chunked_payloads" ->
+      """WITH f AS (
+        |  SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |    greatest((octet_length(encode(text)) + 255) // 256, 1)::BIGINT AS nc
+        |  FROM documents)
+        |SELECT kind, COUNT(DISTINCT doc_id) AS n_media,
+        |  SUM(nc)::BIGINT AS n_chunks,
+        |  SUM(n_bytes)::BIGINT AS total_bytes,
+        |  MAX(nc - 1) AS max_chunk_idx
+        |FROM f GROUP BY 1""".stripMargin,
   )
 }
