@@ -324,6 +324,24 @@ object Relational {
       .unionAll(c.intersectAll(sup).withColumn("op", lit("intersect_all")))
   }
 
+  /** Join-key skew report — the observability that feeds the
+    * salt-or-not decision (q25/q37): per candidate join key, distinct key
+    * count, total rows, the hottest key's row count, and its per-mille
+    * share. Two-level aggregation per key column; each is one shuffle on
+    * the key then a scalar rollup. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    def keyStats(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(key).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_key_rows"),
+          expr("(1000L * max_key_rows) DIV n_rows").as("top1_pm"))
+    keyStats(lineitem(s, d), "l_suppkey")
+      .unionAll(keyStats(lineitem(s, d), "l_orderkey"))
+      .unionAll(keyStats(orders(s, d), "o_custkey"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q01_filter_project" -> q01 _,
     "q02_agg_pricing_summary" -> q02 _,
@@ -350,6 +368,7 @@ object Relational {
     "q35_stratified_sample" -> q35 _,
     "q40_exists_subquery" -> q40 _,
     "q41_bag_setops" -> q41 _,
+    "q45_skew_report" -> q45 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -511,5 +530,18 @@ object Relational {
         |  SELECT c_nationkey AS nationkey FROM customer
         |  INTERSECT ALL
         |  SELECT s_nationkey FROM supplier)""".stripMargin,
+    "q45_skew_report" ->
+      """WITH s1 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_suppkey),
+        |s2 AS (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey),
+        |s3 AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_custkey)
+        |SELECT 'l_suppkey' AS key_col, COUNT(*) AS n_keys,
+        |  SUM(c)::BIGINT AS n_rows, MAX(c) AS max_key_rows,
+        |  ((1000 * MAX(c)) // SUM(c))::BIGINT AS top1_pm FROM s1
+        |UNION ALL
+        |SELECT 'l_orderkey', COUNT(*), SUM(c)::BIGINT, MAX(c),
+        |  ((1000 * MAX(c)) // SUM(c))::BIGINT FROM s2
+        |UNION ALL
+        |SELECT 'o_custkey', COUNT(*), SUM(c)::BIGINT, MAX(c),
+        |  ((1000 * MAX(c)) // SUM(c))::BIGINT FROM s3""".stripMargin,
   )
 }
