@@ -177,6 +177,34 @@ object AdvancedOps {
         variableColumnName = "metric",
         valueColumnName = "value")
 
+  /** Pearson correlation, engine-portable: built-in `corr` accumulates
+    * doubles in engine-specific order (hash-gate poison), so the five
+    * moments are aggregated as EXACT integers on the quantized cent grid
+    * and the statistic is derived from identical integers — bit-identical
+    * doubles on both engines. The same pattern extends to covariance,
+    * variance, and any second-order statistic. One shuffle, map-side
+    * partial moment sums. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val x = (dec(col("l_quantity")) * 100).cast("long")
+    val y = (dec(col("l_extendedprice")) * 100).cast("long")
+    // second moments overflow int64 as SF grows (y² ~1e14/row); decimal
+    // 38-digit sums stay exact and mirror DuckDB's HUGEINT sums
+    def sumDec(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(38,0)"))
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sumDec(x).as("sx"), sumDec(y).as("sy"),
+        sumDec(x * x).as("sxx"), sumDec(y * y).as("syy"),
+        sumDec(x * y).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          .as("corr_qty_price"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "q28_grouping_sets" -> q28 _,
     "q29_running_total" -> q29 _,
@@ -188,6 +216,7 @@ object AdvancedOps {
     "q39_approx_quartiles" -> q39 _,
     "q43_rank_family" -> q43 _,
     "q44_unpivot_metrics" -> q44 _,
+    "q46_portable_corr" -> q46 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -241,6 +270,22 @@ object AdvancedOps {
          |  ${sqlSumd("l_extendedprice")} AS sum_price
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority""".stripMargin,
+    "q46_portable_corr" ->
+      """WITH v AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM v GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+        |FROM m""".stripMargin,
     "q44_unpivot_metrics" ->
       s"""WITH agg AS (
          |  SELECT l_returnflag,
