@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout — the multi-column clustering the
+  * reference's b-tree indexes approximate for ONE column generalized to
+  * several (SURVEY §1.1: "indexes → partitioning/Z-order (by block)").
+  *
+  * Sorting rows by the bit-interleaving of their (rank-normalized) key
+  * columns places rows that are close in EVERY key dimension into the same
+  * parquet row groups, so min/max stats prune scans for predicates on ANY
+  * prefix-free combination of the keys — one layout serving several query
+  * patterns, where plain sort-by-(a,b) only serves predicates on `a`.
+  *
+  * Built from plain Column bit-ops (codegen'd, no UDF): each key is
+  * rank-normalized to `bits` via its value's position between the column
+  * min/max (a cheap driver-collected 2-number statistic), then bits are
+  * interleaved. At 100 TB the same expression feeds
+  * `df.repartitionByRange(col("zorder")).sortWithinPartitions("zorder")`
+  * before the write — layout cost O(data log data), amortized over every
+  * subsequent pruned scan.
+  */
+object Zorder {
+
+  /** Morton-interleave already-normalized non-negative ints (< 2^bits).
+    * Column i contributes bit j of its value to output bit j*n + i. */
+  def morton(bits: Int, cols: Column*): Column = {
+    require(bits * cols.size <= 63, s"$bits bits x ${cols.size} cols > 63")
+    val n = cols.size
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(
+      shiftright(c.cast("long"), j).bitwiseAND(lit(1L)), j * n + i)
+    terms.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Normalize a numeric column to [0, 2^bits) by linear position between
+    * `lo` and `hi` (inclusive). Values outside clamp. */
+  def normalize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
+    val span = math.max(hi - lo, 1L)
+    val maxV = (1L << bits) - 1
+    least(greatest(
+      ((c.cast("long") - lo) * maxV / span), lit(0L)), lit(maxV))
+  }
+
+  /** Write `df` z-ordered by two long-typed key columns: collect each
+    * key's min/max (2 numbers per key — the only driver-side data),
+    * range-partition + locally sort by the Morton code, write parquet.
+    * Row groups then carry tight min/max on BOTH keys. */
+  def writeZordered(df: DataFrame, keyA: String, keyB: String,
+      path: String, bits: Int = 16, partitions: Int = 8): Unit = {
+    val r = df.agg(min(col(keyA)), max(col(keyA)),
+      min(col(keyB)), max(col(keyB))).head()
+    val z = morton(bits,
+      normalize(col(keyA), r.getLong(0), r.getLong(1), bits),
+      normalize(col(keyB), r.getLong(2), r.getLong(3), bits))
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -112,4 +112,48 @@ class OperatorsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pk == sk)
   }
+
+  test("morton interleave round-trips and orders locally") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((3L, 5L), (0L, 0L), (7L, 7L), (1L, 6L)).toDF("a", "b")
+      .withColumn("z", Zorder.morton(3, col("a"), col("b")))
+    val z = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // de-interleave recovers the inputs exactly
+    z.foreach { case (a, b, m) =>
+      val ra = (0 until 3).map(j => ((m >> (j * 2)) & 1L) << j).sum
+      val rb = (0 until 3).map(j => ((m >> (j * 2 + 1)) & 1L) << j).sum
+      assert(ra == a && rb == b, s"morton($a,$b)=$m de-interleaved to ($ra,$rb)")
+    }
+    // the curve's defining locality: (0,0) first, (7,7) last
+    val sorted = z.sortBy(_._3)
+    assert(sorted.head._1 == 0 && sorted.head._2 == 0)
+    assert(sorted.last._1 == 7 && sorted.last._2 == 7)
+  }
+
+  test("z-ordered layout clusters both keys into tight per-file ranges") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("zord").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+    Zorder.writeZordered(li, "l_suppkey", "l_partkey", s"$dir/z", bits = 12,
+      partitions = 8)
+    // per output file, the span of EACH key must be far below the global
+    // span: that is what makes row-group min/max prune two-column
+    // predicates (plain sort would achieve this for one key only)
+    val z = spark.read.parquet(s"$dir/z")
+      .withColumn("f", input_file_name())
+    val spans = z.groupBy(col("f"))
+      .agg((max("l_suppkey") - min("l_suppkey")).as("sa"),
+        (max("l_partkey") - min("l_partkey")).as("sb"))
+      .agg(avg("sa"), avg("sb")).head()
+    val g = li.agg(
+      (max("l_suppkey") - min("l_suppkey")).cast("double"),
+      (max("l_partkey") - min("l_partkey")).cast("double")).head()
+    assert(spans.getDouble(0) < g.getDouble(0) * 0.8,
+      s"suppkey span not clustered: ${spans.getDouble(0)} vs ${g.getDouble(0)}")
+    assert(spans.getDouble(1) < g.getDouble(1) * 0.8,
+      s"partkey span not clustered: ${spans.getDouble(1)} vs ${g.getDouble(1)}")
+    // and the layout is lossless
+    assert(z.count() == li.count())
+  }
 }
