@@ -52,6 +52,10 @@ object Bench {
     // before the first '_' is unique across the surface), 3-decimal values,
     // basename-only sf.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val prefixes = results.map(_._1.takeWhile(_ != '_'))
+    require(prefixes.distinct.size == results.size,
+      "duplicate short query ids would silently drop a timing: " +
+        prefixes.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

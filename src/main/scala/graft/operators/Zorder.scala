@@ -37,12 +37,19 @@ object Zorder {
   }
 
   /** Normalize a numeric column to [0, 2^bits) by linear position between
-    * `lo` and `hi` (inclusive). Values outside clamp. */
+    * `lo` and `hi` (inclusive). Values outside clamp. The position math
+    * runs in doubles: a Long multiply `(c - lo) * maxV` overflows once the
+    * key span exceeds ~2^(63-bits) (e.g. epoch-nanos keys), scrambling the
+    * Z-code; double rounding only costs layout precision, never
+    * correctness, since the Z-code orders the write layout and is then
+    * dropped. */
   def normalize(c: Column, lo: Long, hi: Long, bits: Int): Column = {
-    val span = math.max(hi - lo, 1L)
+    val span = math.max(hi.toDouble - lo.toDouble, 1.0)
     val maxV = (1L << bits) - 1
     least(greatest(
-      ((c.cast("long") - lo) * maxV / span), lit(0L)), lit(maxV))
+      floor((c.cast("double") - lit(lo.toDouble)) * (maxV / span))
+        .cast("long"),
+      lit(0L)), lit(maxV))
   }
 
   /** Write `df` z-ordered by two long-typed key columns: collect each
@@ -53,6 +60,10 @@ object Zorder {
       path: String, bits: Int = 16, partitions: Int = 8): Unit = {
     val r = df.agg(min(col(keyA)), max(col(keyA)),
       min(col(keyB)), max(col(keyB))).head()
+    if (r.isNullAt(0) || r.isNullAt(2)) { // empty input: nothing to order
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val z = morton(bits,
       normalize(col(keyA), r.getLong(0), r.getLong(1), bits),
       normalize(col(keyB), r.getLong(2), r.getLong(3), bits))

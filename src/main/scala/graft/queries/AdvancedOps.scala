@@ -97,17 +97,24 @@ object AdvancedOps {
   }
 
   /** Exact multi-quantile in one aggregation pass: the full quartile
-    * profile per group as an array (one per-group sort, not one scan per
-    * quantile). Spark `percentile(col, array(...))` ≡ DuckDB
-    * `quantile_cont(col, [...])`, both R-7 linear interpolation — exact
-    * doubles on integral inputs. */
+    * profile per group computed as one array aggregate (one per-group
+    * sort, not one scan per quantile), then projected to scalar columns —
+    * the correctness harness hashes scalar cells, so array-typed output
+    * columns are not gateable. Spark `percentile(col, array(...))` ≡
+    * DuckDB `quantile_cont(col, p)`, both R-7 linear interpolation —
+    * exact doubles on integral inputs. */
   private def q36(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_linestatus"))
       .agg(
         expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))")
-          .as("qty_quartiles"),
+          .as("qarr"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_linestatus"),
+        element_at(col("qarr"), 1).as("qty_q25"),
+        element_at(col("qarr"), 2).as("qty_q50"),
+        element_at(col("qarr"), 3).as("qty_q75"),
+        col("n_rows"))
 
   /** Salted replicate-join under the correctness gate: the skew-safe join
     * ([[graft.operators.Salting.saltedJoin]] — big side scattered across
@@ -136,8 +143,13 @@ object AdvancedOps {
       .groupBy(col("l_linestatus"))
       .agg(
         expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
-          .as("approx_quartiles"),
+          .as("qarr"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_linestatus"),
+        element_at(col("qarr"), 1).cast("double").as("approx_q25"),
+        element_at(col("qarr"), 2).cast("double").as("approx_q50"),
+        element_at(col("qarr"), 3).cast("double").as("approx_q75"),
+        col("n_rows"))
 
   /** The ranking-function family beyond row_number (q08): rank with gaps,
     * dense_rank, quartile ntile, percent_rank and cume_dist per customer
@@ -261,7 +273,9 @@ object AdvancedOps {
         |GROUP BY user_id, first_ev, last_ev""".stripMargin,
     "q36_quartiles" ->
       """SELECT l_linestatus,
-        |  quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+        |  quantile_cont(l_quantity, 0.25) AS qty_q25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_q50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_q75,
         |  COUNT(*) AS n_rows
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     // the oracle is the PLAIN join — proving the salt rewrite is invisible

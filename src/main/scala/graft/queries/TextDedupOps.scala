@@ -331,7 +331,9 @@ object TextDedupOps {
     * of a source's shingle sets is the elementwise min of the per-doc
     * signatures. Associative+commutative merge ⇒ map-side partial
     * aggregation; the shuffle carries k longs per source, never shingle
-    * sets — the cheap cross-corpus similarity screen at any scale. */
+    * sets — the cheap cross-corpus similarity screen at any scale. The
+    * signature is emitted as k scalar columns (sig_01..sig_12), not an
+    * array: the correctness harness hashes scalar cells only. */
   private def d09(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
     val union = udaf(new graft.functions.MinHashAgg(MINHASH_K),
@@ -344,6 +346,11 @@ object TextDedupOps {
       .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .groupBy(col("source"))
       .agg(union(col("sig")).as("union_sig"), count(lit(1)).as("n_docs"))
+      .select(
+        col("source") +:
+          (1 to MINHASH_K).map(i =>
+            element_at(col("union_sig"), i).as(f"sig_$i%02d")) :+
+          col("n_docs"): _*)
   }
 
   /** LSH quality report — recall of the approximate pair-finder (d03)
@@ -675,7 +682,7 @@ object TextDedupOps {
          |  SELECT source, ${minhashSql("ss")} AS sig
          |  FROM hs WHERE len(ss) > 0)
          |SELECT source,
-         |  [${(1 to MINHASH_K).map(i => s"MIN(sig[$i])").mkString(", ")}] AS union_sig,
+         |  ${(1 to MINHASH_K).map(i => f"MIN(sig[$i]) AS sig_$i%02d").mkString(", ")},
          |  COUNT(*) AS n_docs
          |FROM sigs GROUP BY source""".stripMargin,
     "t09_quality_rules" ->

@@ -28,16 +28,20 @@ class QuerySurfaceSpec extends SparkSuite {
   }
 
   test("q39 approx quartiles land within one unit of the exact quartiles") {
+    val qcols = Seq("q25", "q50", "q75")
     val exact = SparkEntry.queries("q36_quartiles")(spark, sf)
-      .select("l_linestatus", "qty_quartiles").collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .select(col("l_linestatus") +: qcols.map(c => col(s"qty_$c")): _*)
+      .collect()
+      .map(r => r.getString(0) -> qcols.indices.map(i => r.getDouble(i + 1)))
+      .toMap
     SparkEntry.queries("q39_approx_quartiles")(spark, sf)
-      .select("l_linestatus", "approx_quartiles").collect()
+      .select(col("l_linestatus") +: qcols.map(c => col(s"approx_$c")): _*)
+      .collect()
       .foreach { r =>
-        val approx = r.getSeq[Double](1)
         val e = exact(r.getString(0))
-        approx.zip(e).foreach { case (a, x) =>
-          assert(math.abs(a - x) <= 1.0, s"approx $a vs exact $x")
+        qcols.indices.foreach { i =>
+          val a = r.getDouble(i + 1)
+          assert(math.abs(a - e(i)) <= 1.0, s"approx $a vs exact ${e(i)}")
         }
       }
   }
@@ -54,6 +58,12 @@ class QuerySurfaceSpec extends SparkSuite {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
     assert(ok.subsetOf(qk), s"oracle-only keys: ${ok -- qk}")
+  }
+
+  test("short bench ids (prefix before first '_') stay unique across the surface") {
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"Bench JSON would drop timings for: ${dups.mkString(", ")}")
   }
 
   test("LSH near-dup pairs (d03) are a subset of exact Jaccard pairs (d05)") {

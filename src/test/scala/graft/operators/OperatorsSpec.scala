@@ -156,4 +156,26 @@ class OperatorsSpec extends SparkSuite {
     // and the layout is lossless
     assert(z.count() == li.count())
   }
+
+  test("normalize survives spans wider than 2^47 (epoch-nanos keys)") {
+    import org.apache.spark.sql.functions.col
+    val lo = -4611686018427387904L // -2^62
+    val hi = 4611686018427387903L  //  2^62 - 1
+    val df = Seq(lo, -1L, 0L, 1L, hi).toDF("v")
+      .withColumn("n", Zorder.normalize(col("v"), lo, hi, 16))
+    val n = df.orderBy(col("v")).collect().map(_.getLong(1))
+    val maxV = (1L << 16) - 1
+    assert(n.forall(x => x >= 0 && x <= maxV), s"out of range: ${n.toSeq}")
+    assert(n.sameElements(n.sorted), s"not monotonic: ${n.toSeq}")
+    assert(n.head == 0 && n.last == maxV, s"endpoints: ${n.toSeq}")
+    assert(n(2) > 0 && n(2) < maxV, "midpoint collapsed to an endpoint")
+  }
+
+  test("writeZordered on an empty input writes an empty table, no NPE") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("zord0").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Zorder.writeZordered(empty, "a", "b", s"$dir/z")
+    assert(spark.read.parquet(s"$dir/z").count() == 0)
+  }
 }
