@@ -47,6 +47,17 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .map(_.stripPrefix("batch_id=").toLong)
   }
 
+  private def markerPath(table: String, id: Long): Path =
+    new Path(tableDir(table), s"batch_id=$id/_COMMITTED")
+
+  /** Positive partition ids whose write COMPLETED: the `_COMMITTED` marker
+    * is created only after the partition's parquet write returns, so a
+    * partition left by a crashed write never carries one. Underscore-
+    * prefixed files are invisible to Spark's readers, and compaction
+    * deletes source partitions wholesale, marker included. */
+  private def committedIds(table: String): Seq[Long] =
+    partitionIds(table).filter(id => id >= 0 && fs.exists(markerPath(table, id)))
+
   private[helium] def writeBatch(df: DataFrame, table: String, key: Long,
       prevCursor: Long): Unit = {
     // Any positive partition above the durable cursor is an uncommitted
@@ -63,6 +74,11 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/$table")
+    // Completion marker, written only once the partition's data is fully on
+    // disk (an empty batch writes no partition, hence no marker). A crash
+    // between write and marker just means the batch replays — idempotent.
+    val pdir = new Path(tableDir(table), s"batch_id=$key")
+    if (fs.exists(pdir)) fs.create(markerPath(table, key), true).close()
   }
 
   /** Commit one batch: rewards (+ transactions in Full mode) then cursor.
@@ -74,11 +90,12 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     // Cursor-loss guard: if the StateStore file is missing/corrupt while
     // data partitions survive (metadata-only failure), a MinValue cursor
     // would make the stale-partition sweep delete ALL committed history.
-    // Derive a floor from the max existing positive partition id instead —
-    // treat everything already on disk as committed and delete nothing.
+    // Derive a floor from the max existing MARKED partition id instead —
+    // only partitions whose write completed count as committed, so a
+    // partial partition left by a crashed write at a higher id is swept as
+    // uncommitted even when the replay lands on a different key.
     val prev = state.load().map(_.height).getOrElse {
-      val existing = (partitionIds("rewards") ++ partitionIds("transactions"))
-        .filter(_ >= 0)
+      val existing = committedIds("rewards") ++ committedIds("transactions")
       if (existing.isEmpty) Long.MinValue else existing.max
     }
     writeBatch(out.rewards, "rewards", maxHeight, prev)

@@ -131,6 +131,48 @@ class FollowerStreamSpec extends SparkSuite {
       .as[Long].collect().toSet == Set(101L, 103L))
   }
 
+  test("cursor loss + partial partition from a crashed write: partial is swept, not adopted") {
+    val fixDir = tmpDir("fixtclp")
+    val root = tmpDir("rootclp")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+        range.last, 100)
+    }
+    commitRange(100L to 101L)
+    commitRange(102L to 103L)
+    val committed = sink.rewardsTable().count()
+    assert(committed == 5)
+
+    // crash mid-write of the batch ending at 104: a PARTIAL partition
+    // exists at a higher id than any committed one, with no _COMMITTED
+    // marker (the marker is only written after the parquet write returns)
+    spark.read.parquet(s"$root/rewards/batch_id=103")
+      .write.parquet(s"$root/rewards/batch_id=104")
+    // ... and the cursor files are lost in the same incident
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+
+    // the replay after reset covers a WIDER range, landing on key 105, not
+    // 104 — before the marker floor, the partial partition was adopted as
+    // committed (floor=104) and survived as duplicate rows forever
+    commitRange(104L to 105L)
+    assert(sink.rewardsTable().count() == committed,
+      "partial partition rows leaked into the committed table")
+    import spark.implicits.newLongEncoder
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+    assert(sink.state.load().get.height == 105)
+  }
+
   test("compaction consolidates closed batches, preserves rows, newest batch untouched") {
     val fixDir = tmpDir("fixt3")
     val root = tmpDir("root4")
