@@ -371,6 +371,26 @@ object TextDedupOps {
           .otherwise(1000L))
   }
 
+  /** Cross-corpus repeated-shingle census — the document-frequency
+    * histogram of distinct K-token shingles (df=1 unique … df≥5 heavily
+    * repeated): the signal behind substring-level dedup decisions (which
+    * n-grams are boilerplate shared by many documents vs genuine content).
+    * The shuffle carries (shingle_hash) longs — one row per distinct
+    * shingle per doc, with map-side partial counts; text never moves. */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    documents(s, d)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .filter(size(col("hs")) > 0)
+      .select(explode(col("hs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .withColumn("df_bucket", least(col("df"), lit(5L)))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_occurrences"))
+  }
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -417,6 +437,98 @@ object TextDedupOps {
         sum(col("bpe")).as("bpe_tokens"),
         max(col("bpe")).cast("long").as("max_bpe"))
 
+  /** Gopher-style REPETITION filters, completing t09's static rules: a
+    * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
+    * of the single most common 2-gram — the two signals that catch
+    * boilerplate/spam documents whose token statistics otherwise look
+    * fine. 2-grams reuse the numeric shingle chain (one MD5 per token,
+    * polynomial combine — [[graft.functions.HashSketch.ShingleSeq]]'s
+    * single fused pass). The per-doc mode (top-2-gram count) is a PER-ROW
+    * fold — sort the gram array, take the max equal-run length — instead
+    * of the explode→count→max→join-back formulation: zero extra shuffles,
+    * one scan plus the narrow source rollup. The fold lambda references
+    * only its own variables (TextFns evaluation-safety rule). Thresholds
+    * are cross-multiplied integers: dup rate > 30%, top-2-gram rate
+    * > 10%; the oracle computes the same mode relationally (unnest →
+    * count → max), proving the fold. */
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    docsWithTokens(s, d)
+      .filter(col("n_words") >= 2)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("g2", graft.functions.HashSketch.shingleSeq(col("th"), 2))
+      .withColumn("n_dup_toks",
+        (col("n_words") - size(array_distinct(col("toks")))).cast("long"))
+      // max run length over the sorted grams = occurrences of the mode;
+      // -1 is a safe 'prev' sentinel (gram hashes are pmod-nonnegative)
+      .withColumn("top2", expr(
+        """aggregate(array_sort(g2),
+          |  named_struct('prev', -1L, 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("f_dup",
+        when(col("n_dup_toks") * 10L > col("n_words") * 3L, 1L).otherwise(0L))
+      .withColumn("f_top2",
+        when(col("top2") * 10L > col("n_words").cast("long"), 1L).otherwise(0L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("f_dup")).as("n_fail_dup"),
+        sum(col("f_top2")).as("n_fail_top2"),
+        max(col("top2")).as("max_top2"))
+  }
+
+  /** PII-style detect + redact pass over the one corpus column that
+    * actually carries digit runs (`events.props` JSON — `documents.text`
+    * is lowercase words only): count the matches, measure the redacted
+    * length. The pattern/replace pair is the exact shape of an
+    * email/phone/SSN scrub in a production pipeline; ASCII classes keep
+    * Java regex and DuckDB's RE2 byte-identical, and the oracle's
+    * regexp_replace needs the 'g' flag to match Spark's replace-ALL
+    * default. Pure per-row scan — no shuffle until the narrow rollup. */
+  private def t11(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("runs",
+        regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+      .withColumn("n_runs", size(col("runs")).cast("long"))
+      .withColumn("digits_len",
+        expr("aggregate(runs, 0L, (a, r) -> a + length(r))"))
+      .withColumn("redacted_len",
+        length(regexp_replace(col("props"), "[0-9]+", "#")).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("n_runs")).as("n_matches"),
+        sum(col("digits_len")).as("sum_match_len"),
+        sum(col("redacted_len")).as("sum_redacted_len"))
+
+  /** Greedy sequence packing — assign documents (in deterministic doc_id
+    * order per source) to fixed token-budget bins by running token count:
+    * bin = tokens-before-this-doc DIV budget, the one-pass packing rule a
+    * training-data loader uses to build ~equal-size shards. One window
+    * (shuffle on source, partition-local sort) computes every assignment;
+    * the rollup reports bins and an integer per-mille fill factor. At
+    * 100 TB the same window runs per source-partition — no global sort. */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docsWithTokens(s, d)
+      .select(col("source"), col("doc_id"), col("n_words").cast("long").as("n_toks"))
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        (max(col("bin")) + 1L).as("n_bins"),
+        expr(s"(1000L * sum(n_toks)) DIV ((max(bin) + 1L) * $budget)")
+          .as("fill_pm"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -437,6 +549,10 @@ object TextDedupOps {
     "d09_source_signatures" -> d09 _,
     "d10_lsh_recall_report" -> d10 _,
     "t09_quality_rules" -> t09 _,
+    "t10_repetition_rules" -> t10 _,
+    "t11_pii_scrub" -> t11 _,
+    "t12_sequence_packing" -> t12 _,
+    "d11_shingle_df_histogram" -> d11 _,
   )
 
   // ---- DuckDB oracles ----
@@ -721,5 +837,75 @@ object TextDedupOps {
          |  bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+    "t10_repetition_rules" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, toks, len(toks)::BIGINT AS n_words,
+         |    (len(toks) - len(list_distinct(toks)))::BIGINT AS n_dup_toks
+         |  FROM (SELECT doc_id, source, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) >= 2),
+         |thm AS (
+         |  SELECT doc_id, list_transform(toks,
+         |    t -> ${sqlHash60("t", 0)} % $ShingleMod) AS th
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(th), 1)),
+         |    i -> (th[i+0] * ${ShingleCoef(0)} + th[i+1] * ${ShingleCoef(1)})
+         |         % $ShingleMod)) AS g
+         |  FROM thm),
+         |top AS (
+         |  SELECT doc_id, MAX(c)::BIGINT AS top2 FROM (
+         |    SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g)
+         |  GROUP BY doc_id),
+         |fl AS (
+         |  SELECT b.source, t.top2,
+         |    CASE WHEN b.n_dup_toks * 10 > b.n_words * 3 THEN 1 ELSE 0 END AS f_dup,
+         |    CASE WHEN t.top2 * 10 > b.n_words THEN 1 ELSE 0 END AS f_top2
+         |  FROM base b JOIN top t ON t.doc_id = b.doc_id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(f_dup)::BIGINT AS n_fail_dup,
+         |  SUM(f_top2)::BIGINT AS n_fail_top2,
+         |  MAX(top2)::BIGINT AS max_top2
+         |FROM fl GROUP BY source""".stripMargin,
+    "t11_pii_scrub" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  SUM(len(regexp_extract_all(props, '[0-9]+')))::BIGINT AS n_matches,
+        |  SUM(COALESCE(list_sum(list_transform(
+        |    regexp_extract_all(props, '[0-9]+'), r -> length(r))), 0))::BIGINT
+        |    AS sum_match_len,
+        |  SUM(length(regexp_replace(props, '[0-9]+', '#', 'g')))::BIGINT
+        |    AS sum_redacted_len
+        |FROM events GROUP BY event_type""".stripMargin,
+    "t12_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM t),
+         |b AS (SELECT source, n_toks, cum_before // 256 AS bin FROM c)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  (MAX(bin) + 1)::BIGINT AS n_bins,
+         |  ((1000 * SUM(n_toks)) // ((MAX(bin) + 1) * 256))::BIGINT AS fill_pm
+         |FROM b GROUP BY source""".stripMargin,
+    "d11_shingle_df_histogram" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % $ShingleMod) AS th
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${ShingleCoef(j)}").mkString(" + ")}) % $ShingleMod)) AS ss
+         |  FROM thm),
+         |g AS (SELECT unnest(ss) AS g FROM hs WHERE len(ss) > 0),
+         |df AS (SELECT g, COUNT(*)::BIGINT AS df FROM g GROUP BY g)
+         |SELECT least(df, 5)::BIGINT AS df_bucket,
+         |  COUNT(*) AS n_shingles,
+         |  SUM(df)::BIGINT AS sum_occurrences
+         |FROM df GROUP BY 1""".stripMargin,
   )
 }
