@@ -230,6 +230,30 @@ object SimilarityOps {
           .otherwise(1000L))
   }
 
+  /** Embedding-quality screen — the vector-side input validation a
+    * training/ANN pipeline runs before indexing: per label, the count of
+    * zero-norm vectors (undefined cosine — must be dropped), dimension
+    * bounds (ragged arrays break every fused kernel), zero-component
+    * totals (sparsity), and integer norm statistics on the quantized grid
+    * (exact, so the oracle matches bit-for-bit; no sqrt in the gate).
+    * Pure per-row math + one narrow rollup — no shuffle wider than
+    * |labels|. */
+  private def s09(s: SparkSession, d: String): DataFrame =
+    withQ(embeddings(s, d))
+      .withColumn("n_dims", size(col("embedding")).cast("long"))
+      .withColumn("n_zero_comp",
+        size(filter(col("qv"), x => x === 0L)).cast("long"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero_norm"),
+        min(col("n_dims")).as("min_dims"),
+        max(col("n_dims")).as("max_dims"),
+        min(col("n2")).as("min_norm2"),
+        max(col("n2")).as("max_norm2"),
+        sum(col("n2")).as("sum_norm2"),
+        sum(col("n_zero_comp")).as("sum_zero_comp"))
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -239,6 +263,7 @@ object SimilarityOps {
     "s06_centroid_assign" -> s06 _,
     "s07_semantic_dedup" -> s07 _,
     "s08_ann_recall_report" -> s08 _,
+    "s09_embedding_quality" -> s09 _,
   )
 
   // ---- DuckDB oracles ----
@@ -320,6 +345,17 @@ object SimilarityOps {
          |       THEN (1000 * (SELECT COUNT(*) FROM tp))
          |              // (SELECT COUNT(*) FROM truth)
          |       ELSE 1000 END AS recall_pm""".stripMargin,
+    "s09_embedding_quality" ->
+      s"""WITH $embCte
+         |SELECT label, COUNT(*) AS n_vecs,
+         |  SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+         |  MIN(len(qv))::BIGINT AS min_dims,
+         |  MAX(len(qv))::BIGINT AS max_dims,
+         |  MIN(n2)::BIGINT AS min_norm2,
+         |  MAX(n2)::BIGINT AS max_norm2,
+         |  SUM(n2)::BIGINT AS sum_norm2,
+         |  SUM(len(list_filter(qv, x -> x = 0)))::BIGINT AS sum_zero_comp
+         |FROM embn GROUP BY label""".stripMargin,
     "s03_label_centroids" ->
       s"""WITH $embCte,
          |dims AS (
