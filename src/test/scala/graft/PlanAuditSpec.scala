@@ -139,4 +139,36 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).mkString("\n")
     assert(!exchanges.contains("payload"), s"payload in a shuffle:\n$exchanges")
   }
+
+  test("t10 repetition rules: per-row fold means no join, one aggregation shuffle") {
+    val p = plan("t10_repetition_rules")
+    assert(!p.contains("Join"), s"t10 regressed to the join-back mode plan:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"t10 should shuffle once (source rollup):\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t12 sequence packing: one window shuffle, no global sort") {
+    val p = plan("t12_sequence_packing")
+    assert(p.contains("Window"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"t12 should shuffle once on source:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"t12 must not globally sort:\n$p")
+  }
+
+  test("s09 embedding screen: single scan, one rollup shuffle, no join") {
+    val p = plan("s09_embedding_quality")
+    assert(!p.contains("Join"), p)
+    assert("embeddings\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("d11 shingle census: two narrow shuffles, shingles never rejoin text") {
+    val p = plan("d11_shingle_df_histogram")
+    assert(!p.contains("Join"), p)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"d11 wants df + bucket shuffles, got $exchanges:\n$p")
+  }
 }
