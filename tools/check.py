@@ -67,6 +67,17 @@ def main():
             stypes = {d[0]: d[1] for d in sdesc}
         except Exception as e:
             failures.append((name, f"spark output unreadable: {e}")); continue
+        # The DRIVER's gate sorts rows with pandas, which crashes on
+        # array/struct/map cells (numpy.ndarray is unhashable) — even for
+        # rows-only checks. Fail locally on any non-scalar output column so
+        # the divergence is caught before the driver run.
+        nonscalar = [(c, t) for c, t in stypes.items()
+                     if "[" in t or "STRUCT" in t or "MAP" in t]
+        if nonscalar:
+            failures.append((name,
+                "non-scalar output columns (driver pandas sort crashes): "
+                + ", ".join(f"{c}:{t}" for c, t in nonscalar)))
+            continue
         order = ", ".join(f'"{c}"' for c in sorted(scols))
         srows = con.execute(
             f'SELECT {order} FROM \'{spark_glob}\' ORDER BY {order}').fetchall()
