@@ -95,8 +95,18 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     // partial partition left by a crashed write at a higher id is swept as
     // uncommitted even when the replay lands on a different key.
     val prev = state.load().map(_.height).getOrElse {
-      val existing = committedIds("rewards") ++ committedIds("transactions")
-      if (existing.isEmpty) Long.MinValue else existing.max
+      val marked = committedIds("rewards") ++ committedIds("transactions")
+      if (marked.nonEmpty) marked.max
+      else {
+        // Legacy fallback: a table written before markers existed has data
+        // but no markers — a MinValue floor would sweep ALL its committed
+        // history. Fall back to the round-3 rule (max existing positive
+        // id = committed); only tables with at least one marked partition
+        // get the stricter partial-write discrimination.
+        val existing = (partitionIds("rewards") ++ partitionIds("transactions"))
+          .filter(_ >= 0)
+        if (existing.isEmpty) Long.MinValue else existing.max
+      }
     }
     writeBatch(out.rewards, "rewards", maxHeight, prev)
     out.transactions.foreach(writeBatch(_, "transactions", maxHeight, prev))

@@ -173,6 +173,44 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.state.load().get.height == 105)
   }
 
+  test("legacy table without markers: cursor loss falls back to max id, sweeps nothing") {
+    val fixDir = tmpDir("fixtleg")
+    val root = tmpDir("rootleg")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+        range.last, 100)
+    }
+    commitRange(100L to 101L)
+    commitRange(102L to 103L)
+    val committed = sink.rewardsTable().count()
+
+    // simulate a table written before the marker scheme existed
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    for (id <- Seq(101L, 103L))
+      fs.delete(new org.apache.hadoop.fs.Path(
+        root, s"rewards/batch_id=$id/_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+
+    // no marked partitions anywhere: the floor must fall back to the max
+    // existing positive id (round-3 rule), not MinValue — else batches
+    // 101 and 103 would be swept as "uncommitted"
+    commitRange(104L to 105L)
+    assert(sink.rewardsTable().count() == committed,
+      "legacy partitions were swept on cursor loss")
+    import spark.implicits.newLongEncoder
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+  }
+
   test("compaction consolidates closed batches, preserves rows, newest batch untouched") {
     val fixDir = tmpDir("fixt3")
     val root = tmpDir("root4")
