@@ -135,6 +135,26 @@ object TextFns {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z ]", ""),
       " +", " ")))
 
+  /** Occurrences of the most frequent element of a long array (the mode's
+    * COUNT, not its value) as a zero-shuffle per-row fold: sort, then max
+    * equal-run length. Replaces the explode→count→max→join-back plan for
+    * per-row mode statistics (t10). Returns 0 for an empty array. The
+    * lambda references only its own variables (evaluation-safety rule).
+    * The 'prev' sentinel -1 pairs with run=0, so even an input that
+    * contains -1 counts correctly: a leading -1 matches the sentinel and
+    * advances run to 0+1 = 1, exactly its true count so far. */
+  def modeCount(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(-1L).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Integer quality stats (portable: no double ratios — scaled integer
     * arithmetic only). */
   def wordCount(text: Column): Column = size(tokens(text))

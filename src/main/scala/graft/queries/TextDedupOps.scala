@@ -459,16 +459,8 @@ object TextDedupOps {
       .withColumn("g2", graft.functions.HashSketch.shingleSeq(col("th"), 2))
       .withColumn("n_dup_toks",
         (col("n_words") - size(array_distinct(col("toks")))).cast("long"))
-      // max run length over the sorted grams = occurrences of the mode;
-      // -1 is a safe 'prev' sentinel (gram hashes are pmod-nonnegative)
-      .withColumn("top2", expr(
-        """aggregate(array_sort(g2),
-          |  named_struct('prev', -1L, 'run', 0L, 'best', 0L),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
-          |    'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best)""".stripMargin.replaceAll("\n", " ")))
+      // max run length over the sorted grams = occurrences of the mode
+      .withColumn("top2", modeCount(col("g2")))
       .withColumn("f_dup",
         when(col("n_dup_toks") * 10L > col("n_words") * 3L, 1L).otherwise(0L))
       .withColumn("f_top2",

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.TextFns
+import graft.helium.SparkSuite
+import graft.streaming.StreamPacker
+
+/** Property-based invariants for the round-4 training-data operators:
+  * random inputs through the real Spark expressions, compared against
+  * plain-Scala reference computations (the same fixed-seed sampling
+  * discipline as helium.PropertySpec). */
+class TrainingOpsPropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
+
+  test("modeCount fold equals the true mode count on random arrays " +
+    "(incl. empties, negatives, all-equal)") {
+    val arrGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-3L, 6L))) // tight range forces runs
+    val arrays = samples(arrGen, 12) ++
+      Seq(Nil, List(7L), List(-1L, -1L, 5L), List.fill(9)(2L))
+    val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+      .toDF("id", "arr")
+      .withColumn("mc", TextFns.modeCount(col("arr")))
+    val got = df.select("id", "mc").as[(Long, Long)].collect().toMap
+    arrays.zipWithIndex.foreach { case (a, i) =>
+      val expect =
+        if (a.isEmpty) 0L
+        else a.groupBy(identity).values.map(_.size).max.toLong
+      assert(got(i.toLong) == expect,
+        s"arr=$a fold=${got(i.toLong)} true=$expect")
+    }
+  }
+
+  test("streaming packing equals the batch rule for random docs and " +
+    "random micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    val budget = 50L
+    val docsGen = for {
+      n <- Gen.chooseNum(1, 25)
+      docs <- Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.chooseNum(1L, 80L) // some docs exceed the budget
+      } yield (src, toks))
+      cut1 <- Gen.chooseNum(0, n)
+      cut2 <- Gen.chooseNum(0, n)
+    } yield (docs.zipWithIndex.map { case ((s, t), i) =>
+      StreamPacker.Doc(s, i.toLong, t)
+    }, math.min(cut1, cut2), math.max(cut1, cut2))
+
+    samples(docsGen, 4).zipWithIndex.foreach { case ((docs, c1, c2), si) =>
+      val input = MemoryStream[StreamPacker.Doc]
+      val q = StreamPacker.pack(input.toDS(), budget).writeStream
+        .outputMode(OutputMode.Append())
+        .format("memory").queryName(s"prop_pack_$si").start()
+      try {
+        // docs arrive in doc_id order across batches (the agreement
+        // precondition), split at two random cut points
+        Seq(docs.slice(0, c1), docs.slice(c1, c2), docs.slice(c2, docs.size))
+          .filter(_.nonEmpty).foreach { b =>
+            input.addData(b: _*); q.processAllAvailable()
+          }
+        val got = spark.table(s"prop_pack_$si")
+          .select("source", "doc_id", "bin", "offset_in_bin")
+          .as[(String, Long, Long, Long)].collect().toSet
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val expect = docs.toDS().toDF()
+          .withColumn("cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(col("source"), col("doc_id"),
+            expr(s"cum DIV $budget").as("bin"),
+            expr(s"cum % $budget").as("offset_in_bin"))
+          .as[(String, Long, Long, Long)].collect().toSet
+        assert(got == expect, s"sample $si: $got vs $expect")
+        // invariants: offsets stay inside the budget, bins non-decreasing
+        // per source in doc_id order
+        assert(got.forall { case (_, _, _, off) => off >= 0 && off < budget })
+        got.groupBy(_._1).values.foreach { g =>
+          val bins = g.toSeq.sortBy(_._2).map(_._3)
+          assert(bins == bins.sorted, s"bins regressed: $bins")
+        }
+      } finally q.stop()
+    }
+  }
+}
