@@ -240,7 +240,11 @@ object TextDedupOps {
     // At 100 TB, add a df>1 semi-filter on shingles before this self-join
     // (singleton shingles cannot pair; at billions of docs most are
     // singletons). At bench scale the extra aggregation costs more than
-    // the join it saves, so the direct join stays.
+    // the join it saves, so the direct join stays. Also measured (round
+    // 4): the groupBy(shingle)+collect_list+nested-transform pair
+    // generation — one fewer exchange on paper — benches 2.4 s vs this
+    // join's 2.1 s at sf0.1 (the per-group list allocation beats the
+    // saved shuffle), so the join stays on merit, not inertia.
     val ex = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
     val inter = ex.select(col("doc_id").as("a_id"), col("shingle"))
       .join(ex.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
