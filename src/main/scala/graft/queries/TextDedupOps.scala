@@ -525,6 +525,31 @@ object TextDedupOps {
           .as("fill_pm"))
   }
 
+  /** Heavy-hitter vocabulary via the SpaceSaving sketch
+    * ([[graft.functions.TopKAgg]] — bounded state per group regardless of
+    * vocabulary size, the web-scale alternative to an exact token
+    * groupBy-count). This corpus has 31 distinct tokens < capacity 64,
+    * so the sketch runs in its EXACT regime (no evictions, est = lb =
+    * true count, order-independent) and the query takes the full oracle
+    * gate against DuckDB's exact counts; the eviction regime's bound
+    * invariants (lb ≤ true ≤ est; guaranteed presence above n/capacity)
+    * are asserted separately in TrainingOpsPropertySpec with a small
+    * capacity on skewed data. */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(64),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[String]())
+    docsWithTokens(s, d)
+      .select(explode(col("toks")).as("tok"))
+      .agg(topk(col("tok")).as("entries"))
+      .select(posexplode(col("entries")).as(Seq("rank0", "e")))
+      .filter(col("rank0") < 10)
+      .select(
+        (col("rank0") + 1).cast("long").as("rank"),
+        col("e.item").as("item"),
+        col("e.est").as("est"),
+        col("e.lb").as("lb"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -548,6 +573,7 @@ object TextDedupOps {
     "t10_repetition_rules" -> t10 _,
     "t11_pii_scrub" -> t11 _,
     "t12_sequence_packing" -> t12 _,
+    "t13_heavy_hitters" -> t13 _,
     "d11_shingle_df_histogram" -> d11 _,
   )
 
@@ -871,6 +897,14 @@ object TextDedupOps {
         |  SUM(length(regexp_replace(props, '[0-9]+', '#', 'g')))::BIGINT
         |    AS sum_redacted_len
         |FROM events GROUP BY event_type""".stripMargin,
+    // the sketch runs in its exact regime here (vocab < capacity), so the
+    // oracle is the plain exact top-10 count
+    "t13_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS item FROM documents),
+         |cnt AS (SELECT item, COUNT(*)::BIGINT AS est FROM tok GROUP BY item)
+         |SELECT ROW_NUMBER() OVER (ORDER BY est DESC, item ASC)::BIGINT AS rank,
+         |  item, est, est AS lb
+         |FROM cnt ORDER BY est DESC, item ASC LIMIT 10""".stripMargin,
     "t12_sequence_packing" ->
       s"""WITH t AS (
          |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_toks

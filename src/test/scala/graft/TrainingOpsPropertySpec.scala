@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
-import graft.functions.TextFns
+import graft.functions.{TextFns, TopKAgg}
 import graft.helium.SparkSuite
 import graft.streaming.StreamPacker
 
@@ -37,6 +37,41 @@ class TrainingOpsPropertySpec extends SparkSuite {
         else a.groupBy(identity).values.map(_.size).max.toLong
       assert(got(i.toLong) == expect,
         s"arr=$a fold=${got(i.toLong)} true=$expect")
+    }
+  }
+
+  test("SpaceSaving eviction regime: bounds hold and heavy hitters survive " +
+    "on skewed streams, across random partitionings") {
+    // zipf-ish skew over a vocabulary far above capacity
+    val itemGen = Gen.frequency(
+      (40, Gen.const("hh1")), (25, Gen.const("hh2")), (15, Gen.const("hh3")),
+      (20, Gen.chooseNum(0, 200).map(i => s"tail$i")))
+    val streamGen = Gen.chooseNum(400, 800).flatMap(Gen.listOfN(_, itemGen))
+    samples(streamGen, 5).zipWithIndex.foreach { case (items, si) =>
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val capacity = 16
+      // random partitioning: distributed reduce+merge order varies per rep
+      Seq(1, 4, 13).foreach { parts =>
+        val agg = new TopKAgg(capacity)
+        val summaries = items.zipWithIndex
+          .groupBy(_._2 % parts).values.toSeq
+          .map(part => part.map(_._1).foldLeft(agg.zero)(agg.reduce))
+        val merged = summaries.reduce(agg.merge)
+        val out = agg.finish(merged)
+        assert(out.size <= capacity)
+        // per-entry bounds: lb <= true <= est
+        out.foreach { e =>
+          val t = truth.getOrElse(e.item, 0L)
+          assert(e.lb <= t && t <= e.est,
+            s"sample $si parts=$parts item=${e.item} lb=${e.lb} true=$t est=${e.est}")
+        }
+        // guaranteed presence: true count > n/capacity must be in summary
+        val n = items.size
+        truth.filter(_._2 > n.toLong / capacity).keys.foreach { hh =>
+          assert(out.exists(_.item == hh),
+            s"sample $si parts=$parts heavy hitter $hh missing")
+        }
+      }
     }
   }
 
