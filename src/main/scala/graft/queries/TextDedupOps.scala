@@ -395,6 +395,37 @@ object TextDedupOps {
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("sum_occurrences"))
   }
 
+  /** Benchmark-contamination check (decontamination): for each PROBE
+    * document (doc_id < 10 stands in for a held-out benchmark/test set),
+    * the fraction of its K-token shingles that appear anywhere in the
+    * rest of the corpus — the n-gram-overlap screen run before training
+    * so evaluation data is not memorized. Shape: probe shingles (small
+    * side) join the corpus's DISTINCT shingle set on the hash; the
+    * shuffle carries longs, and zero-overlap probes are preserved via the
+    * left join. At 100 TB the corpus distinct-shingle set is the big
+    * side of a plain equi-join Catalyst plans by size — the probe side
+    * is benchmark-sized and broadcasts. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val hs = documents(s, d)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .filter(size(col("hs")) > 0)
+    val probe = hs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"), size(col("hs")).cast("long").as("n_shingles"),
+        explode(col("hs")).as("shingle"))
+    val corpus = hs.filter(col("doc_id") >= 10)
+      .select(explode(col("hs")).as("shingle")).distinct()
+    val shared = probe.join(corpus, Seq("shingle"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("n_shared"))
+    probe.select(col("probe_id"), col("n_shingles")).distinct()
+      .join(shared, Seq("probe_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contamination_pm",
+        expr("(1000L * n_shared) DIV n_shingles"))
+  }
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -575,6 +606,7 @@ object TextDedupOps {
     "t12_sequence_packing" -> t12 _,
     "t13_heavy_hitters" -> t13 _,
     "d11_shingle_df_histogram" -> d11 _,
+    "d12_contamination" -> d12 _,
   )
 
   // ---- DuckDB oracles ----
@@ -921,6 +953,33 @@ object TextDedupOps {
          |  (MAX(bin) + 1)::BIGINT AS n_bins,
          |  ((1000 * SUM(n_toks)) // ((MAX(bin) + 1) * 256))::BIGINT AS fill_pm
          |FROM b GROUP BY source""".stripMargin,
+    "d12_contamination" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id,
+         |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % $ShingleMod) AS th
+         |  FROM documents),
+         |hs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j => s"th[i+$j] * ${ShingleCoef(j)}").mkString(" + ")}) % $ShingleMod)) AS ss
+         |  FROM thm),
+         |hsx AS (SELECT doc_id, ss FROM hs WHERE len(ss) > 0),
+         |probe AS (
+         |  SELECT doc_id AS probe_id, len(ss)::BIGINT AS n_shingles,
+         |    unnest(ss) AS shingle
+         |  FROM hsx WHERE doc_id < 10),
+         |corpus AS (
+         |  SELECT DISTINCT unnest(ss) AS shingle FROM hsx WHERE doc_id >= 10),
+         |shared AS (
+         |  SELECT probe_id, COUNT(*)::BIGINT AS n_shared
+         |  FROM probe SEMI JOIN corpus USING (shingle)
+         |  GROUP BY probe_id),
+         |base AS (SELECT DISTINCT probe_id, n_shingles FROM probe)
+         |SELECT b.probe_id, b.n_shingles,
+         |  COALESCE(s.n_shared, 0)::BIGINT AS n_shared,
+         |  ((1000 * COALESCE(s.n_shared, 0)) // b.n_shingles)::BIGINT
+         |    AS contamination_pm
+         |FROM base b LEFT JOIN shared s ON s.probe_id = b.probe_id""".stripMargin,
     "d11_shingle_df_histogram" ->
       s"""WITH thm AS (
          |  SELECT doc_id,
