@@ -402,9 +402,10 @@ object TextDedupOps {
     * so evaluation data is not memorized. Shape: probe shingles (small
     * side) join the corpus's DISTINCT shingle set on the hash; the
     * shuffle carries longs, and zero-overlap probes are preserved via the
-    * left join. At 100 TB the corpus distinct-shingle set is the big
-    * side of a plain equi-join Catalyst plans by size — the probe side
-    * is benchmark-sized and broadcasts. */
+    * left join. The semi join is a plain equi-join Catalyst plans by
+    * size: at bench scale the corpus distinct-shingle set broadcasts
+    * (build side of a LeftSemi BHJ must be the right), at 100 TB it
+    * degrades gracefully to a shuffled join on the shingle hash. */
   private def d12(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
     val hs = documents(s, d)

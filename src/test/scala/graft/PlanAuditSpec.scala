@@ -164,6 +164,20 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("t13 sketch aggregates map-side: partial_topkagg before the exchange") {
+    val p = plan("t13_heavy_hitters")
+    assert(p.contains("partial_topkagg"),
+      s"TopKAgg lost its partial (map-side) aggregation:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("d12 contamination: semi join stays hash-based, no all-pairs") {
+    val p = plan("d12_contamination")
+    assert(p.contains("LeftSemi"), s"semi join shape lost:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("d11 shingle census: two narrow shuffles, shingles never rejoin text") {
     val p = plan("d11_shingle_df_histogram")
     assert(!p.contains("Join"), p)
