@@ -254,6 +254,43 @@ object SimilarityOps {
         sum(col("n2")).as("sum_norm2"),
         sum(col("n_zero_comp")).as("sum_zero_comp"))
 
+  /** Product-quantization assignment — the third classic ANN building
+    * block after IVF (s05) and hyperplane LSH (s02): split each vector
+    * into SUB subvectors, assign each to its nearest code from a
+    * per-subspace codebook (here the deterministic seed vectors s05 also
+    * uses — an offline k-means would refine them), and report per
+    * (subspace, code) the population and the total quantization error.
+    * Distances are integer-exact on the quantized grid (sum of squared
+    * component diffs — no sqrt, no division), so the oracle reproduces
+    * them bit-for-bit. Shape: the codebook explode is SUB·|codes| rows —
+    * broadcast; per-row argmin via one window over (vec_id, sub); one
+    * narrow rollup. The PQ code (8 × 4-bit ids per vector) is what a
+    * 100 TB ANN index stores instead of 64 floats — 16× compression with
+    * the reported sum_dist2 as the fidelity metric. */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val SUB = 8
+    val SD = DIMS / SUB
+    val emb = withQ(embeddings(s, d))
+    def subspaces(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(array((0 until SUB).map(j =>
+        struct(lit(j.toLong).as("sub"),
+          slice(col("qv"), j * SD + 1, SD).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val v = subspaces(emb)
+    val cb = subspaces(emb.filter(col("vec_id").between(100, 115)))
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+    val scored = v.join(broadcast(cb), Seq("sub"))
+      .withColumn("dist2", aggregate(
+        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, z) => acc + z))
+    val w = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist2").asc, col("code_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("sub"), col("code_id"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("dist2")).as("sum_dist2"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -264,6 +301,7 @@ object SimilarityOps {
     "s07_semantic_dedup" -> s07 _,
     "s08_ann_recall_report" -> s08 _,
     "s09_embedding_quality" -> s09 _,
+    "s10_pq_assign" -> s10 _,
   )
 
   // ---- DuckDB oracles ----
@@ -345,6 +383,28 @@ object SimilarityOps {
          |       THEN (1000 * (SELECT COUNT(*) FROM tp))
          |              // (SELECT COUNT(*) FROM truth)
          |       ELSE 1000 END AS recall_pm""".stripMargin,
+    "s10_pq_assign" ->
+      s"""WITH embq AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |sub AS (
+         |  SELECT vec_id, j AS sub, qv[j*8+1 : j*8+8] AS sv
+         |  FROM embq, range(0, 8) r(j)),
+         |cb AS (
+         |  SELECT vec_id AS code_id, sub, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 100 AND 115),
+         |scored AS (
+         |  SELECT v.vec_id, v.sub, cb.code_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> (v.sv[i] - cb.cv[i]) * (v.sv[i] - cb.cv[i])))::BIGINT
+         |      AS dist2
+         |  FROM sub v JOIN cb ON cb.sub = v.sub),
+         |best AS (
+         |  SELECT sub, code_id, dist2,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist2 ASC, code_id ASC) AS rk
+         |  FROM scored)
+         |SELECT sub, code_id, COUNT(*) AS n_assigned,
+         |  SUM(dist2)::BIGINT AS sum_dist2
+         |FROM best WHERE rk = 1 GROUP BY sub, code_id""".stripMargin,
     "s09_embedding_quality" ->
       s"""WITH $embCte
          |SELECT label, COUNT(*) AS n_vecs,
