@@ -276,13 +276,17 @@ object SimilarityOps {
         struct(lit(j.toLong).as("sub"),
           slice(col("qv"), j * SD + 1, SD).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-    val v = subspaces(emb)
+    // dist2 via the polarization identity |a|^2 + |b|^2 - 2a.b: norms are
+    // computed ONCE per subvector (8/row) instead of once per (sub, code)
+    // pair (128/row), and the remaining per-pair work is a single fused
+    // DotQ codegen pass — no zip_with array allocation per pair
+    val v = subspaces(emb).withColumn("svn2", norm2q(col("sv")))
     val cb = subspaces(emb.filter(col("vec_id").between(100, 115)))
       .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+      .withColumn("cvn2", norm2q(col("cv")))
     val scored = v.join(broadcast(cb), Seq("sub"))
-      .withColumn("dist2", aggregate(
-        zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, z) => acc + z))
+      .withColumn("dist2",
+        col("svn2") + col("cvn2") - lit(2L) * dotq(col("sv"), col("cv")))
     val w = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist2").asc, col("code_id").asc)
     scored.withColumn("rk", row_number().over(w))

@@ -427,6 +427,32 @@ object TextDedupOps {
         expr("(1000L * n_shared) DIV n_shingles"))
   }
 
+  /** Mixture sampling — per-SOURCE sampling rates (the "data mixing"
+    * step that composes a training corpus from differently-weighted
+    * sources), deterministic and reproducible: doc selected iff
+    * md5(doc_id) mod 1000 < rate_pm(source), where the rate map derives
+    * from the source name (a stand-in for the mixture-weights config).
+    * Extends q35's single-rate stratified sample to the per-stratum rate
+    * map every mixture pipeline needs. The sample predicate is a pure
+    * per-row filter ahead of the one narrow rollup; the report shows
+    * requested vs realized per-mille so drift is visible. */
+  private def d13(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      // rate: 200–900‰ derived from the source name via the portable
+      // 60-bit hash (config-like, engine-portable — Portable.hash60)
+      .withColumn("rate_pm",
+        lit(200L) +
+          (graft.functions.Portable.hash60(col("source"), 555) % 8L) * 100L)
+      .withColumn("keep",
+        graft.functions.Portable.hash60(col("doc_id").cast("string"), 888)
+          % 1000L < col("rate_pm"))
+      .groupBy(col("source"), col("rate_pm"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        expr("(1000L * sum(IF(keep, 1L, 0L))) DIV count(1)")
+          .as("realized_pm"))
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -608,6 +634,7 @@ object TextDedupOps {
     "t13_heavy_hitters" -> t13 _,
     "d11_shingle_df_histogram" -> d11 _,
     "d12_contamination" -> d12 _,
+    "d13_mixture_sample" -> d13 _,
   )
 
   // ---- DuckDB oracles ----
@@ -954,6 +981,18 @@ object TextDedupOps {
          |  (MAX(bin) + 1)::BIGINT AS n_bins,
          |  ((1000 * SUM(n_toks)) // ((MAX(bin) + 1) * 256))::BIGINT AS fill_pm
          |FROM b GROUP BY source""".stripMargin,
+    "d13_mixture_sample" ->
+      s"""WITH flags AS (
+         |  SELECT source,
+         |    200 + (${sqlHash60("source", 555)} % 8) * 100 AS rate_pm,
+         |    (${sqlHash60("doc_id::VARCHAR", 888)} % 1000)
+         |      < (200 + (${sqlHash60("source", 555)} % 8) * 100) AS keep
+         |  FROM documents)
+         |SELECT source, rate_pm, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         |  ((1000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT
+         |    AS realized_pm
+         |FROM flags GROUP BY source, rate_pm""".stripMargin,
     "d12_contamination" ->
       s"""WITH thm AS (
          |  SELECT doc_id,
