@@ -178,6 +178,14 @@ class PlanAuditSpec extends SparkSuite {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s10 PQ assignment: codebook broadcasts, argmin is one window shuffle") {
+    val p = plan("s10_pq_assign")
+    assert(p.contains("BroadcastHashJoin"), s"codebook join lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Window"), p)
+  }
+
   test("d11 shingle census: two narrow shuffles, shingles never rejoin text") {
     val p = plan("d11_shingle_df_histogram")
     assert(!p.contains("Join"), p)
