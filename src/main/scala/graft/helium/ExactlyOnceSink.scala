@@ -50,23 +50,25 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
   private def markerPath(table: String, id: Long): Path =
     new Path(tableDir(table), s"batch_id=$id/_COMMITTED")
 
-  /** Positive partition ids whose write COMPLETED: the `_COMMITTED` marker
-    * is created only after the partition's parquet write returns, so a
-    * partition left by a crashed write never carries one. Underscore-
-    * prefixed files are invisible to Spark's readers, and compaction
-    * deletes source partitions wholesale, marker included. */
+  /** Positive partition ids whose BATCH committed: the `_COMMITTED` marker
+    * is created by [[commit]] only after EVERY table's parquet write for
+    * the batch has returned, so a partition left by a crash anywhere
+    * mid-batch never carries one — in any table. Underscore-prefixed
+    * files are invisible to Spark's readers, and compaction deletes
+    * source partitions wholesale, marker included. */
   private def committedIds(table: String): Seq[Long] =
     partitionIds(table).filter(id => id >= 0 && fs.exists(markerPath(table, id)))
 
   private[helium] def writeBatch(df: DataFrame, table: String, key: Long,
       prevCursor: Long): Unit = {
     // Any positive partition above the durable cursor is an uncommitted
-    // leftover of a crashed attempt. Normally the replay has the same key
-    // and dynamic overwrite replaces it; after a checkpoint reset the
-    // replayed range can end higher (new key), so delete stale ids
-    // explicitly — the final state must be exactly the replayed batch.
+    // leftover of a crashed attempt — INCLUDING one at this batch's own
+    // key: deleting it up front (rather than relying on dynamic overwrite,
+    // which touches nothing when the batch is empty) guarantees the final
+    // on-disk state is exactly this write's output, so a later marker on
+    // the key dir can never bless stale content.
     partitionIds(table)
-      .filter(id => id >= 0 && id > prevCursor && id != key)
+      .filter(id => id >= 0 && id > prevCursor)
       .foreach(id => fs.delete(new Path(tableDir(table), s"batch_id=$id"), true))
     df.withColumn("batch_id", lit(key))
       .write
@@ -74,11 +76,20 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/$table")
-    // Completion marker, written only once the partition's data is fully on
-    // disk (an empty batch writes no partition, hence no marker). A crash
-    // between write and marker just means the batch replays — idempotent.
+  }
+
+  /** Stamp the batch-level commit record on `key`'s partition. An empty
+    * batch gets a marker-only directory: underscore files are invisible
+    * to Spark's readers (zero rows), but the marker keeps this table's
+    * marked maximum in lock-step with the other table's, so the joint
+    * MIN floor never drags a legitimately-empty table's watermark behind
+    * and over-sweeps the other's committed history on cursor loss. The
+    * up-front delete in [[writeBatch]] guarantees a data-bearing dir here
+    * is this write's product, never stale content. */
+  private def markCommitted(table: String, key: Long): Unit = {
     val pdir = new Path(tableDir(table), s"batch_id=$key")
-    if (fs.exists(pdir)) fs.create(markerPath(table, key), true).close()
+    if (!fs.exists(pdir)) fs.mkdirs(pdir)
+    fs.create(markerPath(table, key), true).close()
   }
 
   /** Commit one batch: rewards (+ transactions in Full mode) then cursor.
@@ -90,13 +101,16 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     // Cursor-loss guard: if the StateStore file is missing/corrupt while
     // data partitions survive (metadata-only failure), a MinValue cursor
     // would make the stale-partition sweep delete ALL committed history.
-    // Derive a floor from the max existing MARKED partition id instead —
-    // only partitions whose write completed count as committed, so a
-    // partial partition left by a crashed write at a higher id is swept as
-    // uncommitted even when the replay lands on a different key.
+    // Derive a floor from MARKED partitions instead — and because markers
+    // are stamped only after EVERY table's write (below), take the MIN of
+    // the per-table marked maxima: a batch marked in one table but not
+    // the other (crash between the two marker stamps) is below the joint
+    // floor in the lagging table, so BOTH tables' partials above it are
+    // swept and the replay rebuilds the batch consistently across tables.
     val prev = state.load().map(_.height).getOrElse {
-      val marked = committedIds("rewards") ++ committedIds("transactions")
-      if (marked.nonEmpty) marked.max
+      val perTable = Seq("rewards", "transactions")
+        .map(committedIds).filter(_.nonEmpty)
+      if (perTable.nonEmpty) perTable.map(_.max).min
       else {
         // Legacy fallback: a table written before markers existed has data
         // but no markers — a MinValue floor would sweep ALL its committed
@@ -110,6 +124,12 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     }
     writeBatch(out.rewards, "rewards", maxHeight, prev)
     out.transactions.foreach(writeBatch(_, "transactions", maxHeight, prev))
+    // Batch-level commit record: stamped only once ALL tables' data for
+    // this batch is on disk, then the cursor. A crash before any stamp
+    // replays the whole batch; a crash between stamps leaves the joint
+    // floor (min over tables) below this batch, so it replays too.
+    markCommitted("rewards", maxHeight)
+    out.transactions.foreach(_ => markCommitted("transactions", maxHeight))
     state.advance(IngestState(maxHeight, firstBlock))
   }
 

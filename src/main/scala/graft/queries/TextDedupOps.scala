@@ -413,14 +413,20 @@ object TextDedupOps {
       .withColumn("hs",
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
+      .persist() // scanned twice (probe + corpus) — same discipline as d05
     val probe = hs.filter(col("doc_id") < 10)
-      .select(col("doc_id").as("probe_id"), size(col("hs")).cast("long").as("n_shingles"),
+      .select(col("doc_id").as("probe_id"),
+        size(col("hs")).cast("long").as("n_shingles"),
         explode(col("hs")).as("shingle"))
     val corpus = hs.filter(col("doc_id") >= 10)
       .select(explode(col("hs")).as("shingle")).distinct()
     val shared = probe.join(corpus, Seq("shingle"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_shared"))
-    probe.select(col("probe_id"), col("n_shingles")).distinct()
+    // per-probe base rows WITHOUT re-running the pipeline: one row per
+    // probe doc straight from hs (no explode, no distinct to undo it)
+    hs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("probe_id"),
+        size(col("hs")).cast("long").as("n_shingles"))
       .join(shared, Seq("probe_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("contamination_pm",

@@ -173,6 +173,58 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.state.load().get.height == 105)
   }
 
+  test("Full mode: crash between the two tables' writes + cursor loss never " +
+    "adopts either table's leftover at the crashed batch's key") {
+    val fixDir = tmpDir("fixtfm")
+    val root = tmpDir("rootfm")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Full)
+      sink.commit(Pipeline.run(Model.EtlMode.Full, blocks, payloads),
+        range.last, 100)
+    }
+    commitRange(100L to 101L)
+    commitRange(102L to 103L)
+    val rewardsCommitted = sink.rewardsTable().count()
+    val txnsCommitted = sink.transactionsTable().count()
+    assert(txnsCommitted == 5) // blocks 100-103 carry 5 txns
+
+    // crash mid-batch for heights 104-105: the rewards write finished and
+    // the transactions write was cut short — both partitions exist at the
+    // batch key with NO marker (markers are stamped only after ALL writes)
+    spark.read.parquet(s"$root/rewards/batch_id=103")
+      .write.parquet(s"$root/rewards/batch_id=105")
+    spark.read.parquet(s"$root/transactions/batch_id=103")
+      .write.parquet(s"$root/transactions/batch_id=105")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+
+    // joint floor = min over per-table marked maxima = 103: BOTH tables'
+    // unmarked leftovers at 105 are swept up front, and the replay (same
+    // key 105) rebuilds the batch consistently across tables
+    commitRange(104L to 105L)
+    assert(sink.rewardsTable().count() == rewardsCommitted,
+      "stale rewards leftover survived at the crashed batch's key")
+    import spark.implicits.newLongEncoder
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+    // transactions 105 must contain exactly the replayed blocks 104-105,
+    // none of the copied block<=103 junk
+    val t105 = sink.transactionsTable().filter(col("batch_id") === 105L)
+    assert(t105.count() == 2)
+    assert(t105.filter(col("block") <= 103L).count() == 0,
+      "partial transactions leftover was adopted as committed")
+    assert(sink.transactionsTable().count() == txnsCommitted + 2)
+    assert(sink.state.load().get.height == 105)
+  }
+
   test("legacy table without markers: cursor loss falls back to max id, sweeps nothing") {
     val fixDir = tmpDir("fixtleg")
     val root = tmpDir("rootleg")
@@ -220,10 +272,11 @@ class FollowerStreamSpec extends SparkSuite {
     import spark.implicits._
 
     // three batches; the last (blocks 104-105) yields ZERO rewards (r105
-    // has an empty rewards list) so it writes no partition at all — the
-    // newest *existing* partition is batch_id=103, and that is what
-    // compaction must protect (it is the only one that could still be a
-    // replay target after a crash-before-cursor).
+    // has an empty rewards list) so it writes a marker-only partition
+    // (zero data rows) — that empty batch_id=105 is the newest partition
+    // and is what compaction must protect (it is the cursor's batch, the
+    // only replay target after a crash-before-cursor); 101 AND 103 are
+    // closed and consolidate.
     Seq(100L to 101L, 102L to 103L, 104L to 105L)
       .foreach { range =>
         val blocks = Follower.parseBlocks(
@@ -238,14 +291,15 @@ class FollowerStreamSpec extends SparkSuite {
     sink.compact("rewards", targetPartitions = 1)
     val after = sink.rewardsTable()
     assert(after.count() == before)
-    // batch 101 consolidated into gen -1; newest (103) untouched
+    // batches 101+103 consolidated into gen -1; the newest partition (the
+    // marker-only 105) carries no rows, so only the generation shows
     assert(after.select("batch_id").distinct().as[Long].collect().toSet
-      == Set(-1L, 103L))
+      == Set(-1L))
     // compacting again with nothing new closed is a no-op
     sink.compact("rewards")
     assert(sink.rewardsTable().count() == before)
     assert(sink.rewardsTable().select("batch_id").distinct()
-      .as[Long].collect().toSet == Set(-1L, 103L))
+      .as[Long].collect().toSet == Set(-1L))
   }
 
   test("compaction crash windows: recover() rolls forward or back, never loses rows") {
