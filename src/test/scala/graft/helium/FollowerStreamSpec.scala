@@ -225,6 +225,45 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.state.load().get.height == 105)
   }
 
+  test("compaction + cursor loss: the joint floor survives consolidation, " +
+    "committed generations and the newest batch stay intact") {
+    val fixDir = tmpDir("fixtcc")
+    val root = tmpDir("rootcc")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Full)
+      sink.commit(Pipeline.run(Model.EtlMode.Full, blocks, payloads),
+        range.last, 100)
+    }
+    commitRange(100L to 101L)
+    commitRange(102L to 103L)
+    sink.compact("rewards", targetPartitions = 1)
+    sink.compact("transactions", targetPartitions = 1)
+    val rewardsRows = sink.rewardsTable().count()
+    val txnRows = sink.transactionsTable().count()
+
+    // markers of the consolidated sources are gone with their dirs; the
+    // newest batch (103) keeps its marker in both tables — after cursor
+    // loss the joint floor must be 103, sweeping nothing
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+    commitRange(104L to 105L)
+    assert(sink.rewardsTable().count() == rewardsRows,
+      "compacted generation or newest batch swept after cursor loss")
+    assert(sink.transactionsTable().count() == txnRows + 2)
+    import spark.implicits.newLongEncoder
+    assert(sink.transactionsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(-1L, 103L, 105L))
+    assert(sink.state.load().get.height == 105)
+  }
+
   test("legacy table without markers: cursor loss falls back to max id, sweeps nothing") {
     val fixDir = tmpDir("fixtleg")
     val root = tmpDir("rootleg")

@@ -86,6 +86,32 @@ class StreamingWindowSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming facts enrich against a static dimension, broadcast") {
+    implicit val sqlCtx = spark.sqlContext
+    // the allowlist/dimension-enrichment shape: the static side is planned
+    // once and broadcast per micro-batch — no streaming state at all
+    // (unlike stream-stream, there is nothing to watermark)
+    val dim = Seq(("gw1", "us"), ("gw2", "eu")).toDF("gateway", "region")
+    val facts = MemoryStream[(String, Long)]
+    val joined = facts.toDF().toDF("gateway", "amount")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("gateway"), "left")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      facts.addData(("gw1", 5L), ("gw3", 7L))
+      q.processAllAvailable()
+      facts.addData(("gw2", 9L))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select("gateway", "amount", "region")
+        .as[(String, Long, Option[String])].collect().toSet
+      // unknown gateways survive with a null region (left join, sentinel
+      // handling is downstream's choice); known ones enrich
+      assert(rows == Set(("gw1", 5L, Some("us")), ("gw3", 7L, None),
+        ("gw2", 9L, Some("eu"))))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark keeps first arrival only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
