@@ -21,6 +21,10 @@ import Model._
   *     lands on the same partition. If a post-reset replay covers a wider
   *     range (more blocks arrived), the stale uncommitted partition —
   *     recognizable as any id above the durable cursor — is dropped first;
+  *   - a `_COMMITTED` marker per partition is the batch-level commit
+  *     record: stamped only after every table the batch writes is on
+  *     disk, carrying the participant list so recovery can validate a
+  *     batch across tables ([[committedFloor]]);
   *   - the cursor ([[StateStore]]) moves forward only on success.
   *
   * At 100 TB this layout also gives partition pruning on batch ranges, and
@@ -50,46 +54,95 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
   private def markerPath(table: String, id: Long): Path =
     new Path(tableDir(table), s"batch_id=$id/_COMMITTED")
 
-  /** Positive partition ids whose BATCH committed: the `_COMMITTED` marker
-    * is created by [[commit]] only after EVERY table's parquet write for
-    * the batch has returned, so a partition left by a crash anywhere
-    * mid-batch never carries one — in any table. Underscore-prefixed
-    * files are invisible to Spark's readers, and compaction deletes
-    * source partitions wholesale, marker included. */
-  private def committedIds(table: String): Seq[Long] =
-    partitionIds(table).filter(id => id >= 0 && fs.exists(markerPath(table, id)))
+  /** All tables the sink can own. */
+  private val AllTables = Seq("rewards", "transactions")
 
-  private[helium] def writeBatch(df: DataFrame, table: String, key: Long,
-      prevCursor: Long): Unit = {
-    // Any positive partition above the durable cursor is an uncommitted
-    // leftover of a crashed attempt — INCLUDING one at this batch's own
-    // key: deleting it up front (rather than relying on dynamic overwrite,
-    // which touches nothing when the batch is empty) guarantees the final
-    // on-disk state is exactly this write's output, so a later marker on
-    // the key dir can never bless stale content.
-    partitionIds(table)
-      .filter(id => id >= 0 && id > prevCursor)
-      .foreach(id => fs.delete(new Path(tableDir(table), s"batch_id=$id"), true))
+  /** Positive partition ids carrying a `_COMMITTED` marker, via ONE
+    * globStatus listing (an fs.exists per partition would be O(N)
+    * metadata round-trips on the recovery path at ~8.6k partitions/day).
+    * A marker alone does not prove the BATCH committed — see
+    * [[committedFloor]] for the cross-table validation. */
+  private def markedIds(table: String): Seq[Long] = {
+    val dir = tableDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.globStatus(new Path(dir, "batch_id=*/_COMMITTED")).toSeq
+      .map(_.getPath.getParent.getName.stripPrefix("batch_id=").toLong)
+      .filter(_ >= 0)
+  }
+
+  /** The participant list recorded inside a marker (the tables the batch
+    * wrote). Unreadable/empty/unknown content degrades to "all tables" —
+    * the CONSERVATIVE direction: demanding more co-markers can only lower
+    * the floor and cause replay, never adopt a partial. */
+  private def markerParticipants(table: String, id: Long): Seq[String] = {
+    try {
+      val in = fs.open(markerPath(table, id))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val names = txt.trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      if (names.nonEmpty && names.forall(AllTables.contains)) names
+      else AllTables
+    } catch { case _: java.io.IOException => AllTables }
+  }
+
+  /** The highest batch id that provably COMMITTED: some table carries its
+    * marker, and every table named inside that marker carries it too.
+    * The participant list is what lets the floor tell a table that lags
+    * because the batch CRASHED mid-stamp (its id is named but unmarked →
+    * batch uncommitted → floor drops below it) from a table that lags
+    * because the MODE stopped writing it (not named → irrelevant), so a
+    * mode switch can never drag the floor into committed history.
+    * Candidates are checked descending — the first validates in the
+    * common case, so marker contents are read O(1) times. */
+  private def committedFloor(): Option[Long] = {
+    val marked = AllTables.map(t => t -> markedIds(t).toSet).toMap
+    val candidates = marked.values.flatten.toSeq.distinct.sorted.reverse
+    candidates.find { k =>
+      val claims = AllTables.filter(t => marked(t).contains(k))
+        .map(t => markerParticipants(t, k))
+      claims.nonEmpty &&
+        claims.flatten.distinct.forall(p => marked(p).contains(k))
+    }
+  }
+
+  private[helium] def writeBatch(df: DataFrame, table: String,
+      key: Long): Unit =
     df.withColumn("batch_id", lit(key))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(s"$root/$table")
-  }
 
-  /** Stamp the batch-level commit record on `key`'s partition. An empty
+  /** Delete positive partitions that are not committed state: anything
+    * above the floor, and the replayed batch's own key even when it
+    * equals the floor (dynamic overwrite touches nothing when the replay
+    * is empty, so without the up-front delete a stale dir at the key
+    * could survive and later be marker-stamped). Runs over EVERY table —
+    * including ones the current mode no longer writes — so a partial left
+    * by a pre-mode-switch crash cannot dangle above the cursor forever. */
+  private def sweepStale(floor: Long, key: Long): Unit =
+    AllTables.foreach { table =>
+      partitionIds(table)
+        .filter(id => id >= 0 && (id > floor || id == key))
+        .foreach(id =>
+          fs.delete(new Path(tableDir(table), s"batch_id=$id"), true))
+    }
+
+  /** Stamp the batch-level commit record on `key`'s partition, recording
+    * the batch's full participant list (see [[committedFloor]]). An empty
     * batch gets a marker-only directory: underscore files are invisible
     * to Spark's readers (zero rows), but the marker keeps this table's
-    * marked maximum in lock-step with the other table's, so the joint
-    * MIN floor never drags a legitimately-empty table's watermark behind
-    * and over-sweeps the other's committed history on cursor loss. The
-    * up-front delete in [[writeBatch]] guarantees a data-bearing dir here
-    * is this write's product, never stale content. */
-  private def markCommitted(table: String, key: Long): Unit = {
+    * watermark in lock-step with its co-participants'. The up-front
+    * [[sweepStale]] guarantees a data-bearing dir here is this write's
+    * product, never stale content. */
+  private def markCommitted(table: String, key: Long,
+      participants: Seq[String]): Unit = {
     val pdir = new Path(tableDir(table), s"batch_id=$key")
     if (!fs.exists(pdir)) fs.mkdirs(pdir)
-    fs.create(markerPath(table, key), true).close()
+    val out = fs.create(markerPath(table, key), true)
+    out.write(participants.mkString(",").getBytes("UTF-8"))
+    out.close()
   }
 
   /** Commit one batch: rewards (+ transactions in Full mode) then cursor.
@@ -101,45 +154,61 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     // Cursor-loss guard: if the StateStore file is missing/corrupt while
     // data partitions survive (metadata-only failure), a MinValue cursor
     // would make the stale-partition sweep delete ALL committed history.
-    // Derive a floor from MARKED partitions instead — and because markers
-    // are stamped only after EVERY table's write (below), take the MIN of
-    // the per-table marked maxima: a batch marked in one table but not
-    // the other (crash between the two marker stamps) is below the joint
-    // floor in the lagging table, so BOTH tables' partials above it are
-    // swept and the replay rebuilds the batch consistently across tables.
+    // Derive the floor from validated batch commit records instead
+    // ([[committedFloor]]): a batch is committed only when every table it
+    // NAMES carries its marker, so a crash anywhere mid-batch (data
+    // writes or marker stamps) leaves it above the floor and it replays
+    // in full, across tables — while a mode switch (a table no longer
+    // being written) cannot drag the floor into committed history.
     val prev = state.load().map(_.height).getOrElse {
-      val perTable = Seq("rewards", "transactions")
-        .map(committedIds).filter(_.nonEmpty)
-      if (perTable.nonEmpty) perTable.map(_.max).min
-      else {
+      committedFloor().getOrElse {
         // Legacy fallback: a table written before markers existed has data
         // but no markers — a MinValue floor would sweep ALL its committed
         // history. Fall back to the round-3 rule (max existing positive
-        // id = committed); only tables with at least one marked partition
-        // get the stricter partial-write discrimination.
-        val existing = (partitionIds("rewards") ++ partitionIds("transactions"))
-          .filter(_ >= 0)
+        // id = committed). Residual known limitation: if the very first
+        // marker-era batch crashes before any marker exists AND the
+        // cursor is lost, this rule adopts the partial — unavoidable
+        // without any commit record to consult.
+        val existing = AllTables.flatMap(partitionIds).filter(_ >= 0)
         if (existing.isEmpty) Long.MinValue else existing.max
       }
     }
-    writeBatch(out.rewards, "rewards", maxHeight, prev)
-    out.transactions.foreach(writeBatch(_, "transactions", maxHeight, prev))
+    sweepStale(prev, maxHeight)
+    val participants =
+      Seq("rewards") ++ out.transactions.map(_ => "transactions")
+    writeBatch(out.rewards, "rewards", maxHeight)
+    out.transactions.foreach(writeBatch(_, "transactions", maxHeight))
     // Batch-level commit record: stamped only once ALL tables' data for
     // this batch is on disk, then the cursor. A crash before any stamp
-    // replays the whole batch; a crash between stamps leaves the joint
-    // floor (min over tables) below this batch, so it replays too.
-    markCommitted("rewards", maxHeight)
-    out.transactions.foreach(_ => markCommitted("transactions", maxHeight))
+    // replays the whole batch; a crash between stamps leaves the batch
+    // failing committedFloor's cross-table validation, so it replays too.
+    participants.foreach(markCommitted(_, maxHeight, participants))
     state.advance(IngestState(maxHeight, firstBlock))
+  }
+
+  /** Canonical stored schema (data columns + the batch_id partition
+    * column). Passing it explicitly to every read keeps a table whose
+    * only partitions are marker-only dirs (legitimate: every batch so far
+    * was empty for this table) readable — schema inference has no data
+    * files to look at there and would throw. */
+  private def storedSchema(table: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val base = table match {
+      case "rewards" => org.apache.spark.sql.Encoders.product[Reward].schema
+      case "transactions" =>
+        org.apache.spark.sql.Encoders.product[TxnEnvelope].schema
+    }
+    StructType(base.fields.map(_.copy(nullable = true)) :+
+      StructField("batch_id", LongType, nullable = true))
   }
 
   def rewardsTable(): DataFrame = {
     recover("rewards")
-    spark.read.parquet(s"$root/rewards")
+    spark.read.schema(storedSchema("rewards")).parquet(s"$root/rewards")
   }
   def transactionsTable(): DataFrame = {
     recover("transactions")
-    spark.read.parquet(s"$root/transactions")
+    spark.read.schema(storedSchema("transactions")).parquet(s"$root/transactions")
   }
 
   /** Compact closed batches: every positive `batch_id` partition except the
@@ -149,7 +218,14 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     *
     * Why safe: the cursor is monotonic and replay can only re-run the
     * batch *after* the stored cursor, i.e. at most the newest committed
-    * batch — which compaction never touches. Why needed: a 10 s trigger
+    * batch — which compaction never touches. Only MARKED partitions are
+    * consolidated (minus the newest marked, kept as both replay target
+    * and floor evidence): an unmarked positive is crash junk pending
+    * [[sweepStale]], and consolidating it would launder it into a
+    * committed generation; consolidating the last marked one would erase
+    * the marker evidence [[committedFloor]] depends on. Tables from
+    * before the marker scheme (zero markers anywhere) keep the round-3
+    * rule (all positives minus the newest). Why needed: a 10 s trigger
     * writes ~8.6k batch partitions/day; at cluster scale the accumulated
     * small files dominate scan planning cost. Compaction is the standard
     * maintenance pass (cf. Delta OPTIMIZE), expressed on plain parquet.
@@ -166,7 +242,10 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     val dir = tableDir(table)
     if (!fs.exists(dir)) return
     val ids = partitionIds(table)
-    val closed = ids.filter(_ >= 0).sorted.dropRight(1)
+    val marked = markedIds(table).toSet
+    val closed =
+      if (marked.nonEmpty) ids.filter(marked.contains).sorted.dropRight(1)
+      else ids.filter(_ >= 0).sorted.dropRight(1) // legacy, pre-marker table
     if (closed.isEmpty) return
     val gens = ids.filter(_ < 0)
     val newGen = (gens :+ 0L).min - 1
@@ -175,7 +254,7 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     val tmp = tmpDir(table)
     fs.delete(tmp, true) // a tmp without manifest is a dead write
     val keep = sources.map(x => x: Any)
-    spark.read.parquet(s"$root/$table")
+    spark.read.schema(storedSchema(table)).parquet(s"$root/$table")
       .filter(col("batch_id").isin(keep: _*))
       .drop("batch_id")
       .repartition(targetPartitions)

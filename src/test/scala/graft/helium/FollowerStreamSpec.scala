@@ -264,6 +264,46 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.state.load().get.height == 105)
   }
 
+  test("Full->Rewards mode switch: the frozen transactions watermark cannot " +
+    "drag the cursor-loss floor into committed rewards history") {
+    val fixDir = tmpDir("fixtms")
+    val root = tmpDir("rootms")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    val sink = new ExactlyOnceSink(spark, root)
+    import spark.implicits._
+
+    def commitRange(range: Seq[Long], mode: Model.EtlMode): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, mode)
+      sink.commit(Pipeline.run(mode, blocks, payloads), range.last, 100)
+    }
+    // Full mode to height 101 — transactions watermark freezes at 101
+    commitRange(100L to 101L, Model.EtlMode.Full)
+    // switch to Rewards mode, ingest onward — rewards watermark advances
+    commitRange(102L to 103L, Model.EtlMode.Rewards)
+    val committed = sink.rewardsTable().count()
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+
+    // cursor loss: a naive min-over-tables floor would be 101 (the frozen
+    // transactions watermark) and the sweep would delete committed
+    // rewards batch 103; the participant-validated floor is 103 (its
+    // marker names rewards only, which is marked)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+    commitRange(104L to 105L, Model.EtlMode.Rewards)
+    assert(sink.rewardsTable().count() == committed,
+      "committed rewards history was swept after the mode switch")
+    assert(sink.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(101L, 103L))
+    // the frozen Full-era transactions stay intact too
+    assert(sink.transactionsTable().count() == 3) // blocks 100-101: 3 txns
+    assert(sink.state.load().get.height == 105)
+  }
+
   test("legacy table without markers: cursor loss falls back to max id, sweeps nothing") {
     val fixDir = tmpDir("fixtleg")
     val root = tmpDir("rootleg")
@@ -417,10 +457,8 @@ class FollowerStreamSpec extends SparkSuite {
       val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
       val out = Pipeline.run(Model.EtlMode.Rewards, blocks, payloads)
       if (advanceCursor) sink.commit(out, range.last, 100)
-      else { // simulate crash-before-cursor: data written, cursor not moved
-        val prev = sink.state.load().map(_.height).getOrElse(Long.MinValue)
-        sink.writeBatch(out.rewards, "rewards", range.last, prev)
-      }
+      else // simulate crash-before-cursor: data written, no marker, no cursor
+        sink.writeBatch(out.rewards, "rewards", range.last)
     }
 
     commitRange(100L to 101L, advanceCursor = true)   // cursor=101, part 101
