@@ -23,8 +23,8 @@ import Model._
   *     recognizable as any id above the durable cursor — is dropped first;
   *   - a `_COMMITTED` marker per partition is the batch-level commit
   *     record: stamped only after every table the batch writes is on
-  *     disk, carrying the participant list so recovery can validate a
-  *     batch across tables ([[committedFloor]]);
+  *     disk, so a marker's existence alone proves its whole batch's data
+  *     is complete ([[committedFloor]]);
   *   - the cursor ([[StateStore]]) moves forward only on success.
   *
   * At 100 TB this layout also gives partition pruning on batch ranges, and
@@ -59,9 +59,7 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
 
   /** Positive partition ids carrying a `_COMMITTED` marker, via ONE
     * globStatus listing (an fs.exists per partition would be O(N)
-    * metadata round-trips on the recovery path at ~8.6k partitions/day).
-    * A marker alone does not prove the BATCH committed — see
-    * [[committedFloor]] for the cross-table validation. */
+    * metadata round-trips on the recovery path at ~8.6k partitions/day). */
   private def markedIds(table: String): Seq[Long] = {
     val dir = tableDir(table)
     if (!fs.exists(dir)) Seq.empty
@@ -70,39 +68,24 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .filter(_ >= 0)
   }
 
-  /** The participant list recorded inside a marker (the tables the batch
-    * wrote). Unreadable/empty/unknown content degrades to "all tables" —
-    * the CONSERVATIVE direction: demanding more co-markers can only lower
-    * the floor and cause replay, never adopt a partial. */
-  private def markerParticipants(table: String, id: Long): Seq[String] = {
-    try {
-      val in = fs.open(markerPath(table, id))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      val names = txt.trim.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-      if (names.nonEmpty && names.forall(AllTables.contains)) names
-      else AllTables
-    } catch { case _: java.io.IOException => AllTables }
-  }
-
-  /** The highest batch id that provably COMMITTED: some table carries its
-    * marker, and every table named inside that marker carries it too.
-    * The participant list is what lets the floor tell a table that lags
-    * because the batch CRASHED mid-stamp (its id is named but unmarked →
-    * batch uncommitted → floor drops below it) from a table that lags
-    * because the MODE stopped writing it (not named → irrelevant), so a
-    * mode switch can never drag the floor into committed history.
-    * Candidates are checked descending — the first validates in the
-    * common case, so marker contents are read O(1) times. */
+  /** The highest batch id whose data provably reached disk IN FULL.
+    *
+    * The load-bearing invariant: [[commit]] stamps markers strictly AFTER
+    * every table's data write for the batch has returned — so the mere
+    * EXISTENCE of a marker at id k, in any table, proves the whole batch
+    * k (all its tables) is on disk, and max-over-all-marked-ids is a
+    * sound floor. No marker-content validation enters the decision: a
+    * floor that content parsing could LOWER would be the destructive
+    * direction here, because everything above the floor gets swept — a
+    * torn/empty/unreadable marker must never cause committed history to
+    * be deleted. (Marker content records the batch's participant tables
+    * for forensics only.) A mode switch is naturally safe: a frozen
+    * table's old markers just lose the max to the active table's newer
+    * ones, and the sweep above the floor cannot touch the frozen
+    * table's history, which all sits at or below the old cursor. */
   private def committedFloor(): Option[Long] = {
-    val marked = AllTables.map(t => t -> markedIds(t).toSet).toMap
-    val candidates = marked.values.flatten.toSeq.distinct.sorted.reverse
-    candidates.find { k =>
-      val claims = AllTables.filter(t => marked(t).contains(k))
-        .map(t => markerParticipants(t, k))
-      claims.nonEmpty &&
-        claims.flatten.distinct.forall(p => marked(p).contains(k))
-    }
+    val marked = AllTables.flatMap(markedIds)
+    if (marked.isEmpty) None else Some(marked.max)
   }
 
   private[helium] def writeBatch(df: DataFrame, table: String,
@@ -115,27 +98,34 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .parquet(s"$root/$table")
 
   /** Delete positive partitions that are not committed state: anything
-    * above the floor, and the replayed batch's own key even when it
-    * equals the floor (dynamic overwrite touches nothing when the replay
-    * is empty, so without the up-front delete a stale dir at the key
-    * could survive and later be marker-stamped). Runs over EVERY table —
-    * including ones the current mode no longer writes — so a partial left
-    * by a pre-mode-switch crash cannot dangle above the cursor forever. */
-  private def sweepStale(floor: Long, key: Long): Unit =
+    * above the floor in EVERY table — including tables the current mode
+    * no longer writes, so a partial left by a pre-mode-switch crash
+    * cannot dangle above the cursor forever — plus the replayed batch's
+    * own key in the tables THIS batch writes (dynamic overwrite touches
+    * nothing when the replay is empty, so without the up-front delete a
+    * stale dir at the key could survive and later be marker-stamped).
+    * The key-delete must NOT extend to non-participant tables: a
+    * committed other-mode partition at the same key would be destroyed
+    * and never rebuilt by this batch's writes. */
+  private def sweepStale(floor: Long, key: Long,
+      participants: Seq[String]): Unit =
     AllTables.foreach { table =>
+      val keyToo = participants.contains(table)
       partitionIds(table)
-        .filter(id => id >= 0 && (id > floor || id == key))
+        .filter(id => id >= 0 && (id > floor || (keyToo && id == key)))
         .foreach(id =>
           fs.delete(new Path(tableDir(table), s"batch_id=$id"), true))
     }
 
-  /** Stamp the batch-level commit record on `key`'s partition, recording
-    * the batch's full participant list (see [[committedFloor]]). An empty
+  /** Stamp the batch-level commit record on `key`'s partition. MUST only
+    * be called after every table's data write for the batch has returned
+    * — [[committedFloor]]'s soundness rests on that ordering. Content is
+    * the participant list (forensics only, never load-bearing). An empty
     * batch gets a marker-only directory: underscore files are invisible
-    * to Spark's readers (zero rows), but the marker keeps this table's
-    * watermark in lock-step with its co-participants'. The up-front
-    * [[sweepStale]] guarantees a data-bearing dir here is this write's
-    * product, never stale content. */
+    * to Spark's readers (zero rows), but the marker still advances the
+    * floor evidence. The up-front [[sweepStale]] guarantees a
+    * data-bearing dir here is this write's product, never stale
+    * content. */
   private def markCommitted(table: String, key: Long,
       participants: Seq[String]): Unit = {
     val pdir = new Path(tableDir(table), s"batch_id=$key")
@@ -151,15 +141,14 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     * `follower_info.height` after the reference's per-block txn. */
   def commit(out: Pipeline.Output, maxHeight: Long,
       firstBlock: Long): Unit = {
-    // Cursor-loss guard: if the StateStore file is missing/corrupt while
-    // data partitions survive (metadata-only failure), a MinValue cursor
+    // Cursor-loss guard: if the StateStore files are lost while data
+    // partitions survive (metadata-only failure), a MinValue cursor
     // would make the stale-partition sweep delete ALL committed history.
-    // Derive the floor from validated batch commit records instead
-    // ([[committedFloor]]): a batch is committed only when every table it
-    // NAMES carries its marker, so a crash anywhere mid-batch (data
-    // writes or marker stamps) leaves it above the floor and it replays
-    // in full, across tables — while a mode switch (a table no longer
-    // being written) cannot drag the floor into committed history.
+    // Derive the floor from batch commit records instead
+    // ([[committedFloor]]): a marker's existence proves its whole batch's
+    // data reached disk, so max-over-marked is sound — a crash anywhere
+    // mid-batch leaves the batch unmarked, above the floor, and it
+    // replays in full across tables.
     val prev = state.load().map(_.height).getOrElse {
       committedFloor().getOrElse {
         // Legacy fallback: a table written before markers existed has data
@@ -173,15 +162,17 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
         if (existing.isEmpty) Long.MinValue else existing.max
       }
     }
-    sweepStale(prev, maxHeight)
     val participants =
       Seq("rewards") ++ out.transactions.map(_ => "transactions")
+    sweepStale(prev, maxHeight, participants)
     writeBatch(out.rewards, "rewards", maxHeight)
     out.transactions.foreach(writeBatch(_, "transactions", maxHeight))
     // Batch-level commit record: stamped only once ALL tables' data for
-    // this batch is on disk, then the cursor. A crash before any stamp
-    // replays the whole batch; a crash between stamps leaves the batch
-    // failing committedFloor's cross-table validation, so it replays too.
+    // this batch is on disk, then the cursor. A crash before the first
+    // stamp replays the whole batch; a crash between stamps is benign —
+    // every table's data is already complete, the marked table carries
+    // the floor, and the unmarked one's partition (same id, complete
+    // data) sits AT the floor where the sweep never touches it.
     participants.foreach(markCommitted(_, maxHeight, participants))
     state.advance(IngestState(maxHeight, firstBlock))
   }
@@ -218,14 +209,16 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     *
     * Why safe: the cursor is monotonic and replay can only re-run the
     * batch *after* the stored cursor, i.e. at most the newest committed
-    * batch — which compaction never touches. Only MARKED partitions are
-    * consolidated (minus the newest marked, kept as both replay target
-    * and floor evidence): an unmarked positive is crash junk pending
-    * [[sweepStale]], and consolidating it would launder it into a
-    * committed generation; consolidating the last marked one would erase
-    * the marker evidence [[committedFloor]] depends on. Tables from
-    * before the marker scheme (zero markers anywhere) keep the round-3
-    * rule (all positives minus the newest). Why needed: a 10 s trigger
+    * batch — which compaction never touches. Everything strictly below
+    * the newest MARKED id is consolidated (committed by the marker
+    * invariant — unmarked ids down there are pre-marker legacy history
+    * or complete leftovers of a crash between marker stamps); the newest
+    * marked partition is kept as both replay target and floor evidence,
+    * and ids above it (possible crash junk pending [[sweepStale]]) are
+    * never touched, so junk cannot be laundered into a committed
+    * generation. Tables from before the marker scheme (zero markers
+    * anywhere) keep the round-3 rule (all positives minus the newest).
+    * Why needed: a 10 s trigger
     * writes ~8.6k batch partitions/day; at cluster scale the accumulated
     * small files dominate scan planning cost. Compaction is the standard
     * maintenance pass (cf. Delta OPTIMIZE), expressed on plain parquet.
@@ -242,9 +235,15 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     val dir = tableDir(table)
     if (!fs.exists(dir)) return
     val ids = partitionIds(table)
-    val marked = markedIds(table).toSet
+    val marked = markedIds(table)
     val closed =
-      if (marked.nonEmpty) ids.filter(marked.contains).sorted.dropRight(1)
+      if (marked.nonEmpty)
+        // everything strictly below the newest marked id is committed
+        // state (markers follow data; unmarked ids below it are either
+        // pre-marker legacy history or complete leftovers of a crash
+        // between marker stamps) — consolidate it all, and keep the
+        // newest marked partition as replay target + floor evidence
+        ids.filter(id => id >= 0 && id < marked.max).sorted
       else ids.filter(_ >= 0).sorted.dropRight(1) // legacy, pre-marker table
     if (closed.isEmpty) return
     val gens = ids.filter(_ < 0)

@@ -22,14 +22,22 @@ class StateStore(spark: SparkSession, root: String) extends Serializable {
   private def fs: FileSystem =
     dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** src/follower.rs:123-142 — None when no follower_info row exists. */
+  /** src/follower.rs:123-142 — None when no follower_info row exists.
+    * Malformed names (torn create on an object store, stray files) are
+    * skipped, not fatal: the max-of-names read works off whatever valid
+    * versions remain, and the sink's marker floor covers total loss — a
+    * parse crash here would make every commit and bootstrap fail in
+    * exactly the metadata-corruption scenario recovery exists for. */
   def load(): Option[IngestState] = {
     if (!fs.exists(dir)) return None
     val states = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.startsWith("state-"))
-      .map { n =>
-        val Array(h, fb) = n.stripPrefix("state-").split("_")
-        IngestState(h.toLong, fb.toLong)
+      .flatMap { n =>
+        n.stripPrefix("state-").split("_") match {
+          case Array(h, fb) =>
+            scala.util.Try(IngestState(h.toLong, fb.toLong)).toOption
+          case _ => None
+        }
       }
     if (states.isEmpty) None else Some(states.maxBy(_.height))
   }
@@ -58,9 +66,12 @@ class StateStore(spark: SparkSession, root: String) extends Serializable {
       out.close()
     }
     // keep the directory bounded: drop all but the newest few versions
+    // (malformed names sort as MinValue, i.e. pruned first, never fatal)
     val old = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.startsWith("state-"))
-      .sortBy(p => p.getName.stripPrefix("state-").split("_")(0).toLong)
+      .sortBy(p => scala.util.Try(
+        p.getName.stripPrefix("state-").split("_")(0).toLong)
+        .getOrElse(Long.MinValue))
       .dropRight(10)
     old.foreach(p => fs.delete(p, false))
   }
