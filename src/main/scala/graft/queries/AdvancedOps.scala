@@ -151,6 +151,24 @@ object AdvancedOps {
         element_at(col("qarr"), 3).cast("double").as("approx_q75"),
         col("n_rows"))
 
+  /** Discrete quantiles — PERCENTILE_DISC WITHIN GROUP returns an ACTUAL
+    * data value (the first value whose cumulative distribution reaches
+    * p), complementing q30/q36's interpolated percentile_cont: the right
+    * semantics when the quantile must be a real observation (a real
+    * document length, a real price), not a synthetic average. Both
+    * engines pick the same value by the same CDF rule, so the gate is
+    * exact. Same physical shape as q36: one per-group sort. */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.registerAll(s, d)
+    s.sql(
+      """SELECT l_linestatus,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS disc_q25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS disc_q50,
+        |  percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS disc_q75,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin)
+  }
+
   /** The ranking-function family beyond row_number (q08): rank with gaps,
     * dense_rank, quartile ntile, percent_rank and cume_dist per customer
     * balance within nation. All are single-pass partition-local functions
@@ -229,6 +247,7 @@ object AdvancedOps {
     "q43_rank_family" -> q43 _,
     "q44_unpivot_metrics" -> q44 _,
     "q46_portable_corr" -> q46 _,
+    "q47_disc_quantiles" -> q47 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -271,6 +290,13 @@ object AdvancedOps {
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY user_id, first_ev, last_ev""".stripMargin,
+    "q47_disc_quantiles" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_quantity, 0.25) AS disc_q25,
+        |  quantile_disc(l_quantity, 0.5)  AS disc_q50,
+        |  quantile_disc(l_quantity, 0.75) AS disc_q75,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     "q36_quartiles" ->
       """SELECT l_linestatus,
         |  quantile_cont(l_quantity, 0.25) AS qty_q25,
