@@ -169,6 +169,23 @@ object AdvancedOps {
         |FROM lineitem GROUP BY l_linestatus""".stripMargin)
   }
 
+  /** Ordered string aggregation — LISTAGG (Spark 4) ≡ DuckDB string_agg:
+    * the report-building aggregate that turns a group's values into one
+    * delimited string. Determinism requires BOTH the explicit WITHIN
+    * GROUP order and DISTINCT (duplicate arrival order would otherwise
+    * leak the partitioning into the result); with them the output is a
+    * pure function of the group's value SET, identical across engines
+    * and cluster sizes. Single aggregation pass, partial-merge friendly. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    graft.Catalog.registerAll(s, d)
+    s.sql(
+      """SELECT c_nationkey,
+        |  listagg(DISTINCT c_mktsegment, ',')
+        |    WITHIN GROUP (ORDER BY c_mktsegment) AS segments,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin)
+  }
+
   /** The ranking-function family beyond row_number (q08): rank with gaps,
     * dense_rank, quartile ntile, percent_rank and cume_dist per customer
     * balance within nation. All are single-pass partition-local functions
@@ -248,6 +265,7 @@ object AdvancedOps {
     "q44_unpivot_metrics" -> q44 _,
     "q46_portable_corr" -> q46 _,
     "q47_disc_quantiles" -> q47 _,
+    "q48_listagg_segments" -> q48 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -290,6 +308,12 @@ object AdvancedOps {
         |    ORDER BY epoch_us(ts), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
         |GROUP BY user_id, first_ev, last_ev""".stripMargin,
+    "q48_listagg_segments" ->
+      """SELECT c_nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+        |    AS segments,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q47_disc_quantiles" ->
       """SELECT l_linestatus,
         |  quantile_disc(l_quantity, 0.25) AS disc_q25,
