@@ -309,6 +309,18 @@ object TextDedupOps {
       .run(d05(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("doc_id"), col("comp"))
 
+  /** Duplicate-cluster SIZE HISTOGRAM — the shape report a dedup pipeline
+    * reads before choosing its strategy: many pairs (size 2) vs a few
+    * giant boilerplate clusters change both the expected dedup rate and
+    * the component algorithm's skew profile (one mega-cluster = one hot
+    * reducer). Built on d06's components; two narrow rollups after the
+    * component labeling. */
+  private def d14(s: SparkSession, d: String): DataFrame =
+    d06(s, d)
+      .groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Near-dup dedup SURVIVOR selection — the step that turns d06's clusters
     * into a cleaned corpus: within each near-dup component keep the min
     * doc_id (the canonical survivor), drop the rest; docs in no component
@@ -641,6 +653,7 @@ object TextDedupOps {
     "d11_shingle_df_histogram" -> d11 _,
     "d12_contamination" -> d12 _,
     "d13_mixture_sample" -> d13 _,
+    "d14_cluster_size_histogram" -> d14 _,
   )
 
   // ---- DuckDB oracles ----
@@ -830,6 +843,22 @@ object TextDedupOps {
          |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
          |SELECT node AS doc_id, MIN(label) AS comp
          |FROM reach GROUP BY node""".stripMargin,
+    "d14_cluster_size_histogram" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node, MIN(label) AS comp FROM reach GROUP BY node),
+         |sizes AS (SELECT comp, COUNT(*)::BIGINT AS cluster_size
+         |          FROM comp GROUP BY comp)
+         |SELECT cluster_size, COUNT(*) AS n_clusters
+         |FROM sizes GROUP BY cluster_size""".stripMargin,
     "t08_bpe_tokens" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]+')))::BIGINT AS bpe_tokens,
