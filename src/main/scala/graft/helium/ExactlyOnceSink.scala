@@ -54,8 +54,21 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
   private def markerPath(table: String, id: Long): Path =
     new Path(tableDir(table), s"batch_id=$id/_COMMITTED")
 
-  /** All tables the sink can own. */
-  private val AllTables = Seq("rewards", "transactions")
+  /** Single source of truth for every table the sink can own: name →
+    * data schema. The stale sweep, the committed floor, compaction, and
+    * explicit-schema reads all derive from this map, so adding a table
+    * here enrolls it in ALL of those paths at once — a table listed in
+    * one place but not another would silently reopen the
+    * partial-adoption hole the marker scheme closes. */
+  private val TableRegistry: scala.collection.immutable.ListMap[String,
+      org.apache.spark.sql.types.StructType] =
+    scala.collection.immutable.ListMap(
+      "rewards" -> org.apache.spark.sql.Encoders.product[Reward].schema,
+      "transactions" ->
+        org.apache.spark.sql.Encoders.product[TxnEnvelope].schema)
+
+  /** All tables the sink can own (registry key order). */
+  private val AllTables: Seq[String] = TableRegistry.keys.toSeq
 
   /** Positive partition ids carrying a `_COMMITTED` marker, via ONE
     * globStatus listing (an fs.exists per partition would be O(N)
@@ -67,6 +80,24 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
       .map(_.getPath.getParent.getName.stripPrefix("batch_id=").toLong)
       .filter(_ >= 0)
   }
+
+  /** Store-level sentinel proving this store has had batch markers from
+    * its very first write. Stamped by [[commit]] on a FRESH store (no
+    * data partitions in any table) strictly BEFORE the first data write,
+    * so on recovery with zero markers + lost cursor its presence means
+    * every unmarked positive partition is an uncommitted partial — sweep
+    * it and replay — while its absence means pre-marker legacy history
+    * (keep the round-3 max-positive rule). Closes the last
+    * cursor-loss window: crash mid-batch-1 with zero markers. */
+  private def markerEraPath: Path = new Path(root, "_MARKER_ERA")
+
+  private def stampMarkerEra(): Unit =
+    if (!fs.exists(markerEraPath) &&
+        AllTables.flatMap(partitionIds).isEmpty) {
+      val out = fs.create(markerEraPath, true)
+      out.write("markers precede all data in this store".getBytes("UTF-8"))
+      out.close()
+    }
 
   /** The highest batch id whose data provably reached disk IN FULL.
     *
@@ -149,17 +180,26 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     // data reached disk, so max-over-marked is sound — a crash anywhere
     // mid-batch leaves the batch unmarked, above the floor, and it
     // replays in full across tables.
+    stampMarkerEra() // fresh store: sentinel lands before any data write
     val prev = state.load().map(_.height).getOrElse {
       committedFloor().getOrElse {
-        // Legacy fallback: a table written before markers existed has data
-        // but no markers — a MinValue floor would sweep ALL its committed
-        // history. Fall back to the round-3 rule (max existing positive
-        // id = committed). Residual known limitation: if the very first
-        // marker-era batch crashes before any marker exists AND the
-        // cursor is lost, this rule adopts the partial — unavoidable
-        // without any commit record to consult.
-        val existing = AllTables.flatMap(partitionIds).filter(_ >= 0)
-        if (existing.isEmpty) Long.MinValue else existing.max
+        if (fs.exists(markerEraPath))
+          // Marker-era store from birth: zero markers means NOTHING is
+          // committed — any surviving positive partition is the torn
+          // remains of batch 1 and must be swept, then replayed in full.
+          Long.MinValue
+        else {
+          // Legacy fallback: a table written before markers existed has
+          // data but no markers — a MinValue floor would sweep ALL its
+          // committed history. Fall back to the round-3 rule (max
+          // existing positive id = committed). Residual limitation for
+          // legacy stores ONLY: a crash during their first marker-era
+          // batch + cursor loss adopts the partial — unavoidable without
+          // any commit record to consult; fresh stores are covered by
+          // the [[markerEraPath]] sentinel.
+          val existing = AllTables.flatMap(partitionIds).filter(_ >= 0)
+          if (existing.isEmpty) Long.MinValue else existing.max
+        }
       }
     }
     val participants =
@@ -184,11 +224,7 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     * files to look at there and would throw. */
   private def storedSchema(table: String): org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val base = table match {
-      case "rewards" => org.apache.spark.sql.Encoders.product[Reward].schema
-      case "transactions" =>
-        org.apache.spark.sql.Encoders.product[TxnEnvelope].schema
-    }
+    val base = TableRegistry(table)
     StructType(base.fields.map(_.copy(nullable = true)) :+
       StructField("batch_id", LongType, nullable = true))
   }

@@ -27,7 +27,8 @@ object SimilarityOps {
   private val NQ = 8          // query vectors: vec_id < 8
   private val TOPK = 5
   private val PLANES = 4      // hyperplanes per LSH table (bucket = 4 bits)
-  private val TABLES = 4      // OR-amplified LSH tables
+  private val TABLES = 4      // OR-amplified LSH tables (ANN, s02)
+  private val NDTABLES = 8    // OR-amplified LSH tables (near-dup, s11)
   private val NPROBE = 4      // IVF lists probed per query
 
   private def withQ(df: DataFrame): DataFrame = {
@@ -156,7 +157,11 @@ object SimilarityOps {
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), all-pairs.
     * The synthetic embeddings contain no true duplicates (max pair cosine
-    * ≈0.5–0.6), so the threshold 0.45 exercises the operator on real rows. */
+    * ≈0.5–0.6), so the threshold 0.45 exercises the operator on real rows.
+    *
+    * This is the EXACT AUDIT (O(n²) by definition — the role d05 plays for
+    * text dedup): it defines ground truth for the banded scale path (s11)
+    * and feeds the recall report (s12). Production pipelines run s11. */
   private def s04(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
     val a = emb.select(col("vec_id").as("a_id"), col("qv").as("a_qv"),
@@ -204,15 +209,77 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
-  /** Semantic dedup clusters: connected components over the
-    * embedding-cosine near-dup pairs (s04) — the embedding-space analog of
-    * d06's text clusters. A training pipeline drops every member but
-    * min(vec_id) per cluster; the component operator is the same
+  /** Banded embedding near-dup pairs — the SCALE PATH for s04 (the batch
+    * analog of the streaming `bandVectors` + `detectVecDups` shape in
+    * [[graft.streaming.IncrementalDedup]], and of d03's MinHash-LSH for
+    * text): band every vector into NDTABLES OR-amplified hyperplane tables
+    * (fused single-pass signature), self-join the id-only band table on
+    * (table, signature), then verify each distinct candidate with the
+    * exact quantized cosine. LSH only PRUNES — every emitted pair passed
+    * the same exact test as s04, so s11 ⊆ s04 by construction (spec-
+    * asserted) and the only loss is recall (reported by s12).
+    *
+    * Scale: the band join carries (tab, sig, vec_id) only — no vectors
+    * move until the verify join, which touches candidate ids (≈ corpus ·
+    * collision rate), not n². With k=4-bit signatures a table has ~n/16
+    * rows per bucket worst-case uniform; skewed buckets are bounded by
+    * the band-key shuffle (AQE skew split applies). Recall at threshold
+    * cos θ: 1 − (1 − p^k)^L for p = 1 − θ/π — k, L are the tuning knobs,
+    * chosen here (4, 8) for ~0.8 at the test threshold 0.45; production
+    * near-dup thresholds (≥0.9, p ≈ 0.9) give ≥0.98 with the same shape. */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val emb = withQ(embeddings(s, d))
+    val banded = emb.select(col("vec_id"),
+      explode(array((0 until NDTABLES).map(t =>
+        struct(lit(t).as("tab"),
+          graft.functions.HashSketch.lshSig(col("qv"), PLANES, t * PLANES)
+            .as("sig"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.tab").as("tab"), col("p.sig").as("sig"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.tab") === col("b.tab") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val side = emb.select(col("vec_id"), col("qv"), col("n2"))
+    cand
+      .join(side.select(col("vec_id").as("a_id"), col("qv").as("a_qv"),
+        col("n2").as("a_n2")), Seq("a_id"))
+      .join(side.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
+        col("n2").as("b_n2")), Seq("b_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("a_qv"), col("b_qv")), col("a_n2"), col("b_n2")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** Semantic dedup clusters: connected components over the BANDED
+    * embedding near-dup pairs (s11 — the scale path; s04 remains the
+    * exact audit) — the embedding-space analog of d06's text clusters.
+    * A training pipeline drops every member but min(vec_id) per cluster;
+    * the component operator is the same
     * [[graft.operators.ConnectedComponents]] (one shuffle per round). */
   private def s07(s: SparkSession, d: String): DataFrame =
     graft.operators.ConnectedComponents
-      .run(s04(s, d), src = "a_id", dst = "b_id")
+      .run(s11(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("vec_id"), col("comp"))
+
+  /** Banded near-dup recall report — s11 (got) against the exact all-pairs
+    * audit s04 (truth), the d10/s08 pattern: the metric that drives the
+    * (planes, tables) tuning loop. Precision is 1.0 by construction (s11
+    * exact-verifies every candidate), so recall_pm is the whole story. */
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    val truth = s04(s, d).select(col("a_id"), col("b_id"))
+    val got = s11(s, d).select(col("a_id"), col("b_id"))
+    val tp = got.join(truth, Seq("a_id", "b_id"), "left_semi")
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(got.agg(count(lit(1)).as("n_got")))
+      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      .withColumn("recall_pm",
+        when(col("n_truth") > 0, expr("(1000L * n_tp) DIV n_truth"))
+          .otherwise(1000L))
+  }
 
   /** ANN quality report — recall of the multi-table LSH (s02) against the
     * brute-force top-3 ground truth (s01), gated like d10: the metric that
@@ -306,6 +373,8 @@ object SimilarityOps {
     "s08_ann_recall_report" -> s08 _,
     "s09_embedding_quality" -> s09 _,
     "s10_pq_assign" -> s10 _,
+    "s11_embedding_lsh_pairs" -> s11 _,
+    "s12_banded_recall_report" -> s12 _,
   )
 
   // ---- DuckDB oracles ----
@@ -319,15 +388,40 @@ object SimilarityOps {
        |embn AS (
        |  SELECT vec_id, label, qv, ${dot("qv", "qv")} AS n2 FROM emb)""".stripMargin
 
-  /** s04's all-pairs cosine near-dup SQL — shared verbatim by the s07
-    * semantic-dedup oracle (embedded under a recursive CTE, the d05/d06
-    * pattern). */
+  /** s04's all-pairs cosine near-dup SQL — the exact audit; shared
+    * verbatim by the s12 recall-report oracle. */
   private val s04Sql: String =
     s"""WITH $embCte
        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
        |FROM embn a JOIN embn b ON a.vec_id < b.vec_id
+       |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin
+
+  /** s11's banded near-dup SQL — the scale path; shared verbatim by the
+    * s07 semantic-dedup oracle (embedded under a recursive CTE, the
+    * d05/d06 pattern) and the s12 recall report. Regenerates the identical
+    * MD5-derived hyperplane signatures per table (see
+    * [[graft.functions.VectorFns.sqlLshSignature]]). */
+  private val s11Sql: String =
+    s"""WITH $embCte,
+       |banded AS (
+       |  SELECT vec_id, t.tab,
+       |    CASE t.tab ${(0 until NDTABLES).map(t =>
+              s"WHEN $t THEN ${sqlLshSignature("qv", PLANES, DIMS, t * PLANES)}")
+              .mkString(" ")} END AS sig
+       |  FROM embn, UNNEST([${(0 until NDTABLES).mkString(", ")}]) AS t(tab)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM banded a JOIN banded b
+       |    ON a.tab = b.tab AND a.sig = b.sig AND a.vec_id < b.vec_id)
+       |SELECT cand.a_id, cand.b_id,
+       |  CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+       |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+       |FROM cand
+       |JOIN embn a ON a.vec_id = cand.a_id
+       |JOIN embn b ON b.vec_id = cand.b_id
        |WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
        |    / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45""".stripMargin
 
@@ -463,8 +557,22 @@ object SimilarityOps {
          |      ORDER BY cos DESC, cand_id ASC) AS rank
          |  FROM scored) WHERE rank <= 3""".stripMargin,
     "s04_embedding_neardup" -> s04Sql,
+    "s11_embedding_lsh_pairs" -> s11Sql,
+    "s12_banded_recall_report" ->
+      s"""WITH truth AS (SELECT a_id, b_id FROM ($s04Sql)),
+         |got AS (SELECT a_id, b_id FROM ($s11Sql)),
+         |tp AS (SELECT a_id, b_id FROM got
+         |       SEMI JOIN truth USING (a_id, b_id))
+         |SELECT
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM got) AS n_got,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+         |              // (SELECT COUNT(*) FROM truth)
+         |       ELSE 1000 END AS recall_pm""".stripMargin,
     "s07_semantic_dedup" ->
-      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($s04Sql)),
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($s11Sql)),
          |edges AS (
          |  SELECT a_id AS a, b_id AS b FROM pairs
          |  UNION ALL

@@ -186,6 +186,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("s11 banded near-dup: hash joins only — the cartesian s04 carries is gone") {
+    val p = plan("s11_embedding_lsh_pairs")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"s11 degenerated to all-pairs:\n$p")
+    // s04, by contrast, IS the intentional cartesian audit
+    val audit = plan("s04_embedding_neardup")
+    assert(audit.contains("CartesianProduct") ||
+      audit.contains("BroadcastNestedLoopJoin"), audit)
+  }
+
   test("d11 shingle census: two narrow shuffles, shingles never rejoin text") {
     val p = plan("d11_shingle_df_histogram")
     assert(!p.contains("Join"), p)

@@ -80,6 +80,27 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(lsh.nonEmpty && exact.nonEmpty)
   }
 
+  test("banded embedding pairs (s11) are a subset of the exact audit (s04) with real recall") {
+    val exact = SparkEntry.queries("s04_embedding_neardup")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("s11_embedding_lsh_pairs")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every banded pair passed the same exact cosine test -> subset
+    assert(banded.subsetOf(exact),
+      s"banded pairs outside the exact audit: ${banded -- exact}")
+    // 8 tables x 4 planes at cos 0.45 (p ~ 0.65): expect recall ~ 0.8;
+    // bound loosely at 0.5 against hash luck on the small sample
+    assert(exact.nonEmpty && banded.size.toDouble / exact.size >= 0.5,
+      s"recall ${banded.size}/${exact.size}")
+    // and the gated recall report agrees with the sets we just computed
+    val rep = SparkEntry.queries("s12_banded_recall_report")(spark, sf).collect()(0)
+    assert(rep.getAs[Long]("n_truth") == exact.size.toLong)
+    assert(rep.getAs[Long]("n_got") == banded.size.toLong)
+    assert(rep.getAs[Long]("n_tp") == (banded & exact).size.toLong)
+  }
+
   test("ANN recall: LSH (s02) and IVF (s05) top-3 hit the brute-force top-3") {
     // ground truth: exact top-3 per query from the brute-force scan
     val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)

@@ -173,6 +173,50 @@ class FollowerStreamSpec extends SparkSuite {
     assert(sink.state.load().get.height == 105)
   }
 
+  test("fresh store: crash mid-batch-1 + cursor loss leaves no adopted partial " +
+    "(marker-era sentinel)") {
+    val fixDir = tmpDir("fixtb1")
+    val root = tmpDir("rootb1")
+    copyFixture(fixDir)
+    val node = new FixtureNode(fixDir)
+    import spark.implicits._
+
+    def commitRange(sink: ExactlyOnceSink, range: Seq[Long]): Unit = {
+      val blocks = Follower.parseBlocks(
+        range.flatMap(node.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Rewards)
+      sink.commit(Pipeline.run(Model.EtlMode.Rewards, blocks, payloads),
+        range.last, 100)
+    }
+    // batch 1 on a BRAND NEW store: the data write lands but the crash
+    // hits before the _COMMITTED stamp and before the cursor write —
+    // simulate by committing, then deleting marker + cursor (exactly the
+    // on-disk state of that crash: sentinel + data, no marker, no cursor)
+    val sink = new ExactlyOnceSink(spark, root)
+    commitRange(sink, 100L to 101L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "_MARKER_ERA")),
+      "commit must stamp the marker-era sentinel before the first write")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      root, "rewards/batch_id=101/_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
+
+    // restart replays from scratch over a WIDER range (more blocks
+    // arrived), landing on key 103. Before the sentinel, the legacy
+    // fallback adopted the torn batch at 101 as committed (floor = max
+    // positive id) and its rows shadowed part of the replay forever.
+    val sink2 = new ExactlyOnceSink(spark, root)
+    commitRange(sink2, 100L to 103L)
+    import spark.implicits.newLongEncoder
+    assert(sink2.rewardsTable().select("batch_id").distinct()
+      .as[Long].collect().toSet == Set(103L),
+      "torn batch-1 partition was adopted instead of swept")
+    assert(sink2.rewardsTable().count() == 5,
+      "replayed batch must carry the full 100-103 history exactly once")
+    assert(sink2.state.load().get.height == 103)
+  }
+
   test("Full mode: crash between the two tables' writes + cursor loss never " +
     "adopts either table's leftover at the crashed batch's key") {
     val fixDir = tmpDir("fixtfm")
@@ -206,9 +250,11 @@ class FollowerStreamSpec extends SparkSuite {
       spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
 
-    // joint floor = min over per-table marked maxima = 103: BOTH tables'
-    // unmarked leftovers at 105 are swept up front, and the replay (same
-    // key 105) rebuilds the batch consistently across tables
+    // floor = max over ALL marked ids = 103 (markers are stamped only
+    // after EVERY table's data write, so one marker's existence proves
+    // the whole batch is complete): BOTH tables' unmarked leftovers at
+    // 105 sit above the floor and are swept up front, and the replay
+    // (same key 105) rebuilds the batch consistently across tables
     commitRange(104L to 105L)
     assert(sink.rewardsTable().count() == rewardsCommitted,
       "stale rewards leftover survived at the crashed batch's key")
@@ -381,12 +427,15 @@ class FollowerStreamSpec extends SparkSuite {
     commitRange(102L to 103L)
     val committed = sink.rewardsTable().count()
 
-    // simulate a table written before the marker scheme existed
+    // simulate a table written before the marker scheme existed: no
+    // batch markers AND no store-level marker-era sentinel (a real
+    // pre-marker store predates both)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     for (id <- Seq(101L, 103L))
       fs.delete(new org.apache.hadoop.fs.Path(
         root, s"rewards/batch_id=$id/_COMMITTED"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_MARKER_ERA"), false)
     fs.delete(new org.apache.hadoop.fs.Path(root, "ingest_state"), true)
 
     // no marked partitions anywhere: the floor must fall back to the max
