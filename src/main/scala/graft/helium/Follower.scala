@@ -68,20 +68,22 @@ object Follower {
   }
 
   /** Start the streaming follower. Caller stops the query or lets the
-    * trigger run forever (daemon parity). */
-  def start(spark: SparkSession, fixturesDir: String, root: String,
+    * trigger run forever (daemon parity). `nodeAddr` takes any
+    * [[NodeClient.forAddr]] scheme: a fixture dir, `fixture://dir`, or a
+    * JSON-RPC `http(s)://` endpoint. */
+  def start(spark: SparkSession, nodeAddr: String, root: String,
       mode: EtlMode, lists: Allowlists = Allowlists(Set.empty, Set.empty),
       backfill: Boolean = false,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       checkpoint: Option[String] = None): StreamingQuery = {
 
-    val node = new FixtureNode(fixturesDir)
+    val node = NodeClient.forAddr(nodeAddr)
     val st = bootstrap(spark, node, root, backfill)
     val sink = new ExactlyOnceSink(spark, root)
 
     spark.readStream
       .format(classOf[BlockSourceProvider].getName)
-      .option("fixtures", fixturesDir)
+      .option("node", nodeAddr)
       .option("startHeight", st.height.toString)
       .load()
       .writeStream

@@ -1,0 +1,83 @@
+package graft.helium
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** JSON-RPC 2.0 client for a Helium `blockchain-node` — the `http(s)://`
+  * backend of the [[NodeClient]] seam. Call semantics mirror the
+  * reference's helium-jsonrpc crate usage (`blocks::height`,
+  * `blocks::get_raw`, `transactions::get` — call sites
+  * /root/reference/src/follower.rs:76,156 and
+  * src/block_processor.rs:29,58): one POST per call with
+  * `{"jsonrpc":"2.0","id":"1","method":...,"params":...}`, the `result`
+  * subtree is the payload, a `error` member means the node doesn't have
+  * the block/txn (mapped to None, like the fixture backend).
+  *
+  * Serializable by construction: state is the endpoint string; every call
+  * opens its own connection, so executor-side [[source.BlockPartitionReader]]s
+  * fetch their height ranges in parallel with no shared client. The
+  * Jackson mapper is per-JVM (`@transient lazy`).
+  */
+class HttpNode(endpoint: String) extends NodeClient {
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def post(body: String): String = {
+    val conn = new java.net.URI(endpoint).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/json")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(30000)
+    conn.setDoOutput(true)
+    try {
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      val code = conn.getResponseCode
+      val is = if (code / 100 == 2) conn.getInputStream
+               else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+      val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+                finally is.close()
+      if (code / 100 != 2)
+        throw new java.io.IOException(
+          s"node $endpoint returned HTTP $code: ${txt.take(200)}")
+      txt
+    } finally conn.disconnect()
+  }
+
+  /** One JSON-RPC call; Some(result-as-json) or None on a JSON-RPC error
+    * (the node's "no such block/txn" channel). Transport failures throw —
+    * the streaming source treats them like the reference treats a dead
+    * node (abort the tick, retry next trigger). */
+  private def call(method: String, params: Option[String]): Option[String] = {
+    val req = mapper.createObjectNode()
+    req.put("jsonrpc", "2.0")
+    req.put("id", "1")
+    req.put("method", method)
+    params.foreach(p => req.set[JsonNode]("params", mapper.readTree(p)))
+    val resp = mapper.readTree(post(mapper.writeValueAsString(req)))
+    val err = resp.get("error")
+    if (err != null && !err.isNull) None
+    else Option(resp.get("result")).filterNot(_.isNull).map(_.toString)
+  }
+
+  override def height(): Long = {
+    val res = call("block_height", None).getOrElse(
+      throw new IllegalStateException(s"node $endpoint: block_height errored"))
+    val n = mapper.readTree(res)
+    // blockchain-node returns {"height": N}; accept a bare number too
+    if (n.isNumber) n.asLong()
+    else Option(n.get("height")).map(_.asLong()).getOrElse(
+      throw new IllegalStateException(
+        s"node $endpoint: unexpected block_height result: ${res.take(200)}"))
+  }
+
+  override def getBlockJson(h: Long): Option[String] =
+    call("block_get", Some(s"""{"height":$h}"""))
+
+  override def getTxnJson(hash: String): Option[String] =
+    call("transaction_get",
+      Some(mapper.writeValueAsString(
+        mapper.createObjectNode().put("hash", hash))))
+}

@@ -10,20 +10,13 @@ import Model._
   * TOML file (default config/settings.toml, same as the reference).
   *
   * `node_addr` selects the node backend by scheme: `fixture:///dir` runs
-  * against JSONL fixtures ([[FixtureNode]]); an `http(s)://` address is
-  * the seam for a real helium JSON-RPC client — implement [[NodeClient]]
-  * over your HTTP stack and wire it in [[nodeFor]] (this build ships no
-  * network client: the container is zero-egress).
+  * against JSONL fixtures ([[FixtureNode]]); `http(s)://host:port` talks
+  * JSON-RPC 2.0 to a blockchain-node ([[HttpNode]] — exercised in tests
+  * against an in-process mock server: the container is zero-egress).
   */
 object Main {
 
-  def nodeFor(nodeAddr: String): NodeClient =
-    if (nodeAddr.startsWith("fixture://"))
-      new FixtureNode(nodeAddr.stripPrefix("fixture://"))
-    else
-      throw new IllegalArgumentException(
-        s"no node client for '$nodeAddr' — implement graft.helium.NodeClient " +
-          "for your node and register its scheme in Main.nodeFor")
+  def nodeFor(nodeAddr: String): NodeClient = NodeClient.forAddr(nodeAddr)
 
   def runMigrate(spark: SparkSession, s: Settings.HeliumSettings): Unit =
     Migrate.run(spark, s.dataRoot)
@@ -43,9 +36,8 @@ object Main {
         else Allowlists(Set.empty, Set.empty)
       case _ => Allowlists(Set.empty, Set.empty)
     }
-    val fixturesDir = s.nodeAddr.stripPrefix("fixture://")
     nodeFor(s.nodeAddr) // validate scheme
-    Follower.start(spark, fixturesDir, s.dataRoot, s.mode, lists,
+    Follower.start(spark, s.nodeAddr, s.dataRoot, s.mode, lists,
       backfill = s.backfill, trigger = trigger)
   }
 

@@ -18,6 +18,21 @@ trait NodeClient extends Serializable {
   def getTxnJson(hash: String): Option[String]
 }
 
+object NodeClient {
+  /** Backend dispatch by address scheme — the single place a node address
+    * becomes a client: `fixture:///dir` (or a bare directory path) →
+    * [[FixtureNode]]; `http(s)://host:port` → [[HttpNode]] (JSON-RPC 2.0,
+    * the reference's transport). */
+  def forAddr(addr: String): NodeClient =
+    if (addr.startsWith("fixture://")) new FixtureNode(addr.stripPrefix("fixture://"))
+    else if (addr.startsWith("http://") || addr.startsWith("https://"))
+      new HttpNode(addr)
+    else if (!addr.contains("://")) new FixtureNode(addr) // bare dir path
+    else throw new IllegalArgumentException(
+      s"no node client for '$addr' — implement graft.helium.NodeClient " +
+        "for your node and register its scheme in NodeClient.forAddr")
+}
+
 /** A node backed by fixture JSONL files (blocks.jsonl / txns.jsonl) — the
   * file/fixture source of SURVEY §7 build-order step 3a. Loads lazily and
   * caches per-JVM so executor tasks reuse one parse.

@@ -52,11 +52,11 @@ object BlockSource {
     StructField("json", StringType, nullable = false)))
 
   def nodeFor(options: Map[String, String]): NodeClient =
-    options.get("fixtures") match {
-      case Some(dir) => new FixtureNode(dir)
-      case None => throw new IllegalArgumentException(
-        "heliumblocks source requires a 'fixtures' option (node backend)")
-    }
+    options.get("node").map(NodeClient.forAddr)
+      .orElse(options.get("fixtures").map(new FixtureNode(_)))
+      .getOrElse(throw new IllegalArgumentException(
+        "heliumblocks source requires a 'node' (any NodeClient.forAddr " +
+          "scheme) or 'fixtures' (fixture dir) option"))
 }
 
 class BlockTable(options: Map[String, String]) extends Table with SupportsRead {

@@ -1,0 +1,144 @@
+package graft.helium
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+import Model.IngestState
+
+/** In-process JSON-RPC 2.0 mock of a Helium blockchain-node: delegates to
+  * any [[NodeClient]] (usually a [[FixtureNode]]) and serves the three
+  * methods the reference calls (`block_height`, `block_get`,
+  * `transaction_get`). Proves the [[HttpNode]] seam end-to-end with zero
+  * egress — the wire format is real, only the chain behind it is canned. */
+class MockNodeHttpServer(backend: NodeClient) {
+  private val mapper = new ObjectMapper()
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val req = mapper.readTree(ex.getRequestBody)
+      val id = Option(req.get("id")).map(_.asText()).getOrElse("1")
+      val method = Option(req.get("method")).map(_.asText()).getOrElse("")
+      val params = req.get("params")
+      val result: Option[String] = method match {
+        case "block_height" => Some(s"""{"height":${backend.height()}}""")
+        case "block_get" => backend.getBlockJson(params.get("height").asLong())
+        case "transaction_get" => backend.getTxnJson(params.get("hash").asText())
+        case _ => None
+      }
+      val body = result match {
+        case Some(r) => s"""{"jsonrpc":"2.0","id":"$id","result":$r}"""
+        case None =>
+          s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32602,"message":"no result for $method"}}"""
+      }
+      val bytes = body.getBytes(UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+  })
+  server.start()
+
+  def endpoint: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+  def stop(): Unit = server.stop(0)
+}
+
+/** The HTTP node client seam, proven over a localhost mock: client parity
+  * with the fixture backend, the streaming drain, and the backfill scan —
+  * the same call semantics the reference issues against a live node
+  * (src/follower.rs:76,156; src/block_processor.rs:29,58). */
+class HttpNodeSpec extends SparkSuite {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def withServer[A](backend: NodeClient)(f: String => A): A = {
+    val srv = new MockNodeHttpServer(backend)
+    try f(srv.endpoint) finally srv.stop()
+  }
+
+  private def copiedFixture(): String = {
+    val dst = tmpDir("fixthttp")
+    val src = fixture("basic")
+    Seq("blocks.jsonl", "txns.jsonl").foreach { f =>
+      Files.copy(Paths.get(src, f), Paths.get(dst, f))
+    }
+    dst
+  }
+
+  test("HttpNode answers height/block/txn identically to the fixture backend") {
+    val dir = copiedFixture()
+    val fix = new FixtureNode(dir)
+    withServer(fix) { endpoint =>
+      val http = new HttpNode(endpoint)
+      assert(http.height() == fix.height())
+      for (h <- 99L to 106L)
+        assert(http.getBlockJson(h).map(normalize)
+          == fix.getBlockJson(h).map(normalize), s"block $h diverged")
+      // a present txn round-trips; an unknown hash is None (JSON-RPC error)
+      val txnSrc = scala.io.Source.fromFile(s"$dir/txns.jsonl")
+      val someHash = try """"hash"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(txnSrc.getLines().find(_.nonEmpty).get)
+        .map(_.group(1)) finally txnSrc.close()
+      assert(someHash.nonEmpty)
+      someHash.foreach { h =>
+        assert(http.getTxnJson(h).map(normalize) == fix.getTxnJson(h).map(normalize))
+      }
+      assert(http.getTxnJson("no_such_hash").isEmpty)
+      assert(http.getBlockJson(99999L).isEmpty)
+    }
+  }
+
+  // Jackson re-serializes the result subtree, so whitespace may differ
+  // from the fixture line; compare parsed trees, not raw strings
+  private def normalize(json: String): com.fasterxml.jackson.databind.JsonNode =
+    new ObjectMapper().readTree(json)
+
+  test("follower drains the chain over http:// and commits rewards + cursor") {
+    val dir = copiedFixture()
+    val root = tmpDir("roothttp")
+    withServer(new FixtureNode(dir)) { endpoint =>
+      val store = new StateStore(spark, root)
+      store.advance(IngestState(99, 100))
+      val q = Follower.start(spark, endpoint, root, Model.EtlMode.Rewards)
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(s"$root/rewards").count() == 5)
+      assert(store.load().get.height == 105)
+    }
+  }
+
+  test("backfill epoch-skip scan works over http:// (block_get + transaction_get)") {
+    // the BackfillSpec epoch chain, served over the wire: rewards blocks
+    // every 31 heights whose start_epoch jumps the scan down in one hop
+    val rewardBlocks = (0 to 26)
+      .map(i => (1000L - 31 * i) -> (1000L - 31 * i - 30)).toMap
+    val backend = new NodeClient {
+      // one-shot transient failure arms the last-epoch recovery path
+      // (exactly BackfillSpec's flakyAt) — state lives in-process behind
+      // the HTTP boundary, so the retry arrives as a second RPC
+      private val failed = scala.collection.mutable.Set.empty[Long]
+      override def height(): Long = 1000L
+      override def getBlockJson(h: Long): Option[String] = {
+        if (h == 162L && failed.add(h)) return None
+        if (h < 150 || h > 1000) return None
+        val txns = rewardBlocks.get(h)
+          .map(_ => s"""{"hash":"r$h","type":"rewards_v2"}""").getOrElse("")
+        Some(s"""{"height":$h,"time":0,"hash":"bh$h","transactions":[$txns]}""")
+      }
+      override def getTxnJson(hash: String): Option[String] = {
+        val h = hash.stripPrefix("r").toLong
+        rewardBlocks.get(h).map(se =>
+          s"""{"hash":"$hash","type":"rewards_v2","fields":"{\\"start_epoch\\": $se}"}""")
+      }
+    }
+    withServer(backend) { endpoint =>
+      assert(Backfill.firstBlock(new HttpNode(endpoint)) == 150L)
+    }
+  }
+}

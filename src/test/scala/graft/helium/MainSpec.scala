@@ -44,9 +44,13 @@ class MainSpec extends SparkSuite {
     assert(spark.read.parquet(s"$root/rewards").count() == 3)
   }
 
-  test("unknown node scheme is a clear error (http client seam)") {
+  test("node scheme dispatch: fixture and http resolve, unknown is a clear error") {
+    assert(Main.nodeFor("http://127.0.0.1:4467").isInstanceOf[HttpNode])
+    assert(Main.nodeFor("https://node.example:443").isInstanceOf[HttpNode])
+    assert(Main.nodeFor("fixture:///tmp/fx").isInstanceOf[FixtureNode])
+    assert(Main.nodeFor("/tmp/fx").isInstanceOf[FixtureNode]) // bare dir
     val ex = intercept[IllegalArgumentException] {
-      Main.nodeFor("http://127.0.0.1:4467")
+      Main.nodeFor("grpc://127.0.0.1:4467")
     }
     assert(ex.getMessage.contains("NodeClient"))
   }
