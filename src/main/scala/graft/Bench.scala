@@ -21,11 +21,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Fail fast on duplicate short ids BEFORE any timing: a duplicate
+    // prefix would silently drop a timing from the JSON map, and
+    // discovering that only after a ~40 s measured run wastes the run.
+    // (QuerySurfaceSpec checks the same invariant statically.)
+    val shortIds = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    require(shortIds.distinct.size == shortIds.size,
+      "duplicate short query ids would silently drop a timing: " +
+        shortIds.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
+
+    // A failed query must POISON the bench, not flatter it: a query that
+    // dies in 50 ms would otherwise "improve" the total. Failures are
+    // counted across warmup+measured passes and emitted in the JSON line.
+    val failed = scala.collection.mutable.Set.empty[String]
     def runAll(): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Per-query persists are for multi-scan reuse WITHIN a query;
+        // clear between queries so 96 queries' cached blocks don't
+        // accumulate (and distort later queries' memory budget).
+        spark.catalog.clearCache()
+        name -> dt
       }.toMap
 
     runAll() // warmup pass (uncounted)
@@ -33,18 +55,8 @@ object Bench {
     // host load can inflate one pass 10x (q16 read 14.8s in a driver run
     // whose steady-state is 0.5s); the min of two independent passes is the
     // steady-state cost we actually want to report.
-    def measured(): Seq[(String, Double)] =
-      SparkEntry.queries.keys.toSeq.map { name =>
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    val pass1 = measured().toMap
-    val results = measured().map { case (k, v) => k -> math.min(v, pass1(k)) }
+    val pass1 = runAll()
+    val results = runAll().toSeq.map { case (k, v) => k -> math.min(v, pass1(k)) }
 
     // The driver captures only the last 2000 chars of stdout and parses the
     // final line as JSON (BENCH_r02 was truncated mid-line at ~2.4KB and
@@ -52,16 +64,12 @@ object Bench {
     // before the first '_' is unique across the surface), 3-decimal values,
     // basename-only sf.
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val prefixes = results.map(_._1.takeWhile(_ != '_'))
-    require(prefixes.distinct.size == results.size,
-      "duplicate short query ids would silently drop a timing: " +
-        prefixes.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":${failed.size},"queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
         "driver tail captures 2000; shorten keys before this truncates")

@@ -25,6 +25,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries persist intermediate tables (signature tables etc.) for
+      // multi-scan reuse WITHIN the query; nothing reuses them across
+      // queries, so drop them here or cached blocks from all 96 queries
+      // accumulate for the life of the run.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

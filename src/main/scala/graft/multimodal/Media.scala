@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata, decoded/feature-extracted in batches.
   *
-  * The decode itself is STUBBED (this container has no image/audio codecs)
-  * with a deterministic fake — but the Spark-side structure is real and
-  * tested: schema, batch shape, partition-parallel execution, and the
-  * projection contract (payload is pruned away the moment features are
-  * extracted, so the wide binary column never travels through a shuffle).
+  * IMAGE decode is REAL: payloads carrying a known still-image container
+  * (PNG/JPEG/GIF/BMP, sniffed by magic bytes) go through JDK ImageIO and
+  * report actual pixel dimensions. Audio/video decode remains STUBBED
+  * (no ffmpeg in this container) with a deterministic fake, as is any
+  * image payload ImageIO cannot parse — so synthetic text-derived
+  * payloads flow through the same plumbing with reproducible features.
+  * Either way the Spark-side structure is real and tested: schema, batch
+  * shape, partition-parallel execution, and the projection contract
+  * (payload is pruned away the moment features are extracted, so the
+  * wide binary column never travels through a shuffle).
   *
   * 100 TB notes: media payloads dominate bytes; the rules that matter are
   * (1) never groupBy/join on a plan that still carries `payload` — extract
@@ -52,19 +57,41 @@ object Media {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: a real build would call an image/audio codec here (the
-    * `???` seam). The fake derives deterministic dimensions from payload
-    * bytes so tests and oracles can check the plumbing end-to-end. */
+  /** Magic-byte sniff for still-image containers ImageIO can open. The
+    * sniff is O(4 bytes), so non-image payloads (text-derived synthetics,
+    * audio/video bitstreams) skip codec setup entirely — at 100 TB the
+    * common case must not pay reader-probe allocation per row. */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte) || // JPEG SOI
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** Real image decode via JDK ImageIO; None when the payload is not a
+    * parseable image (caller falls back to the deterministic fake). A
+    * corrupt container must degrade to fallback features, never kill the
+    * partition — at scale some fraction of crawled media is always torn. */
+  private def decodeImage(p: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(p)) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      .map(img => (img.getWidth, img.getHeight))
+    catch { case _: Exception => None }
+
+  /** Decoder: real ImageIO for decodable image payloads; deterministic
+    * fake (dimensions derived from payload bytes) for everything else —
+    * audio/video codecs are the remaining `???` seam (no ffmpeg here). */
   private def decodeOne(r: MediaRecord): MediaFeatures = {
-    // ??? <- real codec call goes here (e.g. ImageIO / ffmpeg bindings)
+    // ??? <- real audio/video codec call goes here (e.g. ffmpeg bindings)
     val n = r.payload.length.toLong
+    val realDims = if (r.kind == "image") decodeImage(r.payload) else None
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
       source = r.source,
       n_bytes = n,
-      width = (n % 640).toInt,
-      height = ((n * 7) % 480).toInt,
+      width = realDims.map(_._1).getOrElse((n % 640).toInt),
+      height = realDims.map(_._2).getOrElse(((n * 7) % 480).toInt),
       n_frames = if (r.kind == "video") (n % 24 + 1).toInt else 1,
       // md5 over the UPPERCASE-HEX encoding of the payload bytes (not the
       // raw bytes): DuckDB 1.0's md5() only accepts VARCHAR, so hashing the

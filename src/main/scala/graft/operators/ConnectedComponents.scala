@@ -16,11 +16,9 @@ import org.apache.spark.storage.StorageLevel
   * is a convergence certificate (fixpoint ⇔ sum unchanged). Rounds needed
   * = component diameter — near-dup clusters are shallow (dups of a common
   * ancestor), so this converges in a handful of rounds. For adversarial
-  * long-chain graphs the round body below is the same join shape used by
-  * the large-star/small-star algorithm (Kiveris et al., "Connected
-  * Components in MapReduce and Beyond", SoCC'14), which converges in
-  * O(log n) rounds; swap the neighbour-min for star-conditioned updates if
-  * chains ever dominate.
+  * long-chain graphs use [[runStar]] (large-star/small-star, Kiveris et
+  * al., SoCC'14): the same per-round join shape, but O(log n) rounds
+  * regardless of diameter.
   *
   * Scale notes (100 TB): each round is ONE shuffle — a join on node id
   * followed by a partial-aggregated groupBy(min). The edge list is cached
@@ -101,6 +99,106 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels
+  }
+
+  /** Large-star/small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    * adversarial-graph variant of [[run]]. Min-label propagation needs
+    * diameter rounds, so a long-chain graph (diameter ~n) degenerates to
+    * ~n shuffles; the star operations instead contract the graph toward
+    * per-component stars in O(log n) rounds regardless of diameter:
+    *
+    *  - large-star: every node links its LARGER neighbours to the minimum
+    *    of its closed neighbourhood (doubles the reach of small labels);
+    *  - small-star: every node and its smaller neighbours all link to
+    *    that minimum (flattens local chains into stars).
+    *
+    * Each operation is one shuffle (groupBy-min + join back on node id) —
+    * the same shape as a [[run]] round, so the 100 TB cost model is
+    * unchanged; only the round COUNT improves on deep graphs. The same
+    * size gate applies: below `localCutoff` edges the driver union-find
+    * answers directly (property-tested identical to the distributed
+    * rounds). Fixpoint test: smallStar output always points child →
+    * smaller parent, so the set is a star forest — on which both ops are
+    * provably identities — iff no child has two parents and no parent is
+    * itself a child; that exact condition, not a sum heuristic, ends the
+    * loop.
+    *
+    * @return (node, comp) — identical contract (and labels) to [[run]] */
+  def runStar(edges: DataFrame, src: String = "src", dst: String = "dst",
+      maxRounds: Int = 50, localCutoff: Long = LocalEdgeCutoff): DataFrame =
+    runStarCounting(edges, src, dst, maxRounds, localCutoff)._1
+
+  /** [[runStar]] plus the number of distributed large+small rounds taken
+    * (0 when the size gate answered locally) — exposed so the O(log n)
+    * convergence property is assertable, not just claimed. */
+  private[graft] def runStarCounting(edges: DataFrame, src: String,
+      dst: String, maxRounds: Int, localCutoff: Long): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    if (e0.count() <= localCutoff) {
+      val local = e0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      e0.unpersist()
+      return (localUnionFind(local).toSeq.toDF("node", "comp"), 0)
+    }
+
+    // large-star: attach STRICTLY LARGER neighbours to min(closed nbhd)
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // small-star: node + its SMALLER neighbours all attach to their min
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = or.groupBy("u").agg(min(col("v")).as("m"))
+      or.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    // Sound fixpoint test, not a sum heuristic: smallStar output always
+    // has v < u, so the set is a star forest (on which both ops are
+    // provably identities) iff (a) no child u carries two distinct
+    // parents and (b) no parent appears as a child. Two id-only jobs,
+    // each short-circuited by limit(1).
+    def isStarForest(e: DataFrame): Boolean = {
+      val multiParent = e.groupBy("u").agg(count(lit(1)).as("np"))
+        .filter(col("np") > 1).limit(1).count() > 0
+      !multiParent &&
+        e.select("u").intersect(e.select(col("v").as("u")))
+          .limit(1).count() == 0
+    }
+
+    var cur = e0.localCheckpoint(true)
+    e0.unpersist()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      cur.unpersist()
+      cur = next
+      round += 1
+      converged = isStarForest(cur)
+    }
+    // fixed point is a star forest: every edge is (node → its component
+    // root); roots appear only on the v side, so close over them
+    val labels = cur.select(col("u").as("node"), col("v").as("comp"))
+      .unionByName(cur.select(col("v").as("node"), col("v").as("comp")))
+      .groupBy("node").agg(min("comp").as("comp"))
+    (labels, round)
   }
 
   /** Path-compressed union-find over a collected edge list; always attaches

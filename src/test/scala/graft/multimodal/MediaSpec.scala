@@ -34,6 +34,40 @@ class MediaSpec extends SparkSuite {
     assert(byKind.get("video").forall(_._2 >= 1))
   }
 
+  /** A real PNG encoded in-test: `w`x`h` gradient raster through
+    * ImageIO.write — the decode path sees genuine codec bytes. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image payloads with real PNG bytes decode to actual pixel dimensions") {
+    val recs = Seq(
+      MediaRecord(1L, "image", pngBytes(37, 21), "camera"),
+      MediaRecord(2L, "image", pngBytes(640, 480), "camera"),
+      // text bytes under an image kind: not a parseable image, must take
+      // the deterministic fallback instead of failing the partition
+      MediaRecord(3L, "image", "not an image at all".getBytes("UTF-8"), "crawl"))
+    val feats = decodeFeatures(recs.toDS()).collect().map(f => f.media_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height) == ((37, 21)))
+    assert((feats(2L).width, feats(2L).height) == ((640, 480)))
+    val n3 = feats(3L).n_bytes
+    assert((feats(3L).width, feats(3L).height) ==
+      (((n3 % 640).toInt, ((n3 * 7) % 480).toInt)))
+  }
+
+  test("a torn PNG header degrades to fallback features, never an exception") {
+    val torn = pngBytes(16, 16).take(12) // magic intact, IHDR truncated
+    val f = decodeFeatures(Seq(MediaRecord(9L, "image", torn, "crawl")).toDS())
+      .collect().head
+    assert(f.n_bytes == 12 && f.width == (12 % 640))
+  }
+
   test("decode runs per-partition (partition count preserved, no shuffle)") {
     val media = mediaFromDocuments(docs).repartition(3)
     val feats = decodeFeatures(media)

@@ -85,6 +85,54 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("large-star/small-star: deep chain converges in O(log n) rounds, " +
+    "labels identical to union-find") {
+    import spark.implicits._
+    // a 1000-node path is the adversarial case: min-propagation needs
+    // ~1000 rounds (diameter), the star algorithm must stay logarithmic
+    val n = 1000L
+    val edges = (0L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = ConnectedComponents
+      .runStarCounting(edges, "src", "dst", maxRounds = 50, localCutoff = 0)
+    assert(rounds > 0, "size gate must not have answered locally")
+    // Kiveris et al. prove O(log n) large+small rounds; assert a generous
+    // concrete bound so a regression to diameter-rounds fails loudly
+    assert(rounds <= 2 * (64 - java.lang.Long.numberOfLeadingZeros(n)),
+      s"chain of $n took $rounds rounds — not logarithmic")
+    val m = labels.as[(Long, Long)].collect().toMap
+    assert(m.size == n + 1 && m.values.forall(_ == 0L))
+  }
+
+  test("large-star/small-star agrees with run() on random graphs (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(25 + rnd.nextInt(30))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val viaRun = comps(edges)
+      val viaStarDist = ConnectedComponents
+        .runStar(edges.toDF("src", "dst"), localCutoff = 0)
+        .as[(Long, Long)].collect().toMap
+      val viaStarLocal = ConnectedComponents
+        .runStar(edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      assert(viaStarDist == viaRun && viaStarLocal == viaRun)
+    }
+  }
+
+  test("large-star/small-star handles empty input and isolated pairs") {
+    import spark.implicits._
+    assert(ConnectedComponents
+      .runStar(Seq.empty[(Long, Long)].toDF("src", "dst"), localCutoff = 0)
+      .count() == 0)
+    val m = ConnectedComponents
+      .runStar(Seq((4L, 2L), (9L, 8L)).toDF("src", "dst"), localCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(m == Map(2L -> 2L, 4L -> 2L, 8L -> 8L, 9L -> 8L))
+  }
+
   test("d06 components agree with d05 pairs: every near-dup pair shares a component") {
     val sf = "/root/testdata/sf0.01"
     val pairs = graft.SparkEntry.queries("d05_ngram_jaccard_exact")(spark, sf)
