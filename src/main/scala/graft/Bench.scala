@@ -21,11 +21,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Iteration knobs (unset in driver runs): SPARK_GRAFT_ONLY=d05,t06
+    // restricts to the named queries (short or full ids) so a variant can
+    // be timed without the other ~95 queries; SPARK_GRAFT_CONF=k=v,k=v
+    // applies session conf overrides (e.g. the dedup df-prefilter flag).
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad SPARK_GRAFT_CONF entry: $kv")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(ids) => SparkEntry.queries.filter { case (k, _) =>
+        ids(k) || ids(k.takeWhile(_ != '_')) }
+      case None => SparkEntry.queries
+    }
+
     // Fail fast on duplicate short ids BEFORE any timing: a duplicate
     // prefix would silently drop a timing from the JSON map, and
     // discovering that only after a ~40 s measured run wastes the run.
     // (QuerySurfaceSpec checks the same invariant statically.)
-    val shortIds = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val shortIds = queries.keys.toSeq.map(_.takeWhile(_ != '_'))
     require(shortIds.distinct.size == shortIds.size,
       "duplicate short query ids would silently drop a timing: " +
         shortIds.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
@@ -35,7 +53,7 @@ object Bench {
     // counted across warmup+measured passes and emitted in the JSON line.
     val failed = scala.collection.mutable.Set.empty[String]
     def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>

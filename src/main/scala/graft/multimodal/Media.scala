@@ -78,21 +78,50 @@ object Media {
       .map(img => (img.getWidth, img.getHeight))
     catch { case _: Exception => None }
 
-  /** Decoder: real ImageIO for decodable image payloads; deterministic
-    * fake (dimensions derived from payload bytes) for everything else —
-    * audio/video codecs are the remaining `???` seam (no ffmpeg here). */
+  /** RIFF/WAVE container sniff — the audio analogue of [[looksLikeImage]]. */
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real audio header parse via `javax.sound.sampled` (WAV/AIFF ship
+    * with the JDK — no external codec needed): (sampleRate, channels,
+    * frames). None on anything unparseable, same degrade-not-die contract
+    * as [[decodeImage]]. */
+  private def decodeWav(p: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeWav(p)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val f = in.getFormat
+        Some((f.getSampleRate.toInt, f.getChannels,
+          math.min(in.getFrameLength, Int.MaxValue.toLong).toInt))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decoder: real ImageIO for decodable image payloads and real
+    * javax.sound header parsing for WAV audio (feature mapping for
+    * audio: width = sample rate, height = channels, n_frames = frame
+    * count); deterministic fake (dimensions derived from payload bytes)
+    * for everything else — video codecs are the remaining `???` seam
+    * (no ffmpeg here). */
   private def decodeOne(r: MediaRecord): MediaFeatures = {
-    // ??? <- real audio/video codec call goes here (e.g. ffmpeg bindings)
+    // ??? <- real video codec call goes here (e.g. ffmpeg bindings)
     val n = r.payload.length.toLong
-    val realDims = if (r.kind == "image") decodeImage(r.payload) else None
+    val realImg = if (r.kind == "image") decodeImage(r.payload) else None
+    val realWav = if (r.kind == "audio") decodeWav(r.payload) else None
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
       source = r.source,
       n_bytes = n,
-      width = realDims.map(_._1).getOrElse((n % 640).toInt),
-      height = realDims.map(_._2).getOrElse(((n * 7) % 480).toInt),
-      n_frames = if (r.kind == "video") (n % 24 + 1).toInt else 1,
+      width = realImg.map(_._1)
+        .orElse(realWav.map(_._1)).getOrElse((n % 640).toInt),
+      height = realImg.map(_._2)
+        .orElse(realWav.map(_._2)).getOrElse(((n * 7) % 480).toInt),
+      n_frames = realWav.map(_._3).getOrElse(
+        if (r.kind == "video") (n % 24 + 1).toInt else 1),
       // md5 over the UPPERCASE-HEX encoding of the payload bytes (not the
       // raw bytes): DuckDB 1.0's md5() only accepts VARCHAR, so hashing the
       // hex string is the only oracle-expressible checksum with BYTE
@@ -171,15 +200,58 @@ object Media {
     }
   }
 
-  /** Resize stub: same batch plumbing, payload-in/payload-out — shows the
-    * transform-preserving path (e.g. thumbnailing before feature
-    * extraction). Truncation stands in for the real resample. */
+  /** Real image downscale: halve dimensions (bilinear) and re-encode PNG
+    * until the payload fits `maxBytes` — the output stays a DECODABLE
+    * image, which byte truncation never is. Gives up (returns None) if
+    * even 1×1 doesn't fit or the payload isn't a parseable image. */
+  private def resizeImage(p: Array[Byte], maxBytes: Int): Option[Array[Byte]] =
+    if (!looksLikeImage(p)) None
+    else try {
+      var img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      if (img == null) return None
+      var out: Array[Byte] = null
+      var attempts = 0
+      while (out == null && attempts < 12 &&
+          img.getWidth > 0 && img.getHeight > 0) {
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", buf)
+        val bytes = buf.toByteArray
+        if (bytes.length <= maxBytes) out = bytes
+        else {
+          val (w2, h2) = (math.max(img.getWidth / 2, 1),
+            math.max(img.getHeight / 2, 1))
+          if (w2 == img.getWidth && h2 == img.getHeight) attempts = 12
+          else {
+            val scaled = new java.awt.image.BufferedImage(
+              w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w2, h2, null)
+            g.dispose()
+            img = scaled
+          }
+        }
+        attempts += 1
+      }
+      Option(out)
+    } catch { case _: Exception => None }
+
+  /** Resize: same batch plumbing, payload-in/payload-out — the
+    * transform-preserving path (thumbnailing before feature extraction).
+    * Decodable images are REALLY downscaled (still decodable after);
+    * everything else falls back to byte truncation, the deterministic
+    * stand-in for the missing audio/video transcoders. */
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map(r => if (r.payload.length <= maxBytes) r
-        else r.copy(payload = r.payload.take(maxBytes)))
+      it.map { r =>
+        if (r.payload.length <= maxBytes) r
+        else r.copy(payload = resizeImage(r.payload, maxBytes)
+          .getOrElse(r.payload.take(maxBytes)))
+      }
     }
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton-curve) layout — the multi-column clustering the
@@ -72,5 +72,38 @@ object Zorder {
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  /** Per-row-group [min, max] of each of `cols`, read straight from the
+    * parquet footers under `path` — the audit tool that makes pruning
+    * claims measurable: a scan with predicate `k ∈ [lo, hi]` reads
+    * exactly the row groups whose [min, max] intersects it, so counting
+    * intersections IS counting I/O. Footer-only reads (no row data). */
+  def rowGroupRanges(spark: SparkSession, path: String,
+      cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .flatMap { st =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, conf))
+        try reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          cols.map { c =>
+            val cc = block.getColumns.asScala
+              .find(_.getPath.toDotString == c)
+              .getOrElse(sys.error(s"column $c not in footer of ${st.getPath}"))
+            val s = cc.getStatistics
+            require(s != null && s.hasNonNullValue, s"no stats for $c")
+            c -> (s.genericGetMin.asInstanceOf[Number].longValue(),
+              s.genericGetMax.asInstanceOf[Number].longValue())
+          }.toMap
+        }
+        finally reader.close()
+      }
   }
 }

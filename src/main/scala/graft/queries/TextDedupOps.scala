@@ -107,8 +107,9 @@ object TextDedupOps {
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
       .persist()
-    // df>1 prefilter note: see d05 — same trade-off applies here
-    val ex = fpTab.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // df>1 prefilter behind the same conf flag as d05 — same trade-off
+    val ex0 = fpTab.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val ex = if (dfPrefilterOn(s)) dfPrefilter(ex0, "fp") else ex0
     val inter = ex.select(col("doc_id").as("a_id"), col("fp"))
       .join(ex.select(col("doc_id").as("b_id"), col("fp")), Seq("fp"))
       .filter(col("a_id") < col("b_id"))
@@ -228,6 +229,28 @@ object TextDedupOps {
     * never materialize, so the join output is Σ_sh cnt(sh)² instead of
     * n²·|shingle| — the formulation that survives scale-up. The ScalaTest
     * asserts d03's LSH output is a subset of this exact result. */
+  /** The 100 TB df>1 prefilter as an executable switch (spark conf
+    * `spark.graft.dedup.dfPrefilter`): singleton keys cannot pair, and at
+    * billions of docs MOST shingles/fingerprints are singletons, so
+    * dropping them before the inverted-index self-join collapses the
+    * join's Σ cnt(k)² cost — at the price of one extra groupBy+semi-join
+    * pass over the exploded keys. Result-identical by construction (a
+    * df=1 key contributes zero pairs); the gate-equality spec and the
+    * measured sf0.01/sf0.1 crossover live in DedupInvariantSpec and
+    * IMPLEMENTATION.md. Default off: below the crossover the extra
+    * aggregation costs more than the join it saves. */
+  private def dfPrefilterOn(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.dedup.dfPrefilter").exists(_.toBoolean)
+
+  /** Keep only keys appearing in ≥2 docs (left-semi against the df>1 key
+    * set — degrades to a shuffle semi-join when the key set outgrows
+    * broadcast, same reasoning as d12's contamination semi-join). */
+  private def dfPrefilter(ex: DataFrame, key: String): DataFrame =
+    ex.join(
+      ex.groupBy(key).agg(count(lit(1)).as("df"))
+        .filter(col("df") > 1).select(key),
+      Seq(key), "left_semi")
+
   private def d05(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
     val hsTab = documents(s, d)
@@ -237,15 +260,15 @@ object TextDedupOps {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .persist()
-    // At 100 TB, add a df>1 semi-filter on shingles before this self-join
-    // (singleton shingles cannot pair; at billions of docs most are
-    // singletons). At bench scale the extra aggregation costs more than
-    // the join it saves, so the direct join stays. Also measured (round
-    // 4): the groupBy(shingle)+collect_list+nested-transform pair
-    // generation — one fewer exchange on paper — benches 2.4 s vs this
-    // join's 2.1 s at sf0.1 (the per-group list allocation beats the
-    // saved shuffle), so the join stays on merit, not inertia.
-    val ex = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    // df>1 prefilter behind the conf flag above. Default-off on merit,
+    // twice measured: (round 4) the groupBy(shingle)+collect_list pair
+    // generation — one fewer exchange on paper — benched 2.4 s vs this
+    // join's 2.1 s at sf0.1; (round 5) the semi-filtered join is neutral
+    // for d05 through sf0.1 (3.02 s both ways; few shingles are
+    // singletons here) while t06 crosses over between sf0.01 (+0.6 s)
+    // and sf0.1 (−0.4 s) — numbers in IMPLEMENTATION.md §Scale.
+    val ex0 = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
+    val ex = if (dfPrefilterOn(s)) dfPrefilter(ex0, "shingle") else ex0
     val inter = ex.select(col("doc_id").as("a_id"), col("shingle"))
       .join(ex.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
       .filter(col("a_id") < col("b_id"))

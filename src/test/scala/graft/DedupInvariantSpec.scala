@@ -77,41 +77,24 @@ class DedupInvariantSpec extends SparkSuite {
     assert(totalAfter < totalBefore) // the planted dups force real drops
   }
 
-  test("d05's 100TB path: singleton-shingle prefilter preserves the exact pair set") {
-    // the scale note in d05 says: at billions of docs, semi-filter shingles
-    // to df>1 before the self-join (singletons cannot pair). Prove the
-    // rewrite is semantics-preserving on the planted corpus.
-    import org.apache.spark.sql.functions._
-    import graft.functions.TextFns._
-    graft.functions.HashSketch.register(spark)
-    val hsTab = Tables.documents(spark, corpusDir)
-      .withColumn("th", tokenHashSeq(col("text")))
-      .withColumn("hs", array_distinct(
-        graft.functions.HashSketch.shingleSeq(col("th"), 3)))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
-    val ex = hsTab.select(col("doc_id"), explode(col("hs")).as("shingle"))
-    // df>1 prefilter: keep only shingles appearing in 2+ docs
-    val hot = ex.groupBy(col("shingle")).count().filter(col("count") > 1)
-      .select("shingle")
-    val exHot = ex.join(hot, Seq("shingle"), "left_semi")
-    val inter = exHot.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(exHot.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = hsTab.select(col("doc_id"), col("n"))
-    val prefiltered = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
-      .withColumn("jaccard_pm", expr("(1000L * inter) DIV (na + nb - inter)"))
-      .filter(col("jaccard_pm") >= 500)
-      .select("a_id", "b_id", "jaccard_pm")
-      .as[(Long, Long, Long)].collect().toSet
-    val direct = SparkEntry.queries("d05_ngram_jaccard_exact")(spark, corpusDir)
-      .as[(Long, Long, Long)].collect().toSet
-    assert(prefiltered == direct,
-      s"prefilter changed results: ${prefiltered -- direct} / ${direct -- prefiltered}")
+  test("d05/t06 100TB path: the df>1 prefilter flag preserves the exact pair sets") {
+    // the scale switch (spark.graft.dedup.dfPrefilter) semi-filters
+    // inverted-index keys to df>1 before the self-join — singletons
+    // cannot pair, so the rewrite must be result-identical. Exercise the
+    // PRODUCTION flag on both queries that honor it.
+    def run(q: String) = SparkEntry.queries(q)(spark, corpusDir)
+      .collect().map(_.toSeq).toSet
+    val plainD05 = run("d05_ngram_jaccard_exact")
+    val plainT06 = run("t06_winnowing_overlap")
+    spark.conf.set("spark.graft.dedup.dfPrefilter", "true")
+    try {
+      assert(run("d05_ngram_jaccard_exact") == plainD05,
+        "prefilter changed d05's exact pair set")
+      assert(run("t06_winnowing_overlap") == plainT06,
+        "prefilter changed t06's containment pair set")
+    } finally spark.conf.unset("spark.graft.dedup.dfPrefilter")
+    assert(plainD05.nonEmpty && plainT06.nonEmpty,
+      "equality vacuous: planted corpus produced no pairs")
   }
 
   test("winnowing containment also surfaces the planted near-dups") {

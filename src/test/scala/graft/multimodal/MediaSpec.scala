@@ -61,6 +61,46 @@ class MediaSpec extends SparkSuite {
       (((n3 % 640).toInt, ((n3 * 7) % 480).toInt)))
   }
 
+  /** A real WAV encoded in-test through javax.sound: `frames` frames of
+    * silence at `rate` Hz, `channels` channels, 16-bit. */
+  private def wavBytes(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate.toFloat, 16, channels, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("audio payloads with real WAV bytes parse to rate/channels/frames") {
+    val recs = Seq(
+      MediaRecord(1L, "audio", wavBytes(16000, 1, 1234), "mic"),
+      MediaRecord(2L, "audio", wavBytes(44100, 2, 777), "mic"),
+      MediaRecord(3L, "audio", "definitely not riff".getBytes("UTF-8"), "crawl"))
+    val f = decodeFeatures(recs.toDS()).collect().map(x => x.media_id -> x).toMap
+    // audio mapping: width = sample rate, height = channels, n_frames = frames
+    assert((f(1L).width, f(1L).height, f(1L).n_frames) == ((16000, 1, 1234)))
+    assert((f(2L).width, f(2L).height, f(2L).n_frames) == ((44100, 2, 777)))
+    val n3 = f(3L).n_bytes
+    assert((f(3L).width, f(3L).n_frames) == (((n3 % 640).toInt, 1)))
+  }
+
+  test("resize really downscales decodable images — output is still a valid image") {
+    val big = pngBytes(256, 256)
+    assert(big.length > 4000)
+    val recs = Seq(MediaRecord(1L, "image", big, "camera"))
+    val out = resize(recs.toDS(), 4000).collect().head
+    assert(out.payload.length <= 4000)
+    // still decodable (truncation would have destroyed the container) and
+    // geometrically a halving of the original
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.payload))
+    assert(img != null, "resized payload is no longer a decodable image")
+    assert(img.getWidth < 256 && 256 % img.getWidth == 0)
+  }
+
   test("a torn PNG header degrades to fallback features, never an exception") {
     val torn = pngBytes(16, 16).take(12) // magic intact, IHDR truncated
     val f = decodeFeatures(Seq(MediaRecord(9L, "image", torn, "crawl")).toDS())

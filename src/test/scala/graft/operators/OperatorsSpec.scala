@@ -171,6 +171,56 @@ class OperatorsSpec extends SparkSuite {
     assert(n(2) > 0 && n(2) < maxV, "midpoint collapsed to an endpoint")
   }
 
+  test("z-order pruning proof: row-group min/max skip >50% of groups vs linear sort") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("zprune").toString
+    // sf0.01 for real key domains: l_suppkey 0..99, l_partkey 0..1999
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select(col("l_suppkey"), col("l_partkey"), col("l_quantity"))
+    Zorder.writeZordered(li, "l_suppkey", "l_partkey", s"$dir/z",
+      bits = 12, partitions = 16)
+    // the contender: lexicographic sort by (suppkey, partkey) — tight
+    // suppkey ranges per group, but every group spans all of partkey
+    li.repartitionByRange(16, col("l_suppkey"), col("l_partkey"))
+      .sortWithinPartitions("l_suppkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lin")
+
+    val keys = Seq("l_suppkey", "l_partkey")
+    val zGroups = Zorder.rowGroupRanges(spark, s"$dir/z", keys)
+    val linGroups = Zorder.rowGroupRanges(spark, s"$dir/lin", keys)
+    assert(zGroups.size >= 8 && linGroups.size >= 8,
+      s"need enough row groups to measure: z=${zGroups.size} lin=${linGroups.size}")
+
+    // survivors = row groups a min/max-pruning scan must read
+    def survivors(groups: Seq[Map[String, (Long, Long)]],
+        pred: Map[String, (Long, Long)]): Int =
+      groups.count(g => pred.forall { case (k, (lo, hi)) =>
+        val (mn, mx) = g(k); mx >= lo && mn <= hi })
+
+    // two-key box predicate: lower quarter of both key spans
+    val box = Map("l_suppkey" -> (0L, 24L), "l_partkey" -> (0L, 499L))
+    val zBox = survivors(zGroups, box)
+    val linBox = survivors(linGroups, box)
+    // single-key predicate on the SECOND key — the pattern plain sort
+    // cannot serve at all (partkey spans the full domain in every group)
+    val bOnly = Map("l_partkey" -> (0L, 499L))
+    val zB = survivors(zGroups, bOnly)
+    val linB = survivors(linGroups, bOnly)
+
+    info(s"box: z reads $zBox/${zGroups.size}, linear reads $linBox/${linGroups.size}")
+    info(s"partkey-only: z reads $zB/${zGroups.size}, linear reads $linB/${linGroups.size}")
+    // z-order must skip >50% of its row groups under the box predicate…
+    assert(zBox * 2 <= zGroups.size,
+      s"z-order box scan read $zBox of ${zGroups.size} groups — skipped <50%")
+    // …and beat the linear layout on both predicate shapes
+    assert(zBox <= linBox, s"box: z=$zBox > linear=$linBox")
+    assert(zB * 2 <= linB,
+      s"partkey-only: z=$zB should read <half of linear=$linB")
+    // linear layout serves the partkey-only predicate essentially not at
+    // all — the contrast that justifies the z-order layout cost
+    assert(linB >= (linGroups.size * 3) / 4)
+  }
+
   test("writeZordered on an empty input writes an empty table, no NPE") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("zord0").toString
