@@ -362,6 +362,49 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_assigned"), sum(col("dist2")).as("sum_dist2"))
   }
 
+  /** One k-means (Lloyd) refinement step over the quantized embedding
+    * space, seeded from the same deterministic codebook as s05's IVF
+    * coarse quantizer (vectors 100–115): assign EVERY vector to its
+    * nearest seed by quantized cosine (centroid side broadcast — bounded
+    * by k, the s06 reasoning; ties break to the smaller centroid id),
+    * then emit per cluster the membership count and integer-exact
+    * statistics of the UPDATED centroid: the component total of the new
+    * sum-vector and its integer dot ("align") with the old centroid.
+    * Sum-vectors stand in for means (cosine is scale-invariant — the
+    * s03/s06 trick), so the whole step is division-free and
+    * oracle-exact; iterating Lloyd = re-running with the previous
+    * sum-vectors as the codebook. Shape at 100 TB: one broadcast
+    * crossJoin scan + two narrow shuffles (per-(cluster,dim) partial
+    * sums, then per-cluster rollup) — no row ever carries more than one
+    * (dim, value) pair into an exchange. */
+  private def s13(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val cents = emb.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"))
+    val scored = emb.select(col("vec_id"), col("qv"), col("n2"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("c_id").asc)
+    val members = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_id"), col("vec_id"), col("qv"))
+    val dims = members
+      .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("c_id"), col("pos"))
+      .agg(sum(col("q")).as("s"))
+    val oldDims = cents
+      .select(col("c_id"), posexplode(col("c_qv")).as(Seq("pos", "cq")))
+    val stats = dims.join(oldDims, Seq("c_id", "pos"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("s")).as("sum_total"),
+        sum(col("s") * col("cq")).as("align"))
+    members.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
+      .join(stats, Seq("c_id"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -375,6 +418,7 @@ object SimilarityOps {
     "s10_pq_assign" -> s10 _,
     "s11_embedding_lsh_pairs" -> s11 _,
     "s12_banded_recall_report" -> s12 _,
+    "s13_kmeans_step" -> s13 _,
   )
 
   // ---- DuckDB oracles ----
@@ -607,5 +651,40 @@ object SimilarityOps {
          |    FROM scored) WHERE rk = 1)
          |SELECT label, c_label AS assigned, COUNT(*) AS n_vecs
          |FROM best GROUP BY 1, 2""".stripMargin,
+    "s13_kmeans_step" ->
+      s"""WITH $embCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, qv AS cqv, n2 AS cn2 FROM embn
+         |  WHERE vec_id BETWEEN 100 AND 115),
+         |scored AS (
+         |  SELECT v.vec_id, c.c_id,
+         |    CAST(${dot("v.qv", "c.cqv")} AS DOUBLE)
+         |      / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos
+         |  FROM embn v CROSS JOIN cents c),
+         |best AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT vec_id, c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, c_id ASC) AS rk
+         |    FROM scored) WHERE rk = 1),
+         |members AS (
+         |  SELECT b.c_id, v.vec_id, v.qv FROM best b
+         |  JOIN embn v USING (vec_id)),
+         |dims AS (
+         |  SELECT m.c_id, r.i, SUM(m.qv[r.i])::BIGINT AS s
+         |  FROM members m, range(1, ${DIMS + 1}) AS r(i)
+         |  GROUP BY m.c_id, r.i),
+         |cdims AS (
+         |  SELECT c.c_id, r.i, c.cqv[r.i] AS cq
+         |  FROM cents c, range(1, ${DIMS + 1}) AS r(i)),
+         |stats AS (
+         |  SELECT d.c_id, SUM(d.s)::BIGINT AS sum_total,
+         |    SUM(d.s * cd.cq)::BIGINT AS align
+         |  FROM dims d JOIN cdims cd ON cd.c_id = d.c_id AND cd.i = d.i
+         |  GROUP BY d.c_id),
+         |counts AS (
+         |  SELECT c_id, COUNT(*) AS n_members FROM members GROUP BY c_id)
+         |SELECT counts.c_id, counts.n_members, stats.sum_total, stats.align
+         |FROM counts JOIN stats USING (c_id)""".stripMargin,
   )
 }

@@ -494,6 +494,27 @@ object TextDedupOps {
         expr("(1000L * sum(IF(keep, 1L, 0L))) DIV count(1)")
           .as("realized_pm"))
 
+  /** Deterministic train/val/test split — the corpus-wide split every
+    * training pipeline needs, as a pure function of document identity
+    * (portable 60-bit hash of doc_id mod 1000: <800 train, <900 val,
+    * else test). Membership is stable across engines, runs, and cluster
+    * sizes and needs no stored assignment table or shuffle: any stage
+    * can recompute a doc's split locally from its id (the same property
+    * d13 exploits for mixture sampling). Rolled up per (split, source)
+    * so leakage-prone per-source imbalances are visible; at 100 TB this
+    * is one scan + one narrow groupBy. */
+  private def d15(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        graft.functions.Portable.hash60(col("doc_id").cast("string"), 777)
+          % 1000L)
+      .withColumn("split",
+        when(col("bucket") < 800, "train")
+          .when(col("bucket") < 900, "val")
+          .otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
     * symbol ratio > 10%; < 2 stopwords), rolled up per source with a
@@ -677,6 +698,7 @@ object TextDedupOps {
     "d12_contamination" -> d12 _,
     "d13_mixture_sample" -> d13 _,
     "d14_cluster_size_histogram" -> d14 _,
+    "d15_train_split" -> d15 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1039,6 +1061,17 @@ object TextDedupOps {
          |  (MAX(bin) + 1)::BIGINT AS n_bins,
          |  ((1000 * SUM(n_toks)) // ((MAX(bin) + 1) * 256))::BIGINT AS fill_pm
          |FROM b GROUP BY source""".stripMargin,
+    "d15_train_split" ->
+      s"""WITH b AS (
+         |  SELECT source, n_chars,
+         |    (${sqlHash60("doc_id::VARCHAR", 777)} % 1000) AS bucket
+         |  FROM documents)
+         |SELECT
+         |  CASE WHEN bucket < 800 THEN 'train'
+         |       WHEN bucket < 900 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "d13_mixture_sample" ->
       s"""WITH flags AS (
          |  SELECT source,

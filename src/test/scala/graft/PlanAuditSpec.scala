@@ -204,4 +204,22 @@ class PlanAuditSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 2, s"d11 wants df + bucket shuffles, got $exchanges:\n$p")
   }
+
+  test("d15 split assignment: no join, one aggregation shuffle, one scan") {
+    // split is a pure function of doc_id — any plan that joins an
+    // assignment table back has missed the point of a hash split
+    val p = plan("d15_train_split")
+    assert(!p.contains("Join"), p)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("s13 k-means step: seed codebook broadcasts, assignment never cartesians") {
+    val p = plan("s13_kmeans_step")
+    // same contract as s06: the 16-row centroid side rides a broadcast
+    // (nested-loop against a tiny list is the intended per-row argmax)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s13 lost its centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

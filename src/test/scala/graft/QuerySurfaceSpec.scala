@@ -101,6 +101,29 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(rep.getAs[Long]("n_tp") == (banded & exact).size.toLong)
   }
 
+  test("d15 splits partition the corpus ~800/100/100 per-mille with no overlap") {
+    val rows = SparkEntry.queries("d15_train_split")(spark, sf)
+      .groupBy("split").agg(sum("n_docs").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.values.sum == total, "splits must partition the corpus exactly")
+    // hash uniformity: each split within ±15% of its target share
+    val share = Map("train" -> 800L, "val" -> 100L, "test" -> 100L)
+    share.foreach { case (s, pm) =>
+      val got = rows.getOrElse(s, 0L) * 1000L / total
+      assert(math.abs(got - pm) <= 150, s"$s split at $got‰, wanted ~$pm‰")
+    }
+  }
+
+  test("s13 Lloyd step assigns every vector exactly once") {
+    val rep = SparkEntry.queries("s13_kmeans_step")(spark, sf).collect()
+    val assigned = rep.map(_.getAs[Long]("n_members")).sum
+    val total = Tables.embeddings(spark, sf).count()
+    assert(assigned == total,
+      s"assigned $assigned of $total vectors — argmax must be total")
+    assert(rep.length <= 16, "more clusters than seeds")
+  }
+
   test("ANN recall: LSH (s02) and IVF (s05) top-3 hit the brute-force top-3") {
     // ground truth: exact top-3 per query from the brute-force scan
     val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
