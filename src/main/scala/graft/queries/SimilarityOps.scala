@@ -362,6 +362,23 @@ object SimilarityOps {
       .agg(count(lit(1)).as("n_assigned"), sum(col("dist2")).as("sum_dist2"))
   }
 
+  /** Embedding-dedup survivor accounting — the d08 analogue for vectors,
+    * completing the embedding path: s11 banded pairs → s07 components →
+    * keep min(vec_id) per cluster, everything unclustered survives by
+    * definition. Per-label before/after counts make the semantic-dedup
+    * rate visible per class (a skewed drop rate flags label-correlated
+    * near-duplication — e.g. one class scraped twice). Same scale shape
+    * as d08: the cluster table is ≪ corpus (pairs only), joined back
+    * left to the narrow (vec_id, label) projection. */
+  private def s14(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"))
+      .join(s07(s, d), Seq("vec_id"), "left")
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("comp").isNull || col("comp") === col("vec_id"), 1L)
+          .otherwise(0L)).as("n_after"))
+
   /** One k-means (Lloyd) refinement step over the quantized embedding
     * space, seeded from the same deterministic codebook as s05's IVF
     * coarse quantizer (vectors 100–115): assign EVERY vector to its
@@ -419,6 +436,7 @@ object SimilarityOps {
     "s11_embedding_lsh_pairs" -> s11 _,
     "s12_banded_recall_report" -> s12 _,
     "s13_kmeans_step" -> s13 _,
+    "s14_embedding_survivors" -> s14 _,
   )
 
   // ---- DuckDB oracles ----
@@ -686,5 +704,23 @@ object SimilarityOps {
          |  SELECT c_id, COUNT(*) AS n_members FROM members GROUP BY c_id)
          |SELECT counts.c_id, counts.n_members, stats.sum_total, stats.align
          |FROM counts JOIN stats USING (c_id)""".stripMargin,
+    "s14_embedding_survivors" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($s11Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS vec_id, MIN(label) AS comp
+         |         FROM reach GROUP BY node)
+         |SELECT emb.label, COUNT(*) AS n_before,
+         |  SUM(CASE WHEN c.comp IS NULL OR c.comp = emb.vec_id
+         |       THEN 1 ELSE 0 END)::BIGINT AS n_after
+         |FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
+         |GROUP BY emb.label""".stripMargin,
   )
 }
