@@ -34,8 +34,16 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').filter(_.nonEmpty).toSet)
     val queries = only match {
-      case Some(ids) => SparkEntry.queries.filter { case (k, _) =>
-        ids(k) || ids(k.takeWhile(_ != '_')) }
+      case Some(ids) =>
+        // a typo'd filter must fail loudly, not print a perfect-looking
+        // 0.000-second bench of zero queries
+        val matched = SparkEntry.queries.filter { case (k, _) =>
+          ids(k) || ids(k.takeWhile(_ != '_')) }
+        val unmatched = ids.filterNot(id => SparkEntry.queries.keys
+          .exists(k => k == id || k.takeWhile(_ != '_') == id))
+        require(unmatched.isEmpty,
+          s"SPARK_GRAFT_ONLY entries match no query: ${unmatched.mkString(", ")}")
+        matched
       case None => SparkEntry.queries
     }
 

@@ -91,12 +91,23 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     * cursor-loss window: crash mid-batch-1 with zero markers. */
   private def markerEraPath: Path = new Path(root, "_MARKER_ERA")
 
+  /** Once the era decision is made for this store it can never change
+    * (a sentinel never disappears; a store with data partitions never
+    * becomes fresh), so memoize it — otherwise every 10 s commit on a
+    * pre-marker legacy store would re-list every partition of every
+    * table (~8.6k/day and growing) just to re-conclude "not fresh". */
+  @volatile private var markerEraSettled = false
+
   private def stampMarkerEra(): Unit =
-    if (!fs.exists(markerEraPath) &&
-        AllTables.flatMap(partitionIds).isEmpty) {
-      val out = fs.create(markerEraPath, true)
-      out.write("markers precede all data in this store".getBytes("UTF-8"))
-      out.close()
+    if (!markerEraSettled) {
+      if (!fs.exists(markerEraPath)) {
+        if (AllTables.flatMap(partitionIds).isEmpty) {
+          val out = fs.create(markerEraPath, true)
+          out.write("markers precede all data in this store".getBytes("UTF-8"))
+          out.close()
+        }
+      }
+      markerEraSettled = true
     }
 
   /** The highest batch id whose data provably reached disk IN FULL.

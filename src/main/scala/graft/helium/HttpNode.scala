@@ -46,10 +46,16 @@ class HttpNode(endpoint: String) extends NodeClient {
     } finally conn.disconnect()
   }
 
-  /** One JSON-RPC call; Some(result-as-json) or None on a JSON-RPC error
-    * (the node's "no such block/txn" channel). Transport failures throw —
-    * the streaming source treats them like the reference treats a dead
-    * node (abort the tick, retry next trigger). */
+  /** One JSON-RPC call; Some(result-as-json), or None ONLY for the
+    * node's "no such block/txn" channel (code -32602, the invalid-params
+    * code blockchain-node answers unknown heights/hashes with, or an
+    * explicit not-found message). Any OTHER in-band error — internal
+    * error -32603, server errors -32000..-32099, parse/method errors —
+    * THROWS like a transport failure: a lenient batch scan treats None
+    * as a legitimate gap, so mapping a transient server hiccup to None
+    * would silently drop a block from a "successful" scan. Transport
+    * failures throw too — the streaming source treats both like the
+    * reference treats a dead node (abort the tick, retry next trigger). */
   private def call(method: String, params: Option[String]): Option[String] = {
     val req = mapper.createObjectNode()
     req.put("jsonrpc", "2.0")
@@ -58,7 +64,14 @@ class HttpNode(endpoint: String) extends NodeClient {
     params.foreach(p => req.set[JsonNode]("params", mapper.readTree(p)))
     val resp = mapper.readTree(post(mapper.writeValueAsString(req)))
     val err = resp.get("error")
-    if (err != null && !err.isNull) None
+    if (err != null && !err.isNull) {
+      val code = Option(err.get("code")).map(_.asInt()).getOrElse(0)
+      val msg = Option(err.get("message")).map(_.asText()).getOrElse("")
+      if (code == -32602 || msg.toLowerCase.contains("not found")) None
+      else throw new java.io.IOException(
+        s"node $endpoint: $method failed with JSON-RPC error $code: " +
+          msg.take(200))
+    }
     else Option(resp.get("result")).filterNot(_.isNull).map(_.toString)
   }
 

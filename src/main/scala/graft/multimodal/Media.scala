@@ -95,8 +95,13 @@ object Media {
         new java.io.ByteArrayInputStream(p))
       try {
         val f = in.getFormat
-        Some((f.getSampleRate.toInt, f.getChannels,
-          math.min(in.getFrameLength, Int.MaxValue.toLong).toInt))
+        val frames = in.getFrameLength
+        // streaming-encoder WAVs carry placeholder/unknown data-chunk
+        // sizes (frame length reported negative/NOT_SPECIFIED or as an
+        // absurd 0xFFFFFFFF-derived value) — those must take the
+        // fallback, not poison downstream frame sums
+        if (frames < 0 || frames > Int.MaxValue.toLong) None
+        else Some((f.getSampleRate.toInt, f.getChannels, frames.toInt))
       } finally in.close()
     } catch { case _: Exception => None }
 

@@ -98,6 +98,11 @@ object ConnectedComponents {
       prev = cur
     }
     sym.unpersist()
+    // same contract as runStar: half-propagated labels under-merge
+    // components silently — refuse to return them
+    if (!converged) throw new IllegalStateException(
+      s"min-label propagation did not converge in $maxRounds rounds " +
+        "(rounds = component diameter — use runStar for deep graphs)")
     labels
   }
 
@@ -193,6 +198,11 @@ object ConnectedComponents {
       round += 1
       converged = isStarForest(cur)
     }
+    // label extraction below is ONLY valid on a star forest — reading a
+    // half-contracted edge set would silently under-merge components
+    if (!converged) throw new IllegalStateException(
+      s"star contraction did not converge in $maxRounds rounds " +
+        "(O(log n) expected — raise maxRounds)")
     // fixed point is a star forest: every edge is (node → its component
     // root); roots appear only on the v side, so close over them
     val labels = cur.select(col("u").as("node"), col("v").as("comp"))

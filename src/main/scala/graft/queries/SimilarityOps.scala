@@ -269,10 +269,20 @@ object SimilarityOps {
     * audit s04 (truth), the d10/s08 pattern: the metric that drives the
     * (planes, tables) tuning loop. Precision is 1.0 by construction (s11
     * exact-verifies every candidate), so recall_pm is the whole story. */
-  private def s12(s: SparkSession, d: String): DataFrame = {
-    val truth = s04(s, d).select(col("a_id"), col("b_id"))
-    val got = s11(s, d).select(col("a_id"), col("b_id"))
-    val tp = got.join(truth, Seq("a_id", "b_id"), "left_semi")
+  private def s12(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      s04(s, d).select(col("a_id"), col("b_id")),
+      s11(s, d).select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"))
+
+  /** The shared recall-report shape (s08, s12): |truth|, |got|,
+    * |got ∩ truth| via left-semi on `keys`, and recall in per-mille
+    * (1000 on empty truth — nothing to miss). One definition so the
+    * empty-truth convention and the integer formula cannot diverge
+    * between reports. */
+  private def recallReport(truth: DataFrame, got: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val tp = got.join(truth, keys, "left_semi")
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(got.agg(count(lit(1)).as("n_got")))
       .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
@@ -284,18 +294,11 @@ object SimilarityOps {
   /** ANN quality report — recall of the multi-table LSH (s02) against the
     * brute-force top-3 ground truth (s01), gated like d10: the metric that
     * drives the (planes, tables, nprobe) tuning loop in production. */
-  private def s08(s: SparkSession, d: String): DataFrame = {
-    val truth = s01(s, d).filter(col("rank") <= 3)
-      .select(col("query_id"), col("cand_id"))
-    val got = s02(s, d).select(col("query_id"), col("cand_id"))
-    val tp = got.join(truth, Seq("query_id", "cand_id"), "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(got.agg(count(lit(1)).as("n_got")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
-      .withColumn("recall_pm",
-        when(col("n_truth") > 0, expr("(1000L * n_tp) DIV n_truth"))
-          .otherwise(1000L))
-  }
+  private def s08(s: SparkSession, d: String): DataFrame =
+    recallReport(
+      s01(s, d).filter(col("rank") <= 3).select(col("query_id"), col("cand_id")),
+      s02(s, d).select(col("query_id"), col("cand_id")),
+      Seq("query_id", "cand_id"))
 
   /** Embedding-quality screen — the vector-side input validation a
     * training/ANN pipeline runs before indexing: per label, the count of

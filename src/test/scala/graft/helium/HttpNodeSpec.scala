@@ -16,6 +16,8 @@ import Model.IngestState
   * egress — the wire format is real, only the chain behind it is canned. */
 class MockNodeHttpServer(backend: NodeClient) {
   private val mapper = new ObjectMapper()
+  /** Arms a one-shot JSON-RPC internal error (-32603) on the next call. */
+  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.createContext("/", new HttpHandler {
@@ -24,16 +26,22 @@ class MockNodeHttpServer(backend: NodeClient) {
       val id = Option(req.get("id")).map(_.asText()).getOrElse("1")
       val method = Option(req.get("method")).map(_.asText()).getOrElse("")
       val params = req.get("params")
-      val result: Option[String] = method match {
-        case "block_height" => Some(s"""{"height":${backend.height()}}""")
-        case "block_get" => backend.getBlockJson(params.get("height").asLong())
-        case "transaction_get" => backend.getTxnJson(params.get("hash").asText())
-        case _ => None
-      }
-      val body = result match {
-        case Some(r) => s"""{"jsonrpc":"2.0","id":"$id","result":$r}"""
-        case None =>
-          s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32602,"message":"no result for $method"}}"""
+      val body = if (failNext.getAndSet(false))
+        // a server-side failure that is NOT "no such entity" — the
+        // client must throw, never map this to a silent None/gap
+        s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32603,"message":"internal error"}}"""
+      else {
+        val result: Option[String] = method match {
+          case "block_height" => Some(s"""{"height":${backend.height()}}""")
+          case "block_get" => backend.getBlockJson(params.get("height").asLong())
+          case "transaction_get" => backend.getTxnJson(params.get("hash").asText())
+          case _ => None
+        }
+        result match {
+          case Some(r) => s"""{"jsonrpc":"2.0","id":"$id","result":$r}"""
+          case None =>
+            s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32602,"message":"no result for $method"}}"""
+        }
       }
       val bytes = body.getBytes(UTF_8)
       ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -98,6 +106,23 @@ class HttpNodeSpec extends SparkSuite {
   // from the fixture line; compare parsed trees, not raw strings
   private def normalize(json: String): com.fasterxml.jackson.databind.JsonNode =
     new ObjectMapper().readTree(json)
+
+  test("a JSON-RPC internal error throws — never a silent None/gap") {
+    val fix = new FixtureNode(copiedFixture())
+    val srv = new MockNodeHttpServer(fix)
+    try {
+      val http = new HttpNode(srv.endpoint)
+      val h = http.height() // healthy first
+      srv.failNext.set(true)
+      // -32603 must surface as an exception (a lenient batch scan treats
+      // None as a legitimate chain gap — a server hiccup is not one)
+      intercept[java.io.IOException] { http.getBlockJson(h) }
+      // and the node recovers on the next call
+      assert(http.getBlockJson(h).nonEmpty)
+      // while genuinely-missing entities still map to None
+      assert(http.getBlockJson(99999L).isEmpty)
+    } finally srv.stop()
+  }
 
   test("follower drains the chain over http:// and commits rewards + cursor") {
     val dir = copiedFixture()
