@@ -57,32 +57,40 @@ object Bench {
         shortIds.groupBy(identity).filter(_._2.size > 1).keys.mkString(", "))
 
     // A failed query must POISON the bench, not flatter it: a query that
-    // dies in 50 ms would otherwise "improve" the total. Failures are
-    // counted across warmup+measured passes and emitted in the JSON line.
+    // dies in 50 ms would otherwise "improve" the total. A failed pass
+    // reports +inf (never enters the per-query min), and failures are
+    // counted over MEASURED passes only — a warmup-only hiccup doesn't
+    // condemn timings that are all valid — then emitted in the JSON.
     val failed = scala.collection.mutable.Set.empty[String]
-    def runAll(): Map[String, Double] =
+    def runAll(measured: Boolean): Map[String, Double] =
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
-            failed += name
+            if (measured) failed += name
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // Per-query persists are for multi-scan reuse WITHIN a query;
-        // clear between queries so 96 queries' cached blocks don't
+        // clear between queries so 101 queries' cached blocks don't
         // accumulate (and distort later queries' memory budget).
         spark.catalog.clearCache()
-        name -> dt
+        name -> (if (ok) dt else Double.PositiveInfinity)
       }.toMap
 
-    runAll() // warmup pass (uncounted)
+    runAll(measured = false) // warmup pass (uncounted)
     // Two measured passes, per-query MIN: a single GC pause or concurrent
     // host load can inflate one pass 10x (q16 read 14.8s in a driver run
     // whose steady-state is 0.5s); the min of two independent passes is the
     // steady-state cost we actually want to report.
-    val pass1 = runAll()
-    val results = runAll().toSeq.map { case (k, v) => k -> math.min(v, pass1(k)) }
+    val pass1 = runAll(measured = true)
+    val results = runAll(measured = true).toSeq
+      .map { case (k, v) => k -> math.min(v, pass1(k)) }
+      // a query that failed BOTH passes has min=inf — report a sentinel
+      // -1 (unmistakably not a timing) rather than poisoning the sum
+      .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) }
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // The driver captures only the last 2000 chars of stdout and parses the
     // final line as JSON (BENCH_r02 was truncated mid-line at ~2.4KB and
@@ -92,7 +100,6 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     val sfName = sfDir.split('/').last
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":${failed.size},"queries":$qs,"sf":"$sfName"}"""

@@ -31,26 +31,28 @@ class HttpNode(endpoint: String) extends NodeClient {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(30000)
     conn.setDoOutput(true)
-    try {
-      val out = conn.getOutputStream
-      try out.write(body.getBytes(UTF_8)) finally out.close()
-      val code = conn.getResponseCode
-      val is = if (code / 100 == 2) conn.getInputStream
-               else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-      val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
-                finally is.close()
-      if (code / 100 != 2)
-        throw new java.io.IOException(
-          s"node $endpoint returned HTTP $code: ${txt.take(200)}")
-      txt
-    } finally conn.disconnect()
+    // no conn.disconnect() anywhere here: closing the streams returns the
+    // socket to the JDK keep-alive pool, so a partition's
+    // one-POST-per-height fetch loop reuses one TCP (and TLS) connection
+    // instead of handshaking per block
+    val out = conn.getOutputStream
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val code = conn.getResponseCode
+    val is = if (code / 100 == 2) conn.getInputStream
+             else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+    val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+              finally is.close()
+    if (code / 100 != 2)
+      throw new java.io.IOException(
+        s"node $endpoint returned HTTP $code: ${txt.take(200)}")
+    txt
   }
 
   /** One JSON-RPC call; Some(result-as-json), or None ONLY for the
-    * node's "no such block/txn" channel (code -32602, the invalid-params
-    * code blockchain-node answers unknown heights/hashes with, or an
-    * explicit not-found message). Any OTHER in-band error — internal
-    * error -32603, server errors -32000..-32099, parse/method errors —
+    * node's "no such block/txn" channel (exactly code -32602, the
+    * invalid-params code blockchain-node answers unknown heights/hashes
+    * with). Any OTHER in-band error — internal error -32603, server
+    * errors -32000..-32099, method-not-found -32601, parse errors —
     * THROWS like a transport failure: a lenient batch scan treats None
     * as a legitimate gap, so mapping a transient server hiccup to None
     * would silently drop a block from a "successful" scan. Transport
@@ -67,7 +69,11 @@ class HttpNode(endpoint: String) extends NodeClient {
     if (err != null && !err.isNull) {
       val code = Option(err.get("code")).map(_.asInt()).getOrElse(0)
       val msg = Option(err.get("message")).map(_.asText()).getOrElse("")
-      if (code == -32602 || msg.toLowerCase.contains("not found")) None
+      // not-found is EXACTLY code -32602 — a message heuristic would
+      // also match -32601 "Method not found" (wrong node version /
+      // wrong service on the port), which must be loud, not a silent
+      // all-gaps chain
+      if (code == -32602) None
       else throw new java.io.IOException(
         s"node $endpoint: $method failed with JSON-RPC error $code: " +
           msg.take(200))

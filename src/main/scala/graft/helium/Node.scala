@@ -27,10 +27,15 @@ object NodeClient {
     if (addr.startsWith("fixture://")) new FixtureNode(addr.stripPrefix("fixture://"))
     else if (addr.startsWith("http://") || addr.startsWith("https://"))
       new HttpNode(addr)
-    else if (!addr.contains("://")) new FixtureNode(addr) // bare dir path
+    // bare DIR convenience (test call sites pass fixture dirs directly) —
+    // but only when it cannot be a scheme-less network address: a typo'd
+    // "localhost:4467" must fail HERE with a clear message, not surface
+    // minutes later as a FixtureNode missing its blocks.jsonl
+    else if (!addr.contains(":")) new FixtureNode(addr)
     else throw new IllegalArgumentException(
-      s"no node client for '$addr' — implement graft.helium.NodeClient " +
-        "for your node and register its scheme in NodeClient.forAddr")
+      s"no node client for '$addr' — did you mean 'http://$addr' or " +
+        "'fixture://<dir>'? (implement graft.helium.NodeClient and " +
+        "register its scheme in NodeClient.forAddr for other backends)")
 }
 
 /** A node backed by fixture JSONL files (blocks.jsonl / txns.jsonl) — the

@@ -25,6 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object Media {
 
+  // In-memory image streams: ImageIO's default disk cache would wrap
+  // every already-in-memory payload in a FileCacheImageInputStream —
+  // one temp-file create/write/delete per decoded row on every
+  // executor, exactly the per-row codec-setup I/O this pipeline must
+  // not pay. Object init runs once per executor JVM.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** An opaque media record: binary payload + typed envelope. */
   case class MediaRecord(
       media_id: Long,

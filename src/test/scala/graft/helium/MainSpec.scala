@@ -49,6 +49,9 @@ class MainSpec extends SparkSuite {
     assert(Main.nodeFor("https://node.example:443").isInstanceOf[HttpNode])
     assert(Main.nodeFor("fixture:///tmp/fx").isInstanceOf[FixtureNode])
     assert(Main.nodeFor("/tmp/fx").isInstanceOf[FixtureNode]) // bare dir
+    // a scheme-less host:port is a config typo, not a fixture dir — must
+    // fail up front with a clear message, not at first trigger
+    intercept[IllegalArgumentException] { Main.nodeFor("localhost:4467") }
     val ex = intercept[IllegalArgumentException] {
       Main.nodeFor("grpc://127.0.0.1:4467")
     }
