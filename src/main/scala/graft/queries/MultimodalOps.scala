@@ -30,6 +30,28 @@ object MultimodalOps {
         countDistinct(col("checksum")).as("n_distinct"))
   }
 
+  /** Media dedup at thumbnail fidelity — d01's content-hash dedup lifted
+    * to binary payloads: resize every payload to a 64-byte thumbnail
+    * (real downscale for decodable images, byte truncation otherwise),
+    * checksum the REDUCED payload, group on (kind, checksum), keep
+    * groups with >1 member. Reduced-fidelity hashing is the standard
+    * coarse near-dup move for media (same instinct as pHash): distinct
+    * files sharing a thumbnail are duplicate candidates. The payload
+    * never shuffles — resize + checksum happen in the decode stage, so
+    * at 100 TB the dedup shuffle is ~60 bytes/row regardless of media
+    * size; per-kind rollup keeps image vs video duplication rates
+    * separately visible. */
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    Media.decodeFeatures(Media.resize(media, 64)).toDF()
+      .groupBy(col("kind"), col("checksum"))
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_dup_groups"),
+        sum(col("n_copies") - 1).as("n_removable"))
+  }
+
   /** Frame-sampling rollup: every 4th frame of each video payload decoded
     * to a per-frame feature, aggregated per source. The frame explosion
     * happens executor-side inside the batched decode (never a Spark
@@ -103,6 +125,7 @@ object MultimodalOps {
     "m03_resize_rollup" -> m03 _,
     "m04_crossmodal_join" -> m04 _,
     "m05_chunked_payloads" -> m05 _,
+    "m06_media_dedup" -> m06 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -131,6 +154,15 @@ object MultimodalOps {
         |  SUM(least(octet_length(encode(text)), 512))::BIGINT AS resized_bytes,
         |  COUNT(DISTINCT md5(substr(hex(encode(text)), 1, 1024))) AS n_distinct
         |FROM documents GROUP BY 1""".stripMargin,
+    "m06_media_dedup" ->
+      """SELECT kind, COUNT(*) AS n_dup_groups,
+        |  SUM(n_copies - 1)::BIGINT AS n_removable
+        |FROM (
+        |  SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+        |    md5(substr(hex(encode(text)), 1, 128)) AS checksum,
+        |    COUNT(*) AS n_copies
+        |  FROM documents GROUP BY 1, 2)
+        |WHERE n_copies > 1 GROUP BY kind""".stripMargin,
     "m04_crossmodal_join" ->
       s"""WITH feats AS (
          |  SELECT doc_id AS media_id,
