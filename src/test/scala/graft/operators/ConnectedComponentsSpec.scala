@@ -122,6 +122,19 @@ class ConnectedComponentsSpec extends SparkSuite {
     }
   }
 
+  test("an exhausted round budget throws instead of returning under-merged labels") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    // 40-hop diameter cannot converge in 2 min-label rounds, and a
+    // 41-node path needs ≥2 star rounds — both must refuse, not return
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, maxRounds = 2, localCutoff = 0).collect()
+    }
+    intercept[IllegalStateException] {
+      ConnectedComponents.runStar(chain, maxRounds = 1, localCutoff = 0).collect()
+    }
+  }
+
   test("large-star/small-star handles empty input and isolated pairs") {
     import spark.implicits._
     assert(ConnectedComponents
