@@ -39,7 +39,12 @@ object HashSketch {
       "winnow_set", exprs => WinnowSet(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig", exprs => LshSig(exprs(0), exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_hash_seq", exprs => TokenHashSeq(exprs(0), exprs(1)), "built-in")
   }
+
+  def tokenHashSeq(text: Column, seed: Int): Column =
+    call_function("token_hash_seq", text, lit(seed))
 
   def simhashBits(arr: Column, bits: Int): Column =
     call_function("simhash_bits", arr, lit(bits))
@@ -438,4 +443,86 @@ case class WinnowSet(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "winnow_set"
+}
+
+/** Per-token 40-bit hash sequence, fused end-to-end: tokenize the UTF-8
+  * bytes (maximal runs of non-space bytes ≡ split-on-' ' with empties
+  * dropped), MD5 each token under the `"<seed>_"` prefix, take the first
+  * 60 digest bits — by construction the value `conv(substr(md5_hex,1,15),
+  * 16,10)` parses, i.e. exactly [[Portable.hash60]] — and reduce mod 2^40
+  * ([[TextFns.ShingleMod]]).
+  *
+  * The HOF form ([[TextFns.tokenHashSeqHof]], kept as the executable
+  * spec) allocates per token: a token UTF8String, a seed concat, a
+  * 32-char hex string, a substring, and conv's parse buffer — all
+  * interpreted inside the lambda. This expression allocates nothing per
+  * token beyond the digest's own buffer (one thread-local MessageDigest
+  * per executor thread), and the whole pass stays inside whole-stage
+  * codegen via a static call. Bit-identity with the HOF form is
+  * property-asserted in FunctionsSpec, so the DuckDB oracles (which
+  * compute the same 15-hex-digit value independently) are untouched. */
+case class TokenHashSeq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  private val seed = HashSketch.constInt(right, "token_hash_seq(seed)")
+  private val prefix: Array[Byte] = s"${seed}_".getBytes("UTF-8")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    left.dataType match {
+      case _: org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"token_hash_seq expects string, got $other")
+    }
+
+  override def nullSafeEval(input: Any, seedIgnored: Any): Any =
+    TokenHashSeq.eval(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], prefix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("thsPrefix", prefix, "byte[]")
+    // MODULE$ access: the case class inherits eval(...) from Expression,
+    // which suppresses the companion's static forwarder — Janino must
+    // call the module instance directly
+    nullSafeCodeGen(ctx, ev, (in, _) =>
+      s"${ev.value} = graft.functions.TokenHashSeq$$.MODULE$$.eval($in, $pRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "token_hash_seq"
+}
+
+object TokenHashSeq {
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def eval(s: org.apache.spark.unsafe.types.UTF8String,
+      prefix: Array[Byte]): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val md = mdLocal.get()
+    val out = new java.util.ArrayList[AnyRef](16)
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      val start = i
+      while (i < n && bytes(i) != ' ') i += 1
+      if (i > start) {
+        md.reset()
+        md.update(prefix)
+        md.update(bytes, start, i - start)
+        val d = md.digest()
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        out.add(java.lang.Long.valueOf((v >>> 4) % TextFns.ShingleMod))
+      }
+    }
+    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+  }
 }

@@ -43,8 +43,18 @@ object TextFns {
     * derivations reference their input several times per element, and if
     * the input is this raw expression rather than a column attribute,
     * every reference re-evaluates the whole MD5 pass — O(n²·md5) per row
-    * instead of O(n·k) integer ops. */
+    * instead of O(n·k) integer ops.
+    *
+    * Delegates to the fused native [[HashSketch.tokenHashSeq]] expression
+    * (requires `HashSketch.register` on the session — every dedup query
+    * and streaming op does this); [[tokenHashSeqHof]] below is the
+    * composable executable spec it is property-tested against. */
   def tokenHashSeq(text: Column): Column =
+    HashSketch.tokenHashSeq(text, 0)
+
+  /** The HOF form of [[tokenHashSeq]] — kept as the executable spec
+    * (FunctionsSpec asserts bit-identity with the native expression). */
+  def tokenHashSeqHof(text: Column): Column =
     transform(tokens(text), t => pmod(hash60(t, 0), lit(ShingleMod)))
 
   /** Ordered shingle-hash sequence from a token-hash array: k shifted

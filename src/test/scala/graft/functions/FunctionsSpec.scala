@@ -10,6 +10,26 @@ import VectorFns._
 class FunctionsSpec extends SparkSuite {
   import spark.implicits._
   DotQ.register(spark)
+  HashSketch.register(spark)
+
+  test("native token_hash_seq is bit-identical to the HOF executable spec") {
+    // adversarial shapes: multiple/trailing/leading spaces, empty string,
+    // non-ASCII multibyte, long docs, single char, tabs (NOT separators)
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "βeta", "γάμμα", "x", "1234", "a\tb", "émile")
+    val docs = Seq("", " ", "  ", "a", " a ", "a  b", "tab\there") ++
+      Seq.fill(60)(Seq.fill(1 + rnd.nextInt(80))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" " * (1 + rnd.nextInt(2))))
+    val df = docs.toDF("text")
+      .select(TextFns.tokenHashSeq(col("text")).as("native"),
+        TextFns.tokenHashSeqHof(col("text")).as("hof"))
+    assert(df.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // and on real corpus data
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextFns.tokenHashSeq(col("text")).as("native"),
+        TextFns.tokenHashSeqHof(col("text")).as("hof"))
+    assert(real.filter(not(col("native") <=> col("hof"))).count() == 0)
+  }
 
   test("DotQ native expression equals the composable HOF form") {
     val rnd = new scala.util.Random(7)
