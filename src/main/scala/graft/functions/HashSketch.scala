@@ -40,11 +40,14 @@ object HashSketch {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_sig", exprs => LshSig(exprs(0), exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_hash_seq", exprs => TokenHashSeq(exprs(0), exprs(1)), "built-in")
+      "token_hash_seq",
+      exprs => TokenHashSeq(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
-  def tokenHashSeq(text: Column, seed: Int): Column =
-    call_function("token_hash_seq", text, lit(seed))
+  /** mod > 0 reduces each hash mod `mod`; mod = 0 keeps the full 60 bits
+    * (the [[TextFns.hash60Array]]-over-tokens shape d04/d07 use). */
+  def tokenHashSeq(text: Column, seed: Int, mod: Long): Column =
+    call_function("token_hash_seq", text, lit(seed), lit(mod))
 
   def simhashBits(arr: Column, bits: Int): Column =
     call_function("simhash_bits", arr, lit(bits))
@@ -65,6 +68,13 @@ object HashSketch {
     case Literal(v: Int, IntegerType) => v
     case _ => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $e")
+  }
+
+  private[functions] def constLong(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$name must be a long literal, got $e")
   }
 
   private[functions] def checkArr(t: DataType, fn: String): TypeCheckResult =
@@ -461,37 +471,40 @@ case class WinnowSet(left: Expression, right: Expression)
   * codegen via a static call. Bit-identity with the HOF form is
   * property-asserted in FunctionsSpec, so the DuckDB oracles (which
   * compute the same 15-hex-digit value independently) are untouched. */
-case class TokenHashSeq(left: Expression, right: Expression)
-    extends BinaryExpression {
-  private val seed = HashSketch.constInt(right, "token_hash_seq(seed)")
+case class TokenHashSeq(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  private val seed = HashSketch.constInt(second, "token_hash_seq(seed)")
+  private val mod = HashSketch.constLong(third, "token_hash_seq(mod)")
   private val prefix: Array[Byte] = s"${seed}_".getBytes("UTF-8")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    left.dataType match {
+    first.dataType match {
       case _: org.apache.spark.sql.types.StringType =>
         TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"token_hash_seq expects string, got $other")
     }
 
-  override def nullSafeEval(input: Any, seedIgnored: Any): Any =
+  override def nullSafeEval(input: Any, p2: Any, p3: Any): Any =
     TokenHashSeq.eval(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], prefix)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      prefix, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("thsPrefix", prefix, "byte[]")
     // MODULE$ access: the case class inherits eval(...) from Expression,
     // which suppresses the companion's static forwarder — Janino must
     // call the module instance directly
-    nullSafeCodeGen(ctx, ev, (in, _) =>
-      s"${ev.value} = graft.functions.TokenHashSeq$$.MODULE$$.eval($in, $pRef);")
+    nullSafeCodeGen(ctx, ev, (in, _, _) =>
+      s"${ev.value} = graft.functions.TokenHashSeq$$.MODULE$$.eval($in, $pRef, ${mod}L);")
   }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
   override def prettyName: String = "token_hash_seq"
 }
 
@@ -500,9 +513,10 @@ object TokenHashSeq {
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
 
-  /** Static entry shared by interpreted eval and generated code. */
+  /** Static entry shared by interpreted eval and generated code;
+    * mod <= 0 keeps the full 60-bit value. */
   def eval(s: org.apache.spark.unsafe.types.UTF8String,
-      prefix: Array[Byte]): ArrayData = {
+      prefix: Array[Byte], mod: Long): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     val md = mdLocal.get()
@@ -520,7 +534,8 @@ object TokenHashSeq {
         var v = 0L
         var j = 0
         while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-        out.add(java.lang.Long.valueOf((v >>> 4) % TextFns.ShingleMod))
+        val h = v >>> 4
+        out.add(java.lang.Long.valueOf(if (mod > 0) h % mod else h))
       }
     }
     new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])

@@ -50,7 +50,7 @@ object TextFns {
     * and streaming op does this); [[tokenHashSeqHof]] below is the
     * composable executable spec it is property-tested against. */
   def tokenHashSeq(text: Column): Column =
-    HashSketch.tokenHashSeq(text, 0)
+    HashSketch.tokenHashSeq(text, 0, ShingleMod)
 
   /** The HOF form of [[tokenHashSeq]] — kept as the executable spec
     * (FunctionsSpec asserts bit-identity with the native expression). */

@@ -215,7 +215,8 @@ object TextDedupOps {
     graft.functions.HashSketch.register(s)
     docsWithTokens(s, d)
       .filter(col("n_words") > 0)
-      .withColumn("hb", hash60Array(col("toks"), 999))
+      .withColumn("hb", // fused native per-token hashing (full 60 bits)
+        graft.functions.HashSketch.tokenHashSeq(col("text"), 999, 0L))
       .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 16))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
@@ -298,7 +299,8 @@ object TextDedupOps {
     graft.functions.HashSketch.register(s)
     val sh = docsWithTokens(s, d)
       .filter(col("n_words") > 0)
-      .withColumn("hb", hash60Array(col("toks"), 999))
+      .withColumn("hb", // fused native per-token hashing (full 60 bits)
+        graft.functions.HashSketch.tokenHashSeq(col("text"), 999, 0L))
       .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 48))
       .select(col("doc_id"), col("sh"))
       .persist()

@@ -29,6 +29,11 @@ class FunctionsSpec extends SparkSuite {
       .select(TextFns.tokenHashSeq(col("text")).as("native"),
         TextFns.tokenHashSeqHof(col("text")).as("hof"))
     assert(real.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // mod = 0 (full 60 bits, seed 999): the d04/d07 hash60Array shape
+    val full = docs.toDF("text")
+      .select(HashSketch.tokenHashSeq(col("text"), 999, 0L).as("native"),
+        hash60Array(tokens(col("text")), 999).as("hof"))
+    assert(full.filter(not(col("native") <=> col("hof"))).count() == 0)
   }
 
   test("DotQ native expression equals the composable HOF form") {
