@@ -512,15 +512,22 @@ object TokenHashSeq {
   private val mdLocal: ThreadLocal[java.security.MessageDigest] =
     ThreadLocal.withInitial(() =>
       java.security.MessageDigest.getInstance("MD5"))
+  // one reusable digest output buffer per executor thread — md.digest()
+  // would otherwise allocate a fresh 16-byte array per token
+  private val digLocal: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16))
 
   /** Static entry shared by interpreted eval and generated code;
-    * mod <= 0 keeps the full 60-bit value. */
+    * mod <= 0 keeps the full 60-bit value. Accumulates into a primitive
+    * long[] (no boxing) and returns UnsafeArrayData over it. */
   def eval(s: org.apache.spark.unsafe.types.UTF8String,
       prefix: Array[Byte], mod: Long): ArrayData = {
     val bytes = s.getBytes
     val n = bytes.length
     val md = mdLocal.get()
-    val out = new java.util.ArrayList[AnyRef](16)
+    val dig = digLocal.get()
+    var out = new Array[Long](16)
+    var cnt = 0
     var i = 0
     while (i < n) {
       while (i < n && bytes(i) == ' ') i += 1
@@ -530,14 +537,18 @@ object TokenHashSeq {
         md.reset()
         md.update(prefix)
         md.update(bytes, start, i - start)
-        val d = md.digest()
+        md.digest(dig, 0, 16)
         var v = 0L
         var j = 0
-        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        while (j < 8) { v = (v << 8) | (dig(j) & 0xffL); j += 1 }
         val h = v >>> 4
-        out.add(java.lang.Long.valueOf(if (mod > 0) h % mod else h))
+        if (cnt == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(cnt) = if (mod > 0) h % mod else h
+        cnt += 1
       }
     }
-    new GenericArrayData(out.toArray.asInstanceOf[Array[Any]])
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(
+        if (cnt == out.length) out else java.util.Arrays.copyOf(out, cnt))
   }
 }

@@ -31,12 +31,19 @@ object MultimodalOps {
   }
 
   /** Media dedup at thumbnail fidelity — d01's content-hash dedup lifted
-    * to binary payloads: resize every payload to a 64-byte thumbnail
-    * (real downscale for decodable images, byte truncation otherwise),
+    * to binary payloads: resize every payload to a 64-byte thumbnail,
     * checksum the REDUCED payload, group on (kind, checksum), keep
     * groups with >1 member. Reduced-fidelity hashing is the standard
     * coarse near-dup move for media (same instinct as pHash): distinct
-    * files sharing a thumbnail are duplicate candidates. The payload
+    * files sharing a thumbnail are duplicate candidates.
+    *
+    * ORACLE CONTRACT: at 64 bytes the resize is ALWAYS byte truncation —
+    * no PNG re-encode can fit 64 bytes, so resizeImage returns None for
+    * every decodable payload too — which is exactly what makes the
+    * md5-of-truncated-hex SQL below a valid oracle. Raising the
+    * thumbnail budget enough for a real re-encoded image to fit (think
+    * m03's 512 bytes and up) would route decodable images through the
+    * codec and the SQL oracle could no longer express the checksum. The payload
     * never shuffles — resize + checksum happen in the decode stage, so
     * at 100 TB the dedup shuffle is ~60 bytes/row regardless of media
     * size; per-kind rollup keeps image vs video duplication rates

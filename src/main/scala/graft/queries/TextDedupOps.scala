@@ -213,10 +213,12 @@ object TextDedupOps {
   /** SimHash(16) exact-bucket near-dups. */
   private def d04(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
-    docsWithTokens(s, d)
-      .filter(col("n_words") > 0)
+    documents(s, d)
       .withColumn("hb", // fused native per-token hashing (full 60 bits)
         graft.functions.HashSketch.tokenHashSeq(col("text"), 999, 0L))
+      // empty hb <=> zero tokens: filtering on it avoids a second
+      // tokenization pass (the old n_words filter re-split the text)
+      .filter(size(col("hb")) > 0)
       .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 16))
       .groupBy(col("sh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
@@ -297,10 +299,10 @@ object TextDedupOps {
     * 0.9 s at sf0.1 from this choice alone). */
   private def d07(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
-    val sh = docsWithTokens(s, d)
-      .filter(col("n_words") > 0)
+    val sh = documents(s, d)
       .withColumn("hb", // fused native per-token hashing (full 60 bits)
         graft.functions.HashSketch.tokenHashSeq(col("text"), 999, 0L))
+      .filter(size(col("hb")) > 0)
       .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 48))
       .select(col("doc_id"), col("sh"))
       .persist()

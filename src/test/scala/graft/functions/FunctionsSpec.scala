@@ -74,7 +74,6 @@ class FunctionsSpec extends SparkSuite {
   }
 
   test("native single-pass sketches are bit-identical to the HOF forms") {
-    HashSketch.register(spark)
     val docs = Seq("a b c d e f", "x", "", "the quick brown fox the quick",
       "z z z z z z z z").toDF("text")
       .withColumn("hb", hash60Array(tokens(col("text")), 999))
@@ -106,7 +105,6 @@ class FunctionsSpec extends SparkSuite {
   }
 
   test("native lsh_sig is bit-identical to the HOF plane signature") {
-    HashSketch.register(spark)
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val dims = 64
