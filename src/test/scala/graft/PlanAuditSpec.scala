@@ -214,6 +214,21 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("s14 embedding survivors: banded pair generation, no cartesian anywhere") {
+    val p = plan("s14_embedding_survivors")
+    assert(!p.contains("CartesianProduct"),
+      s"s14 inherited an all-pairs shape:\n$p")
+  }
+
+  test("m06 media dedup: the binary payload never enters a shuffle") {
+    val p = plan("m06_media_dedup")
+    // the row that shuffles is the decode stage's SerializeFromObject
+    // output — features only, never the payload bytes
+    val serialized = p.linesIterator
+      .find(_.contains("SerializeFromObject")).getOrElse("")
+    assert(serialized.nonEmpty && !serialized.contains("payload"), p)
+  }
+
   test("s13 k-means step: seed codebook broadcasts, assignment never cartesians") {
     val p = plan("s13_kmeans_step")
     // same contract as s06: the 16-row centroid side rides a broadcast
