@@ -107,6 +107,28 @@ class HttpNodeSpec extends SparkSuite {
   private def normalize(json: String): com.fasterxml.jackson.databind.JsonNode =
     new ObjectMapper().readTree(json)
 
+  test("a server error mid-scan fails the lenient batch scan — no silent shrink") {
+    // lenient scans treat None as a legitimate chain gap; a -32603 from
+    // the node must therefore surface as a failed job, because mapping
+    // it to None would return a smaller-but-"successful" result
+    val fix = new FixtureNode(copiedFixture()) // blocks 100..105
+    val srv = new MockNodeHttpServer(fix)
+    try {
+      def scan() = spark.read
+        .format(classOf[graft.helium.source.BlockSourceProvider].getName)
+        .option("node", srv.endpoint)
+        .load()
+      assert(scan().count() == 6) // healthy baseline
+      srv.failNext.set(true)
+      val e = intercept[Throwable] { scan().count() }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("-32603") || msgs.contains("errored"),
+        s"expected the JSON-RPC failure to surface, got: $msgs")
+      assert(scan().count() == 6) // and the node recovers
+    } finally srv.stop()
+  }
+
   test("a JSON-RPC internal error throws — never a silent None/gap") {
     val fix = new FixtureNode(copiedFixture())
     val srv = new MockNodeHttpServer(fix)
