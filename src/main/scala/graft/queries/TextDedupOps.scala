@@ -65,6 +65,31 @@ object TextDedupOps {
       | + size(filter(filter(split(text, ' '), t -> t != ''),
       |            t -> t rlike '^[a-zA-Z]{2,}$')))""".stripMargin.replaceAll("\n", " ")
 
+  /** Per-source quality-percentile gate — the C4-style pruning step
+    * "drop each source's bottom decile": a per-source 10th-percentile
+    * threshold on the integer quality score (DISCRETE percentile, so the
+    * threshold is an actual score value and the cross-engine oracle is
+    * exact — the q47 parity), then per-source kept/total accounting
+    * against it. Per-STRATUM thresholds matter because a global cutoff
+    * prunes the weakest source wholesale instead of its weakest tail.
+    * Shape at 100 TB: one narrow per-source aggregation (bounded by
+    * source cardinality), broadcast of the tiny threshold table back,
+    * one scan — no per-doc sort, no global shuffle of text. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val scored = docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .withColumn("score_pm",
+        expr("(1000L * " + stopAlphaSql + ") DIV n_words"))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+        .cast("long").as("p10"))
+    scored.join(broadcast(thr), Seq("source"))
+      .groupBy(col("source"), col("p10"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score_pm") >= col("p10"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
   /** Heuristic lang-ID confusion matrix vs the labelled `lang` column. */
   private def t03(s: SparkSession, d: String): DataFrame =
     documents(s, d)
@@ -703,6 +728,7 @@ object TextDedupOps {
     "d13_mixture_sample" -> d13 _,
     "d14_cluster_size_histogram" -> d14 _,
     "d15_train_split" -> d15 _,
+    "t14_quality_gate" -> t14 _,
   )
 
   // ---- DuckDB oracles ----
@@ -811,6 +837,18 @@ object TextDedupOps {
          |SELECT score_pm // 100 AS bucket, COUNT(*) AS n_docs,
          |       SUM(n_words)::BIGINT AS sum_words
          |FROM scored GROUP BY 1""".stripMargin,
+    "t14_quality_gate" ->
+      s"""WITH scored AS (
+         |  SELECT source,
+         |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm
+         |  FROM documents WHERE len($toksSql) > 0),
+         |thr AS (
+         |  SELECT source, quantile_disc(score_pm, 0.1)::BIGINT AS p10
+         |  FROM scored GROUP BY source)
+         |SELECT s.source, t.p10, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN s.score_pm >= t.p10 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_kept
+         |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
     "t03_langid_confusion" ->
       s"""SELECT lang,
          |  CASE WHEN len($toksSql) > 0
