@@ -50,11 +50,18 @@ object TextDedupOps {
 
   /** Integer quality score (per-mille stopword + alpha-token density),
     * bucketed by centiles. */
-  private def t02(s: SparkSession, d: String): DataFrame =
+  /** The shared quality scoring (stopword+alpha ratio in per-mille) over
+    * non-empty docs — ONE definition feeding t02's histogram and t14's
+    * percentile gate, so the score formula cannot drift between them
+    * (its SQL twin is [[scoredCte]]). */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
     docsWithTokens(s, d)
       .filter(col("n_words") > 0)
       .withColumn("score_pm",
         expr("(1000L * " + stopAlphaSql + ") DIV n_words"))
+
+  private def t02(s: SparkSession, d: String): DataFrame =
+    scoredDocs(s, d)
       .withColumn("bucket", expr("score_pm DIV 100"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
@@ -76,10 +83,12 @@ object TextDedupOps {
     * source cardinality), broadcast of the tiny threshold table back,
     * one scan — no per-doc sort, no global shuffle of text. */
   private def t14(s: SparkSession, d: String): DataFrame = {
-    val scored = docsWithTokens(s, d)
-      .filter(col("n_words") > 0)
-      .withColumn("score_pm",
-        expr("(1000L * " + stopAlphaSql + ") DIV n_words"))
+    // persisted: the scored projection feeds BOTH the threshold agg and
+    // the join probe side — without it the text scan + tokenization runs
+    // twice (Spark has no automatic subplan reuse). Narrow columns only.
+    val scored = scoredDocs(s, d)
+      .select(col("source"), col("score_pm"))
+      .persist()
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
@@ -739,6 +748,15 @@ object TextDedupOps {
     s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
   private val stopSql =
     s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is')))"
+  /** SQL twin of [[scoredDocs]] — the one place the quality-score
+    * formula exists on the oracle side (t02/t14 share it). */
+  private lazy val scoredCte =
+    s"""scored AS (
+       |  SELECT source,
+       |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
+       |    len($toksSql) AS n_words
+       |  FROM documents WHERE len($toksSql) > 0)""".stripMargin
+
   private def minhashSql(col: String): String = {
     val cs = mixConstants(MINHASH_K)
     "[" + (0 until MINHASH_K).map(i =>
@@ -830,18 +848,12 @@ object TextDedupOps {
          |  MAX(len($toksSql)) AS max_words
          |FROM documents GROUP BY lang""".stripMargin,
     "t02_quality_buckets" ->
-      s"""WITH scored AS (
-         |  SELECT (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
-         |         len($toksSql) AS n_words
-         |  FROM documents WHERE len($toksSql) > 0)
+      s"""WITH $scoredCte
          |SELECT score_pm // 100 AS bucket, COUNT(*) AS n_docs,
          |       SUM(n_words)::BIGINT AS sum_words
          |FROM scored GROUP BY 1""".stripMargin,
     "t14_quality_gate" ->
-      s"""WITH scored AS (
-         |  SELECT source,
-         |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm
-         |  FROM documents WHERE len($toksSql) > 0),
+      s"""WITH $scoredCte,
          |thr AS (
          |  SELECT source, quantile_disc(score_pm, 0.1)::BIGINT AS p10
          |  FROM scored GROUP BY source)

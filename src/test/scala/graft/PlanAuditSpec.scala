@@ -216,7 +216,10 @@ class PlanAuditSpec extends SparkSuite {
 
   test("s14 embedding survivors: banded pair generation, no cartesian anywhere") {
     val p = plan("s14_embedding_survivors")
-    assert(!p.contains("CartesianProduct"),
+    // BNLJ guard too: at sf0.01 a regressed non-equi pair join would fit
+    // the broadcast threshold and compile to BNLJ, not CartesianProduct
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
       s"s14 inherited an all-pairs shape:\n$p")
   }
 

@@ -16,8 +16,11 @@ import Model.IngestState
   * egress — the wire format is real, only the chain behind it is canned. */
 class MockNodeHttpServer(backend: NodeClient) {
   private val mapper = new ObjectMapper()
-  /** Arms a one-shot JSON-RPC internal error (-32603) on the next call. */
-  val failNext = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** Arms a one-shot JSON-RPC internal error (-32603) on the next call
+    * of the NAMED method — method-selective so a test can let driver-side
+    * planning (block_height) succeed and fail inside the reader loop. */
+  val failNext =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.createContext("/", new HttpHandler {
@@ -26,7 +29,12 @@ class MockNodeHttpServer(backend: NodeClient) {
       val id = Option(req.get("id")).map(_.asText()).getOrElse("1")
       val method = Option(req.get("method")).map(_.asText()).getOrElse("")
       val params = req.get("params")
-      val body = if (failNext.getAndSet(false))
+      // value equality then CAS on the observed reference (AtomicReference
+      // CAS alone compares references, and the parsed method string is a
+      // fresh instance)
+      val armed = failNext.get()
+      val body = if (armed != null && armed == method &&
+          failNext.compareAndSet(armed, null))
         // a server-side failure that is NOT "no such entity" — the
         // client must throw, never map this to a silent None/gap
         s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32603,"message":"internal error"}}"""
@@ -119,12 +127,15 @@ class HttpNodeSpec extends SparkSuite {
         .option("node", srv.endpoint)
         .load()
       assert(scan().count() == 6) // healthy baseline
-      srv.failNext.set(true)
+      // fail a block_get specifically: driver-side planning (block_height)
+      // must succeed so the error genuinely fires inside the lenient
+      // per-block reader loop — the path where None means "gap"
+      srv.failNext.set("block_get")
       val e = intercept[Throwable] { scan().count() }
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(_.getMessage).mkString(" | ")
-      assert(msgs.contains("-32603") || msgs.contains("errored"),
-        s"expected the JSON-RPC failure to surface, got: $msgs")
+      assert(msgs.contains("-32603"),
+        s"expected the block_get JSON-RPC failure to surface, got: $msgs")
       assert(scan().count() == 6) // and the node recovers
     } finally srv.stop()
   }
@@ -135,7 +146,7 @@ class HttpNodeSpec extends SparkSuite {
     try {
       val http = new HttpNode(srv.endpoint)
       val h = http.height() // healthy first
-      srv.failNext.set(true)
+      srv.failNext.set("block_get")
       // -32603 must surface as an exception (a lenient batch scan treats
       // None as a legitimate chain gap — a server hiccup is not one)
       intercept[java.io.IOException] { http.getBlockJson(h) }
