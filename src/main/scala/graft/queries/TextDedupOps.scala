@@ -541,17 +541,42 @@ object TextDedupOps {
     * d13 exploits for mixture sampling). Rolled up per (split, source)
     * so leakage-prone per-source imbalances are visible; at 100 TB this
     * is one scan + one narrow groupBy. */
+  /** The identity-hash split assignment (800/100/100‰ of doc_id hash) —
+    * ONE definition shared by d15's accounting and d16's leakage audit
+    * (SQL twin: [[splitCaseSql]]). */
+  private def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket =
+      graft.functions.Portable.hash60(docId.cast("string"), 777) % 1000L
+    when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
+  }
+
   private def d15(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("bucket",
-        graft.functions.Portable.hash60(col("doc_id").cast("string"), 777)
-          % 1000L)
-      .withColumn("split",
-        when(col("bucket") < 800, "train")
-          .when(col("bucket") < 900, "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** Split-leakage audit — the check a train/val/test split must pass
+    * before anyone trusts an eval: near-duplicate pairs (d03's LSH
+    * output, Jaccard-verified) whose endpoints land in DIFFERENT splits
+    * leak training signal into evaluation. Reports pair counts per
+    * unordered split pair: the diagonal (train,train) is benign
+    * duplication, off-diagonal cells are contamination to scrub (drop
+    * the non-train member, or re-hash the split). Scale shape: the pair
+    * list is ≪ corpus; the split column is recomputed from doc_id by
+    * the same identity hash as d15 — no assignment table to join. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    val splits = documents(s, d)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
+    d03(s, d)
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("sa")),
+        Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("sb")),
+        Seq("b_id"))
+      .groupBy(least(col("sa"), col("sb")).as("split_lo"),
+        greatest(col("sa"), col("sb")).as("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 
   /** Quality-rule battery (Gopher/C4-style filters) — per doc, four
     * integer-arithmetic rules (too short; mean word length outside [3,10];
@@ -737,6 +762,7 @@ object TextDedupOps {
     "d13_mixture_sample" -> d13 _,
     "d14_cluster_size_histogram" -> d14 _,
     "d15_train_split" -> d15 _,
+    "d16_split_leakage" -> d16 _,
     "t14_quality_gate" -> t14 _,
   )
 
@@ -748,6 +774,14 @@ object TextDedupOps {
     s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
   private val stopSql =
     s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is')))"
+  /** SQL twin of [[splitCol]] — the one place the split hash exists on
+    * the oracle side (d15/d16 share it). */
+  private lazy val splitCaseSql: String = {
+    val bucket = s"(${sqlHash60("doc_id::VARCHAR", 777)} % 1000)"
+    s"CASE WHEN $bucket < 800 THEN 'train' " +
+      s"WHEN $bucket < 900 THEN 'val' ELSE 'test' END"
+  }
+
   /** SQL twin of [[scoredDocs]] — the one place the quality-score
     * formula exists on the oracle side (t02/t14 share it). */
   private lazy val scoredCte =
@@ -1116,16 +1150,19 @@ object TextDedupOps {
          |  ((1000 * SUM(n_toks)) // ((MAX(bin) + 1) * 256))::BIGINT AS fill_pm
          |FROM b GROUP BY source""".stripMargin,
     "d15_train_split" ->
-      s"""WITH b AS (
-         |  SELECT source, n_chars,
-         |    (${sqlHash60("doc_id::VARCHAR", 777)} % 1000) AS bucket
-         |  FROM documents)
-         |SELECT
-         |  CASE WHEN bucket < 800 THEN 'train'
-         |       WHEN bucket < 900 THEN 'val'
-         |       ELSE 'test' END AS split,
-         |  source, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
-         |FROM b GROUP BY 1, 2""".stripMargin,
+      s"""SELECT $splitCaseSql AS split, source,
+         |  COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+         |FROM documents GROUP BY 1, 2""".stripMargin,
+    "d16_split_leakage" ->
+      s"""WITH pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+         |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
+         |SELECT least(a.split, b.split) AS split_lo,
+         |  greatest(a.split, b.split) AS split_hi,
+         |  COUNT(*) AS n_pairs
+         |FROM pairs
+         |JOIN sp a ON a.doc_id = pairs.a_id
+         |JOIN sp b ON b.doc_id = pairs.b_id
+         |GROUP BY 1, 2""".stripMargin,
     "d13_mixture_sample" ->
       s"""WITH flags AS (
          |  SELECT source,
