@@ -115,6 +115,14 @@ class QuerySurfaceSpec extends SparkSuite {
     }
   }
 
+  test("d16 leakage cells partition the d03 pair set exactly") {
+    val cells = SparkEntry.queries("d16_split_leakage")(spark, sf).collect()
+    val totalPairs = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "every near-dup pair must land in exactly one split-pair cell")
+    assert(totalPairs > 0, "audit vacuous: no near-dup pairs at this sf")
+  }
+
   test("s13 Lloyd step assigns every vector exactly once") {
     val rep = SparkEntry.queries("s13_kmeans_step")(spark, sf).collect()
     val assigned = rep.map(_.getAs[Long]("n_members")).sum
