@@ -370,6 +370,34 @@ object TextDedupOps {
       .run(d05(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("doc_id"), col("comp"))
 
+  /** Duplicate-aware sampling weights — SOFT dedup: instead of dropping
+    * non-canonical cluster members (d08's hard path), every doc gets
+    * weight 1000/|its near-dup cluster| per-mille (unclustered docs
+    * weigh 1000‰), so each cluster contributes ~one document's worth of
+    * training mass however large it is — the repetition-discounting
+    * move sampling-based pipelines use where hard dropping would lose
+    * the cluster's internal variation. Integer per-mille weights keep
+    * the oracle exact. Per-source rollup: doc count, effective size
+    * (Σ weights — the number a mixture planner actually feeds d13),
+    * and the minimum weight (1000 DIV largest cluster touching the
+    * source). Scale shape: d06's component labeling plus two narrow
+    * joins on doc_id — the weight table is pairs-sized, ≪ corpus. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents
+      .run(d05(s, d), src = "a_id", dst = "b_id")
+      .select(col("node").as("doc_id"), col("comp"))
+    val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
+    val weights = comp.join(sizes, Seq("comp"))
+      .select(col("doc_id"), expr("1000L DIV csize").as("w_pm"))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(weights, Seq("doc_id"), "left")
+      .withColumn("w_pm", coalesce(col("w_pm"), lit(1000L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w_pm")).as("eff_pm"),
+        min(col("w_pm")).as("min_w_pm"))
+  }
+
   /** Duplicate-cluster SIZE HISTOGRAM — the shape report a dedup pipeline
     * reads before choosing its strategy: many pairs (size 2) vs a few
     * giant boilerplate clusters change both the expected dedup rate and
@@ -763,6 +791,7 @@ object TextDedupOps {
     "d14_cluster_size_histogram" -> d14 _,
     "d15_train_split" -> d15 _,
     "d16_split_leakage" -> d16 _,
+    "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
   )
 
@@ -976,6 +1005,28 @@ object TextDedupOps {
          |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node)
          |SELECT node AS doc_id, MIN(label) AS comp
          |FROM reach GROUP BY node""".stripMargin,
+    "d17_soft_dedup_weights" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS doc_id, MIN(label) AS comp
+         |         FROM reach GROUP BY node),
+         |sizes AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp),
+         |weights AS (
+         |  SELECT c.doc_id, (1000 // s.csize)::BIGINT AS w_pm
+         |  FROM comp c JOIN sizes s USING (comp))
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  SUM(COALESCE(w.w_pm, 1000))::BIGINT AS eff_pm,
+         |  MIN(COALESCE(w.w_pm, 1000))::BIGINT AS min_w_pm
+         |FROM documents d LEFT JOIN weights w ON w.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
     "d14_cluster_size_histogram" ->
       s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
          |edges AS (
