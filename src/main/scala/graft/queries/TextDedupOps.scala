@@ -379,16 +379,20 @@ object TextDedupOps {
     * the cluster's internal variation. Integer per-mille weights keep
     * the oracle exact. Per-source rollup: doc count, effective size
     * (Σ weights — the number a mixture planner actually feeds d13),
-    * and the minimum weight (1000 DIV largest cluster touching the
-    * source). Scale shape: d06's component labeling plus two narrow
-    * joins on doc_id — the weight table is pairs-sized, ≪ corpus. */
+    * and the minimum weight. Weights floor at 1‰ so a cluster larger
+    * than 1000 docs still contributes ~csize/1000 docs of mass instead
+    * of vanishing (0-weight would be HARSHER than d08's hard drop,
+    * which keeps one full-weight survivor). Built on the SAME cluster
+    * definition as d08 ([[lshComponents]], the d03 LSH pipeline path —
+    * d05 stays the audit), so hard and soft dedup agree on what a
+    * cluster is. Scale shape: component labeling plus two narrow joins
+    * on doc_id — the weight table is pairs-sized, ≪ corpus. */
   private def d17(s: SparkSession, d: String): DataFrame = {
-    val comp = graft.operators.ConnectedComponents
-      .run(d05(s, d), src = "a_id", dst = "b_id")
-      .select(col("node").as("doc_id"), col("comp"))
+    val comp = lshComponents(s, d)
     val sizes = comp.groupBy(col("comp")).agg(count(lit(1)).as("csize"))
     val weights = comp.join(sizes, Seq("comp"))
-      .select(col("doc_id"), expr("1000L DIV csize").as("w_pm"))
+      .select(col("doc_id"),
+        greatest(expr("1000L DIV csize"), lit(1L)).as("w_pm"))
     documents(s, d).select(col("doc_id"), col("source"))
       .join(weights, Seq("doc_id"), "left")
       .withColumn("w_pm", coalesce(col("w_pm"), lit(1000L)))
@@ -417,10 +421,16 @@ object TextDedupOps {
     * 100 TB the exact all-pairs d05 is the audit, LSH is the pipeline).
     * Output: per-source before/after counts — the dedup-rate report every
     * training-data pipeline ships with. */
-  private def d08(s: SparkSession, d: String): DataFrame = {
-    val comp = graft.operators.ConnectedComponents
+  /** Component labeling over the LSH pipeline pairs (d03) — ONE
+    * definition shared by d08's hard dedup and d17's soft weights, so
+    * the two strategies can never disagree on what a cluster is. */
+  private def lshComponents(s: SparkSession, d: String): DataFrame =
+    graft.operators.ConnectedComponents
       .run(d03(s, d), src = "a_id", dst = "b_id")
       .select(col("node").as("doc_id"), col("comp"))
+
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    val comp = lshComponents(s, d)
     documents(s, d)
       .join(comp, Seq("doc_id"), "left")
       .groupBy(col("source"))
@@ -560,24 +570,22 @@ object TextDedupOps {
         expr("(1000L * sum(IF(keep, 1L, 0L))) DIV count(1)")
           .as("realized_pm"))
 
-  /** Deterministic train/val/test split — the corpus-wide split every
-    * training pipeline needs, as a pure function of document identity
-    * (portable 60-bit hash of doc_id mod 1000: <800 train, <900 val,
-    * else test). Membership is stable across engines, runs, and cluster
-    * sizes and needs no stored assignment table or shuffle: any stage
-    * can recompute a doc's split locally from its id (the same property
-    * d13 exploits for mixture sampling). Rolled up per (split, source)
-    * so leakage-prone per-source imbalances are visible; at 100 TB this
-    * is one scan + one narrow groupBy. */
-  /** The identity-hash split assignment (800/100/100‰ of doc_id hash) —
-    * ONE definition shared by d15's accounting and d16's leakage audit
-    * (SQL twin: [[splitCaseSql]]). */
+  /** The identity-hash split assignment (800/100/100‰ of the portable
+    * 60-bit doc_id hash) — ONE definition shared by d15's accounting
+    * and d16's leakage audit (SQL twin: [[splitCaseSql]]). Membership
+    * is a pure function of document identity: stable across engines,
+    * runs, and cluster sizes, with no stored assignment table and no
+    * shuffle — any stage recomputes a doc's split locally from its id
+    * (the same property d13 exploits for mixture sampling). */
   private def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket =
       graft.functions.Portable.hash60(docId.cast("string"), 777) % 1000L
     when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")
   }
 
+  /** Deterministic train/val/test split accounting — [[splitCol]] rolled
+    * up per (split, source) so leakage-prone per-source imbalances are
+    * visible; at 100 TB this is one scan + one narrow groupBy. */
   private def d15(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("split", splitCol(col("doc_id")))
@@ -1006,7 +1014,7 @@ object TextDedupOps {
          |SELECT node AS doc_id, MIN(label) AS comp
          |FROM reach GROUP BY node""".stripMargin,
     "d17_soft_dedup_weights" ->
-      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d05Sql)),
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
          |edges AS (
          |  SELECT a_id AS a, b_id AS b FROM pairs
          |  UNION ALL
@@ -1020,7 +1028,7 @@ object TextDedupOps {
          |         FROM reach GROUP BY node),
          |sizes AS (SELECT comp, COUNT(*) AS csize FROM comp GROUP BY comp),
          |weights AS (
-         |  SELECT c.doc_id, (1000 // s.csize)::BIGINT AS w_pm
+         |  SELECT c.doc_id, greatest(1000 // s.csize, 1)::BIGINT AS w_pm
          |  FROM comp c JOIN sizes s USING (comp))
          |SELECT d.source, COUNT(*) AS n_docs,
          |  SUM(COALESCE(w.w_pm, 1000))::BIGINT AS eff_pm,
