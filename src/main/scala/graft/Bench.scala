@@ -43,6 +43,10 @@ object Bench {
           .exists(k => k == id || k.takeWhile(_ != '_') == id))
         require(unmatched.isEmpty,
           s"SPARK_GRAFT_ONLY entries match no query: ${unmatched.mkString(", ")}")
+        // an EMPTY filter (SPARK_GRAFT_ONLY="") passes the unmatched check
+        // vacuously and would print a perfect-looking 0.000s/0-failure run
+        require(matched.nonEmpty,
+          "SPARK_GRAFT_ONLY is set but selects zero queries")
         matched
       case None => SparkEntry.queries
     }

@@ -18,34 +18,50 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * opens its own connection, so executor-side [[source.BlockPartitionReader]]s
   * fetch their height ranges in parallel with no shared client. The
   * Jackson mapper is per-JVM (`@transient lazy`).
+  *
+  * Transient failures (transport errors, HTTP non-2xx, JSON-RPC -32603 /
+  * -32000..-32099 server errors) are retried executor-side up to
+  * `maxAttempts` with jittered exponential backoff, so one node hiccup
+  * doesn't fail a whole micro-batch; a PERSISTENT failure still aborts
+  * loudly after the attempts are exhausted, and deterministic errors
+  * (method-not-found -32601 — wrong node/service) never retry.
   */
-class HttpNode(endpoint: String) extends NodeClient {
+class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
 
   @transient private lazy val mapper = new ObjectMapper()
 
   private def post(body: String): String = {
     val conn = new java.net.URI(endpoint).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setRequestProperty("Content-Type", "application/json")
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(30000)
-    conn.setDoOutput(true)
-    // no conn.disconnect() anywhere here: closing the streams returns the
-    // socket to the JDK keep-alive pool, so a partition's
-    // one-POST-per-height fetch loop reuses one TCP (and TLS) connection
-    // instead of handshaking per block
-    val out = conn.getOutputStream
-    try out.write(body.getBytes(UTF_8)) finally out.close()
-    val code = conn.getResponseCode
-    val is = if (code / 100 == 2) conn.getInputStream
-             else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-    val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
-              finally is.close()
-    if (code / 100 != 2)
-      throw new java.io.IOException(
-        s"node $endpoint returned HTTP $code: ${txt.take(200)}")
-    txt
+    try {
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setConnectTimeout(10000)
+      conn.setReadTimeout(30000)
+      conn.setDoOutput(true)
+      // no conn.disconnect() on the SUCCESS path: closing the streams
+      // returns the socket to the JDK keep-alive pool, so a partition's
+      // one-POST-per-height fetch loop reuses one TCP (and TLS) connection
+      // instead of handshaking per block
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(UTF_8)) finally out.close()
+      val code = conn.getResponseCode
+      val is = if (code / 100 == 2) conn.getInputStream
+               else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
+      val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+                finally is.close()
+      if (code / 100 != 2)
+        throw new java.io.IOException(
+          s"node $endpoint returned HTTP $code: ${txt.take(200)}")
+      txt
+    } catch {
+      case e: Throwable =>
+        // a failed exchange leaves a half-read connection that cannot
+        // rejoin the keep-alive pool; sever it so a flaky node polled
+        // every trigger doesn't accumulate lingering sockets
+        conn.disconnect()
+        throw e
+    }
   }
 
   /** One JSON-RPC call; Some(result-as-json), or None ONLY for the
@@ -55,16 +71,40 @@ class HttpNode(endpoint: String) extends NodeClient {
     * errors -32000..-32099, method-not-found -32601, parse errors —
     * THROWS like a transport failure: a lenient batch scan treats None
     * as a legitimate gap, so mapping a transient server hiccup to None
-    * would silently drop a block from a "successful" scan. Transport
-    * failures throw too — the streaming source treats both like the
+    * would silently drop a block from a "successful" scan. Transient
+    * errors are retried (see class doc); after `maxAttempts` the last
+    * failure propagates — the streaming source treats it like the
     * reference treats a dead node (abort the tick, retry next trigger). */
   private def call(method: String, params: Option[String]): Option[String] = {
+    var attempt = 1
+    while (attempt < maxAttempts) {
+      try return callOnce(method, params)
+      catch {
+        case _: HttpNode.TransientNodeError =>
+          // jittered exponential backoff: parallel partition readers
+          // retrying against one recovering node must not re-synchronize
+          val sleepMs = (100L << (attempt - 1)) +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(50L)
+          Thread.sleep(sleepMs)
+          attempt += 1
+      }
+    }
+    callOnce(method, params) // last attempt: any failure propagates
+  }
+
+  private def callOnce(method: String, params: Option[String]): Option[String] = {
     val req = mapper.createObjectNode()
     req.put("jsonrpc", "2.0")
     req.put("id", "1")
     req.put("method", method)
     params.foreach(p => req.set[JsonNode]("params", mapper.readTree(p)))
-    val resp = mapper.readTree(post(mapper.writeValueAsString(req)))
+    // transport/HTTP/parse failures are all transient-classed: timeouts,
+    // 5xx from a proxy, a torn response mid-read — all worth a retry
+    val resp = try mapper.readTree(post(mapper.writeValueAsString(req)))
+      catch { case e: java.io.IOException =>
+        throw new HttpNode.TransientNodeError(
+          s"node $endpoint: $method transport failure", e)
+      }
     val err = resp.get("error")
     if (err != null && !err.isNull) {
       val code = Option(err.get("code")).map(_.asInt()).getOrElse(0)
@@ -74,6 +114,13 @@ class HttpNode(endpoint: String) extends NodeClient {
       // wrong service on the port), which must be loud, not a silent
       // all-gaps chain
       if (code == -32602) None
+      else if (code == -32603 || (code <= -32000 && code >= -32099))
+        // the node's transient channel (internal/server errors): the
+        // reference's answer is "retry next tick"; ours is a bounded
+        // in-place retry before giving the tick up
+        throw new HttpNode.TransientNodeError(
+          s"node $endpoint: $method failed with JSON-RPC error $code: " +
+            msg.take(200), null)
       else throw new java.io.IOException(
         s"node $endpoint: $method failed with JSON-RPC error $code: " +
           msg.take(200))
@@ -99,4 +146,13 @@ class HttpNode(endpoint: String) extends NodeClient {
     call("transaction_get",
       Some(mapper.writeValueAsString(
         mapper.createObjectNode().put("hash", hash))))
+}
+
+object HttpNode {
+  /** A failure worth retrying (transport, HTTP non-2xx, JSON-RPC
+    * -32603/-32000..-32099). Extends IOException so callers that treat
+    * node failures generically (lenient scans, the streaming source)
+    * see the same type they always did once retries are exhausted. */
+  private[helium] class TransientNodeError(msg: String, cause: Throwable)
+    extends java.io.IOException(msg, cause)
 }

@@ -22,9 +22,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale notes (100 TB): each round is ONE shuffle — a join on node id
   * followed by a partial-aggregated groupBy(min). The edge list is cached
-  * across rounds; `localCheckpoint` truncates lineage so the plan does not
-  * grow with iteration count (the classic iterative-DataFrame trap). The
-  * driver only ever sees one aggregated Long per round, never row data.
+  * across rounds; lineage is truncated per round (reliable checkpoint when
+  * a checkpoint dir is set, localCheckpoint otherwise — see [[truncate]])
+  * so the plan does not grow with iteration count (the classic
+  * iterative-DataFrame trap). The driver only ever sees one aggregated
+  * Long per round, never row data.
   *
   * Size-based algorithm selection: below [[LocalEdgeCutoff]] edges the
   * whole graph is collected and solved with path-compressed union-find on
@@ -45,6 +47,19 @@ object ConnectedComponents {
     * 2M edges ≈ 32 MB collected — well under driver budgets that already
     * accept 10 MB+ broadcast tables. */
   val LocalEdgeCutoff = 2000000L
+
+  /** Truncate lineage between rounds — the classic iterative-DataFrame
+    * trap is a plan that grows with round count. With a checkpoint dir
+    * configured (real clusters: HDFS/object store) this is a RELIABLE
+    * checkpoint, so an executor loss mid-computation replays from storage
+    * instead of failing the job; without one (local mode, tests) it falls
+    * back to `localCheckpoint`, whose executor-local blocks are acceptable
+    * only because local mode has no executor to lose independently of the
+    * application. */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** @param edges two-column DataFrame of undirected edges (any orientation,
     *              duplicates fine)
@@ -71,7 +86,7 @@ object ConnectedComponents {
     var labels = sym.groupBy(col("a"))
       .agg(min(col("b")).as("nb"))
       .select(col("a").as("node"), least(col("a"), col("nb")).as("comp"))
-      .localCheckpoint(true)
+    labels = truncate(labels)
     // decimal sum: overflow-proof certificate at any node-id magnitude.
     // coalesce to 0: sum over an empty frame is NULL, and a null certificate
     // NPEs the convergence compare (zero-edge inputs are legal — any corpus
@@ -87,9 +102,8 @@ object ConnectedComponents {
     while (!converged && round < maxRounds) {
       val neighbourMin = sym.join(labels, sym("a") === labels("node"))
         .select(sym("b").as("node"), col("comp"))
-      val next = labels.unionByName(neighbourMin)
-        .groupBy("node").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+      val next = truncate(labels.unionByName(neighbourMin)
+        .groupBy("node").agg(min("comp").as("comp")))
       val cur = labelSum(next)
       labels.unpersist()
       labels = next
@@ -187,12 +201,12 @@ object ConnectedComponents {
           .limit(1).count() == 0
     }
 
-    var cur = e0.localCheckpoint(true)
+    var cur = truncate(e0)
     e0.unpersist()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = truncate(smallStar(largeStar(cur)))
       cur.unpersist()
       cur = next
       round += 1

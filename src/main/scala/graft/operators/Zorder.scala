@@ -99,8 +99,14 @@ object Zorder {
               .getOrElse(sys.error(s"column $c not in footer of ${st.getPath}"))
             val s = cc.getStatistics
             require(s != null && s.hasNonNullValue, s"no stats for $c")
-            c -> (s.genericGetMin.asInstanceOf[Number].longValue(),
-              s.genericGetMax.asInstanceOf[Number].longValue())
+            (s.genericGetMin, s.genericGetMax) match {
+              case (lo: Number, hi: Number) =>
+                c -> (lo.longValue(), hi.longValue())
+              case (other, _) => sys.error(
+                s"rowGroupRanges reads integer-typed column stats only; " +
+                  s"$c has ${other.getClass.getSimpleName} stats " +
+                  "(string/binary min/max are not range-prunable here)")
+            }
           }.toMap
         }
         finally reader.close()

@@ -16,11 +16,20 @@ import Model.IngestState
   * egress — the wire format is real, only the chain behind it is canned. */
 class MockNodeHttpServer(backend: NodeClient) {
   private val mapper = new ObjectMapper()
-  /** Arms a one-shot JSON-RPC internal error (-32603) on the next call
-    * of the NAMED method — method-selective so a test can let driver-side
-    * planning (block_height) succeed and fail inside the reader loop. */
-  val failNext =
+  /** Arms `n` consecutive JSON-RPC internal errors (-32603) on calls of
+    * the NAMED method — method-selective so a test can let driver-side
+    * planning (block_height) succeed and fail inside the reader loop;
+    * counted so tests can model both a flaky node (n < client attempts,
+    * retry recovers) and a dead one (n ≥ attempts, failure surfaces). */
+  private val failMethod =
     new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val failRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  def armFailures(method: String, n: Int): Unit = {
+    failMethod.set(method)
+    failRemaining.set(n)
+  }
+  /** Requests served per method — lets a test PROVE a retry happened. */
+  val served = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
   server.createContext("/", new HttpHandler {
@@ -29,12 +38,9 @@ class MockNodeHttpServer(backend: NodeClient) {
       val id = Option(req.get("id")).map(_.asText()).getOrElse("1")
       val method = Option(req.get("method")).map(_.asText()).getOrElse("")
       val params = req.get("params")
-      // value equality then CAS on the observed reference (AtomicReference
-      // CAS alone compares references, and the parsed method string is a
-      // fresh instance)
-      val armed = failNext.get()
-      val body = if (armed != null && armed == method &&
-          failNext.compareAndSet(armed, null))
+      served.merge(method, 1, (a, b) => a + b)
+      val body = if (method == failMethod.get() &&
+          failRemaining.getAndUpdate(n => math.max(n - 1, 0)) > 0)
         // a server-side failure that is NOT "no such entity" — the
         // client must throw, never map this to a silent None/gap
         s"""{"jsonrpc":"2.0","id":"$id","error":{"code":-32603,"message":"internal error"}}"""
@@ -129,31 +135,61 @@ class HttpNodeSpec extends SparkSuite {
       assert(scan().count() == 6) // healthy baseline
       // fail a block_get specifically: driver-side planning (block_height)
       // must succeed so the error genuinely fires inside the lenient
-      // per-block reader loop — the path where None means "gap"
-      srv.failNext.set("block_get")
+      // per-block reader loop — the path where None means "gap".
+      // PERSISTENTLY (beyond the client's bounded retries, and beyond
+      // Spark's own task re-attempts): a dead node must stay loud
+      srv.armFailures("block_get", 1000)
       val e = intercept[Throwable] { scan().count() }
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
         .map(_.getMessage).mkString(" | ")
       assert(msgs.contains("-32603"),
         s"expected the block_get JSON-RPC failure to surface, got: $msgs")
+      srv.armFailures("block_get", 0)
       assert(scan().count() == 6) // and the node recovers
     } finally srv.stop()
   }
 
-  test("a JSON-RPC internal error throws — never a silent None/gap") {
+  test("a persistent JSON-RPC internal error throws — never a silent None/gap") {
     val fix = new FixtureNode(copiedFixture())
     val srv = new MockNodeHttpServer(fix)
     try {
       val http = new HttpNode(srv.endpoint)
       val h = http.height() // healthy first
-      srv.failNext.set("block_get")
+      // more failures than the client retries: a DEAD node, not a hiccup
+      srv.armFailures("block_get", 100)
       // -32603 must surface as an exception (a lenient batch scan treats
-      // None as a legitimate chain gap — a server hiccup is not one)
+      // None as a legitimate chain gap — a dead server is not one)
       intercept[java.io.IOException] { http.getBlockJson(h) }
       // and the node recovers on the next call
+      srv.armFailures("block_get", 0)
       assert(http.getBlockJson(h).nonEmpty)
       // while genuinely-missing entities still map to None
       assert(http.getBlockJson(99999L).isEmpty)
+    } finally srv.stop()
+  }
+
+  test("a transient hiccup is retried in place — the call succeeds on attempt 2") {
+    val fix = new FixtureNode(copiedFixture())
+    val srv = new MockNodeHttpServer(fix)
+    try {
+      val http = new HttpNode(srv.endpoint)
+      val h = http.height()
+      // ONE armed failure < maxAttempts(3): the bounded executor-side
+      // retry must absorb it — no exception, no None-gap, and the server
+      // log proves the second request actually happened
+      srv.armFailures("block_get", 1)
+      val before = srv.served.getOrDefault("block_get", 0).intValue()
+      assert(http.getBlockJson(h).nonEmpty,
+        "a single -32603 hiccup must be absorbed by the retry, not thrown")
+      val after = srv.served.getOrDefault("block_get", 0).intValue()
+      assert(after - before == 2,
+        s"expected exactly 2 attempts (fail, succeed); saw ${after - before}")
+      // a whole micro-batch drain over a once-flaky node also completes
+      srv.armFailures("block_get", 1)
+      assert(spark.read
+        .format(classOf[graft.helium.source.BlockSourceProvider].getName)
+        .option("node", srv.endpoint)
+        .load().count() == 6)
     } finally srv.stop()
   }
 
