@@ -275,6 +275,66 @@ object SimilarityOps {
       s11(s, d).select(col("a_id"), col("b_id")),
       Seq("a_id", "b_id"))
 
+  /** Per-mille of ids in the s15 recall sample — a session conf so the
+    * sample can shrink as the corpus grows (the estimator's variance
+    * depends on the SAMPLED PAIR count, not the corpus size: 500‰ of a
+    * 128-vector test table and 0.1‰ of a 100 TB corpus both yield
+    * thousands of truth pairs). Default 500 matches the embedded oracle. */
+  private def recallSamplePm(s: SparkSession): Long =
+    s.conf.get("spark.graft.similarity.recallSamplePm", "500").toLong
+
+  private val SAMPLE_SEED = 444
+
+  /** Deterministic id-sample membership — the d15 identity-hash trick:
+    * a pure function of vec_id, so any stage recomputes it locally (no
+    * assignment table, no join, no shuffle). */
+  private def inSample(id: org.apache.spark.sql.Column, pm: Long) =
+    graft.functions.Portable.hash60(id.cast("string"), SAMPLE_SEED) % 1000L < pm
+
+  /** SAMPLED-truth banded near-dup recall — the s12 metric made runnable
+    * at 100 TB. s12's ground truth is the full O(n²) s04 cartesian, which
+    * can never be computed at production scale — so the (planes, tables)
+    * tuning loop it feeds would break exactly when it matters. s15
+    * replaces the truth side with EXACT truth restricted to a
+    * deterministic id sample: broadcast the sampled vectors (the s01
+    * query-side shape) against a single partition-parallel corpus scan —
+    * O(S·N) per-row math, no shuffle wider than the final count — and
+    * score s11's output restricted to pairs touching the sample against
+    * it. Each sampled pair is an i.i.d. Bernoulli draw of the same
+    * band-collision process as any other pair, so sampled recall is an
+    * unbiased estimate of s12's full recall (spec-asserted within
+    * binomial error at test scale); n_sample is reported so the
+    * denominator behind the estimate is visible. Precision stays 1.0 by
+    * construction (s11 exact-verifies every candidate), which the report
+    * states as n_tp = n_got. */
+  private def s15(s: SparkSession, d: String): DataFrame = {
+    val pm = recallSamplePm(s)
+    val emb = withQ(embeddings(s, d))
+    val sample = emb.filter(inSample(col("vec_id"), pm))
+      .select(col("vec_id").as("s_id"), col("qv").as("s_qv"),
+        col("n2").as("s_n2"))
+    // exact neighbour truth for sampled ids ONLY: every (sampled, any)
+    // pair above threshold, normalized to unordered (a_id < b_id); a
+    // pair with BOTH endpoints sampled appears twice before the distinct
+    val truth = emb.select(col("vec_id"), col("qv"), col("n2"))
+      .crossJoin(broadcast(sample))
+      .filter(col("vec_id") =!= col("s_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("s_qv")), col("n2"), col("s_n2")))
+      .filter(col("cos") >= 0.45)
+      .select(least(col("vec_id"), col("s_id")).as("a_id"),
+        greatest(col("vec_id"), col("s_id")).as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    // s11's pairs restricted to the same universe (≥1 sampled endpoint);
+    // membership recomputed from the id — no join against the sample
+    val got = s11(s, d)
+      .filter(inSample(col("a_id"), pm) || inSample(col("b_id"), pm))
+      .select(col("a_id"), col("b_id"))
+    emb.agg(sum(when(inSample(col("vec_id"), pm), 1L).otherwise(0L))
+        .as("n_sample"))
+      .crossJoin(recallReport(truth, got, Seq("a_id", "b_id")))
+  }
+
   /** The shared recall-report shape (s08, s12): |truth|, |got|,
     * |got ∩ truth| via left-semi on `keys`, and recall in per-mille
     * (1000 on empty truth — nothing to miss). One definition so the
@@ -440,6 +500,7 @@ object SimilarityOps {
     "s12_banded_recall_report" -> s12 _,
     "s13_kmeans_step" -> s13 _,
     "s14_embedding_survivors" -> s14 _,
+    "s15_sampled_recall" -> s15 _,
   )
 
   // ---- DuckDB oracles ----
@@ -528,6 +589,11 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, cand_id ASC) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** SQL twin of [[inSample]] at the default 500‰ — the one place the
+    * sample hash exists on the oracle side. */
+  private def sqlInSample(idExpr: String): String =
+    s"(${graft.functions.Portable.sqlHash60(s"$idExpr::VARCHAR", SAMPLE_SEED)} % 1000 < 500)"
 
   val oracle: ListMap[String, String] = ListMap(
     "s01_knn_bruteforce" -> s01Sql,
@@ -707,6 +773,32 @@ object SimilarityOps {
          |  SELECT c_id, COUNT(*) AS n_members FROM members GROUP BY c_id)
          |SELECT counts.c_id, counts.n_members, stats.sum_total, stats.align
          |FROM counts JOIN stats USING (c_id)""".stripMargin,
+    "s15_sampled_recall" ->
+      s"""WITH $embCte,
+         |sample AS (
+         |  SELECT vec_id AS s_id, qv AS s_qv, n2 AS s_n2 FROM embn
+         |  WHERE ${sqlInSample("vec_id")}),
+         |truth AS (
+         |  SELECT DISTINCT LEAST(v.vec_id, s.s_id) AS a_id,
+         |    GREATEST(v.vec_id, s.s_id) AS b_id
+         |  FROM embn v CROSS JOIN sample s
+         |  WHERE v.vec_id <> s.s_id
+         |    AND CAST(${dot("v.qv", "s.s_qv")} AS DOUBLE)
+         |      / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(s.s_n2 AS DOUBLE))) >= 0.45),
+         |got AS (
+         |  SELECT a_id, b_id FROM ($s11Sql)
+         |  WHERE ${sqlInSample("a_id")} OR ${sqlInSample("b_id")}),
+         |tp AS (SELECT a_id, b_id FROM got
+         |       SEMI JOIN truth USING (a_id, b_id))
+         |SELECT
+         |  (SELECT COUNT(*) FROM sample) AS n_sample,
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM got) AS n_got,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+         |              // (SELECT COUNT(*) FROM truth)
+         |       ELSE 1000 END AS recall_pm""".stripMargin,
     "s14_embedding_survivors" ->
       s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($s11Sql)),
          |edges AS (

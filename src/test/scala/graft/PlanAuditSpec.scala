@@ -214,6 +214,17 @@ class PlanAuditSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("s15 sampled recall: truth side is broadcast O(S*N), never a full cartesian") {
+    val p = plan("s15_sampled_recall")
+    // the whole point of s15 is scaling past s12: the exact-truth scan
+    // must be the s01 shape — sampled side BROADCAST against one pass
+    // over the corpus — so a shuffle cartesian is a regression to s04
+    assert(!p.contains("CartesianProduct"),
+      s"s15 regressed to a full cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"s15's sampled truth side lost its broadcast:\n$p")
+  }
+
   test("s14 embedding survivors: banded pair generation, no cartesian anywhere") {
     val p = plan("s14_embedding_survivors")
     // BNLJ guard too: at sf0.01 a regressed non-equi pair join would fit

@@ -101,6 +101,40 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(rep.getAs[Long]("n_tp") == (banded & exact).size.toLong)
   }
 
+  test("s15 sampled recall estimates s12's full recall from sample-restricted exact truth") {
+    // recompute sample membership independently (JVM MD5 of "444_<id>",
+    // first 15 hex digits mod 1000 < 500 — Portable.hash60's definition)
+    def sampled(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"444_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16) % 1000 < 500
+    }
+    val exact = SparkEntry.queries("s04_embedding_neardup")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rep = SparkEntry.queries("s15_sampled_recall")(spark, sf).collect()(0)
+    // the sampled truth is EXACTLY the s04 pairs touching the sample —
+    // restriction loses pairs, never invents or mis-scores them
+    val expectTruth = exact.filter(p => sampled(p._1) || sampled(p._2))
+    assert(rep.getAs[Long]("n_truth") == expectTruth.size.toLong,
+      s"sampled truth diverged from restricted exact audit: $rep")
+    // precision is 1.0 by construction (s11 exact-verifies candidates)
+    assert(rep.getAs[Long]("n_tp") == rep.getAs[Long]("n_got"), rep.toString)
+    // identity-hash sample sits near its 500 per-mille target
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val pm = 1000.0 * rep.getAs[Long]("n_sample") / nVecs
+    assert(pm > 400 && pm < 600, s"sample rate $pm per-mille off target")
+    // and the estimate agrees with the full-cartesian report within
+    // binomial error of the small truth set (~10 pairs at sf0.01:
+    // one missed pair moves recall 100 per-mille)
+    val full = SparkEntry.queries("s12_banded_recall_report")(spark, sf)
+      .collect()(0).getAs[Long]("recall_pm")
+    val est = rep.getAs[Long]("recall_pm")
+    assert(math.abs(est - full) <= 250,
+      s"sampled recall $est vs full $full diverged beyond sampling error")
+  }
+
   test("d15 splits partition the corpus ~800/100/100 per-mille with no overlap") {
     val rows = SparkEntry.queries("d15_train_split")(spark, sf)
       .groupBy("split").agg(sum("n_docs").as("n")).collect()
