@@ -184,6 +184,91 @@ object Media {
     }
   }
 
+  /** 8×8 24-bit uncompressed BMP wrapping `bytes` as pixel data: pixel
+    * p = y*8+x (top-left origin) gets (r,g,b) = bytes (3p, 3p+1, 3p+2)
+    * cycled mod length (0 on empty). The container is a REAL decodable
+    * BMP — the perceptual path ImageIO-decodes it like any crawled
+    * image — while the pixel values stay a pure function of the source
+    * bytes, so a SQL oracle recomputes the decoded grays without
+    * parsing the container (the m06 oracle-contract trick). */
+  def bmpFromBytes(bytes: Array[Byte]): Array[Byte] = {
+    val w = 8; val h = 8
+    def b(i: Int): Int = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+    val dataSize = w * 3 * h // 24-byte rows: already 4-aligned, no padding
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0.toShort).putShort(0.toShort).putInt(54)
+    out.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (y <- (h - 1) to 0 by -1; x <- 0 until w) { // bottom-up rows, BGR
+      val p = (y * w + x) * 3
+      out.put(b(p + 2).toByte).put(b(p + 1).toByte).put(b(p).toByte)
+    }
+    out.array()
+  }
+
+  /** 60-bit average-hash over decoded pixels: box-downscale to 8×8 with
+    * integer block means (deterministic — no float resampling), integer
+    * grayscale (299r + 587g + 114b)/1000, threshold at the integer mean.
+    * Pixels 0..59 map to bits 0..59 — a 60-bit fingerprint keeps every
+    * engine's signed-BIGINT arithmetic overflow-free (the same width
+    * budget as [[graft.functions.Portable.hash60]]); pixels 60..63 still
+    * count toward the mean. Strict `>` at the threshold: a constant
+    * image hashes to 0, not all-ones. */
+  def aHash60(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = Array.tabulate(64) { p =>
+      val (bx, by) = (p % 8, p / 8)
+      val (x0, y0) = (bx * w / 8, by * h / 8)
+      val x1 = math.min(math.max((bx + 1) * w / 8, x0 + 1), w)
+      val y1 = math.min(math.max((by + 1) * h / 8, y0 + 1), h)
+      var sum = 0L
+      for (y <- y0 until y1; x <- x0 until x1) {
+        val rgb = img.getRGB(x, y)
+        sum += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF)
+          + 114L * (rgb & 0xFF)) / 1000L
+      }
+      sum / ((x1 - x0).toLong * (y1 - y0))
+    }
+    val mean = gray.sum / 64
+    (0 until 60).foldLeft(0L)((acc, p) =>
+      if (gray(p) > mean) acc | (1L << p) else acc)
+  }
+
+  /** Perceptual fingerprint — narrow, shuffle-safe. */
+  case class MediaPHash(media_id: Long, kind: String, source: String,
+      phash: Long)
+
+  /** Perceptual fingerprint per payload: decodable images are REALLY
+    * decoded (any container ImageIO reads — so a PNG re-encode of a BMP
+    * hashes identically, which byte checksums like m06's can never see);
+    * every other payload is byte-wrapped into an 8×8 BMP
+    * ([[bmpFromBytes]]) and sent through the SAME decode + hash path.
+    * One ImageIO "session" per partition batch; only (id, 8-byte hash)
+    * rows leave the scan — the payload never shuffles. */
+  def perceptualHashes(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val direct =
+          if (looksLikeImage(r.payload))
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload)))
+            catch { case _: Exception => None }
+          else None
+        val img = direct.getOrElse {
+          val bmp = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bmpFromBytes(r.payload)))
+          require(bmp != null, "self-encoded BMP failed to decode")
+          bmp
+        }
+        MediaPHash(r.media_id, r.kind, r.source, aHash60(img))
+      }
+    }
+  }
+
   /** One fixed-size shard of a payload. */
   case class PayloadChunk(
       media_id: Long,

@@ -59,6 +59,46 @@ object MultimodalOps {
         sum(col("n_copies") - 1).as("n_removable"))
   }
 
+  /** Perceptual media near-dup pairs — the pixel-space upgrade of m06:
+    * m06 checksums (reduced) BYTES, so a re-encoded or resized copy of
+    * the same image escapes it; m07 average-hashes the DECODED pixels
+    * ([[Media.perceptualHashes]]: real ImageIO decode, 8×8 box means,
+    * 60-bit fingerprint), then finds pairs within hamming distance 4 by
+    * the d07 pigeonhole banding — 5 bands × 12 bits, so any pair ≤ 4
+    * differing bits shares ≥ 1 clean band and the band equi-join is
+    * EXACT, not approximate, for the threshold.
+    *
+    * Scale shape: the join carries (band, nib, id) only — 8-byte hashes,
+    * never payloads; candidates are verified with one bit_count(xor).
+    * At 100 TB this is the same id-only-band-join cost model as d03/s11.
+    * ORACLE CONTRACT: document payloads are text bytes — none decode as
+    * real images, so every row takes the deterministic byte-wrapped BMP
+    * path whose pixels a SQL oracle recomputes from the same bytes; the
+    * REAL-decode branch (PNG↔BMP invariance, downscale) is spec-covered
+    * with constructed image fixtures (MultimodalSpec). */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    val ph = Media.perceptualHashes(media).toDF()
+      .select(col("media_id"), col("phash"))
+    val banded = ph.select(col("media_id"), col("phash"),
+      explode(array((0 until 5).map(b =>
+        struct(lit(b).as("band"),
+          shiftRight(col("phash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
+        .as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band"), col("bk.nib"))
+    banded.select(col("media_id").as("a_id"), col("phash").as("a_ph"),
+        col("band"), col("nib"))
+      .join(banded.select(col("media_id").as("b_id"), col("phash").as("b_ph"),
+        col("band"), col("nib")), Seq("band", "nib"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_ph", "b_ph")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Frame-sampling rollup: every 4th frame of each video payload decoded
     * to a per-frame feature, aggregated per source. The frame explosion
     * happens executor-side inside the batched decode (never a Spark
@@ -133,6 +173,7 @@ object MultimodalOps {
     "m04_crossmodal_join" -> m04 _,
     "m05_chunked_payloads" -> m05 _,
     "m06_media_dedup" -> m06 _,
+    "m07_perceptual_neardup" -> m07 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -170,6 +211,35 @@ object MultimodalOps {
         |    COUNT(*) AS n_copies
         |  FROM documents GROUP BY 1, 2)
         |WHERE n_copies > 1 GROUP BY kind""".stripMargin,
+    // byte-wrapped-BMP pixels recomputed straight from the text bytes:
+    // pixel p reads bytes (3p, 3p+1, 3p+2) mod n as (r, g, b); integer
+    // gray (299r+587g+114b)//1000; mean threshold; bits 0..59. The
+    // all-pairs form is oracle-side only — Spark prunes via banding,
+    // which is EXACT for hamming <= 4 (pigeonhole over 5 bands).
+    "m07_perceptual_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), p ->
+        |      (299 * ('0x' || substr(hx, 2 * ((3*p) % n) + 1, 2))::BIGINT
+        |       + 587 * ('0x' || substr(hx, 2 * ((3*p+1) % n) + 1, 2))::BIGINT
+        |       + 114 * ('0x' || substr(hx, 2 * ((3*p+2) % n) + 1, 2))::BIGINT)
+        |      // 1000) AS gray
+        |  FROM px),
+        |ph AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 60), p ->
+        |      CASE WHEN gray[(p+1)::INT] > (list_sum(gray) // 64)
+        |           THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END))::BIGINT
+        |      AS phash
+        |  FROM gr)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 4""".stripMargin,
     "m04_crossmodal_join" ->
       s"""WITH feats AS (
          |  SELECT doc_id AS media_id,

@@ -243,6 +243,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(serialized.nonEmpty && !serialized.contains("payload"), p)
   }
 
+  test("m07 perceptual near-dup: id-only band join, payload never shuffles") {
+    val p = plan("m07_perceptual_neardup")
+    // pairing must ride the (band, nib) equi-join — hash-partitioned on
+    // 8-byte fingerprints, never an all-pairs scan of the media rows
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"m07 degenerated to all-pairs:\n$p")
+    val serialized = p.linesIterator
+      .find(_.contains("SerializeFromObject")).getOrElse("")
+    assert(serialized.nonEmpty && !serialized.contains("payload"), p)
+  }
+
   test("s13 k-means step: seed codebook broadcasts, assignment never cartesians") {
     val p = plan("s13_kmeans_step")
     // same contract as s06: the 16-row centroid side rides a broadcast

@@ -101,6 +101,80 @@ class MediaSpec extends SparkSuite {
     assert(img.getWidth < 256 && 256 % img.getWidth == 0)
   }
 
+  test("bmpFromBytes round-trips through ImageIO to the exact byte->pixel mapping") {
+    val bytes = (0 until 97).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bmpFromBytes(bytes)))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 8)
+    def b(i: Int): Int = bytes(i % bytes.length) & 0xFF
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val p = (y * 8 + x) * 3
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        == ((b(p), b(p + 1), b(p + 2))),
+        s"pixel ($x,$y) diverged from the byte mapping the oracle assumes")
+    }
+  }
+
+  test("aHash60 golden: half-dark/half-bright image sets exactly the bright bits") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = if (y < 4) 50 else 200 // gray((v,v,v)) = v exactly
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    // mean = (32*50 + 32*200)/64 = 125; bright pixels are 32..63, of
+    // which 32..59 carry hash bits
+    val expected = (32 until 60).foldLeft(0L)((a, p) => a | (1L << p))
+    assert(aHash60(img) == expected)
+    // constant image: strict > at the mean hashes to zero, not all-ones
+    val flat = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) flat.setRGB(x, y, 0x808080)
+    assert(aHash60(flat) == 0L)
+  }
+
+  test("m07 pairs a PNG<->BMP re-encode of the same image; m06's byte checksum cannot") {
+    // one 8x8 image, two containers: same pixels, different bytes
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, ((x * 53 + y * 19) * 2654435) & 0xFFFFFF)
+    def enc(fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val (png, bmp) = (enc("png"), enc("bmp"))
+    assert(!java.util.Arrays.equals(png, bmp), "containers must differ bytewise")
+    val recs = Seq(
+      MediaRecord(1L, "image", png, "crawl"),
+      MediaRecord(2L, "image", bmp, "crawl")).toDS()
+    // perceptual: identical fingerprints -> hamming 0 -> one dup group
+    val hashes = perceptualHashes(recs).collect().map(h => h.media_id -> h.phash).toMap
+    assert(hashes(1L) == hashes(2L),
+      s"re-encode changed the perceptual hash: $hashes")
+    // byte-space (the m06 path: 64-byte thumbnail checksum): MISSES them
+    val sums = decodeFeatures(resize(recs, 64)).collect()
+      .map(f => f.media_id -> f.checksum).toMap
+    assert(sums(1L) != sums(2L),
+      "byte checksums unexpectedly collided — the m07 contrast test is vacuous")
+  }
+
+  test("aHash60 is invariant under pixel-replication upscale (box means)") {
+    val small = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val big = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val rgb = ((x * 41 + y * 13) * 97) & 0xFFFFFF
+      small.setRGB(x, y, rgb)
+      for (dy <- 0 to 1; dx <- 0 to 1) big.setRGB(2 * x + dx, 2 * y + dy, rgb)
+    }
+    assert(aHash60(small) == aHash60(big),
+      "a 2x resized copy must carry the identical fingerprint")
+  }
+
   test("a torn PNG header degrades to fallback features, never an exception") {
     val torn = pngBytes(16, 16).take(12) // magic intact, IHDR truncated
     val f = decodeFeatures(Seq(MediaRecord(9L, "image", torn, "crawl")).toDS())
