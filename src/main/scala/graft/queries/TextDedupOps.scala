@@ -660,6 +660,73 @@ object TextDedupOps {
         sum(col("bpe")).as("bpe_tokens"),
         max(col("bpe")).cast("long").as("max_bpe"))
 
+  /** Number of BPE merge-learning rounds t15 runs — small and fixed: each
+    * round is one pair-count aggregation plus one distributed top-1, and
+    * the learned table grows one row per round. */
+  private[graft] val BpeRounds = 6
+
+  /** BPE merge LEARNING over a (word, cnt) table — the tokenizer-training
+    * step t08's pre-tokenization stops short of: k rounds of "count
+    * adjacent symbol pairs weighted by word frequency, merge the most
+    * frequent pair everywhere" (Sennrich et al. 2016' iterative scheme).
+    *
+    * Fully declarative — NO driver-side data movement: each round's
+    * argmax is a distributed top-1 (orderBy + limit(1) compiles to
+    * TakeOrderedAndProject — per-partition top-1 then a 1-row reduce,
+    * never a global sort), and the winning rule rejoins the sequence
+    * table as a broadcast of ONE row whose (lhs, rhs) drive the merge
+    * fold. Merge application is a per-row fold (greedy leftmost scan:
+    * append, or replace the just-appended lhs when the pair matches —
+    * equivalent to the textbook two-pointer scan because a merged symbol
+    * lhs||rhs can never equal lhs), so sequences never explode into a
+    * shuffle. Ties break (count desc, lhs, rhs) — deterministic across
+    * engines and cluster sizes. At 100 TB the per-round cost is one
+    * narrow (lhs, rhs, count) aggregation over the DISTINCT-word table
+    * (vocabulary-sized, ≪ corpus) + a map-side broadcast join; the k
+    * rounds chain k such stages (checkpoint between rounds at real
+    * scale — the CC pattern). */
+  private[graft] def bpeMerges(words: DataFrame, rounds: Int): DataFrame = {
+    val mergeFold =
+      """aggregate(seq, cast(array() as array<string>),
+        |  (acc, x) -> CASE
+        |    WHEN size(acc) > 0 AND element_at(acc, -1) = m_lhs AND x = m_rhs
+        |    THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m_lhs, m_rhs)))
+        |    ELSE concat(acc, array(x)) END)""".stripMargin
+    var seqs = words.withColumn("seq",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val bests = (1 to rounds).map { r =>
+      val pairs = seqs.filter(size(col("seq")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(seq) - 2)," +
+            " i -> struct(seq[i] AS lhs, seq[i+1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .select(lit(r.toLong).as("merge_round"), col("lhs"), col("rhs"),
+          col("pair_count"))
+      seqs = seqs.crossJoin(broadcast(
+          best.select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))))
+        .withColumn("seq", expr(mergeFold))
+        .drop("m_lhs", "m_rhs")
+      best
+    }
+    bests.reduce(_ unionByName _)
+  }
+
+  /** The learned merge table over the corpus vocabulary: lowercase ASCII
+    * words (the same charset discipline as t01's alpha tokens — both
+    * regex engines agree byte-for-byte), weighted by occurrence count.
+    * Output: one row per round — (merge_round, lhs, rhs, pair_count). */
+  private def t15(s: SparkSession, d: String): DataFrame =
+    bpeMerges(
+      documents(s, d)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
+      BpeRounds)
+
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
     * of the single most common 2-gram — the two signals that catch
@@ -801,6 +868,7 @@ object TextDedupOps {
     "d16_split_leakage" -> d16 _,
     "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
+    "t15_bpe_merges" -> t15 _,
   )
 
   // ---- DuckDB oracles ----
@@ -811,6 +879,67 @@ object TextDedupOps {
     s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
   private val stopSql =
     s"len(list_filter($toksSql, t -> t IN ('the','a','of','and','to','in','is')))"
+  /** SQL twin of [[bpeMerges]] ∘ the t15 word extraction: k chained
+    * rounds of CTEs. The greedy-leftmost merge application is relational
+    * here — positions matching the round's winning pair form consecutive
+    * runs, and greedy keeps every OTHER match within a run (for lhs≠rhs
+    * runs are singletons, so this is all of them; for lhs=rhs it is the
+    * floor(L/2) pairwise contraction) — the run-parity window below;
+    * kept positions emit the merged symbol and consume position i+1.
+    * Proves the Spark-side fold implements the textbook scan.
+    * MATERIALIZED: each round references its predecessor several times;
+    * without it DuckDB re-inlines the whole chain per reference and the
+    * query goes exponential in the round count. */
+  private lazy val t15Sql: String = {
+    val base =
+      """seqs_0 AS MATERIALIZED (
+        |  SELECT word, COUNT(*)::BIGINT AS cnt,
+        |    list_transform(range(1, length(word) + 1),
+        |      i -> substr(word, i::INT, 1)) AS seq
+        |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      val prev = r - 1
+      s"""pairs_$r AS MATERIALIZED (
+         |  SELECT seq[i] AS lhs, seq[i + 1] AS rhs, SUM(cnt)::BIGINT AS pair_count
+         |  FROM (SELECT cnt, seq, UNNEST(range(1, len(seq))) AS i
+         |        FROM seqs_$prev WHERE len(seq) >= 2)
+         |  GROUP BY 1, 2),
+         |best_$r AS MATERIALIZED (
+         |  SELECT $r::BIGINT AS merge_round, lhs, rhs, pair_count
+         |  FROM pairs_$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+         |mt_$r AS MATERIALIZED (
+         |  SELECT t.word, t.cnt, t.i, t.seq[t.i] AS sym,
+         |    (t.i < len(t.seq) AND t.seq[t.i] = b.lhs
+         |       AND t.seq[t.i + 1] = b.rhs) AS hit,
+         |    b.lhs || b.rhs AS m
+         |  FROM (SELECT word, cnt, seq, UNNEST(range(1, len(seq) + 1)) AS i
+         |        FROM seqs_$prev) t
+         |  CROSS JOIN best_$r b),
+         |keep_$r AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i,
+         |      ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i) - 1 AS off
+         |    FROM (SELECT word, i,
+         |            ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn
+         |          FROM mt_$r WHERE hit))
+         |  WHERE off % 2 = 0),
+         |seqs_$r AS MATERIALIZED (
+         |  SELECT m.word, MAX(m.cnt) AS cnt,
+         |    list(CASE WHEN k.i IS NOT NULL THEN m.m ELSE m.sym END
+         |         ORDER BY m.i) AS seq
+         |  FROM mt_$r m
+         |  LEFT JOIN keep_$r k ON k.word = m.word AND k.i = m.i
+         |  LEFT JOIN keep_$r kp ON kp.word = m.word AND kp.i = m.i - 1
+         |  WHERE kp.i IS NULL
+         |  GROUP BY m.word)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM best_$r")
+      .mkString(" UNION ALL ")
+    s"WITH $base,\n$rounds\nSELECT merge_round, lhs, rhs, pair_count FROM ($union)"
+  }
+
   /** SQL twin of [[splitCol]] — the one place the split hash exists on
     * the oracle side (d15/d16 share it). */
   private lazy val splitCaseSql: String = {
@@ -932,6 +1061,7 @@ object TextDedupOps {
          |  SUM(CASE WHEN s.score_pm >= t.p10 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_kept
          |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
+    "t15_bpe_merges" -> t15Sql,
     "t03_langid_confusion" ->
       s"""SELECT lang,
          |  CASE WHEN len($toksSql) > 0

@@ -21,6 +21,55 @@ class TrainingOpsPropertySpec extends SparkSuite {
   private def samples[T](g: Gen[T], n: Int): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1234L + i)))
 
+  /** Clean-room textbook BPE (Sennrich et al.): two-pointer greedy scan
+    * for merge application, full pair recount per round — the reference
+    * the distributed fold/argmax implementation must reproduce. */
+  private def referenceBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var seqs = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (1 to rounds).flatMap { r =>
+      val counts = seqs.toSeq.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      if (counts.isEmpty) Nil
+      else {
+        val ((a, b), n) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+        seqs = seqs.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.size) {
+            if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toVector, c)
+        }
+        Seq((r.toLong, a, b, n))
+      }
+    }
+  }
+
+  test("bpeMerges matches the textbook scan on the classic fixture and random corpora") {
+    // the Sennrich toy corpus: forces multi-round structure (es -> est)
+    // and exercises the lhs=rhs run case via 'aaaa'
+    val fixtures = Seq(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      Map("aaaa" -> 3L, "aab" -> 2L, "ba" -> 7L),
+    ) ++ samples(
+      Gen.mapOfN(8, Gen.zip(
+        Gen.chooseNum(1, 8).flatMap(n =>
+          Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString)),
+        Gen.chooseNum(1L, 9L))), 4).filter(_.nonEmpty)
+    fixtures.foreach { words =>
+      val df = words.toSeq.toDF("word", "cnt")
+      val got = graft.queries.TextDedupOps.bpeMerges(df, 4)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1)
+      val expect = referenceBpe(words, 4)
+      assert(got.toSeq == expect,
+        s"words=$words\n got=${got.toSeq}\n want=$expect")
+    }
+  }
+
   test("modeCount fold equals the true mode count on random arrays " +
     "(incl. empties, negatives, all-equal)") {
     val arrGen = Gen.chooseNum(0, 40).flatMap(n =>
