@@ -594,7 +594,9 @@ object TextDedupOps {
 
   /** Split-leakage audit — the check a train/val/test split must pass
     * before anyone trusts an eval: near-duplicate pairs (d03's LSH
-    * output, Jaccard-verified) whose endpoints land in DIFFERENT splits
+    * output by default; d05's exact inverted-index pairs behind
+    * `spark.graft.dedup.leakage.exactPairs` — see the body comment)
+    * whose endpoints land in DIFFERENT splits
     * leak training signal into evaluation. Reports pair counts per
     * unordered split pair: the diagonal (train,train) is benign
     * duplication, off-diagonal cells are contamination to scrub (drop
@@ -604,7 +606,18 @@ object TextDedupOps {
   private def d16(s: SparkSession, d: String): DataFrame = {
     val splits = documents(s, d)
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
-    d03(s, d)
+    // LSH pairs by default (cost), EXACT inverted-index pairs behind the
+    // conf flag: LSH recall < 1 means an audit that UNDERSTATES
+    // contamination — missed cross-split near-dup pairs are exactly the
+    // leakage nobody sees. d05's Σcnt² formulation stays viable at
+    // 100 TB (that is its whole design), so a release-gating audit can
+    // afford the exact pass; cell counts are then a cell-wise upper
+    // bound on the LSH audit's (spec-asserted, DedupInvariantSpec).
+    val pairs =
+      if (s.conf.getOption("spark.graft.dedup.leakage.exactPairs")
+          .exists(_.toBoolean)) d05(s, d)
+      else d03(s, d)
+    pairs
       .join(splits.select(col("doc_id").as("a_id"), col("split").as("sa")),
         Seq("a_id"))
       .join(splits.select(col("doc_id").as("b_id"), col("split").as("sb")),

@@ -97,6 +97,26 @@ class DedupInvariantSpec extends SparkSuite {
       "equality vacuous: planted corpus produced no pairs")
   }
 
+  test("d16 exact-pairs mode bounds the LSH audit cell-wise from above") {
+    // the leakage audit over d05's exact pairs must see at least as many
+    // pairs in EVERY (split_lo, split_hi) cell as the LSH default — LSH
+    // only loses pairs, and a lost cross-split pair is understated
+    // contamination. Exercise the production flag end-to-end.
+    def cells() = SparkEntry.queries("d16_split_leakage")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lsh = cells()
+    spark.conf.set("spark.graft.dedup.leakage.exactPairs", "true")
+    val exact = try cells()
+      finally spark.conf.unset("spark.graft.dedup.leakage.exactPairs")
+    assert(lsh.nonEmpty, "audit vacuous: planted corpus produced no cells")
+    lsh.foreach { case (cell, n) =>
+      assert(exact.getOrElse(cell, 0L) >= n,
+        s"exact audit lost pairs at $cell: exact=${exact.get(cell)} lsh=$n")
+    }
+    assert(exact.values.sum >= lsh.values.sum)
+  }
+
   test("winnowing containment also surfaces the planted near-dups") {
     val winnow = SparkEntry.queries("t06_winnowing_overlap")(spark, corpusDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
