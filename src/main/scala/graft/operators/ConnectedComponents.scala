@@ -96,12 +96,56 @@ object ConnectedComponents {
         lit(0).cast("decimal(38,0)"))).head()
         .getDecimal(0)
 
+    // Skew hardening for one-mega-cluster graphs: the per-round hot spot
+    // is the JOIN on the edge endpoint — a hub of degree d lands d rows
+    // on one sort-merge-join task (the groupBy(min) after it is safe:
+    // partial aggregation combines map-side, so a reducer key receives
+    // at most one row per map task). Classic whole-table salting LOSES
+    // here — measured: replicating the n-row labels table S ways costs
+    // S·n/P rows per task, which for a star graph (d ≈ n) exceeds the
+    // hot key it was meant to split. But skew means degree concentrates
+    // in FEW keys by definition (≤ 2|E|/threshold of them), so instead:
+    // detect hot keys ONCE (degrees never change across rounds), and per
+    // round route their edges through a BROADCAST join against just
+    // their labels — the hub's rows never shuffle for the join at all —
+    // while everything else takes the ordinary shuffle join.
+    // `spark.graft.cc.hotDegree` tunes the threshold (default 1M rows:
+    // below that a task streams the key in seconds and isolation would
+    // cost more than it saves). Result-identical — property-tested
+    // against union-find with task metrics asserting the per-task join
+    // input actually shrank.
+    val hotDegree = edges.sparkSession.conf
+      .getOption("spark.graft.cc.hotDegree").map(_.toLong)
+      .getOrElse(1000000L)
+    val hotKeys: Array[Long] = sym.groupBy(col("a"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= hotDegree)
+      // degree sum = 2|E| bounds the count; the cap keeps the literal
+      // in-filter codegen-friendly if a pathological threshold is set
+      .orderBy(col("deg").desc).limit(100)
+      .select("a").collect().map(_.getLong(0))
+    def joinLabels(labels: DataFrame): DataFrame =
+      if (hotKeys.isEmpty)
+        sym.join(labels, sym("a") === labels("node"))
+          .select(sym("b").as("node"), col("comp"))
+      else {
+        val isHot = col("a").isin(hotKeys.map(Long.box): _*)
+        val cold = sym.filter(!isHot)
+          .join(labels, col("a") === labels("node"))
+          .select(col("b").as("node"), col("comp"))
+        val hot = sym.filter(isHot)
+          .join(broadcast(labels.filter(
+              col("node").isin(hotKeys.map(Long.box): _*))),
+            col("a") === labels("node"))
+          .select(col("b").as("node"), col("comp"))
+        cold.unionByName(hot)
+      }
+
     var prev = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val neighbourMin = sym.join(labels, sym("a") === labels("node"))
-        .select(sym("b").as("node"), col("comp"))
+      val neighbourMin = joinLabels(labels)
       val next = truncate(labels.unionByName(neighbourMin)
         .groupBy("node").agg(min("comp").as("comp")))
       val cur = labelSum(next)

@@ -146,6 +146,69 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(m == Map(2L -> 2L, 4L -> 2L, 8L -> 8L, 9L -> 8L))
   }
 
+  test("hot-key isolation: star graph labels identical to union-find, " +
+    "per-task join input provably smaller") {
+    import spark.implicits._
+    // one mega-component: hub 0 with 30k leaves — every edge carries the
+    // hub on one side, so the ordinary per-round join lands all 30k rows
+    // on one sort-merge task; plus a small control component
+    val n = 30000L
+    val edges = ((1L to n).map(i => (0L, i)) ++ Seq((50001L, 50002L)))
+      .toDF("src", "dst")
+    val expected = (0L to n).map(i => i -> 0L).toMap ++
+      Map(50001L -> 50001L, 50002L -> 50001L)
+
+    // task-level shuffle-read record peaks, captured per run
+    class Peak extends org.apache.spark.scheduler.SparkListener {
+      val max = new java.util.concurrent.atomic.AtomicLong(0)
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          max.getAndUpdate(math.max(_, m.shuffleReadMetrics.recordsRead))
+      }
+    }
+    def measuredRun(hotDegree: Long): (Map[Long, Long], Long) = {
+      val l = new Peak
+      spark.sparkContext.addSparkListener(l)
+      spark.conf.set("spark.graft.cc.hotDegree", hotDegree.toString)
+      // force the skew to be visible at test scale: no auto-broadcast of
+      // the labels side (at 100 TB it is genuinely unbroadcastable) and
+      // no AQE coalescing/skew handling masking the contrast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val m = ConnectedComponents.run(edges, localCutoff = 0)
+          .as[(Long, Long)].collect().toMap
+        // listener events drain asynchronously; poll until the peak
+        // stabilizes (bounded) instead of reaching into private APIs
+        var (last, stable, waited) = (-1L, 0, 0)
+        while (stable < 3 && waited < 5000) {
+          Thread.sleep(100); waited += 100
+          val cur = l.max.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        (m, l.max.get())
+      } finally {
+        spark.conf.unset("spark.graft.cc.hotDegree")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+        spark.sparkContext.removeSparkListener(l)
+      }
+    }
+    val (plain, peakPlain) = measuredRun(hotDegree = Long.MaxValue)
+    val (isolated, peakIso) = measuredRun(hotDegree = 1000L)
+    assert(plain == expected && isolated == expected,
+      "hot-key isolation changed the labeling")
+    // the hub's 30k rows ride one task when not isolated; once isolated
+    // they go through a broadcast join and never shuffle, leaving only
+    // the even base load. Assert a 2x peak improvement so the test
+    // tolerates scheduling noise but fails if the hot key still
+    // concentrates
+    assert(peakIso * 2 <= peakPlain,
+      s"isolation did not bound the hot task: isolated=$peakIso plain=$peakPlain")
+  }
+
   test("d06 components agree with d05 pairs: every near-dup pair shares a component") {
     val sf = "/root/testdata/sf0.01"
     val pairs = graft.SparkEntry.queries("d05_ngram_jaccard_exact")(spark, sf)
