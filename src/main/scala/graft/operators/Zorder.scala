@@ -52,6 +52,28 @@ object Zorder {
       lit(0L)), lit(maxV))
   }
 
+  /** Re-layout (no write): range-partition + locally sort by the Morton
+    * code of (rank-normalized long `keyA`, hashed `keyB`). `keyB` may be
+    * any type — xxhash64 maps it uniformly onto the grid, so same-VALUE
+    * rows cluster (what an equality/IN scan prunes by) even though range
+    * predicates on keyB cannot prune (hashing destroys order). This is
+    * the rewards-sink layout: block is the range key (h04-style
+    * block-window scans), gateway the hash key (per-gateway audits).
+    * Cost per write: one 2-number agg + one range exchange — amortized
+    * over every subsequent pruned scan of the table. */
+  def layoutByRangeAndHash(df: DataFrame, keyA: String, keyB: String,
+      bits: Int = 12, partitions: Int = 8): DataFrame = {
+    val r = df.agg(min(col(keyA)), max(col(keyA))).head()
+    if (r.isNullAt(0)) return df // empty batch: nothing to order
+    val z = morton(bits,
+      normalize(col(keyA), r.getLong(0), r.getLong(1), bits),
+      pmod(xxhash64(col(keyB)), lit(1L << bits)))
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
   /** Write `df` z-ordered by two long-typed key columns: collect each
     * key's min/max (2 numbers per key — the only driver-side data),
     * range-partition + locally sort by the Morton code, write parquet.

@@ -592,21 +592,31 @@ class FollowerStreamSpec extends SparkSuite {
     import spark.implicits._
 
     // warm the planner/codegen paths once, then measure a clean drain
-    def drain(r: String): Long = {
+    def drain(r: String, via: NodeClient): Long = {
       val t0 = System.nanoTime()
       val range = 100L to 105L
       val blocks = Follower.parseBlocks(
-        range.flatMap(node.getBlockJson).toDF("json"))
-      val payloads = Follower.fetchPayloads(spark, node, blocks, Model.EtlMode.Full)
+        range.flatMap(via.getBlockJson).toDF("json"))
+      val payloads = Follower.fetchPayloads(spark, via, blocks, Model.EtlMode.Full)
       new ExactlyOnceSink(spark, s"$root/$r")
         .commit(Pipeline.run(Model.EtlMode.Full, blocks, payloads), 105, 100)
       System.nanoTime() - t0
     }
-    drain("warm")
-    val nanos = drain("measured")
+    drain("warm", node)
+    val nanos = drain("measured", node)
     val blocksPerSec = 6.0 / (nanos / 1e9)
     info(f"full-mode ingest: $blocksPerSec%.1f blocks/s " +
       f"(reference cadence requires ${1.0 / 60}%.3f)")
+    // the same drain THROUGH THE WIRE (JSON-RPC over localhost) so the
+    // protocol cost — request framing, Jackson round-trips, socket reuse
+    // — is inside the measured number, not assumed away
+    val srv = new MockNodeHttpServer(node)
+    val wireBlocksPerSec = try {
+      val http = new HttpNode(srv.endpoint)
+      drain("warmwire", http)
+      6.0 / (drain("wire", http) / 1e9)
+    } finally srv.stop()
+    info(f"full-mode ingest over http: $wireBlocksPerSec%.1f blocks/s")
     // the reference's design target is following a ~1 block/min chain;
     // even a 6-block micro-batch through parse + enrichment join +
     // flatten + exactly-once sink must beat that by orders of magnitude.
@@ -614,6 +624,8 @@ class FollowerStreamSpec extends SparkSuite {
     // typically measured) so a loaded CI host cannot flake it.
     assert(blocksPerSec > 0.5,
       f"pipeline too slow: $blocksPerSec%.2f blocks/s")
+    assert(wireBlocksPerSec > 0.5,
+      f"pipeline too slow over http: $wireBlocksPerSec%.2f blocks/s")
   }
 
   test("cursor is monotonic — backwards advance is refused") {
