@@ -335,21 +335,31 @@ object SimilarityOps {
       .crossJoin(recallReport(truth, got, Seq("a_id", "b_id")))
   }
 
-  /** The shared recall-report shape (s08, s12): |truth|, |got|,
-    * |got ∩ truth| via left-semi on `keys`, and recall in per-mille
-    * (1000 on empty truth — nothing to miss). One definition so the
-    * empty-truth convention and the integer formula cannot diverge
-    * between reports. */
+  /** The shared recall-report shape (s08, s12, s15): |truth|, |got|,
+    * |got ∩ truth|, and recall in per-mille (1000 on empty truth —
+    * nothing to miss). One definition so the empty-truth convention and
+    * the integer formula cannot diverge between reports.
+    *
+    * ONE pass per side: a full-outer join on the pair keys feeds a
+    * single aggregate, so each pair-generation chain (banded join /
+    * exact audit) is evaluated once. The previous three-aggregate form
+    * evaluated each chain twice (own count + semi-join), and persisting
+    * instead of restructuring benched SLOWER (cache write+read >
+    * recompute — the same result as round 5's shared-shingle-base
+    * experiment). Requires both sides key-distinct, which every caller
+    * guarantees (dropDuplicates / DISTINCT pair sets). */
   private def recallReport(truth: DataFrame, got: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val tp = got.join(truth, keys, "left_semi")
-    truth.agg(count(lit(1)).as("n_truth"))
-      .crossJoin(got.agg(count(lit(1)).as("n_got")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+      keys: Seq[String]): DataFrame =
+    truth.select(keys.map(col): _*).withColumn("t", lit(1L))
+      .join(got.select(keys.map(col): _*).withColumn("g", lit(1L)),
+        keys, "full_outer")
+      .agg(
+        coalesce(sum(col("t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("g")), lit(0L)).as("n_got"),
+        coalesce(sum(col("t") * col("g")), lit(0L)).as("n_tp"))
       .withColumn("recall_pm",
         when(col("n_truth") > 0, expr("(1000L * n_tp) DIV n_truth"))
           .otherwise(1000L))
-  }
 
   /** ANN quality report — recall of the multi-table LSH (s02) against the
     * brute-force top-3 ground truth (s01), gated like d10: the metric that

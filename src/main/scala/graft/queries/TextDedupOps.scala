@@ -474,17 +474,21 @@ object TextDedupOps {
     * (k, bands). False positives are structurally impossible (d03
     * Jaccard-verifies every candidate), so the report is exact-count,
     * lsh-count, true positives, and integer per-mille recall. */
-  private def d10(s: SparkSession, d: String): DataFrame = {
-    val lsh = d03(s, d).select(col("a_id"), col("b_id"))
-    val exact = d05(s, d).select(col("a_id"), col("b_id"))
-    val tp = lsh.join(exact, Seq("a_id", "b_id"), "left_semi")
-    lsh.agg(count(lit(1)).as("n_lsh"))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
-      .crossJoin(tp.agg(count(lit(1)).as("n_tp")))
+  private def d10(s: SparkSession, d: String): DataFrame =
+    // one pass per side (the SimilarityOps.recallReport shape): the
+    // full-outer join on the pair keys feeds a single aggregate, so the
+    // d03 and d05 chains each run ONCE instead of twice (own count +
+    // semi-join). Both sides are key-distinct pair sets by construction.
+    d03(s, d).select(col("a_id"), col("b_id")).withColumn("g", lit(1L))
+      .join(d05(s, d).select(col("a_id"), col("b_id"))
+        .withColumn("t", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("g")), lit(0L)).as("n_lsh"),
+        coalesce(sum(col("t")), lit(0L)).as("n_exact"),
+        coalesce(sum(col("t") * col("g")), lit(0L)).as("n_tp"))
       .withColumn("recall_pm",
         when(col("n_exact") > 0, expr("(1000L * n_tp) DIV n_exact"))
           .otherwise(1000L))
-  }
 
   /** Cross-corpus repeated-shingle census — the document-frequency
     * histogram of distinct K-token shingles (df=1 unique … df≥5 heavily
