@@ -702,7 +702,14 @@ object TextDedupOps {
     * (vocabulary-sized, ≪ corpus) + a map-side broadcast join; the k
     * rounds chain k such stages (checkpoint between rounds at real
     * scale — the CC pattern). */
-  private[graft] def bpeMerges(words: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def bpeMerges(words: DataFrame, rounds: Int): DataFrame =
+    bpeChain(words, rounds)._1
+
+  /** [[bpeMerges]] plus the post-merge symbol sequences — shared so the
+    * compression accounting (t16) applies the very vocabulary the
+    * learning loop (t15) produced, not a re-derivation. */
+  private def bpeChain(words: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val mergeFold =
       """aggregate(seq, cast(array() as array<string>),
         |  (acc, x) -> CASE
@@ -729,7 +736,7 @@ object TextDedupOps {
         .drop("m_lhs", "m_rhs")
       best
     }
-    bests.reduce(_ unionByName _)
+    (bests.reduce(_ unionByName _), seqs)
   }
 
   /** The learned merge table over the corpus vocabulary: lowercase ASCII
@@ -743,6 +750,29 @@ object TextDedupOps {
           "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
       BpeRounds)
+
+  /** BPE compression accounting — what the learned vocabulary (t15) buys:
+    * the corpus tokenized with the k merges applied vs the character
+    * baseline, weighted by word frequency. One row: distinct vocabulary
+    * size, corpus word occurrences, character tokens before, tokens
+    * after, and the realized compression in per-mille (integer — the
+    * oracle matches exactly). The merge application is t15's own chain
+    * ([[bpeChain]] — the accounting can't drift from the learner), and
+    * the rollup is a single aggregate over the vocabulary table. */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    bpeChain(words, BpeRounds)._2
+      .agg(
+        count(lit(1)).as("n_vocab_words"),
+        sum(col("cnt")).as("n_word_occurrences"),
+        sum(col("cnt") * length(col("word"))).as("tokens_before"),
+        sum(col("cnt") * size(col("seq"))).as("tokens_after"))
+      .withColumn("compression_pm",
+        expr("(1000L * tokens_after) DIV tokens_before"))
+  }
 
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
@@ -886,6 +916,7 @@ object TextDedupOps {
     "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
     "t15_bpe_merges" -> t15 _,
+    "t16_bpe_compression" -> t16 _,
   )
 
   // ---- DuckDB oracles ----
@@ -955,6 +986,21 @@ object TextDedupOps {
     val union = (1 to BpeRounds).map(r => s"SELECT * FROM best_$r")
       .mkString(" UNION ALL ")
     s"WITH $base,\n$rounds\nSELECT merge_round, lhs, rhs, pair_count FROM ($union)"
+  }
+
+  /** SQL twin of t16 — the IDENTICAL CTE chain as [[t15Sql]] with the
+    * accounting rollup over the final sequences instead of the merge
+    * list. */
+  private lazy val t16Sql: String = {
+    val upToChain = t15Sql.substring(0, t15Sql.lastIndexOf("\nSELECT"))
+    s"""$upToChain
+       |SELECT COUNT(*) AS n_vocab_words,
+       |  SUM(cnt)::BIGINT AS n_word_occurrences,
+       |  SUM(cnt * length(word))::BIGINT AS tokens_before,
+       |  SUM(cnt * len(seq))::BIGINT AS tokens_after,
+       |  (1000 * SUM(cnt * len(seq)) // SUM(cnt * length(word)))::BIGINT
+       |    AS compression_pm
+       |FROM seqs_$BpeRounds""".stripMargin
   }
 
   /** SQL twin of [[splitCol]] — the one place the split hash exists on
@@ -1079,6 +1125,7 @@ object TextDedupOps {
          |    AS n_kept
          |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
     "t15_bpe_merges" -> t15Sql,
+    "t16_bpe_compression" -> t16Sql,
     "t03_langid_confusion" ->
       s"""SELECT lang,
          |  CASE WHEN len($toksSql) > 0

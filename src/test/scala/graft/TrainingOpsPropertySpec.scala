@@ -70,6 +70,45 @@ class TrainingOpsPropertySpec extends SparkSuite {
     }
   }
 
+  test("t16 compression accounting equals the clean-room BPE applied to the real corpus") {
+    val sf = "/root/testdata/sf0.001"
+    // independent word extraction + merge application in plain Scala
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").as[String].collect()
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // replay the reference merges, tracking final sequence lengths
+    var seqs = words.map { case (w, c) => (w, w.map(_.toString).toVector, c) }
+    (1 to 6).foreach { _ =>
+      val counts = seqs.flatMap { case (_, s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      if (counts.nonEmpty) {
+        val ((a, b), _) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        seqs = seqs.map { case (w, s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.size) {
+            if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (w, out.toVector, c)
+        }
+      }
+    }
+    val before = seqs.map { case (w, _, c) => c * w.length }.sum
+    val after = seqs.map { case (_, s, c) => c * s.size }.sum
+    val row = SparkEntry.queries("t16_bpe_compression")(spark, sf).collect()(0)
+    assert(row.getAs[Long]("n_vocab_words") == seqs.size.toLong)
+    assert(row.getAs[Long]("tokens_before") == before)
+    assert(row.getAs[Long]("tokens_after") == after,
+      s"distributed merge application diverged from the textbook scan: $row")
+    assert(row.getAs[Long]("compression_pm") == 1000L * after / before)
+    // the learned merges must actually compress a natural-language corpus
+    assert(after < before, "6 merge rounds compressed nothing")
+  }
+
   test("modeCount fold equals the true mode count on random arrays " +
     "(incl. empties, negatives, all-equal)") {
     val arrGen = Gen.chooseNum(0, 40).flatMap(n =>
