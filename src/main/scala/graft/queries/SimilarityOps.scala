@@ -495,6 +495,52 @@ object SimilarityOps {
       .join(stats, Seq("c_id"))
   }
 
+  private val LLOYD_ROUNDS = 3
+
+  /** Iterated k-means — [[s13]]'s single Lloyd step run LLOYD_ROUNDS
+    * times, completing the clustering loop an IVF/PQ index build
+    * actually runs: assign every vector to its max-cosine centroid
+    * (broadcast — bounded by k), replace each centroid with its
+    * cluster's SUM vector (cosine is scale-invariant, so sums stand in
+    * for means and every coordinate stays an exact integer — the
+    * s03/s06/s13 trick), repeat. Output after the final assignment:
+    * per-cluster membership and the integer squared norm of the final
+    * sum-centroid. An emptied cluster drops out (no sum vector), same
+    * as the oracle's GROUP BY. Scale: each round is one broadcast
+    * crossJoin scan + a (cluster, dim) partial-sum shuffle — k·DIMS
+    * rows — so round cost is scan-bound; the k-round chain is the CC
+    * loop shape (checkpoint between rounds at real scale). */
+  private def s16(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+      .select(col("vec_id"), col("qv"), col("n2"))
+    var cents = emb.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("c_id"), col("qv").as("cqv"),
+        col("n2").as("cn2"))
+    var members: DataFrame = null
+    (1 to LLOYD_ROUNDS).foreach { _ =>
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cos",
+          cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      members = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c_id"), col("vec_id"), col("qv"))
+      cents = members
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("q")).as("s"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("cqv"))
+        .withColumn("cn2", norm2q(col("cqv")))
+    }
+    members.groupBy(col("c_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .join(cents.select(col("c_id"), col("cn2").as("centroid_norm2")),
+        Seq("c_id"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -511,6 +557,7 @@ object SimilarityOps {
     "s13_kmeans_step" -> s13 _,
     "s14_embedding_survivors" -> s14 _,
     "s15_sampled_recall" -> s15 _,
+    "s16_kmeans_iterations" -> s16 _,
   )
 
   // ---- DuckDB oracles ----
@@ -599,6 +646,44 @@ object SimilarityOps {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, cand_id ASC) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
+
+  /** SQL twin of s16 — LLOYD_ROUNDS chained assign/update rounds
+    * (MATERIALIZED: a re-inlined chain re-evaluates exponentially, the
+    * t15 lesson). Each round reproduces s13's argmax + integer sum
+    * semantics exactly. */
+  private lazy val s16Sql: String = {
+    val rounds = (1 to LLOYD_ROUNDS).map { r =>
+      val prev = r - 1
+      s"""best_$r AS MATERIALIZED (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.cqv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS rk
+         |    FROM embn v CROSS JOIN cents_$prev c) WHERE rk = 1),
+         |members_$r AS MATERIALIZED (
+         |  SELECT b.c_id, v.vec_id, v.qv FROM best_$r b
+         |  JOIN embn v USING (vec_id)),
+         |dims_$r AS MATERIALIZED (
+         |  SELECT m.c_id, r.i, SUM(m.qv[r.i])::BIGINT AS s
+         |  FROM members_$r m, range(1, ${DIMS + 1}) AS r(i)
+         |  GROUP BY m.c_id, r.i),
+         |cents_$r AS MATERIALIZED (
+         |  SELECT c_id, cqv, ${dot("cqv", "cqv")} AS cn2 FROM (
+         |    SELECT c_id, list(s ORDER BY i) AS cqv
+         |    FROM dims_$r GROUP BY c_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $embCte,
+       |cents_0 AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, qv AS cqv, n2 AS cn2 FROM embn
+       |  WHERE vec_id BETWEEN 100 AND 115),
+       |$rounds
+       |SELECT c.c_id, m.n_members, c.cn2 AS centroid_norm2
+       |FROM cents_$LLOYD_ROUNDS c
+       |JOIN (SELECT c_id, COUNT(*) AS n_members
+       |      FROM best_$LLOYD_ROUNDS GROUP BY c_id) m USING (c_id)""".stripMargin
+  }
 
   /** SQL twin of [[inSample]] at the default 500‰ — the one place the
     * sample hash exists on the oracle side. */
@@ -783,6 +868,7 @@ object SimilarityOps {
          |  SELECT c_id, COUNT(*) AS n_members FROM members GROUP BY c_id)
          |SELECT counts.c_id, counts.n_members, stats.sum_total, stats.align
          |FROM counts JOIN stats USING (c_id)""".stripMargin,
+    "s16_kmeans_iterations" -> s16Sql,
     "s15_sampled_recall" ->
       s"""WITH $embCte,
          |sample AS (

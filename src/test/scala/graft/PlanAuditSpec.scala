@@ -263,4 +263,11 @@ class PlanAuditSpec extends SparkSuite {
       s"s13 lost its centroid broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("s16 iterated k-means: every round's centroid side broadcasts, no cartesian") {
+    val p = plan("s16_kmeans_iterations")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s16 lost its centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

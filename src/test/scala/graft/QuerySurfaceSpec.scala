@@ -135,6 +135,22 @@ class QuerySurfaceSpec extends SparkSuite {
       s"sampled recall $est vs full $full diverged beyond sampling error")
   }
 
+  test("s16 iterated k-means assigns every vector each round and refines s13's seed step") {
+    val rows = SparkEntry.queries("s16_kmeans_iterations")(spark, sf).collect()
+    // the final assignment partitions the corpus exactly — nothing
+    // dropped, nothing double-assigned
+    assert(rows.map(_.getAs[Long]("n_members")).sum
+      == Tables.embeddings(spark, sf).count())
+    // sum-centroids of real members are nonzero on this data
+    rows.foreach(r => assert(r.getAs[Long]("centroid_norm2") > 0L, r.toString))
+    // the seed round (s13) and round-3 memberships genuinely differ —
+    // iterating moved at least one vector, so s16 isn't s13 re-labeled
+    val seed = SparkEntry.queries("s13_kmeans_step")(spark, sf).collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("n_members")).toMap
+    val fin = rows.map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("n_members")).toMap
+    assert(seed != fin, "3 Lloyd rounds changed no assignment — vacuous iteration")
+  }
+
   test("d15 splits partition the corpus ~800/100/100 per-mille with no overlap") {
     val rows = SparkEntry.queries("d15_train_split")(spark, sf)
       .groupBy("split").agg(sum("n_docs").as("n")).collect()
