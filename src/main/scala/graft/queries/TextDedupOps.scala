@@ -607,21 +607,52 @@ object TextDedupOps {
     * the non-train member, or re-hash the split). Scale shape: the pair
     * list is ≪ corpus; the split column is recomputed from doc_id by
     * the same identity hash as d15 — no assignment table to join. */
+  /** The near-dup pair source the leakage family (d16 audit, d18 scrub)
+    * shares: LSH pairs by default (cost), EXACT inverted-index pairs
+    * behind `spark.graft.dedup.leakage.exactPairs` — LSH recall < 1
+    * means an audit/scrub that UNDERSTATES contamination, and d05's
+    * Σcnt² formulation stays viable at 100 TB (that is its whole
+    * design), so a release-gating pass can afford exact. Cell counts in
+    * exact mode upper-bound the LSH audit's cell-wise (spec-asserted,
+    * DedupInvariantSpec). */
+  private def leakagePairs(s: SparkSession, d: String): DataFrame =
+    if (s.conf.getOption("spark.graft.dedup.leakage.exactPairs")
+        .exists(_.toBoolean)) d05(s, d)
+    else d03(s, d)
+
+  /** Train-split decontamination — the ACTION d16's audit calls for:
+    * drop from train every document that is a near-dup of ANY val/test
+    * document. This is the standard direction (decontaminate TRAIN
+    * against eval): the eval sets stay untouched so metrics remain
+    * comparable across runs, and train loses only the leaky members.
+    * Output: per-source before/dropped/after accounting. Scale: the
+    * pair table ≪ corpus; split membership is recomputed from doc_id
+    * (identity hash — no assignment join, endpoints classify locally);
+    * the drop set is pair-bounded and left-joins back to the narrow
+    * (doc_id, source) projection. */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    val pairs = leakagePairs(s, d)
+    val sym = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    val drop = sym
+      .filter(splitCol(col("x")) === "train" && splitCol(col("y")) =!= "train")
+      .select(col("x").as("doc_id")).distinct()
+    documents(s, d)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"), col("source"))
+      .filter(col("split") === "train")
+      .join(drop.withColumn("leaky", lit(1L)), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_train_before"),
+        sum(coalesce(col("leaky"), lit(0L))).as("n_dropped"),
+        (count(lit(1)) - sum(coalesce(col("leaky"), lit(0L))))
+          .as("n_train_after"))
+  }
+
   private def d16(s: SparkSession, d: String): DataFrame = {
     val splits = documents(s, d)
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
-    // LSH pairs by default (cost), EXACT inverted-index pairs behind the
-    // conf flag: LSH recall < 1 means an audit that UNDERSTATES
-    // contamination — missed cross-split near-dup pairs are exactly the
-    // leakage nobody sees. d05's Σcnt² formulation stays viable at
-    // 100 TB (that is its whole design), so a release-gating audit can
-    // afford the exact pass; cell counts are then a cell-wise upper
-    // bound on the LSH audit's (spec-asserted, DedupInvariantSpec).
-    val pairs =
-      if (s.conf.getOption("spark.graft.dedup.leakage.exactPairs")
-          .exists(_.toBoolean)) d05(s, d)
-      else d03(s, d)
-    pairs
+    leakagePairs(s, d)
       .join(splits.select(col("doc_id").as("a_id"), col("split").as("sa")),
         Seq("a_id"))
       .join(splits.select(col("doc_id").as("b_id"), col("split").as("sb")),
@@ -913,6 +944,7 @@ object TextDedupOps {
     "d14_cluster_size_histogram" -> d14 _,
     "d15_train_split" -> d15 _,
     "d16_split_leakage" -> d16 _,
+    "d18_train_decontaminated" -> d18 _,
     "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
     "t15_bpe_merges" -> t15 _,
@@ -1004,12 +1036,13 @@ object TextDedupOps {
   }
 
   /** SQL twin of [[splitCol]] — the one place the split hash exists on
-    * the oracle side (d15/d16 share it). */
-  private lazy val splitCaseSql: String = {
-    val bucket = s"(${sqlHash60("doc_id::VARCHAR", 777)} % 1000)"
+    * the oracle side (d15/d16/d18 share it). */
+  private def splitCaseSqlFor(idExpr: String): String = {
+    val bucket = s"(${sqlHash60(s"$idExpr::VARCHAR", 777)} % 1000)"
     s"CASE WHEN $bucket < 800 THEN 'train' " +
       s"WHEN $bucket < 900 THEN 'val' ELSE 'test' END"
   }
+  private lazy val splitCaseSql: String = splitCaseSqlFor("doc_id")
 
   /** SQL twin of [[scoredDocs]] — the one place the quality-score
     * formula exists on the oracle side (t02/t14 share it). */
@@ -1416,6 +1449,26 @@ object TextDedupOps {
          |JOIN sp a ON a.doc_id = pairs.a_id
          |JOIN sp b ON b.doc_id = pairs.b_id
          |GROUP BY 1, 2""".stripMargin,
+    "d18_train_decontaminated" ->
+      s"""WITH pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+         |sym AS (
+         |  SELECT a_id AS x, b_id AS y FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS x, a_id AS y FROM pairs),
+         |leaky AS (
+         |  SELECT DISTINCT x AS doc_id FROM sym
+         |  WHERE ${splitCaseSqlFor("x")} = 'train'
+         |    AND ${splitCaseSqlFor("y")} <> 'train'),
+         |tr AS (
+         |  SELECT doc_id, source FROM documents
+         |  WHERE $splitCaseSql = 'train')
+         |SELECT tr.source, COUNT(*) AS n_train_before,
+         |  SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_dropped,
+         |  (COUNT(*) - SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         |    AS n_train_after
+         |FROM tr LEFT JOIN leaky l USING (doc_id)
+         |GROUP BY tr.source""".stripMargin,
     "d13_mixture_sample" ->
       s"""WITH flags AS (
          |  SELECT source,

@@ -151,6 +151,41 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(seed != fin, "3 Lloyd rounds changed no assignment — vacuous iteration")
   }
 
+  test("d18 scrub removes exactly the train docs near-dup to eval docs — no more, no less") {
+    // independent split recomputation (JVM MD5 of "777_<id>", the
+    // splitCol definition) so the test cannot inherit a split bug
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"777_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val b = BigInt(hex, 16) % 1000
+      if (b < 800) "train" else if (b < 900) "val" else "test"
+    }
+    val pairs = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectedDrop = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .collect { case (x, y) if split(x) == "train" && split(y) != "train" => x }
+      .toSet
+    val rows = SparkEntry.queries("d18_train_decontaminated")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_dropped")).sum == expectedDrop.size.toLong,
+      s"scrub dropped a different doc set than the cross-split pairs imply")
+    // accounting consistency and the decontamination invariant: no
+    // surviving train doc still pairs with an eval doc
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train_after")
+        == r.getAs[Long]("n_train_before") - r.getAs[Long]("n_dropped"))
+    }
+    val surviving = Tables.documents(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0))
+      .filter(id => split(id) == "train" && !expectedDrop.contains(id)).toSet
+    pairs.foreach { case (a, b) =>
+      val leak = (surviving.contains(a) && split(b) != "train") ||
+        (surviving.contains(b) && split(a) != "train")
+      assert(!leak, s"pair ($a,$b) still leaks after the scrub")
+    }
+  }
+
   test("d15 splits partition the corpus ~800/100/100 per-mille with no overlap") {
     val rows = SparkEntry.queries("d15_train_split")(spark, sf)
       .groupBy("split").agg(sum("n_docs").as("n")).collect()
