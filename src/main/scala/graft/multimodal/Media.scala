@@ -269,6 +269,118 @@ object Media {
     }
   }
 
+  /** Minimal PCM WAV container (8-bit unsigned mono, 8 kHz) wrapping
+    * `bytes` verbatim as sample data — the audio analogue of
+    * [[bmpFromBytes]]: a REAL parseable RIFF/WAVE file (javax.sound
+    * opens it like any crawled clip) whose samples stay a pure function
+    * of the source bytes, so a SQL oracle recomputes the envelope
+    * without parsing the container. */
+  def wavFromBytes(bytes: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + bytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + bytes.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)       // PCM
+      .putShort(1.toShort)       // mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1.toShort)       // block align
+      .putShort(8.toShort)       // bits per sample (8-bit WAV = unsigned)
+    out.put("data".getBytes("US-ASCII")).putInt(bytes.length).put(bytes)
+    out.array()
+  }
+
+  /** Real WAV sample decode via javax.sound: channel-0 samples rescaled
+    * to the unsigned 8-bit range (8-bit PCM verbatim; 16-bit PCM by its
+    * high byte — the envelope hash only needs coarse amplitude). None on
+    * anything unparseable or non-PCM, same degrade-not-die contract as
+    * [[decodeImage]]. */
+  private[multimodal] def readWavSamples(p: Array[Byte]): Option[Array[Int]] =
+    if (!looksLikeWav(p)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        val frames = in.getFrameLength
+        val pcm =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (frames < 0 || frames > Int.MaxValue.toLong || !pcm ||
+            (bits != 8 && bits != 16)) None
+        else {
+          val data = in.readAllBytes()
+          val fs = f.getFrameSize
+          val n = math.min(frames.toInt, if (fs > 0) data.length / fs else 0)
+          val unsigned8 =
+            enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+          val samples = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            val off = i * fs // channel 0 leads each frame
+            samples(i) =
+              if (bits == 8) {
+                if (unsigned8) data(off) & 0xFF else data(off).toInt + 128
+              } else {
+                val v =
+                  if (f.isBigEndian) (data(off).toInt << 8) | (data(off + 1) & 0xFF)
+                  else (data(off + 1).toInt << 8) | (data(off) & 0xFF)
+                (v >> 8) + 128
+              }
+            i += 1
+          }
+          Some(samples)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 60-bit envelope hash — [[aHash60]]'s contract lifted to audio: the
+    * sample stream splits into 64 windows (sample i -> window i*64/n, the
+    * integer-exact analogue of box downscale), per-window energy = sum of
+    * unsigned samples, threshold at the integer mean of the total. Bits
+    * 0..59 (windows 60..63 still count toward the mean); strict `>` so
+    * silence hashes to 0. Loudness-preserving re-encodes (bit depth,
+    * container) keep the envelope shape, so they land at hamming ~0 while
+    * byte checksums see entirely different files. */
+  def envHash60(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val e = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val k = (i.toLong * 64 / n).toInt
+      e(k) += samples(i)
+      tot += samples(i)
+      i += 1
+    }
+    val mean = tot / 64
+    (0 until 60).foldLeft(0L)((acc, p) =>
+      if (e(p) > mean) acc | (1L << p) else acc)
+  }
+
+  /** Acoustic fingerprint per payload: parseable WAVs are REALLY decoded
+    * (so an 8-bit re-encode of a 16-bit clip hashes identically — byte
+    * checksums like m06's never see that); every other payload is
+    * byte-wrapped into a real WAV ([[wavFromBytes]]) and sent through the
+    * SAME javax.sound decode + hash path. Only (id, 8-byte hash) rows
+    * leave the scan — the payload never shuffles. */
+  def audioHashes(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val samples = readWavSamples(r.payload).getOrElse {
+          readWavSamples(wavFromBytes(r.payload)).getOrElse(
+            sys.error("self-encoded WAV failed to parse"))
+        }
+        MediaPHash(r.media_id, r.kind, r.source, envHash60(samples))
+      }
+    }
+  }
+
   /** One fixed-size shard of a payload. */
   case class PayloadChunk(
       media_id: Long,

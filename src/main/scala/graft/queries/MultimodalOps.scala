@@ -80,6 +80,15 @@ object MultimodalOps {
     val media = Media.mediaFromDocuments(documents(s, d))
     val ph = Media.perceptualHashes(media).toDF()
       .select(col("media_id"), col("phash"))
+    hammingPairs60(ph)
+  }
+
+  /** Pairs within hamming distance 4 of a 60-bit fingerprint column
+    * (`media_id`, `phash`) by d07's pigeonhole banding — 5 bands × 12
+    * bits, so any pair ≤ 4 differing bits shares ≥ 1 clean band and the
+    * band equi-join is EXACT for the threshold, not approximate. The
+    * join carries (band, nib, id, 8-byte hash) only — never payloads. */
+  private def hammingPairs60(ph: DataFrame): DataFrame = {
     val banded = ph.select(col("media_id"), col("phash"),
       explode(array((0 until 5).map(b =>
         struct(lit(b).as("band"),
@@ -97,6 +106,28 @@ object MultimodalOps {
         bit_count(col("a_ph").bitwiseXOR(col("b_ph"))).cast("long"))
       .filter(col("hamming") <= 4)
       .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Acoustic near-dup pairs — m07's pixel-space move applied to audio:
+    * [[Media.audioHashes]] really decodes parseable WAVs via javax.sound
+    * (an 8-bit re-encode of a 16-bit clip hashes identically, which m06's
+    * byte checksum can never see), hashes the 64-window energy envelope
+    * to 60 bits, and the same exact 5×12 pigeonhole banding finds pairs
+    * within hamming 4. Restricted to the audio kind — image near-dup is
+    * m07's job.
+    *
+    * ORACLE CONTRACT: document payloads are text bytes — none parse as
+    * real WAVs, so every row takes the byte-wrapped real-WAV path whose
+    * samples ARE the payload bytes; the SQL below recomputes the window
+    * energies straight from those bytes. The REAL-decode branch (16-bit
+    * vs 8-bit invariance, bit-depth rescale) is spec-covered with
+    * constructed WAV fixtures (MediaSpec). */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+      .filter(col("kind") === "audio")
+    val ph = Media.audioHashes(media).toDF()
+      .select(col("media_id"), col("phash"))
+    hammingPairs60(ph)
   }
 
   /** Frame-sampling rollup: every 4th frame of each video payload decoded
@@ -174,6 +205,7 @@ object MultimodalOps {
     "m05_chunked_payloads" -> m05 _,
     "m06_media_dedup" -> m06 _,
     "m07_perceptual_neardup" -> m07 _,
+    "m08_audio_neardup" -> m08 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -236,6 +268,33 @@ object MultimodalOps {
         |           THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END))::BIGINT
         |      AS phash
         |  FROM gr)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+        |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 4""".stripMargin,
+    // byte-wrapped-WAV samples recomputed straight from the text bytes:
+    // sample i = byte i (8-bit unsigned PCM), window k = i*64//n, energy
+    // = window sum, threshold at total//64, bits 0..59. All-pairs form is
+    // oracle-side only — Spark prunes via banding (exact for hamming<=4).
+    "m08_audio_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |v AS (
+        |  SELECT doc_id, (i * 64) // n AS k,
+        |    ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT AS s
+        |  FROM (SELECT doc_id, hx, n, UNNEST(range(0, n)) AS i FROM px)),
+        |e AS (SELECT doc_id, k, SUM(s)::BIGINT AS e FROM v GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(s)::BIGINT AS tot FROM v GROUP BY 1),
+        |ph AS (
+        |  SELECT p.doc_id,
+        |    COALESCE(SUM(CASE WHEN e.e > t.tot // 64
+        |      THEN (1::BIGINT << e.k::INT) ELSE 0 END), 0)::BIGINT AS phash
+        |  FROM px p
+        |  LEFT JOIN t ON t.doc_id = p.doc_id
+        |  LEFT JOIN e ON e.doc_id = p.doc_id AND e.k < 60
+        |  GROUP BY 1)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id

@@ -649,6 +649,31 @@ object TextDedupOps {
           .as("n_train_after"))
   }
 
+  /** Cross-source duplication matrix — provenance rollup of the d03
+    * near-dup pairs: for every unordered source pair (least/greatest so
+    * (a,b) and (b,a) land in one cell), how many verified near-dup pairs
+    * span it and their summed Jaccard (per-mille, integer-exact — divide
+    * by n_pairs downstream for the mean). The diagonal (src_a = src_b)
+    * measures within-source duplication; off-diagonal cells expose
+    * mirror/scrape relationships between crawl sources — the standard
+    * triage view before deciding per-source dedup policy.
+    *
+    * Scale shape: pairs ≪ corpus (d03's banded output), the source
+    * labels join is two narrow (id, source) hash joins, and the rollup
+    * key space is |sources|² — tiny. Nothing here outgrows d03 itself. */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    d03(s, d)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("a_src")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("b_src")),
+        Seq("b_id"))
+      .groupBy(least(col("a_src"), col("b_src")).as("src_a"),
+        greatest(col("a_src"), col("b_src")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jaccard_pm")).as("sum_jacc"))
+  }
+
   private def d16(s: SparkSession, d: String): DataFrame = {
     val splits = documents(s, d)
       .select(col("doc_id"), splitCol(col("doc_id")).as("split"))
@@ -945,6 +970,7 @@ object TextDedupOps {
     "d15_train_split" -> d15 _,
     "d16_split_leakage" -> d16 _,
     "d18_train_decontaminated" -> d18 _,
+    "d19_cross_source_dups" -> d19 _,
     "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
     "t15_bpe_merges" -> t15 _,
@@ -1469,6 +1495,16 @@ object TextDedupOps {
          |    AS n_train_after
          |FROM tr LEFT JOIN leaky l USING (doc_id)
          |GROUP BY tr.source""".stripMargin,
+    "d19_cross_source_dups" ->
+      s"""WITH pairs AS (SELECT a_id, b_id, jaccard_pm FROM ($d03Sql))
+         |SELECT least(da.source, db.source) AS src_a,
+         |  greatest(da.source, db.source) AS src_b,
+         |  COUNT(*) AS n_pairs,
+         |  SUM(jaccard_pm)::BIGINT AS sum_jacc
+         |FROM pairs
+         |JOIN documents da ON da.doc_id = a_id
+         |JOIN documents db ON db.doc_id = b_id
+         |GROUP BY 1, 2""".stripMargin,
     "d13_mixture_sample" ->
       s"""WITH flags AS (
          |  SELECT source,

@@ -208,6 +208,20 @@ class QuerySurfaceSpec extends SparkSuite {
     assert(totalPairs > 0, "audit vacuous: no near-dup pairs at this sf")
   }
 
+  test("d19 cross-source matrix partitions the d03 pair set into ordered cells") {
+    val cells = SparkEntry.queries("d19_cross_source_dups")(spark, sf).collect()
+    val totalPairs = SparkEntry.queries("d03_minhash_lsh_pairs")(spark, sf).count()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == totalPairs,
+      "every near-dup pair must land in exactly one source-pair cell")
+    assert(totalPairs > 0, "matrix vacuous: no near-dup pairs at this sf")
+    // cells are canonically ordered and jaccard sums respect the d03 floor
+    cells.foreach { r =>
+      assert(r.getAs[String]("src_a") <= r.getAs[String]("src_b"), r.toString)
+      assert(r.getAs[Long]("sum_jacc") >= 500L * r.getAs[Long]("n_pairs"),
+        s"mean jaccard below the d03 admission floor: $r")
+    }
+  }
+
   test("s13 Lloyd step assigns every vector exactly once") {
     val rep = SparkEntry.queries("s13_kmeans_step")(spark, sf).collect()
     val assigned = rep.map(_.getAs[Long]("n_members")).sum

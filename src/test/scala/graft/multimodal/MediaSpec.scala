@@ -197,6 +197,71 @@ class MediaSpec extends SparkSuite {
     assert(small == orig)
   }
 
+  test("wavFromBytes round-trips through javax.sound to the exact byte->sample mapping") {
+    val bytes = (0 until 97).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val samples = readWavSamples(wavFromBytes(bytes))
+      .getOrElse(fail("self-encoded WAV did not parse"))
+    assert(samples.length == bytes.length)
+    assert(samples.sameElements(bytes.map(_ & 0xFF)),
+      "samples diverged from the byte mapping the oracle assumes")
+    // empty payload: a real (if silent) container, zero frames, hash 0
+    assert(readWavSamples(wavFromBytes(Array.emptyByteArray))
+      .exists(_.isEmpty))
+    assert(envHash60(Array.emptyIntArray) == 0L)
+  }
+
+  test("envHash60 golden: loud-half/quiet-half envelope sets exactly the loud bits") {
+    // 6400 samples -> 100 per window; windows 0..31 at 200, 32..63 at 50
+    val samples = Array.tabulate(6400)(i => if (i < 3200) 200 else 50)
+    // e_k = 20000 or 5000; mean = (32*20000 + 32*5000)/64 = 12500; loud
+    // windows are 0..31, all of which carry hash bits
+    val expected = (0 until 32).foldLeft(0L)((a, p) => a | (1L << p))
+    assert(envHash60(samples) == expected)
+    // constant signal: strict > at the mean hashes to zero, not all-ones
+    assert(envHash60(Array.fill(640)(128)) == 0L)
+  }
+
+  /** A real 16-bit signed little-endian mono WAV whose frame i carries
+    * sample value `(s(i) - 128) << 8` — the 16-bit re-encode of the 8-bit
+    * unsigned stream `s`. */
+  private def wav16(s: Array[Int]): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](s.length * 2)
+    for (i <- s.indices) {
+      val v = (s(i) - 128) << 8
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val stream = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("m08 pairs an 8-bit re-encode of a 16-bit clip; m06's byte checksum cannot") {
+    // one waveform, two bit depths: same envelope, different bytes
+    val s = Array.tabulate(1280)(i => 128 + (if ((i / 20) % 2 == 0) 90 else -90))
+    val clip16 = wav16(s)
+    val clip8 = wavFromBytes(s.map(_.toByte)) // 8-bit unsigned carries s verbatim
+    assert(!java.util.Arrays.equals(clip16, clip8))
+    val recs = Seq(
+      MediaRecord(1L, "audio", clip16, "mic"),
+      MediaRecord(2L, "audio", clip8, "mic"),
+      MediaRecord(3L, "audio", wav16(s.map(v => 256 - v)), "mic")) // inverted
+    val h = audioHashes(recs.toDS()).collect().map(x => x.media_id -> x.phash).toMap
+    // REAL decode on both containers lands the re-encode at hamming 0...
+    assert(h(1L) == h(2L),
+      "16-bit and 8-bit encodes of the same waveform must hash identically")
+    // ...while the byte checksum sees two unrelated files
+    val ck = decodeFeatures(recs.toDS()).collect().map(x => x.media_id -> x.checksum).toMap
+    assert(ck(1L) != ck(2L))
+    // and a genuinely different envelope stays far (> the m08 threshold)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 4,
+      s"inverted envelope unexpectedly close: ${java.lang.Long.bitCount(h(1L) ^ h(3L))}")
+  }
+
   test("feature extraction then aggregate: binary never enters the shuffle") {
     val plan = decodeFeatures(mediaFromDocuments(docs)).toDF()
       .groupBy("kind").agg(sum("n_bytes"))
