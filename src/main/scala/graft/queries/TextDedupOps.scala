@@ -830,6 +830,57 @@ object TextDedupOps {
         expr("(1000L * tokens_after) DIV tokens_before"))
   }
 
+  /** Frequency-spectrum (Zipf) histogram over the corpus vocabulary: how
+    * many distinct terms occur ~2^k times, with the token mass each
+    * spectrum bucket carries. The classic corpus-QA readout — a healthy
+    * natural-language corpus shows the long hapax tail (bucket 0
+    * dominating n_types) with most token MASS in the high buckets;
+    * machine-generated or template text bends the spectrum.
+    *
+    * Deliberately bucketed by log2(FREQUENCY), not by rank: rank would
+    * need a global row_number over the vocabulary — a one-reducer sort
+    * that dies exactly at 100 TB vocab sizes — while the spectrum is two
+    * map-side-combine groupBys with integer-exact buckets
+    * (length(bin(tf)) - 1, no float log at power-of-two boundaries). */
+  private def t17(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy((length(bin(col("tf"))) - 1).cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).as("sum_tf"),
+        min(col("tf")).as("min_tf"),
+        max(col("tf")).as("max_tf"))
+
+  /** Per-source novelty scoring — the perplexity proxy that needs no
+    * language model: the share of a source's distinct bigrams that occur
+    * in NO other document (corpus df = 1). Boilerplate-heavy or scraped
+    * sources repeat bigrams across documents (low novelty); genuinely
+    * authored text is dominated by one-off word pairs. The d05 inverted-
+    * index shape: per-doc distinct bigrams explode once, df is one
+    * map-side-combine groupBy on the bigram, and the join back carries
+    * only (bigram, df) against narrow (doc_id, source, bigram) rows —
+    * no vectors, no text after the explode. Tokens cannot contain the
+    * space delimiter, so the "a b" bigram key is collision-free. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val bg = docsWithTokens(s, d)
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("bigram"))
+      .dropDuplicates("doc_id", "bigram")
+    val dfc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+    bg.join(dfc, Seq("bigram"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("sum_bigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("sum_novel"))
+      .withColumn("novelty_pm",
+        expr("(1000L * sum_novel) DIV sum_bigrams"))
+  }
+
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
     * of the single most common 2-gram — the two signals that catch
@@ -975,6 +1026,8 @@ object TextDedupOps {
     "t14_quality_gate" -> t14 _,
     "t15_bpe_merges" -> t15 _,
     "t16_bpe_compression" -> t16 _,
+    "t17_freq_spectrum" -> t17 _,
+    "t18_novel_bigrams" -> t18 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1185,6 +1238,34 @@ object TextDedupOps {
          |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
     "t15_bpe_merges" -> t15Sql,
     "t16_bpe_compression" -> t16Sql,
+    "t17_freq_spectrum" ->
+      s"""WITH tf AS (
+         |  SELECT term, COUNT(*)::BIGINT AS tf FROM (
+         |    SELECT UNNEST($toksSql) AS term FROM documents)
+         |  GROUP BY term)
+         |SELECT (length(bin(tf)) - 1)::BIGINT AS bucket,
+         |  COUNT(*) AS n_types,
+         |  SUM(tf)::BIGINT AS sum_tf,
+         |  MIN(tf)::BIGINT AS min_tf,
+         |  MAX(tf)::BIGINT AS max_tf
+         |FROM tf GROUP BY 1""".stripMargin,
+    "t18_novel_bigrams" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT DISTINCT doc_id, source, bigram FROM (
+         |    SELECT doc_id, source,
+         |      UNNEST(list_transform(range(1, len(toks)),
+         |        i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |    FROM tok WHERE len(toks) >= 2)),
+         |dfc AS (SELECT bigram, COUNT(*)::BIGINT AS df FROM bg GROUP BY 1)
+         |SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+         |  COUNT(*) AS sum_bigrams,
+         |  SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS sum_novel,
+         |  ((1000 * SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT
+         |    AS novelty_pm
+         |FROM bg JOIN dfc USING (bigram)
+         |GROUP BY source""".stripMargin,
     "t03_langid_confusion" ->
       s"""SELECT lang,
          |  CASE WHEN len($toksSql) > 0

@@ -222,6 +222,31 @@ class QuerySurfaceSpec extends SparkSuite {
     }
   }
 
+  test("t17 spectrum buckets bound tf by powers of two and conserve token mass") {
+    val rows = SparkEntry.queries("t17_freq_spectrum")(spark, sf).collect()
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("min_tf") >= (1L << b) &&
+        r.getAs[Long]("max_tf") < (1L << (b + 1)),
+        s"bucket $b must hold tf in [2^$b, 2^${b + 1}): $r")
+    }
+    // same tokenizer as t01 => the spectrum conserves total token mass
+    val total = SparkEntry.queries("t01_text_stats")(spark, sf).collect()
+      .map(_.getAs[Long]("sum_words")).sum
+    assert(rows.map(_.getAs[Long]("sum_tf")).sum == total,
+      "spectrum must conserve the corpus token count")
+  }
+
+  test("t18 novelty rates are valid per-mille shares of each source's bigrams") {
+    val rows = SparkEntry.queries("t18_novel_bigrams")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pm = r.getAs[Long]("novelty_pm")
+      assert(pm >= 0 && pm <= 1000, r.toString)
+      assert(r.getAs[Long]("sum_novel") <= r.getAs[Long]("sum_bigrams"), r.toString)
+    }
+  }
+
   test("s13 Lloyd step assigns every vector exactly once") {
     val rep = SparkEntry.queries("s13_kmeans_step")(spark, sf).collect()
     val assigned = rep.map(_.getAs[Long]("n_members")).sum
