@@ -440,6 +440,51 @@ object TextDedupOps {
           .otherwise(0L)).as("n_after"))
   }
 
+  /** Quality-aware survivor selection — d08 with the canonical copy
+    * chosen by QUALITY, not by min id: production dedup keeps the best
+    * duplicate (highest t02 quality score, doc_id as the deterministic
+    * tiebreak; unscorable empty docs rank behind every scored one), so
+    * a cluster of a clean original plus mangled scrapes keeps the
+    * original. Shares [[lshComponents]] (the cluster definition) and
+    * [[scoredDocs]] (the quality definition) with d08/d17/t02, so no
+    * two strategies can disagree on clusters or scores. n_switched —
+    * clusters whose canonical CHANGED vs d08's min-id rule, attributed
+    * to the winner's source — is the measurable value of
+    * quality-aware selection; global survivor counts are identical by
+    * construction (one winner per cluster either way).
+    *
+    * Scale shape: everything downstream of the pairs is cluster-sized
+    * (≪ corpus); the winner window partitions by component (no global
+    * sort); the corpus-sized joins carry (doc_id, source) plus one
+    * small left side each. */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val comp = lshComponents(s, d)
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val member = comp
+      .join(scoredDocs(s, d).select(col("doc_id"), col("score_pm")),
+        Seq("doc_id"), "left")
+      .withColumn("q", coalesce(col("score_pm"), lit(-1L)))
+    val wq = Window.partitionBy(col("comp"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val winners = member.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") === 1)
+      .select(col("comp"), col("doc_id").as("best_id"))
+    val switched = winners
+      .join(comp.groupBy(col("comp")).agg(min(col("doc_id")).as("min_id")),
+        Seq("comp"))
+      .select(col("best_id").as("doc_id"),
+        when(col("best_id") =!= col("min_id"), 1L).otherwise(0L)
+          .as("switched"))
+    docs.join(comp, Seq("doc_id"), "left")
+      .join(switched, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("comp").isNull || col("switched").isNotNull, 1L)
+          .otherwise(0L)).as("n_after"),
+        sum(coalesce(col("switched"), lit(0L))).as("n_switched"))
+  }
+
   /** Per-source union MinHash signature via the custom typed Aggregator
     * ([[graft.functions.MinHashAgg]] — SURVEY §2.9's reserved Aggregator
     * slot, here under the oracle gate): the signature of the UNION of all
@@ -1022,6 +1067,7 @@ object TextDedupOps {
     "d16_split_leakage" -> d16 _,
     "d18_train_decontaminated" -> d18 _,
     "d19_cross_source_dups" -> d19 _,
+    "d20_quality_survivors" -> d20 _,
     "d17_soft_dedup_weights" -> d17 _,
     "t14_quality_gate" -> t14 _,
     "t15_bpe_merges" -> t15 _,
@@ -1576,6 +1622,44 @@ object TextDedupOps {
          |    AS n_train_after
          |FROM tr LEFT JOIN leaky l USING (doc_id)
          |GROUP BY tr.source""".stripMargin,
+    "d20_quality_survivors" ->
+      s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+         |edges AS (
+         |  SELECT a_id AS a, b_id AS b FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS a, a_id AS b FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
+         |comp AS (SELECT node AS doc_id, MIN(label) AS comp
+         |         FROM reach GROUP BY node),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) > 0
+         |         THEN (1000 * ($stopSql + $alphaSql)) // len($toksSql)
+         |         ELSE -1 END AS q
+         |  FROM documents),
+         |winners AS (
+         |  SELECT comp, doc_id AS best_id FROM (
+         |    SELECT c.comp, c.doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.comp
+         |        ORDER BY q.q DESC, c.doc_id ASC) AS rk
+         |    FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rk = 1),
+         |minid AS (SELECT comp, MIN(doc_id) AS min_id FROM comp GROUP BY comp),
+         |sw AS (
+         |  SELECT w.best_id AS doc_id,
+         |    CASE WHEN w.best_id <> m.min_id THEN 1 ELSE 0 END AS switched
+         |  FROM winners w JOIN minid m ON m.comp = w.comp)
+         |SELECT d.source, COUNT(*) AS n_before,
+         |  SUM(CASE WHEN c.comp IS NULL OR s.doc_id IS NOT NULL
+         |       THEN 1 ELSE 0 END)::BIGINT AS n_after,
+         |  SUM(COALESCE(s.switched, 0))::BIGINT AS n_switched
+         |FROM documents d
+         |LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |LEFT JOIN sw s ON s.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
     "d19_cross_source_dups" ->
       s"""WITH pairs AS (SELECT a_id, b_id, jaccard_pm FROM ($d03Sql))
          |SELECT least(da.source, db.source) AS src_a,

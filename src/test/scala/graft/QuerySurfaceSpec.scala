@@ -222,6 +222,21 @@ class QuerySurfaceSpec extends SparkSuite {
     }
   }
 
+  test("d20 quality selection keeps one winner per cluster, same totals as d08") {
+    val d08 = SparkEntry.queries("d08_dedup_survivors")(spark, sf).collect()
+    val d20 = SparkEntry.queries("d20_quality_survivors")(spark, sf).collect()
+    // identical corpus, identical clusters => identical GLOBAL survivor
+    // counts (exactly one canonical per cluster under either rule); only
+    // the per-source attribution may shift, and only for switched winners
+    assert(d08.map(_.getAs[Long]("n_before")).sum ==
+      d20.map(_.getAs[Long]("n_before")).sum)
+    assert(d08.map(_.getAs[Long]("n_after")).sum ==
+      d20.map(_.getAs[Long]("n_after")).sum,
+      "quality-aware selection must not change how many docs survive")
+    val switched = d20.map(_.getAs[Long]("n_switched")).sum
+    assert(switched >= 0 && switched <= d20.map(_.getAs[Long]("n_before")).sum)
+  }
+
   test("t17 spectrum buckets bound tf by powers of two and conserve token mass") {
     val rows = SparkEntry.queries("t17_freq_spectrum")(spark, sf).collect()
     rows.foreach { r =>
