@@ -909,12 +909,13 @@ object TextDedupOps {
     * no vectors, no text after the explode. Tokens cannot contain the
     * space delimiter, so the "a b" bigram key is collision-free. */
   private def t18(s: SparkSession, d: String): DataFrame = {
+    // per-doc distinct via array_distinct BEFORE the explode: a per-row
+    // narrow op instead of a corpus-sized dropDuplicates shuffle
     val bg = docsWithTokens(s, d)
       .filter(col("n_words") >= 2)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+      .select(col("doc_id"), col("source"), explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")))
         .as("bigram"))
-      .dropDuplicates("doc_id", "bigram")
     val dfc = bg.groupBy(col("bigram")).agg(count(lit(1)).as("df"))
     bg.join(dfc, Seq("bigram"))
       .groupBy(col("source"))
