@@ -30,6 +30,50 @@ object SimilarityOps {
   private val TABLES = 4      // OR-amplified LSH tables (ANN, s02)
   private val NDTABLES = 8    // OR-amplified LSH tables (near-dup, s11)
   private val NPROBE = 4      // IVF lists probed per query
+  private val SUB = 8         // PQ subspaces (SD = DIMS/SUB dims each)
+
+  /** The 16 deterministic seed vectors (vec_id 100–115) that serve as
+    * coarse IVF centroids and PQ code sources — ONE definition shared by
+    * index build (s05, s10) and serving (s17), so the served index can
+    * never drift from the built one. An offline k-means (s13/s16) would
+    * refine these seeds. */
+  private def seedCentroids(emb: DataFrame): DataFrame = emb
+    .filter(col("vec_id").between(100, 115))
+    .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+      col("n2").as("c_n2"))
+
+  /** Top-`top` max-cosine centroid assignment (ties by c_id) — the IVF
+    * list/probe step, shared by s05 and s17. The centroid side is 16
+    * rows: the crossJoin(broadcast) is the intended per-row argmax over
+    * a broadcast list, never a data×data cartesian. */
+  private def assignToCentroids(cents: DataFrame, side: DataFrame,
+      idCol: String, top: Int): DataFrame = {
+    val scored = side.crossJoin(broadcast(cents))
+      .withColumn("c_cos",
+        cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("c_cos").desc, col("c_id").asc)
+    scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= top)
+      .drop("c_qv", "c_n2", "c_cos", "crk")
+  }
+
+  /** Split (vec_id, qv) rows into SUB subvector rows — the PQ subspace
+    * view, shared by s10 and s17. */
+  private def subspaces(df: DataFrame): DataFrame = {
+    val sd = DIMS / SUB
+    df.select(col("vec_id"), explode(array((0 until SUB).map(j =>
+      struct(lit(j.toLong).as("sub"),
+        slice(col("qv"), j * sd + 1, sd).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
+  }
+
+  /** Per-subspace PQ codebook from the seed vectors, with code norms —
+    * shared by s10 (build + fidelity metric) and s17 (ADC serving). */
+  private def pqCodebook(emb: DataFrame): DataFrame =
+    subspaces(emb.filter(col("vec_id").between(100, 115)))
+      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
+      .withColumn("cvn2", norm2q(col("cv")))
 
   private def withQ(df: DataFrame): DataFrame = {
     graft.functions.DotQ.register(df.sparkSession)

@@ -466,14 +466,14 @@ object TextDedupOps {
       .withColumn("q", coalesce(col("score_pm"), lit(-1L)))
     val wq = Window.partitionBy(col("comp"))
       .orderBy(col("q").desc, col("doc_id").asc)
-    val winners = member.withColumn("rk", row_number().over(wq))
+    // the component label IS the min reachable id (ConnectedComponents
+    // contract, the same fact d08's comp === doc_id survivor test rides),
+    // so "switched vs d08's min-id rule" is one comparison — no extra
+    // groupBy+join to rederive the minimum
+    val switched = member.withColumn("rk", row_number().over(wq))
       .filter(col("rk") === 1)
-      .select(col("comp"), col("doc_id").as("best_id"))
-    val switched = winners
-      .join(comp.groupBy(col("comp")).agg(min(col("doc_id")).as("min_id")),
-        Seq("comp"))
-      .select(col("best_id").as("doc_id"),
-        when(col("best_id") =!= col("min_id"), 1L).otherwise(0L)
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("comp"), 1L).otherwise(0L)
           .as("switched"))
     docs.join(comp, Seq("doc_id"), "left")
       .join(switched, Seq("doc_id"), "left")
@@ -1174,7 +1174,7 @@ object TextDedupOps {
     * formula exists on the oracle side (t02/t14 share it). */
   private lazy val scoredCte =
     s"""scored AS (
-       |  SELECT source,
+       |  SELECT doc_id, source,
        |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
        |    len($toksSql) AS n_words
        |  FROM documents WHERE len($toksSql) > 0)""".stripMargin
@@ -1636,23 +1636,18 @@ object TextDedupOps {
          |  SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node),
          |comp AS (SELECT node AS doc_id, MIN(label) AS comp
          |         FROM reach GROUP BY node),
+         |$scoredCte,
          |q AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len($toksSql) > 0
-         |         THEN (1000 * ($stopSql + $alphaSql)) // len($toksSql)
-         |         ELSE -1 END AS q
-         |  FROM documents),
-         |winners AS (
-         |  SELECT comp, doc_id AS best_id FROM (
-         |    SELECT c.comp, c.doc_id,
-         |      ROW_NUMBER() OVER (PARTITION BY c.comp
-         |        ORDER BY q.q DESC, c.doc_id ASC) AS rk
-         |    FROM comp c JOIN q ON q.doc_id = c.doc_id) WHERE rk = 1),
-         |minid AS (SELECT comp, MIN(doc_id) AS min_id FROM comp GROUP BY comp),
+         |  SELECT c.comp, c.doc_id, COALESCE(s.score_pm, -1) AS q
+         |  FROM comp c LEFT JOIN scored s ON s.doc_id = c.doc_id),
          |sw AS (
-         |  SELECT w.best_id AS doc_id,
-         |    CASE WHEN w.best_id <> m.min_id THEN 1 ELSE 0 END AS switched
-         |  FROM winners w JOIN minid m ON m.comp = w.comp)
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id <> comp THEN 1 ELSE 0 END AS switched
+         |  FROM (
+         |    SELECT comp, doc_id,
+         |      ROW_NUMBER() OVER (PARTITION BY comp
+         |        ORDER BY q DESC, doc_id ASC) AS rk
+         |    FROM q) WHERE rk = 1)
          |SELECT d.source, COUNT(*) AS n_before,
          |  SUM(CASE WHEN c.comp IS NULL OR s.doc_id IS NOT NULL
          |       THEN 1 ELSE 0 END)::BIGINT AS n_after,
