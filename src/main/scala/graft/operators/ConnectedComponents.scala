@@ -48,18 +48,10 @@ object ConnectedComponents {
     * accept 10 MB+ broadcast tables. */
   val LocalEdgeCutoff = 2000000L
 
-  /** Truncate lineage between rounds — the classic iterative-DataFrame
-    * trap is a plan that grows with round count. With a checkpoint dir
-    * configured (real clusters: HDFS/object store) this is a RELIABLE
-    * checkpoint, so an executor loss mid-computation replays from storage
-    * instead of failing the job; without one (local mode, tests) it falls
-    * back to `localCheckpoint`, whose executor-local blocks are acceptable
-    * only because local mode has no executor to lose independently of the
-    * application. */
-  private def truncate(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+  /** Truncate lineage between rounds — shared with every iterative loop
+    * in the engine (Lloyd rounds, BPE merge rounds); see
+    * [[Iterate.truncate]] for the reliable-checkpoint-or-local rationale. */
+  private def truncate(df: DataFrame): DataFrame = Iterate.truncate(df)
 
   /** @param edges two-column DataFrame of undirected edges (any orientation,
     *              duplicates fine)

@@ -853,12 +853,16 @@ object SimilarityOps {
        |      FROM best_$LLOYD_ROUNDS GROUP BY c_id) m USING (c_id)""".stripMargin
   }
 
-  /** SQL twin of [[inSample]] at the default 500‰ — the one place the
-    * sample hash exists on the oracle side. */
-  private def sqlInSample(idExpr: String): String =
-    s"(${graft.functions.Portable.sqlHash60(s"$idExpr::VARCHAR", SAMPLE_SEED)} % 1000 < 500)"
+  /** SQL twin of [[inSample]] — reads `recallSamplePm` from the ACTIVE
+    * session (Verify dumps the oracle JSON while its session is live), so
+    * a correctness run under a non-default sample rate verifies instead
+    * of reporting false mismatches. */
+  private def sqlInSample(idExpr: String): String = {
+    val pm = SparkSession.getActiveSession.map(recallSamplePm).getOrElse(500L)
+    s"(${graft.functions.Portable.sqlHash60(s"$idExpr::VARCHAR", SAMPLE_SEED)} % 1000 < $pm)"
+  }
 
-  val oracle: ListMap[String, String] = ListMap(
+  def oracle: ListMap[String, String] = ListMap(
     "s01_knn_bruteforce" -> s01Sql,
     "s02_ann_lsh" -> s02Sql,
     "s08_ann_recall_report" ->

@@ -708,7 +708,11 @@ object TextDedupOps {
     * key space is |sources|² — tiny. Nothing here outgrows d03 itself. */
   private def d19(s: SparkSession, d: String): DataFrame = {
     val src = documents(s, d).select(col("doc_id"), col("source"))
-    d03(s, d)
+    // same pair source as d16/d18: LSH by default, exact inverted-index
+    // pairs behind the leakage.exactPairs flag — a release-gating
+    // provenance audit must not understate cross-source duplication by
+    // LSH recall < 1 (d05 carries the identical jaccard_pm column)
+    leakagePairs(s, d)
       .join(src.select(col("doc_id").as("a_id"), col("source").as("a_src")),
         Seq("a_id"))
       .join(src.select(col("doc_id").as("b_id"), col("source").as("b_src")),
@@ -778,10 +782,48 @@ object TextDedupOps {
         sum(col("bpe")).as("bpe_tokens"),
         max(col("bpe")).cast("long").as("max_bpe"))
 
-  /** Number of BPE merge-learning rounds t15 runs — small and fixed: each
-    * round is one pair-count aggregation plus one distributed top-1, and
-    * the learned table grows one row per round. */
+  /** Default number of BPE merge-learning rounds (t15/t16) — override
+    * with `spark.graft.bpe.rounds` for real vocabularies (a production
+    * BPE vocabulary is ~30k–100k merges; the oracle SQL chain is
+    * generated from the same conf, so non-default runs still verify). */
   private[graft] val BpeRounds = 6
+
+  private def bpeRoundsConf(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.bpe.rounds").map(_.toInt)
+      .getOrElse(BpeRounds)
+
+  /** Vocabulary-row cutoff below which the merge LOOP runs driver-local
+    * over the collected (word, cnt) table ([[graft.operators.BpeTrainer]])
+    * — the union-find `LocalEdgeCutoff` size-gate pattern. The vocabulary
+    * is the DISTINCT-word table (≪ corpus: 2M rows ≈ 40 MB collected,
+    * the same driver-budget reasoning as the CC edge cutoff), and the
+    * one-Spark-stage-chain-per-merge shape cannot run 30k rounds, so the
+    * local loop IS the scale path for the loop itself; the corpus-sized
+    * work (vocabulary aggregation, merge application) stays distributed
+    * either way. Above the cutoff the distributed chain takes over
+    * unchanged. */
+  private def bpeLocalVocabCutoff(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.bpe.localVocabCutoff").map(_.toLong)
+      .getOrElse(2000000L)
+
+  /** Size-gated BPE merge learning: driver-local incremental trainer over
+    * the aggregated vocabulary below [[bpeLocalVocabCutoff]] (feasible at
+    * ≥30k rounds — per-round cost touches only words containing the
+    * merged pair), the distributed chain ([[bpeMerges]]) above it. Both
+    * paths learn identical merge tables (tie-break (count desc, lhs,
+    * rhs) everywhere; equality spec-asserted in BpeTrainerSpec). */
+  private[graft] def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    val s = words.sparkSession
+    val w = words.persist()
+    if (w.count() <= bpeLocalVocabCutoff(s)) {
+      val vocab = w.select(col("word"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+      val (merges, _) = graft.operators.BpeTrainer.train(vocab, rounds)
+      import s.implicits._
+      merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+        .toDF("merge_round", "lhs", "rhs", "pair_count")
+    } else bpeMerges(w, rounds)
+  }
 
   /** BPE merge LEARNING over a (word, cnt) table — the tokenizer-training
     * step t08's pre-tokenization stops short of: k rounds of "count
@@ -801,15 +843,17 @@ object TextDedupOps {
     * engines and cluster sizes. At 100 TB the per-round cost is one
     * narrow (lhs, rhs, count) aggregation over the DISTINCT-word table
     * (vocabulary-sized, ≪ corpus) + a map-side broadcast join; the k
-    * rounds chain k such stages (checkpoint between rounds at real
-    * scale — the CC pattern). */
+    * rounds chain k such stages, each truncated (Iterate.truncate — the
+    * CC pattern), so round cost stays flat. For REAL vocabulary scale
+    * (≥30k merges) use [[bpeTrain]]: the loop itself must not be a Spark
+    * stage chain. */
   private[graft] def bpeMerges(words: DataFrame, rounds: Int): DataFrame =
     bpeChain(words, rounds)._1
 
   /** [[bpeMerges]] plus the post-merge symbol sequences — shared so the
     * compression accounting (t16) applies the very vocabulary the
     * learning loop (t15) produced, not a re-derivation. */
-  private def bpeChain(words: DataFrame, rounds: Int)
+  private[graft] def bpeChain(words: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
     val mergeFold =
       """aggregate(seq, cast(array() as array<string>),
@@ -831,26 +875,46 @@ object TextDedupOps {
         .limit(1)
         .select(lit(r.toLong).as("merge_round"), col("lhs"), col("rhs"),
           col("pair_count"))
-      seqs = seqs.crossJoin(broadcast(
-          best.select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))))
+      // LEFT join on true, not crossJoin: a fully-merged vocabulary makes
+      // `best` EMPTY before the round budget runs out, and a cross join
+      // with an empty side would annihilate the sequence table (t16 would
+      // report a zero-row vocabulary). Left-outer preserves the rows with
+      // null m_lhs, and the fold's pair compare is null-safe (null = x is
+      // null → CASE else-branch → plain append), so an empty round is the
+      // identity. The oracle chain uses the same LEFT JOIN ON TRUE.
+      // Lineage is truncated per round (Iterate.truncate): round k's
+      // aggregation otherwise re-evaluates the whole chain below it —
+      // and `seqs` is referenced twice per round (pair count + merge
+      // apply), so the untruncated plan grows exponentially, not just
+      // O(k²). Cost stays ~flat per round (IterateSpec pins plan size).
+      seqs = graft.operators.Iterate.truncate(
+        seqs.join(broadcast(
+            best.select(col("lhs").as("m_lhs"), col("rhs").as("m_rhs"))),
+          lit(true), "left")
         .withColumn("seq", expr(mergeFold))
-        .drop("m_lhs", "m_rhs")
+        .drop("m_lhs", "m_rhs"))
       best
     }
     (bests.reduce(_ unionByName _), seqs)
   }
 
-  /** The learned merge table over the corpus vocabulary: lowercase ASCII
-    * words (the same charset discipline as t01's alpha tokens — both
-    * regex engines agree byte-for-byte), weighted by occurrence count.
-    * Output: one row per round — (merge_round, lhs, rhs, pair_count). */
+  /** The corpus vocabulary t15/t16 train over: lowercase ASCII words (the
+    * same charset discipline as t01's alpha tokens — both regex engines
+    * agree byte-for-byte), weighted by occurrence count. This aggregation
+    * is the corpus-sized (distributed) half of tokenizer training. */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** The learned merge table over the corpus vocabulary, via the
+    * size-gated trainer ([[bpeTrain]]): rounds from
+    * `spark.graft.bpe.rounds` (default 6 — the oracle chain is generated
+    * from the same conf). Output: one row per learned merge —
+    * (merge_round, lhs, rhs, pair_count). */
   private def t15(s: SparkSession, d: String): DataFrame =
-    bpeMerges(
-      documents(s, d)
-        .select(explode(expr(
-          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("cnt")),
-      BpeRounds)
+    bpeTrain(bpeWords(s, d), bpeRoundsConf(s))
 
   /** BPE compression accounting — what the learned vocabulary (t15) buys:
     * the corpus tokenized with the k merges applied vs the character
@@ -861,11 +925,7 @@ object TextDedupOps {
     * ([[bpeChain]] — the accounting can't drift from the learner), and
     * the rollup is a single aggregate over the vocabulary table. */
   private def t16(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
-      .select(explode(expr(
-        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-    bpeChain(words, BpeRounds)._2
+    bpeChain(bpeWords(s, d), bpeRoundsConf(s))._2
       .agg(
         count(lit(1)).as("n_vocab_words"),
         sum(col("cnt")).as("n_word_occurrences"),
@@ -1096,7 +1156,7 @@ object TextDedupOps {
     * MATERIALIZED: each round references its predecessor several times;
     * without it DuckDB re-inlines the whole chain per reference and the
     * query goes exponential in the round count. */
-  private lazy val t15Sql: String = {
+  private def t15Sql(nRounds: Int): String = {
     val base =
       """seqs_0 AS MATERIALIZED (
         |  SELECT word, COUNT(*)::BIGINT AS cnt,
@@ -1105,7 +1165,7 @@ object TextDedupOps {
         |  FROM (SELECT UNNEST(regexp_extract_all(lower(text), '[a-z]+')) AS word
         |        FROM documents)
         |  GROUP BY word)""".stripMargin
-    val rounds = (1 to BpeRounds).map { r =>
+    val rounds = (1 to nRounds).map { r =>
       val prev = r - 1
       s"""pairs_$r AS MATERIALIZED (
          |  SELECT seq[i] AS lhs, seq[i + 1] AS rhs, SUM(cnt)::BIGINT AS pair_count
@@ -1122,7 +1182,7 @@ object TextDedupOps {
          |    b.lhs || b.rhs AS m
          |  FROM (SELECT word, cnt, seq, UNNEST(range(1, len(seq) + 1)) AS i
          |        FROM seqs_$prev) t
-         |  CROSS JOIN best_$r b),
+         |  LEFT JOIN best_$r b ON TRUE),
          |keep_$r AS MATERIALIZED (
          |  SELECT word, i FROM (
          |    SELECT word, i,
@@ -1141,16 +1201,21 @@ object TextDedupOps {
          |  WHERE kp.i IS NULL
          |  GROUP BY m.word)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to BpeRounds).map(r => s"SELECT * FROM best_$r")
+    val union = (1 to nRounds).map(r => s"SELECT * FROM best_$r")
       .mkString(" UNION ALL ")
+    // A round past full vocabulary merge has an empty pairs_r; its best_r
+    // is empty (LIMIT 1 of nothing), so the union contributes no row —
+    // matching the Spark chain's empty `best` and the trainer's early
+    // stop — and the LEFT JOIN above keeps seqs_r the identity.
     s"WITH $base,\n$rounds\nSELECT merge_round, lhs, rhs, pair_count FROM ($union)"
   }
 
   /** SQL twin of t16 — the IDENTICAL CTE chain as [[t15Sql]] with the
     * accounting rollup over the final sequences instead of the merge
     * list. */
-  private lazy val t16Sql: String = {
-    val upToChain = t15Sql.substring(0, t15Sql.lastIndexOf("\nSELECT"))
+  private def t16Sql(nRounds: Int): String = {
+    val chain = t15Sql(nRounds)
+    val upToChain = chain.substring(0, chain.lastIndexOf("\nSELECT"))
     s"""$upToChain
        |SELECT COUNT(*) AS n_vocab_words,
        |  SUM(cnt)::BIGINT AS n_word_occurrences,
@@ -1158,7 +1223,7 @@ object TextDedupOps {
        |  SUM(cnt * len(seq))::BIGINT AS tokens_after,
        |  (1000 * SUM(cnt * len(seq)) // SUM(cnt * length(word)))::BIGINT
        |    AS compression_pm
-       |FROM seqs_$BpeRounds""".stripMargin
+       |FROM seqs_$nRounds""".stripMargin
   }
 
   /** SQL twin of [[splitCol]] — the one place the split hash exists on
@@ -1261,7 +1326,25 @@ object TextDedupOps {
        |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
        |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin
 
-  val oracle: ListMap[String, String] = ListMap(
+  /** Conf value as seen by the ACTIVE session (Verify dumps the oracle
+    * JSON while its session is live) — so oracles generated from tunable
+    * confs (`spark.graft.bpe.rounds`,
+    * `spark.graft.dedup.leakage.exactPairs`) describe the SAME
+    * computation the Spark side ran, and a correctness run under a
+    * non-default conf verifies instead of reporting false mismatches. */
+  private def activeConf(name: String): Option[String] =
+    SparkSession.getActiveSession.flatMap(_.conf.getOption(name))
+
+  private def activeBpeRounds: Int =
+    activeConf("spark.graft.bpe.rounds").map(_.toInt).getOrElse(BpeRounds)
+
+  /** SQL twin of [[leakagePairs]] — the d16/d18/d19 pair source. */
+  private def leakagePairsSql: String =
+    if (activeConf("spark.graft.dedup.leakage.exactPairs")
+        .exists(_.toBoolean)) d05Sql
+    else d03Sql
+
+  def oracle: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(len($toksSql))::BIGINT AS sum_words,
@@ -1283,8 +1366,8 @@ object TextDedupOps {
          |  SUM(CASE WHEN s.score_pm >= t.p10 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_kept
          |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
-    "t15_bpe_merges" -> t15Sql,
-    "t16_bpe_compression" -> t16Sql,
+    "t15_bpe_merges" -> t15Sql(activeBpeRounds),
+    "t16_bpe_compression" -> t16Sql(activeBpeRounds),
     "t17_freq_spectrum" ->
       s"""WITH tf AS (
          |  SELECT term, COUNT(*)::BIGINT AS tf FROM (
@@ -1594,7 +1677,7 @@ object TextDedupOps {
          |  COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
          |FROM documents GROUP BY 1, 2""".stripMargin,
     "d16_split_leakage" ->
-      s"""WITH pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+      s"""WITH pairs AS (SELECT a_id, b_id FROM ($leakagePairsSql)),
          |sp AS (SELECT doc_id, $splitCaseSql AS split FROM documents)
          |SELECT least(a.split, b.split) AS split_lo,
          |  greatest(a.split, b.split) AS split_hi,
@@ -1604,7 +1687,7 @@ object TextDedupOps {
          |JOIN sp b ON b.doc_id = pairs.b_id
          |GROUP BY 1, 2""".stripMargin,
     "d18_train_decontaminated" ->
-      s"""WITH pairs AS (SELECT a_id, b_id FROM ($d03Sql)),
+      s"""WITH pairs AS (SELECT a_id, b_id FROM ($leakagePairsSql)),
          |sym AS (
          |  SELECT a_id AS x, b_id AS y FROM pairs
          |  UNION ALL
@@ -1657,7 +1740,7 @@ object TextDedupOps {
          |LEFT JOIN sw s ON s.doc_id = d.doc_id
          |GROUP BY d.source""".stripMargin,
     "d19_cross_source_dups" ->
-      s"""WITH pairs AS (SELECT a_id, b_id, jaccard_pm FROM ($d03Sql))
+      s"""WITH pairs AS (SELECT a_id, b_id, jaccard_pm FROM ($leakagePairsSql))
          |SELECT least(da.source, db.source) AS src_a,
          |  greatest(da.source, db.source) AS src_b,
          |  COUNT(*) AS n_pairs,

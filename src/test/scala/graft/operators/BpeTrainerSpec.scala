@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+
+/** The size-gated BPE trainer ([[BpeTrainer]] + TextDedupOps.bpeTrain):
+  * the incremental driver-local loop must learn the SAME merge table as
+  * (a) a clean-room sequential textbook BPE at real round counts and
+  * (b) the distributed chain at small round counts — and the chain's
+  * per-round lineage truncation must keep the plan flat. */
+class BpeTrainerSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Clean-room textbook BPE: full pair recount per round, two-pointer
+    * greedy merge application — deliberately the naive O(rounds · corpus)
+    * formulation, independent of the incremental trainer's
+    * inverted-index bookkeeping. */
+  private def referenceBpe(words: Map[String, Long], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    var seqs = words.map { case (w, c) => (w.map(_.toString).toVector, c) }
+    (1 to rounds).flatMap { r =>
+      val counts = seqs.toSeq.flatMap { case (s, c) =>
+        s.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      if (counts.isEmpty) Nil
+      else {
+        val ((a, b), n) = counts.minBy { case ((l, rr), c) => (-c, l, rr) }
+        seqs = seqs.map { case (s, c) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.size) {
+            if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += s(i); i += 1 }
+          }
+          (out.toVector, c)
+        }
+        Seq((r.toLong, a, b, n))
+      }
+    }
+  }
+
+  /** Deterministic fixture vocabulary with enough pair diversity to
+    * sustain hundreds of merges: ~2000 pseudo-words over an 8-letter
+    * alphabet, Zipf-ish counts. */
+  private lazy val fixtureVocab: Map[String, Long] = {
+    val rnd = new scala.util.Random(4242)
+    val letters = "abcdefgh"
+    (0 until 2000).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => letters(rnd.nextInt(letters.length)))
+        .mkString
+      w -> (1L + rnd.nextInt(50).toLong)
+    }.toMap // map collapses duplicate words — vocab stays aggregated
+  }
+
+  test("incremental trainer == clean-room sequential BPE at >=256 merges, " +
+    "in bounded wall time") {
+    val rounds = 300
+    val t0 = System.nanoTime()
+    val (merges, finalSeqs) =
+      BpeTrainer.train(fixtureVocab.toVector, rounds)
+    val trainerSecs = (System.nanoTime() - t0) / 1e9
+    val expect = referenceBpe(fixtureVocab, rounds)
+    assert(merges.size >= 256,
+      s"fixture exhausted after ${merges.size} merges — grow the vocab")
+    assert(merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount)) == expect.toVector)
+    // the loop that must run 30k+ rounds in production: 300 rounds over a
+    // 2000-word vocab must be effectively instant (the sequential
+    // reference above is the slow one)
+    assert(trainerSecs < 30.0, s"trainer took $trainerSecs s for $rounds rounds")
+    // final sequences agree with replaying the reference merges
+    val vocabSeq = fixtureVocab.toVector
+    var ref = vocabSeq.map { case (w, _) => w.map(_.toString).toVector }
+    expect.foreach { case (_, a, b, _) =>
+      ref = ref.map { s =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < s.size) {
+          if (i + 1 < s.size && s(i) == a && s(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += s(i); i += 1 }
+        }
+        out.toVector
+      }
+    }
+    assert(finalSeqs.map(_.toVector).toVector == ref)
+  }
+
+  test("size-gated bpeTrain (local path) == distributed chain, " +
+    "including an early-stopping vocabulary") {
+    val vocabs = Seq(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L),
+      // fully merges after 2 rounds — rounds budget 5 exercises the
+      // empty-best rounds on both paths
+      Map("ab" -> 4L, "abab" -> 2L),
+      fixtureVocab.take(60),
+    )
+    vocabs.foreach { words =>
+      val df = words.toSeq.toDF("word", "cnt")
+      val local = graft.queries.TextDedupOps.bpeTrain(df, 5)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      val dist = graft.queries.TextDedupOps.bpeMerges(df, 5)
+        .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+      val expect = referenceBpe(words, 5)
+      assert(local == expect, s"local diverged on $words:\n$local\n$expect")
+      assert(dist == expect, s"chain diverged on $words:\n$dist\n$expect")
+    }
+  }
+
+  test("empty merge round is the identity, not annihilation: " +
+    "t16-shape accounting survives a fully-merged vocabulary") {
+    // 'ab' merges once ('a','b'); rounds 2..4 find no pair — the old
+    // crossJoin(empty) shape returned ZERO vocabulary rows here
+    val df = Seq(("ab", 4L), ("b", 9L)).toDF("word", "cnt")
+    val (merges, seqs) = graft.queries.TextDedupOps.bpeChain(df, 4)
+    assert(merges.count() == 1L)
+    val acct = seqs.agg(
+      count(lit(1)).as("n_vocab_words"),
+      sum(col("cnt") * size(col("seq"))).as("tokens_after"))
+      .as[(Long, Long)].head()
+    assert(acct == ((2L, 4L + 9L)),
+      s"empty rounds corrupted the accounting: $acct")
+  }
+
+  test("per-round truncation keeps the chain's plan flat in round count") {
+    val df = fixtureVocab.take(40).toSeq.toDF("word", "cnt")
+    def planSize(rounds: Int): Int = {
+      val (_, seqs) = graft.queries.TextDedupOps.bpeChain(df, rounds)
+      seqs.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    val at2 = planSize(2)
+    val at8 = planSize(8)
+    // the truncated seqs is a scan of the checkpointed RDD — a handful of
+    // nodes regardless of how many rounds preceded it (the O(k²)→O(k)
+    // recompute fix); without truncation the plan GROWS with each round
+    assert(at8 == at2, s"plan grew with rounds: $at2 nodes @2 vs $at8 @8")
+    assert(at2 <= 4, s"final seqs should be a truncated leaf scan, got $at2 nodes")
+  }
+}
