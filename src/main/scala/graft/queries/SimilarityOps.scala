@@ -34,13 +34,67 @@ object SimilarityOps {
 
   /** The 16 deterministic seed vectors (vec_id 100–115) that serve as
     * coarse IVF centroids and PQ code sources — ONE definition shared by
-    * index build (s05, s10) and serving (s17), so the served index can
-    * never drift from the built one. An offline k-means (s13/s16) would
-    * refine these seeds. */
+    * index build (s05, s10), the k-means refinement loop (s13, s16 via
+    * [[lloydChain]]) and serving (s17), so the served index can never
+    * drift from the built one. */
   private def seedCentroids(emb: DataFrame): DataFrame = emb
     .filter(col("vec_id").between(100, 115))
     .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
       col("n2").as("c_n2"))
+
+  /** [[s13]]'s Lloyd step iterated from the seed centroids: assign every
+    * vector to its max-cosine centroid (broadcast — bounded by k),
+    * replace each centroid with its cluster's SUM vector (cosine is
+    * scale-invariant, so sums stand in for means and every coordinate
+    * stays an exact integer — the s03/s06/s13 trick), repeat. Returns
+    * (final-round members, final centroids (c_id, c_qv, c_n2)). An
+    * emptied cluster drops out (no sum vector). Each round is one
+    * broadcast crossJoin scan + a (cluster, dim) partial-sum shuffle;
+    * the k·DIMS-row centroid table is lineage-truncated per round
+    * ([[graft.operators.Iterate.truncate]] — the CC pattern), so round
+    * cost stays flat in round count (plan pinned in AnnRefinementSpec).
+    * Shared by s16 (the clustering readout) and [[ivfCentroids]] (the
+    * refined-index mode of s05/s17). */
+  private def lloydChain(emb: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
+    var cents = seedCentroids(emb)
+    var members: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cos",
+          cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos").desc, col("c_id").asc)
+      members = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("c_id"), col("vec_id"), col("qv"))
+      cents = graft.operators.Iterate.truncate(members
+        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(col("q")).as("s"))
+        .groupBy(col("c_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("c_qv"))
+        .withColumn("c_n2", norm2q(col("c_qv"))))
+    }
+    (members, cents)
+  }
+
+  /** The IVF coarse quantizer both index build (s05) and serving (s17)
+    * read — one definition so built and served lists can never diverge:
+    * the deterministic seeds by default, or behind
+    * `spark.graft.ann.refinedCentroids` the s16 Lloyd refinement of
+    * those same seeds (what an offline index build actually runs before
+    * serving; recall is spec-asserted ≥ the seed quantizer's at sf0.01).
+    * The PQ codebook stays seed-sourced in both modes — code vectors and
+    * coarse centroids are independent knobs (IVFADC). The oracle SQL for
+    * s05/s17 is generated from the same conf. */
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    if (emb.sparkSession.conf.getOption("spark.graft.ann.refinedCentroids")
+        .exists(_.toBoolean))
+      lloydChain(emb.select(col("vec_id"), col("qv"), col("n2")),
+        LLOYD_ROUNDS)._2
+    else seedCentroids(emb)
 
   /** Top-`top` max-cosine centroid assignment (ties by c_id) — the IVF
     * list/probe step, shared by s05 and s17. The centroid side is 16
@@ -150,28 +204,14 @@ object SimilarityOps {
     * step is an equi-join or window Catalyst shuffles/broadcasts by size.
     * Complements s02 (LSH) as the second ANN scale path. */
   private def s05(s: SparkSession, d: String): DataFrame = {
-    val NC0 = 100
-    val NC1 = 115
     val emb = withQ(embeddings(s, d))
-    val cents = emb.filter(col("vec_id").between(NC0, NC1))
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-        col("n2").as("c_n2"))
-    def assign(side: DataFrame, idCol: String, top: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cents))
-        .withColumn("c_cos",
-          cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      scored.withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= top)
-        .drop("c_qv", "c_n2", "c_cos", "crk")
-    }
-    val lists = assign(
+    val cents = ivfCentroids(emb)
+    val lists = assignToCentroids(cents,
       emb.filter(col("vec_id") >= NQ)
         .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
       "cand_id", top = 1)
       .select(col("c_id"), col("cand_id"), col("qv"), col("n2"))
-    val probes = assign(
+    val probes = assignToCentroids(cents,
       emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
       "query_id", top = NPROBE)
@@ -452,22 +492,13 @@ object SimilarityOps {
     * 100 TB ANN index stores instead of 64 floats — 16× compression with
     * the reported sum_dist2 as the fidelity metric. */
   private def s10(s: SparkSession, d: String): DataFrame = {
-    val SUB = 8
-    val SD = DIMS / SUB
     val emb = withQ(embeddings(s, d))
-    def subspaces(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(array((0 until SUB).map(j =>
-        struct(lit(j.toLong).as("sub"),
-          slice(col("qv"), j * SD + 1, SD).as("sv"))): _*)).as("p"))
-      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
     // dist2 via the polarization identity |a|^2 + |b|^2 - 2a.b: norms are
     // computed ONCE per subvector (8/row) instead of once per (sub, code)
     // pair (128/row), and the remaining per-pair work is a single fused
     // DotQ codegen pass — no zip_with array allocation per pair
     val v = subspaces(emb).withColumn("svn2", norm2q(col("sv")))
-    val cb = subspaces(emb.filter(col("vec_id").between(100, 115)))
-      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-      .withColumn("cvn2", norm2q(col("cv")))
+    val cb = pqCodebook(emb)
     val scored = v.join(broadcast(cb), Seq("sub"))
       .withColumn("dist2",
         col("svn2") + col("cvn2") - lit(2L) * dotq(col("sv"), col("cv")))
@@ -513,9 +544,7 @@ object SimilarityOps {
     * (dim, value) pair into an exchange. */
   private def s13(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
-    val cents = emb.filter(col("vec_id").between(100, 115))
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-        col("n2").as("c_n2"))
+    val cents = seedCentroids(emb)
     val scored = emb.select(col("vec_id"), col("qv"), col("n2"))
       .crossJoin(broadcast(cents))
       .withColumn("cos",
@@ -552,36 +581,16 @@ object SimilarityOps {
     * sum-centroid. An emptied cluster drops out (no sum vector), same
     * as the oracle's GROUP BY. Scale: each round is one broadcast
     * crossJoin scan + a (cluster, dim) partial-sum shuffle — k·DIMS
-    * rows — so round cost is scan-bound; the k-round chain is the CC
-    * loop shape (checkpoint between rounds at real scale). */
+    * rows — so round cost is scan-bound; lineage is truncated per round
+    * inside [[lloydChain]] (the CC pattern), so the plan stays flat in
+    * round count. */
   private def s16(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
       .select(col("vec_id"), col("qv"), col("n2"))
-    var cents = emb.filter(col("vec_id").between(100, 115))
-      .select(col("vec_id").as("c_id"), col("qv").as("cqv"),
-        col("n2").as("cn2"))
-    var members: DataFrame = null
-    (1 to LLOYD_ROUNDS).foreach { _ =>
-      val scored = emb.crossJoin(broadcast(cents))
-        .withColumn("cos",
-          cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2")))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("cos").desc, col("c_id").asc)
-      members = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("c_id"), col("vec_id"), col("qv"))
-      cents = members
-        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("q")).as("s"))
-        .groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          x => x.getField("s")).as("cqv"))
-        .withColumn("cn2", norm2q(col("cqv")))
-    }
+    val (members, cents) = lloydChain(emb, LLOYD_ROUNDS)
     members.groupBy(col("c_id"))
       .agg(count(lit(1)).as("n_members"))
-      .join(cents.select(col("c_id"), col("cn2").as("centroid_norm2")),
+      .join(cents.select(col("c_id"), col("c_n2").as("centroid_norm2")),
         Seq("c_id"))
   }
 
@@ -616,38 +625,17 @@ object SimilarityOps {
     * narrow rows each; the only data-sized shuffles are the id-only
     * IVF list join and the (pairs×8)-row ADC rollup. */
   private def s17(s: SparkSession, d: String): DataFrame = {
-    val SUB = 8
-    val SD = DIMS / SUB
     val SHORTLIST = 32
     val emb = withQ(embeddings(s, d))
-    val cents = emb.filter(col("vec_id").between(100, 115))
-      .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
-        col("n2").as("c_n2"))
-    def assign(side: DataFrame, idCol: String, top: Int): DataFrame = {
-      val scored = side.crossJoin(broadcast(cents))
-        .withColumn("c_cos",
-          cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("c_cos").desc, col("c_id").asc)
-      scored.withColumn("crk", row_number().over(w))
-        .filter(col("crk") <= top)
-        .drop("c_qv", "c_n2", "c_cos", "crk")
-    }
-    def subspaces(df: DataFrame): DataFrame = df
-      .select(col("vec_id"), explode(array((0 until SUB).map(j =>
-        struct(lit(j.toLong).as("sub"),
-          slice(col("qv"), j * SD + 1, SD).as("sv"))): _*)).as("p"))
-      .select(col("vec_id"), col("p.sub").as("sub"), col("p.sv").as("sv"))
-    val cb = subspaces(emb.filter(col("vec_id").between(100, 115)))
-      .select(col("vec_id").as("code_id"), col("sub"), col("sv").as("cv"))
-      .withColumn("cvn2", norm2q(col("cv")))
+    val cents = ivfCentroids(emb)
+    val cb = pqCodebook(emb)
     // IVF: candidates to their top-1 list, queries probe NPROBE lists
-    val lists = assign(
+    val lists = assignToCentroids(cents,
       emb.filter(col("vec_id") >= NQ)
         .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
       "cand_id", top = 1)
       .select(col("c_id"), col("cand_id"))
-    val probes = assign(
+    val probes = assignToCentroids(cents,
       emb.filter(col("vec_id") < NQ)
         .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
       "query_id", top = NPROBE)
@@ -815,11 +803,12 @@ object SimilarityOps {
        |      ORDER BY cos DESC, cand_id ASC) AS rank
        |  FROM scored) WHERE rank <= 3""".stripMargin
 
-  /** SQL twin of s16 — LLOYD_ROUNDS chained assign/update rounds
-    * (MATERIALIZED: a re-inlined chain re-evaluates exponentially, the
-    * t15 lesson). Each round reproduces s13's argmax + integer sum
-    * semantics exactly. */
-  private lazy val s16Sql: String = {
+  /** The Lloyd-round CTE chain (cents_0 … cents_r) — SQL twin of
+    * [[lloydChain]] (MATERIALIZED: a re-inlined chain re-evaluates
+    * exponentially, the t15 lesson). Each round reproduces s13's argmax
+    * + integer sum semantics exactly. Shared by the s16 oracle and the
+    * refined-centroid mode of the s05/s17 oracles. */
+  private lazy val lloydCtesSql: String = {
     val rounds = (1 to LLOYD_ROUNDS).map { r =>
       val prev = r - 1
       s"""best_$r AS MATERIALIZED (
@@ -842,16 +831,34 @@ object SimilarityOps {
          |    SELECT c_id, list(s ORDER BY i) AS cqv
          |    FROM dims_$r GROUP BY c_id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $embCte,
-       |cents_0 AS MATERIALIZED (
+    s"""cents_0 AS MATERIALIZED (
        |  SELECT vec_id AS c_id, qv AS cqv, n2 AS cn2 FROM embn
        |  WHERE vec_id BETWEEN 100 AND 115),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private lazy val s16Sql: String =
+    s"""WITH $embCte,
+       |$lloydCtesSql
        |SELECT c.c_id, m.n_members, c.cn2 AS centroid_norm2
        |FROM cents_$LLOYD_ROUNDS c
        |JOIN (SELECT c_id, COUNT(*) AS n_members
        |      FROM best_$LLOYD_ROUNDS GROUP BY c_id) m USING (c_id)""".stripMargin
-  }
+
+  /** SQL twin of [[ivfCentroids]] — the `cents` CTE the s05/s17 oracles
+    * read, generated from the ACTIVE session's refinedCentroids conf so
+    * a flagged correctness run verifies the refined index. */
+  private def centsCteSql: String =
+    if (SparkSession.getActiveSession
+        .flatMap(_.conf.getOption("spark.graft.ann.refinedCentroids"))
+        .exists(_.toBoolean))
+      s"""$lloydCtesSql,
+         |cents AS (
+         |  SELECT c_id, cqv AS c_qv, cn2 AS c_n2 FROM cents_$LLOYD_ROUNDS)""".stripMargin
+    else
+      """cents AS (
+        |  SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM embn
+        |  WHERE vec_id BETWEEN 100 AND 115)""".stripMargin
 
   /** SQL twin of [[inSample]] — reads `recallSamplePm` from the ACTIVE
     * session (Verify dumps the oracle JSON while its session is live), so
@@ -923,9 +930,7 @@ object SimilarityOps {
          |FROM dims GROUP BY label""".stripMargin,
     "s05_ann_ivf" ->
       s"""WITH $embCte,
-         |cents AS (
-         |  SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM embn
-         |  WHERE vec_id BETWEEN 100 AND 115),
+         |$centsCteSql,
          |cand_assign AS (
          |  SELECT c_id, cand_id, qv, n2 FROM (
          |    SELECT c.c_id, v.vec_id AS cand_id, v.qv, v.n2,
@@ -1043,9 +1048,7 @@ object SimilarityOps {
     "s16_kmeans_iterations" -> s16Sql,
     "s17_ivf_pq_rerank" ->
       s"""WITH $embCte,
-         |cents AS (
-         |  SELECT vec_id AS c_id, qv AS c_qv, n2 AS c_n2 FROM embn
-         |  WHERE vec_id BETWEEN 100 AND 115),
+         |$centsCteSql,
          |cand_assign AS (
          |  SELECT c_id, cand_id FROM (
          |    SELECT c.c_id, v.vec_id AS cand_id,

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+
+/** The refined-centroid index mode (`spark.graft.ann.refinedCentroids`):
+  * s05/s17 build and serve from the s16 Lloyd refinement of the seed
+  * centroids. The clustering exists to improve the index — so the spec
+  * demands it actually does (recall vs the brute-force truth), and that
+  * the iterated loop's plan stays flat in round count (lineage
+  * truncation). */
+class AnnRefinementSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+  private val Flag = "spark.graft.ann.refinedCentroids"
+
+  private def topPairs(q: String): Set[(Long, Long)] =
+    SparkEntry.queries(q)(spark, sf)
+      .select(col("query_id"), col("cand_id"))
+      .as[(Long, Long)].collect().toSet
+
+  test("s16-refined centroids serve s17 with recall >= the seed quantizer " +
+    "(and a valid top-3 per query) at sf0.01") {
+    val truth = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"))
+      .as[(Long, Long)].collect().toSet
+    val seedTp = (topPairs("s17_ivf_pq_rerank") & truth).size
+    spark.conf.set(Flag, "true")
+    try {
+      val refined = topPairs("s17_ivf_pq_rerank")
+      val refinedTp = (refined & truth).size
+      assert(refinedTp >= seedTp,
+        s"Lloyd refinement LOST recall: $refinedTp true positives vs " +
+          s"$seedTp from the raw seeds (truth ${truth.size})")
+      // still a well-formed serving result: 3 ranked rows per query
+      val perQuery = refined.groupBy(_._1).view.mapValues(_.size).toMap
+      assert(perQuery.values.forall(_ == 3), s"ragged top-3: $perQuery")
+    } finally spark.conf.unset(Flag)
+  }
+
+  test("the refinedCentroids flag actually swaps the quantizer for BOTH " +
+    "build (s05) and serving (s17)") {
+    def outputs(): (Set[(Long, Long)], Set[(Long, Long)]) =
+      (topPairs("s05_ann_ivf"), topPairs("s17_ivf_pq_rerank"))
+    val (seedIvf, seedServe) = outputs()
+    spark.conf.set(Flag, "true")
+    try {
+      val (refIvf, refServe) = outputs()
+      // refined sum-centroids relocate list boundaries — if either query
+      // ignored the flag its output would be identical to seed mode
+      // (both read ONE ivfCentroids definition, so partial adoption —
+      // the drift the dead helpers used to permit — shows up here)
+      assert(refIvf != seedIvf,
+        "s05 ignored refinedCentroids — index build not rewired")
+      assert(refServe != seedServe,
+        "s17 ignored refinedCentroids — serving not rewired")
+    } finally spark.conf.unset(Flag)
+  }
+
+  test("lloydChain lineage truncation keeps the s16 plan flat in rounds") {
+    // the final plan must not nest one crossJoin per Lloyd round: the
+    // centroid side is a truncated leaf, so exactly ONE join with the
+    // corpus scan survives in the last assignment round
+    val plan = SparkEntry.queries("s16_kmeans_iterations")(spark, sf)
+      .queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // final rollup join + final round's assign crossJoin — NOT 3 chained
+    // assign joins (the untruncated shape)
+    assert(joins.size <= 2,
+      s"expected <=2 joins in the truncated s16 plan, got ${joins.size}")
+  }
+}

@@ -117,6 +117,25 @@ class DedupInvariantSpec extends SparkSuite {
     assert(exact.values.sum >= lsh.values.sum)
   }
 
+  test("d19 exact-pairs mode bounds the LSH provenance matrix cell-wise " +
+    "from above") {
+    // same contract as the d16 audit: the cross-source duplication matrix
+    // over exact pairs must see >= the LSH default in EVERY source-pair
+    // cell (LSH only loses pairs — understated cross-source duplication)
+    def cells() = SparkEntry.queries("d19_cross_source_dups")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val lsh = cells()
+    spark.conf.set("spark.graft.dedup.leakage.exactPairs", "true")
+    val exact = try cells()
+      finally spark.conf.unset("spark.graft.dedup.leakage.exactPairs")
+    assert(lsh.nonEmpty, "matrix vacuous: planted corpus produced no cells")
+    lsh.foreach { case (cell, n) =>
+      assert(exact.getOrElse(cell, 0L) >= n,
+        s"exact matrix lost pairs at $cell: exact=${exact.get(cell)} lsh=$n")
+    }
+  }
+
   test("winnowing containment also surfaces the planted near-dups") {
     val winnow = SparkEntry.queries("t06_winnowing_overlap")(spark, corpusDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
