@@ -130,10 +130,18 @@ object MultimodalOps {
     hammingPairs60(ph)
   }
 
-  /** Frame-sampling rollup: every 4th frame of each video payload decoded
-    * to a per-frame feature, aggregated per source. The frame explosion
-    * happens executor-side inside the batched decode (never a Spark
-    * explode of payload bytes); only narrow frame rows shuffle. */
+  /** Frame-sampling rollup: every 4th frame of each video payload REALLY
+    * decoded (ImageIO GIF reader — frame seek + per-frame luminance
+    * energy; non-GIF payloads byte-wrap into a real animated GIF first,
+    * so both arms run the same codec path), aggregated per source. The
+    * frame explosion happens executor-side inside the batched decode
+    * (never a Spark explode of payload bytes); only narrow frame rows
+    * shuffle.
+    * ORACLE CONTRACT: document payloads are text bytes — none are GIFs,
+    * so every row takes the byte-wrapped arm whose frame pixels the SQL
+    * recomputes from the same bytes; the direct-GIF arm (real demux,
+    * palette invariance) is spec-covered with constructed animated-GIF
+    * fixtures (MediaSpec). */
   private def m02(s: SparkSession, d: String): DataFrame = {
     val media = Media.mediaFromDocuments(documents(s, d))
     Media.sampleFrames(media, stride = 4).toDF()
@@ -209,24 +217,38 @@ object MultimodalOps {
   )
 
   val oracle: ListMap[String, String] = ListMap(
+    // video rows: width 8 (the wrapped GIF's REAL container-read
+    // dimension) and frame count (n % 24) + 1 (the wrap parameter,
+    // container-read back on the Spark side)
     "m01_media_features" ->
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
         |  source,
         |  COUNT(*) AS n_media,
         |  SUM(octet_length(encode(text)))::BIGINT AS total_bytes,
-        |  SUM(octet_length(encode(text)) % 640)::BIGINT AS sum_width,
+        |  SUM(CASE WHEN ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
+        |       THEN 8 ELSE octet_length(encode(text)) % 640 END)::BIGINT AS sum_width,
         |  SUM(CASE WHEN ['image','audio','video'][(doc_id % 3 + 1)::INT] = 'video'
         |       THEN octet_length(encode(text)) % 24 + 1 ELSE 1 END)::BIGINT AS sum_frames,
         |  COUNT(DISTINCT md5(hex(encode(text)))) AS n_distinct
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // byte-wrapped-GIF frame energies recomputed straight from the text
+    // bytes (the m07 contract lifted to frames): frame f, pixel p reads
+    // byte (f*64+p) mod n as its gray (r=g=b, so integer luminance = the
+    // byte exactly); per-frame feature = Σ over the 64 pixels; frames
+    // 0, 4, 8, … of (n % 24) + 1 total
     "m02_frame_sample" ->
       """SELECT source, COUNT(*) AS n_frames, SUM(feat)::BIGINT AS sum_feat,
         |  COUNT(DISTINCT doc_id) AS n_videos
         |FROM (
         |  SELECT doc_id, source,
-        |    (octet_length(encode(text)) * 31
-        |     + UNNEST(range(0, octet_length(encode(text)) % 24 + 1, 4))) % 1000 AS feat
-        |  FROM documents WHERE doc_id % 3 = 2)
+        |    list_sum(list_transform(range(0, 64), p ->
+        |      ('0x' || substr(hx, 2 * ((f * 64 + p) % n) + 1, 2))::BIGINT))
+        |      AS feat
+        |  FROM (
+        |    SELECT doc_id, source, hex(encode(text)) AS hx,
+        |      octet_length(encode(text)) AS n,
+        |      UNNEST(range(0, octet_length(encode(text)) % 24 + 1, 4)) AS f
+        |    FROM documents WHERE doc_id % 3 = 2))
         |GROUP BY source""".stripMargin,
     "m03_resize_rollup" ->
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,

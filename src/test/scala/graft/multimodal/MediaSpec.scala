@@ -262,6 +262,92 @@ class MediaSpec extends SparkSuite {
       s"inverted envelope unexpectedly close: ${java.lang.Long.bitCount(h(1L) ^ h(3L))}")
   }
 
+  test("gifFromBytes round-trips through the ImageIO GIF reader to the " +
+    "exact byte->frame-pixel mapping") {
+    val bytes = (0 until 97).map(i => ((i * 37 + 11) % 256).toByte).toArray
+    val gif = gifFromBytes(bytes, 5)
+    assert(gifMeta(gif).contains((8, 8, 5)))
+    def b(i: Int): Int = bytes(i % bytes.length) & 0xFF
+    // energies via the REAL reader must equal the byte formula the m02
+    // oracle assumes: frame f's energy = sum of bytes (f*64+p) mod n
+    val got = gifFrameEnergies(gif, 1).get
+    val want = (0 until 5).map(f =>
+      (f, (0 until 64).map(p => b(f * 64 + p).toLong).sum))
+    assert(got == want, s"decoded energies diverged from the byte mapping")
+  }
+
+  test("sampleFrames demuxes a REAL animated GIF: container frame count, " +
+    "not the byte-length formula") {
+    val bytes = (0 until 130).map(i => ((i * 13 + 5) % 256).toByte).toArray
+    val gif = gifFromBytes(bytes, 10)
+    // the fake-era formula would predict (gif.length % 24) + 1 frames —
+    // make sure that's NOT 10, so the assertion below can only pass via
+    // a genuine container read
+    assert((gif.length % 24) + 1 != 10, "fixture degenerate — resize bytes")
+    val recs = Seq(
+      MediaRecord(1L, "video", gif, "crawl"),
+      // non-GIF payload: wrapped arm, frames (n % 24) + 1
+      MediaRecord(2L, "video", "plain text payload".getBytes("UTF-8"), "crawl"))
+    val frames = sampleFrames(recs.toDS(), stride = 4).collect()
+      .groupBy(_.media_id)
+    def b(i: Int): Int = bytes(i % bytes.length) & 0xFF
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8))
+    frames(1L).foreach { fr =>
+      val want = (0 until 64).map(p => b(fr.frame_idx * 64 + p).toLong).sum
+      assert(fr.feat == want, s"frame ${fr.frame_idx} energy diverged")
+    }
+    val n2 = "plain text payload".getBytes("UTF-8").length
+    assert(frames(2L).map(_.frame_idx).max < n2 % 24 + 1)
+    // decodeFeatures reads the same container: real dims + frame count
+    val f1 = decodeFeatures(recs.toDS()).collect()
+      .map(x => x.media_id -> x).toMap
+    assert((f1(1L).width, f1(1L).height, f1(1L).n_frames) == ((8, 8, 10)))
+  }
+
+  test("GIF frame energies are palette-representation-invariant " +
+    "(re-encode with an inverted palette hashes identically)") {
+    val bytes = (0 until 64).map(i => ((i * 29 + 3) % 256).toByte).toArray
+    val direct = gifFromBytes(bytes, 3)
+    // same PIXEL VALUES under an inverted palette: index j paints gray
+    // 255-j and every raster sample is inverted — different container
+    // bytes, identical decoded colors
+    val inv = {
+      val grays = Array.tabulate(256)(j => (255 - j).toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        def b(i: Int): Int = bytes(i % bytes.length) & 0xFF
+        (0 until 3).foreach { f =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          (0 until 64).foreach(p =>
+            img.getRaster.setSample(p % 8, p / 8, 0, 255 - b(f * 64 + p)))
+          writer.writeToSequence(
+            new javax.imageio.IIOImage(img, null, null), null)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+    assert(!java.util.Arrays.equals(direct, inv))
+    assert(gifFrameEnergies(direct, 1) == gifFrameEnergies(inv, 1),
+      "palette re-encode of identical pixels changed the decoded features")
+  }
+
+  test("a torn GIF degrades to the wrapped fallback, never an exception") {
+    val torn = gifFromBytes(Array[Byte](1, 2, 3), 4).take(10) // header only
+    val fr = sampleFrames(
+      Seq(MediaRecord(7L, "video", torn, "crawl")).toDS(), stride = 4)
+      .collect()
+    // wrapped arm: (10 % 24) + 1 = 11 frames, sampled at 0, 4, 8
+    assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8))
+  }
+
   test("feature extraction then aggregate: binary never enters the shuffle") {
     val plan = decodeFeatures(mediaFromDocuments(docs)).toDF()
       .groupBy("kind").agg(sum("n_bytes"))
