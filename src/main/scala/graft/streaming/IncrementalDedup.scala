@@ -183,6 +183,70 @@ object IncrementalDedup {
       }
   }
 
+  case class FpBanded(bucket: Long, media_id: Long, phash: Long)
+  case class FpVerdict(media_id: Long, duplicateOf: Long, hamming: Long)
+
+  /** Perceptual-fingerprint banding — m07's pigeonhole banding in
+    * incremental form, the shape a live media crawl wants (near-dup
+    * dedup AT INGEST TIME, where a re-encoded copy of an already-crawled
+    * image must be caught before it is stored): each payload runs the
+    * SAME real decode + aHash60 path as batch m07
+    * ([[graft.multimodal.Media.perceptualHashes]] — ImageIO decode for
+    * real images, byte-wrapped BMP otherwise), then one bucket row per
+    * (band, 12-bit nib): bucket = band·4096 + nib, 5 bands over the
+    * 60-bit hash. Only (bucket, id, 8-byte hash) rows leave the decode —
+    * payloads and pixels never reach the shuffle or the state store. */
+  def bandFingerprints(media: Dataset[graft.multimodal.Media.MediaRecord])
+      : Dataset[FpBanded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.multimodal.Media.perceptualHashes(media).toDF()
+      .select(col("media_id"), col("phash"),
+        explode(array((0 until 5).map(b =>
+          (lit(b.toLong * 4096L) + shiftRight(col("phash"), b * 12)
+            .bitwiseAND(lit(0xFFFL))).as("bucket")): _*)).as("bucket"))
+      .select(col("bucket"), col("media_id"), col("phash"))
+      .as[FpBanded]
+  }
+
+  /** Admit a payload iff no previously-admitted fingerprint within
+    * hamming ≤ `maxHamming` shares a band-bucket with it. For the
+    * default 4 the 5×12 banding is EXACT (any pair ≤ 4 differing bits
+    * agrees on ≥ 1 clean band — the m07 pigeonhole), so a streamed
+    * duplicate is flagged iff batch m07 would pair it with an admitted
+    * predecessor (spec-asserted agreement on the same fixture stream).
+    * State per bucket is the admitted (id, 8-byte hash) list — hashes,
+    * never payloads — and bounds like [[detect]]'s signature state; an
+    * event-time TTL composes exactly as [[detectWithTtl]] does for text
+    * if the crawl needs a finite horizon. */
+  def detectFpDups(banded: Dataset[FpBanded], maxHamming: Long = 4)
+      : Dataset[FpVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long)], FpVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[FpBanded],
+         state: GroupState[List[(Long, Long)]]) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
+          rows.toSeq.sortBy(_.media_id).foreach { r =>
+            admitted.iterator
+              .map { case (origId, ph) =>
+                (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
+              .find(_._2 <= maxHamming) match {
+              case Some((origId, h)) =>
+                out += FpVerdict(r.media_id, origId, h)
+              case None =>
+                admitted = (r.media_id, r.phash) :: admitted
+            }
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
   /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against
     * any previously-admitted signature in the same bucket. Emits one
     * Verdict per detected duplicate (first sighting is admitted silently). */

@@ -106,4 +106,90 @@ class IncrementalDedupSpec extends SparkSuite {
       assert(flagged == Set((2L, 1L)), s"got $flagged")
     } finally q.stop()
   }
+
+  private def img8(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = f(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+  private def encode(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
+  test("streaming perceptual dedup: a RE-ENCODED image arriving in a later " +
+    "micro-batch is flagged (byte checksums never see it)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Media.MediaRecord
+    // two genuinely different patterns (half-rows vs odd-columns: far in
+    // hamming), each encoded as a real image container
+    val a = img8((_, y) => if (y < 4) 40 else 210)
+    val b = img8((x, _) => if (x % 2 == 0) 30 else 220)
+    val input = MemoryStream[MediaRecord]
+    val verdicts = detectFpDups(bandFingerprints(input.toDS()))
+    val q = verdicts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fp_out").start()
+    try {
+      input.addData(MediaRecord(1, "image", encode(a, "png"), "crawl"),
+        MediaRecord(2, "image", encode(b, "png"), "crawl"))
+      q.processAllAvailable()
+      assert(spark.table("fp_out").count() == 0) // both admitted
+
+      // later micro-batch: the SAME pixels in a different container —
+      // different bytes (m06's checksum can't pair them), same decoded
+      // fingerprint
+      input.addData(MediaRecord(3, "image", encode(a, "bmp"), "crawl"))
+      q.processAllAvailable()
+      val flagged = spark.table("fp_out")
+        .select("media_id", "duplicateOf", "hamming").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L, 0L)), s"got $flagged")
+    } finally q.stop()
+  }
+
+  test("perceptual batch/stream agreement on the documents fixture: " +
+    "stream verdicts are exactly m07 pairs, and every dup of an " +
+    "unflagged cluster head is caught") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Media
+    val sf = "/root/testdata/sf0.001"
+    val recs = Media.mediaFromDocuments(
+      spark.read.parquet(s"$sf/documents.parquet")).collect().toSeq
+    val batchPairs = graft.SparkEntry
+      .queries("m07_perceptual_neardup")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val input = MemoryStream[Media.MediaRecord]
+    val verdicts = detectFpDups(bandFingerprints(input.toDS()))
+    val q = verdicts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fp_agree_out").start()
+    try {
+      input.addData(recs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("fp_agree_out")
+        .select("media_id", "duplicateOf")
+        .as[(Long, Long)].collect().toSet
+      // precision: every stream verdict is a batch pair (unordered)
+      streamed.foreach { case (d, of) =>
+        assert(batchPairs((math.min(d, of), math.max(d, of))),
+          s"stream flagged ($d, $of) — not an m07 pair")
+      }
+      // recall against cluster heads: a doc with no smaller partner is
+      // never flagged, so it stays admitted in ALL its buckets; every
+      // larger doc m07 pairs with such a head MUST be flagged (banding
+      // is exact at hamming <= 4, so the head is visible to it)
+      val hasSmaller = batchPairs.map(_._2)
+      val heads = batchPairs.map(_._1) -- hasSmaller
+      val mustFlag = batchPairs.collect { case (a, b) if heads(a) => b }
+      val flaggedIds = streamed.map(_._1)
+      mustFlag.foreach(d => assert(flaggedIds(d),
+        s"doc $d pairs with an admitted cluster head but was not flagged"))
+      assert(batchPairs.nonEmpty && mustFlag.nonEmpty,
+        "agreement vacuous: fixture produced no perceptual pairs")
+    } finally q.stop()
+  }
 }
