@@ -130,29 +130,43 @@ class ExactlyOnceSink(spark: SparkSession, root: String) extends Serializable {
     if (marked.isEmpty) None else Some(marked.max)
   }
 
-  /** Rewards batches are laid out z-ordered by (block, hash(gateway))
-    * before the write — the multi-column generalization of the
-    * reference's b-tree indexes (SURVEY §1.1): row groups then carry
-    * tight min/max on block (h04-style block-window scans prune) while
-    * same-gateway rows cluster for per-gateway audits. Off-switch
+  /** Batches are laid out z-ordered before the write — the multi-column
+    * generalization of the reference's b-tree indexes (SURVEY §1.1):
+    * rewards by (block, hash(gateway)) (h04-style block-window scans
+    * prune; same-gateway rows cluster for per-gateway audits),
+    * transactions by (block, hash(type)) (the h03/h06 envelope queries
+    * slice exactly by block window and type). Off-switch
     * `spark.graft.sink.zorder=false` for latency-critical micro-batches
     * (the layout costs one 2-number agg + one range exchange per
     * commit). Pruning asserted on real sink output in ZorderSinkSpec. */
   private def zorderOn: Boolean = spark.conf
     .getOption("spark.graft.sink.zorder").forall(_.toBoolean)
 
+  private val ZorderKeys = Map(
+    "rewards" -> (("block", "gateway")),
+    "transactions" -> (("block", "type")))
+
   private[helium] def writeBatch(df: DataFrame, table: String,
       key: Long): Unit = {
-    val laid =
-      if (table == "rewards" && zorderOn)
-        graft.operators.Zorder.layoutByRangeAndHash(df, "block", "gateway")
-      else df
-    laid.withColumn("batch_id", lit(key))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .parquet(s"$root/$table")
+    val zkeys = if (zorderOn) ZorderKeys.get(table) else None
+    // The layout's min/max agg and the parquet write each consume the
+    // batch plan — for a live Pipeline that plan is the whole upstream
+    // chain including executor-side HTTP block fetches, so without a
+    // persist every commit tick would fetch its blocks twice.
+    zkeys.foreach(_ => df.persist())
+    try {
+      val laid = zkeys match {
+        case Some((a, b)) =>
+          graft.operators.Zorder.layoutByRangeAndHash(df, a, b)
+        case None => df
+      }
+      laid.withColumn("batch_id", lit(key))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(s"$root/$table")
+    } finally zkeys.foreach(_ => df.unpersist())
   }
 
   /** Delete positive partitions that are not committed state: anything

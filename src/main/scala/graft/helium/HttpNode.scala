@@ -19,12 +19,13 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   * fetch their height ranges in parallel with no shared client. The
   * Jackson mapper is per-JVM (`@transient lazy`).
   *
-  * Transient failures (transport errors, HTTP non-2xx, JSON-RPC -32603 /
-  * -32000..-32099 server errors) are retried executor-side up to
+  * Transient failures (transport errors, HTTP 5xx/408/429, JSON-RPC
+  * -32603 / -32000..-32099 server errors) are retried executor-side up to
   * `maxAttempts` with jittered exponential backoff, so one node hiccup
   * doesn't fail a whole micro-batch; a PERSISTENT failure still aborts
   * loudly after the attempts are exhausted, and deterministic errors
-  * (method-not-found -32601 — wrong node/service) never retry.
+  * (HTTP 4xx other than 408/429 — wrong URL/auth/service; JSON-RPC
+  * method-not-found -32601 — wrong node version) fail fast, never retry.
   */
 class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
 
@@ -51,7 +52,7 @@ class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
       val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
                 finally is.close()
       if (code / 100 != 2)
-        throw new java.io.IOException(
+        throw new HttpNode.HttpStatusError(code,
           s"node $endpoint returned HTTP $code: ${txt.take(200)}")
       txt
     } catch {
@@ -98,12 +99,22 @@ class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
     req.put("id", "1")
     req.put("method", method)
     params.foreach(p => req.set[JsonNode]("params", mapper.readTree(p)))
-    // transport/HTTP/parse failures are all transient-classed: timeouts,
-    // 5xx from a proxy, a torn response mid-read — all worth a retry
+    // Transport failures, HTTP 5xx, and torn/unparseable responses are
+    // transient-classed (worth a retry); deterministic HTTP 4xx —
+    // 404/401/403 from a wrong URL, missing auth, or a non-node service
+    // — fails FAST, because backoff-retrying a permanently-broken
+    // endpoint costs (maxAttempts−1) extra requests plus ~300 ms sleep
+    // per height in the lenient per-block scan. 408 (request timeout)
+    // and 429 (rate limit) are the two 4xx that describe a transient
+    // server condition, so they retry like 5xx.
     val resp = try mapper.readTree(post(mapper.writeValueAsString(req)))
-      catch { case e: java.io.IOException =>
-        throw new HttpNode.TransientNodeError(
-          s"node $endpoint: $method transport failure", e)
+      catch {
+        case e: HttpNode.HttpStatusError
+            if e.code / 100 == 4 && e.code != 408 && e.code != 429 =>
+          throw e
+        case e: java.io.IOException =>
+          throw new HttpNode.TransientNodeError(
+            s"node $endpoint: $method transport failure", e)
       }
     val err = resp.get("error")
     if (err != null && !err.isNull) {
@@ -149,10 +160,16 @@ class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
 }
 
 object HttpNode {
-  /** A failure worth retrying (transport, HTTP non-2xx, JSON-RPC
+  /** A failure worth retrying (transport, HTTP 5xx/408/429, JSON-RPC
     * -32603/-32000..-32099). Extends IOException so callers that treat
     * node failures generically (lenient scans, the streaming source)
     * see the same type they always did once retries are exhausted. */
   private[helium] class TransientNodeError(msg: String, cause: Throwable)
     extends java.io.IOException(msg, cause)
+
+  /** Non-2xx HTTP response, with the status carried out of [[post]] so
+    * the retry loop can tell a deterministic 4xx (fail fast) from a
+    * transient 5xx/408/429 (backoff and retry). */
+  private[helium] class HttpStatusError(val code: Int, msg: String)
+    extends java.io.IOException(msg)
 }

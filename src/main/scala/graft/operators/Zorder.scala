@@ -102,7 +102,42 @@ object Zorder {
     * exactly the row groups whose [min, max] intersects it, so counting
     * intersections IS counting I/O. Footer-only reads (no row data). */
   def rowGroupRanges(spark: SparkSession, path: String,
-      cols: Seq[String]): Seq[Map[String, (Long, Long)]] = {
+      cols: Seq[String]): Seq[Map[String, (Long, Long)]] =
+    footerStats(spark, path, cols) { (c, s) =>
+      (s.genericGetMin, s.genericGetMax) match {
+        case (lo: Number, hi: Number) =>
+          (lo.longValue(), hi.longValue())
+        case (other, _) => sys.error(
+          s"rowGroupRanges reads integer-typed column stats only; " +
+            s"$c has ${other.getClass.getSimpleName} stats " +
+            "(use rowGroupStringRanges for string/binary columns)")
+      }
+    }
+
+  /** [[rowGroupRanges]] for string-typed columns: per-row-group
+    * [min, max] as UTF-8 strings. An equality predicate `k = v` reads
+    * exactly the row groups whose [min, max] contains v — the pruning a
+    * hash-dimension z-order key buys (same-value rows cluster, so most
+    * groups carry min = max ≠ v and skip). */
+  def rowGroupStringRanges(spark: SparkSession, path: String,
+      cols: Seq[String]): Seq[Map[String, (String, String)]] =
+    footerStats(spark, path, cols) { (c, s) =>
+      (s.genericGetMin, s.genericGetMax) match {
+        case (lo: org.apache.parquet.io.api.Binary,
+              hi: org.apache.parquet.io.api.Binary) =>
+          (lo.toStringUsingUTF8, hi.toStringUsingUTF8)
+        case (other, _) => sys.error(
+          s"rowGroupStringRanges reads binary column stats only; " +
+            s"$c has ${other.getClass.getSimpleName} stats")
+      }
+    }
+
+  /** Shared footer walk: per row group under `path`, extract a statistic
+    * per requested column. Footer-only reads (no row data). */
+  private def footerStats[T](spark: SparkSession, path: String,
+      cols: Seq[String])(
+      read: (String, org.apache.parquet.column.statistics.Statistics[_]) => T)
+      : Seq[Map[String, T]] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -121,14 +156,7 @@ object Zorder {
               .getOrElse(sys.error(s"column $c not in footer of ${st.getPath}"))
             val s = cc.getStatistics
             require(s != null && s.hasNonNullValue, s"no stats for $c")
-            (s.genericGetMin, s.genericGetMax) match {
-              case (lo: Number, hi: Number) =>
-                c -> (lo.longValue(), hi.longValue())
-              case (other, _) => sys.error(
-                s"rowGroupRanges reads integer-typed column stats only; " +
-                  s"$c has ${other.getClass.getSimpleName} stats " +
-                  "(string/binary min/max are not range-prunable here)")
-            }
+            c -> read(c, s)
           }.toMap
         }
         finally reader.close()

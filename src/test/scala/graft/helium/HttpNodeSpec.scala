@@ -28,6 +28,15 @@ class MockNodeHttpServer(backend: NodeClient) {
     failMethod.set(method)
     failRemaining.set(n)
   }
+  /** Arms `n` consecutive HTTP-level failures with the given status on
+    * EVERY request — models a misconfigured endpoint (404/401) or a
+    * rate-limiting proxy (429/503) in front of the node. */
+  private val httpStatus = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val httpStatusRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  def armHttpStatus(status: Int, n: Int): Unit = {
+    httpStatus.set(status)
+    httpStatusRemaining.set(n)
+  }
   /** Requests served per method — lets a test PROVE a retry happened. */
   val served = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -39,6 +48,13 @@ class MockNodeHttpServer(backend: NodeClient) {
       val method = Option(req.get("method")).map(_.asText()).getOrElse("")
       val params = req.get("params")
       served.merge(method, 1, (a, b) => a + b)
+      if (httpStatusRemaining.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
+        val err = s"""{"error":"armed HTTP failure"}""".getBytes(UTF_8)
+        ex.sendResponseHeaders(httpStatus.get(), err.length)
+        ex.getResponseBody.write(err)
+        ex.close()
+        return
+      }
       val body = if (method == failMethod.get() &&
           failRemaining.getAndUpdate(n => math.max(n - 1, 0)) > 0)
         // a server-side failure that is NOT "no such entity" — the
@@ -190,6 +206,38 @@ class HttpNodeSpec extends SparkSuite {
         .format(classOf[graft.helium.source.BlockSourceProvider].getName)
         .option("node", srv.endpoint)
         .load().count() == 6)
+    } finally srv.stop()
+  }
+
+  test("a deterministic HTTP 4xx fails FAST (one request, no backoff); " +
+    "429 and 503 retry like transients") {
+    val dir = copiedFixture()
+    val fix = new FixtureNode(dir)
+    val srv = new MockNodeHttpServer(fix)
+    try {
+      val http = new HttpNode(srv.endpoint, maxAttempts = 3)
+      def servedHeight = srv.served.getOrDefault("block_height", 0).intValue()
+      // 404: wrong URL/service — retrying cannot fix it, and the lenient
+      // per-height scan would pay (attempts-1) requests + backoff sleeps
+      // per block against a permanently-broken endpoint
+      srv.armHttpStatus(404, 1000)
+      val b404 = servedHeight
+      intercept[java.io.IOException] { http.height() }
+      assert(servedHeight - b404 == 1,
+        s"404 must fail on the FIRST attempt; saw ${servedHeight - b404}")
+      // 429 (rate limit): transient server condition — retried, and the
+      // call SUCCEEDS once the limiter clears
+      srv.armHttpStatus(429, 2)
+      val b429 = servedHeight
+      assert(http.height() > 0)
+      assert(servedHeight - b429 == 3,
+        s"expected 2 rate-limited attempts + 1 success; saw ${servedHeight - b429}")
+      // 503 from a proxy: transient, same contract
+      srv.armHttpStatus(503, 1)
+      val b503 = servedHeight
+      assert(http.height() > 0)
+      assert(servedHeight - b503 == 2,
+        s"expected 1 failed + 1 successful attempt; saw ${servedHeight - b503}")
     } finally srv.stop()
   }
 
