@@ -987,6 +987,96 @@ object TextDedupOps {
         expr("(1000L * sum_novel) DIV sum_bigrams"))
   }
 
+  /** Span-level cross-corpus dedup — the C4 "remove any repeated
+    * three-sentence span" / CCNet paragraph rule, re-expressed over this
+    * corpus's punctuation-free text as fixed [[ChunkW]]-token chunks:
+    * every chunk keeps only its FIRST corpus occurrence (ordered by
+    * (doc_id, chunk index)); later occurrences — anywhere, including
+    * later in the same document — are cut, and each document is
+    * reassembled from its surviving chunks in order. Output per doc:
+    * chunk totals, survivors, and the md5 of the reassembled text (the
+    * cleaned corpus itself at pipeline scale; the digest keeps the
+    * gated result narrow while still pinning every byte).
+    *
+    * Scale shape: the first-occurrence winner is a min() of a packed
+    * (doc_id, idx) key grouped by chunk CONTENT — a map-side-combinable
+    * aggregate, deliberately NOT a row_number window: a boilerplate
+    * chunk repeated 10^7 times across a crawl puts all its copies in
+    * one window partition (one reducer), while partial aggregation
+    * collapses them to one row per executor before the shuffle. The
+    * join back to chunk rows is skew-safe the same way (the winner side
+    * is one row per distinct chunk; AQE splits any hot probe
+    * partition). Packing bound: idx < 10^9 tokens/ChunkW per doc —
+    * larger single documents than any crawl shard produces. */
+  private val ChunkW = 8
+
+  private def d21(s: SparkSession, d: String): DataFrame = {
+    val pk = col("doc_id") * lit(1000000000L) + col("idx")
+    val chunks = docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(0, (n_words - 1) DIV $ChunkW),
+             |  i -> array_join(slice(toks, i * $ChunkW + 1, $ChunkW), ' '))"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as(Seq("idx", "chunk")))
+    val first = chunks
+      .groupBy(col("chunk"))
+      .agg(min(pk).as("first_pk"))
+    chunks
+      .join(first, Seq("chunk"))
+      .withColumn("keep", pk === col("first_pk"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls the when() leaves for cut
+        // chunks; the struct sort restores document order
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("chunk"))))),
+          x => x.getField("chunk")), " ")).as("clean_md5"))
+  }
+
+  /** Bigram-LM perplexity proxy — the CCNet/KenLM quality-filter shape
+    * with integer-exact arithmetic instead of float log-probs: train an
+    * MLE bigram model on the corpus itself (c(w1 w2) transition counts;
+    * prefix totals c(w1 ·) derived from them), then score every
+    * document by its mean INVERSE transition probability in per-mille —
+    * `1000 · c(w1·) / c(w1w2)` per transition, averaged per doc.
+    * Monotone in (and rank-equivalent to) add-0 perplexity, but every
+    * value is an integer ratio both engines compute identically — no
+    * transcendental log to flake a hash on. High score = improbable
+    * transitions = the doc KenLM-style filters would cut.
+    *
+    * Scale shape: the model is vocabulary-bounded (≪ corpus): one
+    * corpus pass builds the bigram counts (map-side combine), prefix
+    * totals are a vocab-sized rollup OF that table (no second corpus
+    * pass). Scoring joins corpus transitions to the model on the bigram
+    * key — AQE broadcasts the model when it fits, hash-join otherwise;
+    * either way nothing here is ever corpus × corpus. The model
+    * includes each scored doc's own transitions, so c ≥ 1 everywhere —
+    * no smoothing constant to tune and no division by zero. */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val trans = docsWithTokens(s, d)
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"""
+          .stripMargin.replaceAll("\n", " "))).as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val bgc = trans.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val unc = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+    trans
+      .join(bgc, Seq("w1", "w2"))
+      .join(unc, Seq("w1"))
+      .withColumn("inv_pm", expr("(1000L * c_w1) DIV c_bg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("inv_pm")).as("sum_inv_pm"))
+      .withColumn("score_pm", expr("sum_inv_pm DIV n_trans"))
+  }
+
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
     * of the single most common 2-gram — the two signals that catch
@@ -1135,6 +1225,8 @@ object TextDedupOps {
     "t16_bpe_compression" -> t16 _,
     "t17_freq_spectrum" -> t17 _,
     "t18_novel_bigrams" -> t18 _,
+    "t19_bigram_lm_score" -> t19 _,
+    "d21_span_dedup" -> d21 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1396,6 +1488,52 @@ object TextDedupOps {
          |    AS novelty_pm
          |FROM bg JOIN dfc USING (bigram)
          |GROUP BY source""".stripMargin,
+    // SQL twin of d21: same chunking (1-based inclusive list slice =
+    // Spark's slice(toks, i*W+1, W)), same packed first-occurrence key,
+    // string_agg ORDER BY idx restores document order; the CASE leaves
+    // NULL for cut chunks and string_agg skips NULLs exactly as
+    // collect_list does — COALESCE('') makes the fully-cut doc digest
+    // md5('') on both engines.
+    "d21_span_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, source, idx,
+         |    array_to_string(toks[idx * $ChunkW + 1 : idx * $ChunkW + $ChunkW],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, source, toks,
+         |          UNNEST(range((len(toks) - 1) // $ChunkW + 1)) AS idx
+         |        FROM tok WHERE len(toks) > 0)),
+         |first AS (
+         |  SELECT chunk, MIN(doc_id * 1000000000 + idx) AS first_pk
+         |  FROM chunks GROUP BY 1)
+         |SELECT c.doc_id, c.source,
+         |  COUNT(*)::BIGINT AS n_chunks,
+         |  SUM(CASE WHEN c.doc_id * 1000000000 + c.idx = f.first_pk
+         |           THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  md5(COALESCE(string_agg(
+         |    CASE WHEN c.doc_id * 1000000000 + c.idx = f.first_pk
+         |         THEN c.chunk END, ' ' ORDER BY c.idx), '')) AS clean_md5
+         |FROM chunks c JOIN first f USING (chunk)
+         |GROUP BY 1, 2""".stripMargin,
+    // SQL twin of t19: range(1, len) over 1-based lists = Spark's
+    // sequence(0, size-2) over 0-based; prefix totals derived from the
+    // bigram table, not a second corpus pass, same as the Spark side.
+    "t19_bigram_lm_score" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |trans AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+         |        FROM tok WHERE len(toks) >= 2)),
+         |bgc AS (
+         |  SELECT w1, w2, COUNT(*)::BIGINT AS c_bg FROM trans GROUP BY 1, 2),
+         |unc AS (SELECT w1, SUM(c_bg)::BIGINT AS c_w1 FROM bgc GROUP BY 1)
+         |SELECT t.doc_id, COUNT(*)::BIGINT AS n_trans,
+         |  SUM((1000 * c_w1) // c_bg)::BIGINT AS sum_inv_pm,
+         |  (SUM((1000 * c_w1) // c_bg) // COUNT(*))::BIGINT AS score_pm
+         |FROM trans t JOIN bgc USING (w1, w2) JOIN unc USING (w1)
+         |GROUP BY 1""".stripMargin,
     "t03_langid_confusion" ->
       s"""SELECT lang,
          |  CASE WHEN len($toksSql) > 0

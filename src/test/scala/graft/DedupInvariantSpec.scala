@@ -136,6 +136,91 @@ class DedupInvariantSpec extends SparkSuite {
     }
   }
 
+  /** Tiny handcrafted corpus for the span-dedup / LM-score clean-room
+    * checks — every expected value below is computable by hand. */
+  private lazy val handDir: String = {
+    val c = (n: Int) => (0 until 8).map(i => s"w${n}_$i").mkString(" ")
+    val docs = Seq(
+      c(0) + " " + c(1),  // doc 0: two fresh chunks
+      c(0) + " " + c(2),  // doc 1: chunk c0 already seen in doc 0
+      c(3) + " " + c(3),  // doc 2: repeats its OWN first chunk
+      "a b a b",          // doc 3 (short: one partial chunk)
+      "a b c",            // doc 4
+      "c c")              // doc 5
+    val dir = Files.createTempDirectory("hand").toString
+    docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d21 span dedup: first occurrence survives, later aligned chunks " +
+    "(cross-doc AND within-doc) are cut, reassembly digest matches") {
+    val md5 = (s: String) => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val c = (n: Int) => (0 until 8).map(i => s"w${n}_$i").mkString(" ")
+    val rows = SparkEntry.queries("d21_span_dedup")(spark, handDir)
+      .select("doc_id", "n_chunks", "n_kept", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(0L) == ((2L, 2L, md5(c(0) + " " + c(1)))))
+    // doc 1's first chunk is doc 0's first chunk — cut, c2 survives
+    assert(rows(1L) == ((2L, 1L, md5(c(2)))))
+    // doc 2 repeats its own chunk: within-doc cut, one survivor
+    assert(rows(2L) == ((2L, 1L, md5(c(3)))))
+    // short docs: one partial chunk each, all distinct, all kept
+    assert(rows(3L) == ((1L, 1L, md5("a b a b"))))
+    assert(rows(5L) == ((1L, 1L, md5("c c"))))
+  }
+
+  test("d21 on the planted corpus: exact-duplicate docs lose every chunk") {
+    val rows = SparkEntry.queries("d21_span_dedup")(spark, corpusDir)
+      .select("doc_id", "n_chunks", "n_kept", "clean_md5")
+      .as[(Long, Long, Long, String)].collect()
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+    // docs 75..79 are byte-exact copies of docs 0..4: every aligned
+    // chunk was already seen at the smaller doc_id
+    rows.filter(r => r._1 >= 75L).foreach { case (id, n, kept, m) =>
+      assert(n > 0 && kept == 0L && m == emptyMd5,
+        s"exact-dup doc $id kept $kept of $n chunks")
+    }
+    // base docs (0..59) precede their copies, and a FULL 8-token chunk
+    // from a 20-word vocabulary collides with ~0 probability — but the
+    // trailing PARTIAL chunk can be as short as one token and those DO
+    // collide across bases (legitimately: short trailing spans dedup
+    // like any other). So bases keep every full chunk.
+    rows.filter(r => r._1 < 60L).foreach { case (id, n, kept, _) =>
+      assert(kept >= n - 1, s"base doc $id lost a full chunk ($kept/$n)")
+    }
+  }
+
+  test("t19 bigram LM score: hand-computed MLE inverse-probability values") {
+    val rows = SparkEntry.queries("t19_bigram_lm_score")(spark, handDir)
+      .select("doc_id", "n_trans", "sum_inv_pm", "score_pm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 3/4/5 share the a/b/c vocabulary: bgc = {(a,b)->3, (b,a)->1,
+    // (b,c)->1, (c,c)->1}, prefixes c(a·)=3, c(b·)=2, c(c·)=1, so
+    // inv_pm(a,b)=1000, (b,a)=2000, (b,c)=2000, (c,c)=1000
+    assert(rows(3L) == ((3L, 4000L, 1333L))) // a b a b
+    assert(rows(4L) == ((2L, 3000L, 1500L))) // a b c
+    assert(rows(5L) == ((1L, 1000L, 1000L))) // c c
+  }
+
+  test("t19 on the planted corpus: exact duplicates score identically, " +
+    "and every score is a valid inverse probability (>= 1000)") {
+    val rows = SparkEntry.queries("t19_bigram_lm_score")(spark, corpusDir)
+      .select("doc_id", "n_trans", "sum_inv_pm", "score_pm")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    (0 until 5).foreach { i =>
+      assert(rows(i.toLong) == rows(75L + i),
+        s"exact dup ${75 + i} scores differently from base $i")
+    }
+    rows.values.foreach { case (_, _, score) => assert(score >= 1000L) }
+  }
+
   test("winnowing containment also surfaces the planted near-dups") {
     val winnow = SparkEntry.queries("t06_winnowing_overlap")(spark, corpusDir)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
