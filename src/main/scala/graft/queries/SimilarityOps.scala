@@ -696,6 +696,47 @@ object SimilarityOps {
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
 
+  /** SemDeDup-style semantic dedup (cluster-then-prune): assign every
+    * embedding to its nearest coarse centroid (the [[ivfCentroids]]
+    * quantizer — the refined s16 mode composes in behind the same
+    * conf), then search for cosine-near pairs WITHIN each cluster only;
+    * a vector is dropped iff a smaller-id near neighbour (cos ≥ 0.45,
+    * the s04 threshold) shares its cluster — the deterministic analog
+    * of keep-one-per-ε-ball. Output: every vector with its cluster and
+    * keep flag, so the full dedup decision (not just survivors) is
+    * oracle-pinned.
+    *
+    * This is the THIRD pruning geometry for the same near-dup relation:
+    * s04 is the corpus-wide O(n²) audit, s11 prunes by LSH bands, s18
+    * prunes by the cluster structure the IVF index build already
+    * computes — within-cluster pairs cost O(Σ n_c²) ≪ n² for balanced
+    * clusters, the pair join is keyed on c_id (each cluster an
+    * independent shuffle partition; AQE splits a mega-cluster), and
+    * like s11 it trades recall (cross-cluster pairs are unseen), which
+    * is exactly the SemDeDup bargain. Spec pins both directions of the
+    * decision against s04's truth restricted to same-cluster pairs. */
+  private def s18(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val assigned = assignToCentroids(ivfCentroids(emb),
+      emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id", top = 1)
+      .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
+    val dropped = assigned
+      .select(col("c_id"), col("vec_id").as("a_id"), col("qv").as("a_qv"),
+        col("n2").as("a_n2"))
+      .join(assigned.select(col("c_id"), col("vec_id").as("b_id"),
+        col("qv").as("b_qv"), col("n2").as("b_n2")), Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("a_qv"), col("b_qv")), col("a_n2"), col("b_n2")))
+      .filter(col("cos") >= 0.45)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("is_dropped", lit(1L))
+    assigned.select(col("c_id"), col("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("c_id"),
+        when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("keep"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -714,6 +755,7 @@ object SimilarityOps {
     "s15_sampled_recall" -> s15 _,
     "s16_kmeans_iterations" -> s16 _,
     "s17_ivf_pq_rerank" -> s17 _,
+    "s18_semantic_cluster_dedup" -> s18 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1164,5 +1206,29 @@ object SimilarityOps {
          |       THEN 1 ELSE 0 END)::BIGINT AS n_after
          |FROM embeddings emb LEFT JOIN comp c ON c.vec_id = emb.vec_id
          |GROUP BY emb.label""".stripMargin,
+    // SQL twin of s18: same cents CTE as s05/s17 (conf-sensitive —
+    // refined mode verifies end-to-end), same top-1 argmax tiebreak
+    // (cos DESC, c_id ASC), same within-cluster smaller-id drop rule.
+    "s18_semantic_cluster_dedup" ->
+      s"""WITH $embCte,
+         |$centsCteSql,
+         |assigned AS (
+         |  SELECT vec_id, c_id, qv, n2 FROM (
+         |    SELECT v.vec_id, c.c_id, v.qv, v.n2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c)
+         |  WHERE crk = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+         |  WHERE CAST(${dot("a.qv", "b.qv")} AS DOUBLE)
+         |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) >= 0.45)
+         |SELECT a.vec_id, a.c_id,
+         |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
+         |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin,
   )
 }

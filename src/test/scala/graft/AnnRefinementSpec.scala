@@ -60,6 +60,42 @@ class AnnRefinementSpec extends SparkSuite {
     } finally spark.conf.unset(Flag)
   }
 
+  test("s18 cluster dedup: the keep flag is EXACTLY the same-cluster " +
+    "smaller-id near-neighbour rule against s04's truth") {
+    val out = SparkEntry.queries("s18_semantic_cluster_dedup")(spark, sf)
+      .select(col("vec_id"), col("c_id"), col("keep"))
+      .as[(Long, Long, Long)].collect()
+    // one decision per embedding, binary
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    assert(out.forall(r => r._3 == 0L || r._3 == 1L))
+    val cluster = out.map(r => r._1 -> r._2).toMap
+    // truth: the corpus-wide exact pairs, restricted to co-clustered
+    val s04 = SparkEntry.queries("s04_embedding_neardup")(spark, sf)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val mustDrop = s04.filter { case (a, b) => cluster(a) == cluster(b) }
+      .map(_._2).toSet
+    out.foreach { case (id, _, keep) =>
+      assert((keep == 0L) == mustDrop.contains(id),
+        s"vec $id: keep=$keep but same-cluster smaller-id " +
+          s"neighbour=${mustDrop.contains(id)}")
+    }
+    // the bargain is real on this data: some pair must be co-clustered
+    assert(mustDrop.nonEmpty, "vacuous: no s04 pair was co-clustered")
+  }
+
+  test("s18 reads the shared quantizer: refinedCentroids moves its " +
+    "cluster assignment") {
+    def assignment(): Map[Long, Long] =
+      SparkEntry.queries("s18_semantic_cluster_dedup")(spark, sf)
+        .select(col("vec_id"), col("c_id"))
+        .as[(Long, Long)].collect().toMap
+    val seed = assignment()
+    spark.conf.set(Flag, "true")
+    val refined = try assignment() finally spark.conf.unset(Flag)
+    assert(refined != seed,
+      "s18 ignored refinedCentroids — not reading ivfCentroids")
+  }
+
   test("lloydChain lineage truncation keeps the s16 plan flat in rounds") {
     // the final plan must not nest one crossJoin per Lloyd round: the
     // centroid side is a truncated leaf, so exactly ONE join with the
