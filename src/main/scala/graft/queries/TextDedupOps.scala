@@ -1065,8 +1065,13 @@ object TextDedupOps {
           |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"""
           .stripMargin.replaceAll("\n", " "))).as("t"))
       .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    // the model table is persisted: it feeds BOTH the scoring join and
+    // the prefix rollup, and without materialization the rollup branch
+    // re-runs the corpus pass that built it (vocab-bounded ≪ corpus, so
+    // this is the cheap side to cache — the d05/t06 discipline)
     val bgc = trans.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
+      .persist()
     val unc = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
     trans
       .join(bgc, Seq("w1", "w2"))

@@ -289,4 +289,43 @@ class PlanAuditSpec extends SparkSuite {
       s"s16 lost its centroid broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d21 span dedup: winner selection is a combinable aggregate, " +
+    "NOT a per-chunk window") {
+    val p = plan("d21_span_dedup")
+    // the design point: a row_number window partitioned by chunk puts
+    // every copy of a mega-repeated boilerplate chunk on one reducer;
+    // the min(packed-key) agg collapses copies map-side. The only
+    // Window anywhere in this plan would be that regression.
+    assert(!p.contains("Window"), s"d21 regressed to a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d21 has a non-equi join:\n$p")
+  }
+
+  test("t19 LM scoring: model joins are equi-joins, one corpus pass") {
+    val p = plan("t19_bigram_lm_score")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"t19 has a non-equi join:\n$p")
+    // the model table is materialized once and BOTH its consumers (the
+    // scoring join and the prefix rollup) read the cache — without it
+    // the rollup branch re-runs the corpus pass that built the model
+    // (the plan string reprints the cached child per consumer, so count
+    // cache reads, not FileScan occurrences)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"t19's model consumers don't share one materialization:\n$p")
+  }
+
+  test("s18 cluster dedup: quantizer broadcasts, pair join keys on the " +
+    "cluster — no corpus cartesian") {
+    val p = plan("s18_semantic_cluster_dedup")
+    // centroid assignment rides the s06/s13 broadcast contract; the
+    // within-cluster pair join is an equi-join on c_id (each cluster an
+    // independent partition) — a CartesianProduct would mean the
+    // cluster key was lost and the pair search went corpus-wide
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"s18 lost its centroid broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
