@@ -305,6 +305,43 @@ object Media {
     }
   }
 
+  /** Per-frame perceptual fingerprint — narrow, shuffle-safe. */
+  case class FrameHash(media_id: Long, frame_idx: Int, fhash: Long)
+
+  /** Every `stride`-th frame of each video REALLY decoded and
+    * average-hashed ([[aHash60]]) through the ImageIO GIF reader — the
+    * per-frame analogue of [[perceptualHashes]], feeding video-level
+    * copy detection (m09): a re-encoded or re-contained copy of a clip
+    * carries position-aligned frames with (near-)identical pixels, which
+    * byte checksums can never see. GIF payloads demux directly; anything
+    * else byte-wraps into a real animated GIF ([[gifFromBytes]]) and
+    * runs the SAME codec path, so the wrapped arm's hashes stay a pure
+    * function of the payload bytes (frame f, pixel p reads byte
+    * (f·64+p) mod n; at 8×8 the box means are the pixels themselves and
+    * r=g=b makes luminance = the byte — oracle-expressible). Only
+    * (id, idx, 8-byte hash) rows leave the scan. */
+  def frameHashes(media: Dataset[MediaRecord], stride: Int = 4)
+      : Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would happen here (demuxer/decoder contexts)
+      it.filter(_.kind == "video").flatMap { r =>
+        val n = r.payload.length.toLong
+        def hashes(gif: Array[Byte]): Option[Seq[(Int, Long)]] =
+          withGifReader(gif) { rd =>
+            val nf = rd.getNumImages(true)
+            (0 until nf by stride).map(i => (i, aHash60(rd.read(i))))
+          }
+        val frames =
+          (if (looksLikeGif(r.payload)) hashes(r.payload) else None)
+            .orElse(hashes(gifFromBytes(r.payload, (n % 24 + 1).toInt)))
+            .getOrElse(sys.error("self-encoded GIF failed to decode"))
+        frames.iterator.map { case (i, h) => FrameHash(r.media_id, i, h) }
+      }
+    }
+  }
+
   /** 8×8 24-bit uncompressed BMP wrapping `bytes` as pixel data: pixel
     * p = y*8+x (top-left origin) gets (r,g,b) = bytes (3p, 3p+1, 3p+2)
     * cycled mod length (0 on empty). The container is a REAL decodable

@@ -130,6 +130,64 @@ object MultimodalOps {
     hammingPairs60(ph)
   }
 
+  /** Video copy detection — m07's perceptual move lifted to clips: every
+    * 4th frame of each video REALLY decoded and average-hashed
+    * ([[Media.frameHashes]] — the m02 demux path feeding the m07 hash),
+    * then video pairs where a MAJORITY of common sampled positions match
+    * within hamming ≤ 4 (position-aligned, the re-encode/re-container
+    * detection shape: a transcoded copy carries the same frames at the
+    * same indices). Candidates come from the d07 pigeonhole banding per
+    * (frame position, band) — exact for the per-frame threshold, so a
+    * majority pair (n_match ≥ 1) is ALWAYS banded; the verify join then
+    * scores every common position. Output: (a_id, b_id, n_common,
+    * n_match).
+    *
+    * Scale shape: the band join carries (idx, band, nib, id) only; the
+    * verify join touches candidate pairs × their sampled frames (8-byte
+    * hashes) — candidates ≪ n² exactly as d03/s11/m07. Payloads never
+    * leave the decode partition.
+    * ORACLE CONTRACT: document payloads are text bytes — none are GIFs,
+    * so every row takes the byte-wrapped arm (frame f pixel p = byte
+    * (f·64+p) mod n; luminance = the byte) and the SQL recomputes every
+    * frame hash from the bytes; the direct-GIF arm (re-encode
+    * invariance, real demux) is spec-covered with constructed
+    * animated-GIF fixtures (MediaSpec). */
+  private def m09(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    frameNearDupPairs(Media.frameHashes(media, stride = 4).toDF())
+  }
+
+  /** Majority-of-common-frames video pairing over a (media_id,
+    * frame_idx, fhash) table — factored out of [[m09]] so specs can
+    * drive it with real-codec fixture hashes. */
+  private[graft] def frameNearDupPairs(fh: DataFrame): DataFrame = {
+    val banded = fh.select(col("media_id"), col("frame_idx"),
+      explode(array((0 until 5).map(b =>
+        struct(lit(b).as("band"),
+          shiftRight(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
+        .as("bk"))
+      .select(col("media_id"), col("frame_idx"), col("bk.band"), col("bk.nib"))
+    val cand = banded
+      .select(col("media_id").as("a_id"), col("frame_idx"), col("band"),
+        col("nib"))
+      .join(banded.select(col("media_id").as("b_id"), col("frame_idx"),
+        col("band"), col("nib")), Seq("frame_idx", "band", "nib"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    cand
+      .join(fh.select(col("media_id").as("a_id"), col("frame_idx"),
+        col("fhash").as("a_h")), Seq("a_id"))
+      .join(fh.select(col("media_id").as("b_id"), col("frame_idx"),
+        col("fhash").as("b_h")), Seq("b_id", "frame_idx"))
+      .withColumn("m",
+        when(bit_count(col("a_h").bitwiseXOR(col("b_h"))) <= 4, 1L)
+          .otherwise(0L))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"), sum(col("m")).as("n_match"))
+      .filter(col("n_match") * 2 >= col("n_common"))
+  }
+
   /** Frame-sampling rollup: every 4th frame of each video payload REALLY
     * decoded (ImageIO GIF reader — frame seek + per-frame luminance
     * energy; non-GIF payloads byte-wrap into a real animated GIF first,
@@ -214,6 +272,7 @@ object MultimodalOps {
     "m06_media_dedup" -> m06 _,
     "m07_perceptual_neardup" -> m07 _,
     "m08_audio_neardup" -> m08 _,
+    "m09_video_neardup" -> m09 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -321,6 +380,39 @@ object MultimodalOps {
         |  bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
         |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.phash, b.phash)) <= 4""".stripMargin,
+    // byte-wrapped-GIF frame hashes recomputed straight from the text
+    // bytes (the m02 pixel contract + the m07 hash contract): frame f
+    // pixel p = byte (f*64+p) mod n, luminance = the byte (r=g=b), mean
+    // threshold, bits 0..59; sampled positions 0,4,… of (n%24)+1 frames.
+    // The all-pairs form is oracle-side only — Spark prunes via per-
+    // position banding, exact for the majority rule (n_match >= 1).
+    "m09_video_neardup" ->
+      """WITH px AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |    list_transform(range(0, 64), p ->
+        |      ('0x' || substr(hx, 2 * ((f * 64 + p) % n) + 1, 2))::BIGINT)
+        |      AS gray
+        |  FROM (SELECT doc_id, hx, n,
+        |          UNNEST(range(0, n % 24 + 1, 4)) AS f FROM px)),
+        |ph AS (
+        |  SELECT doc_id, f,
+        |    list_sum(list_transform(range(0, 60), p ->
+        |      CASE WHEN gray[(p+1)::INT] > (list_sum(gray) // 64)
+        |           THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END))::BIGINT
+        |      AS fhash
+        |  FROM fr)
+        |SELECT a_id, b_id, n_common, n_match FROM (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    COUNT(*)::BIGINT AS n_common,
+        |    SUM(CASE WHEN bit_count(xor(a.fhash, b.fhash)) <= 4
+        |        THEN 1 ELSE 0 END)::BIGINT AS n_match
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND a.f = b.f
+        |  GROUP BY 1, 2)
+        |WHERE n_match * 2 >= n_common""".stripMargin,
     "m04_crossmodal_join" ->
       s"""WITH feats AS (
          |  SELECT doc_id AS media_id,

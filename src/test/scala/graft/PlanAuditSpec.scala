@@ -265,6 +265,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(serialized.nonEmpty && !serialized.contains("payload"), p)
   }
 
+  test("m09 video near-dup: per-position band join, payload never shuffles") {
+    val p = plan("m09_video_neardup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"m09 degenerated to all-pairs:\n$p")
+    val serialized = p.linesIterator
+      .find(_.contains("SerializeFromObject")).getOrElse("")
+    assert(serialized.nonEmpty && !serialized.contains("payload"), p)
+  }
+
   test("s13 k-means step: seed codebook broadcasts, assignment never cartesians") {
     val p = plan("s13_kmeans_step")
     // same contract as s06: the 16-row centroid side rides a broadcast

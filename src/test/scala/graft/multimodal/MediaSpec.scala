@@ -339,6 +339,76 @@ class MediaSpec extends SparkSuite {
       "palette re-encode of identical pixels changed the decoded features")
   }
 
+  test("frameHashes: wrapped arm equals the m09 oracle's byte formula") {
+    val bytes = (0 until 97).map(i => ((i * 53 + 7) % 256).toByte).toArray
+    // not a GIF → wrapped arm: (97 % 24) + 1 = 2 frames, stride 4 → [0]
+    val got = frameHashes(
+      Seq(MediaRecord(5L, "video", bytes, "crawl")).toDS(), stride = 4)
+      .collect().map(x => (x.media_id, x.frame_idx, x.fhash)).toSeq
+    def b(i: Int): Int = bytes(i % bytes.length) & 0xFF
+    val grays = (0 until 64).map(p => b(p).toLong)
+    val mean = grays.sum / 64
+    val want = (0 until 60).foldLeft(0L)((acc, p) =>
+      if (grays(p) > mean) acc | (1L << p) else acc)
+    assert(got == Seq((5L, 0, want)))
+  }
+
+  /** Re-encode `base`'s frames under an INVERTED palette — different
+    * container bytes, identical decoded pixels (the palette-invariance
+    * fixture generalized to n frames). */
+  private def invertedGif(base: Array[Byte], nFrames: Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(j => (255 - j).toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      def b(i: Int): Int = base(i % base.length) & 0xFF
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+        (0 until 64).foreach(p =>
+          img.getRaster.setSample(p % 8, p / 8, 0, 255 - b(f * 64 + p)))
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  test("m09 pairing over REAL demuxed clips: a palette re-encode matches " +
+    "at every position; the majority rule gates partial corruption") {
+    val base = (0 until 576).map(i => ((i * 31 + 17) % 256).toByte).toArray
+    def corrupt(frames: Seq[Int]): Array[Byte] = {
+      val arr = base.clone()
+      frames.foreach(f => (0 until 64).foreach(p =>
+        arr(f * 64 + p) = (~arr(f * 64 + p)).toByte))
+      arr
+    }
+    // 9 frames, stride 4 → sampled positions 0, 4, 8 (three per clip)
+    val recs = Seq(
+      MediaRecord(1L, "video", gifFromBytes(base, 9), "crawl"),
+      // same pixels, different container bytes — the transcode case
+      MediaRecord(2L, "video", invertedGif(base, 9), "crawl"),
+      // one of three sampled frames complemented: 2/3 majority holds
+      MediaRecord(3L, "video", gifFromBytes(corrupt(Seq(8)), 9), "crawl"),
+      // two of three complemented: 1/3 — below majority
+      MediaRecord(4L, "video", gifFromBytes(corrupt(Seq(4, 8)), 9), "crawl"))
+    val pairs = graft.queries.MultimodalOps.frameNearDupPairs(
+      frameHashes(recs.toDS(), stride = 4).toDF())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(pairs((1L, 2L)) == ((3L, 3L)),
+      s"transcoded copy should match every sampled position: $pairs")
+    assert(pairs((1L, 3L)) == ((3L, 2L)),
+      s"single corrupted frame should keep the 2/3 majority: $pairs")
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)),
+      s"minority match must not pair: $pairs")
+  }
+
   test("a torn GIF degrades to the wrapped fallback, never an exception") {
     val torn = gifFromBytes(Array[Byte](1, 2, 3), 4).take(10) // header only
     val fr = sampleFrames(
