@@ -247,6 +247,68 @@ object IncrementalDedup {
       }
   }
 
+  case class SpanChunk(chunk: String, doc_id: Long, idx: Int)
+  case class SpanVerdict(doc_id: Long, idx: Int, keep: Boolean,
+      firstDoc: Long)
+
+  /** Per-batch span chunking — the same fixed-width extraction as batch
+    * d21 (one formula, so batch and stream decisions agree): documents
+    * split into consecutive `width`-token chunks, one row per chunk with
+    * its in-doc position. */
+  def chunkSpans(docs: Dataset[Doc], width: Int = 8): Dataset[SpanChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) DIV $width),
+             |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as(Seq("idx", "chunk")))
+      .select(col("chunk"), col("doc_id"), col("idx").cast("int").as("idx"))
+      .as[SpanChunk]
+  }
+
+  /** Streaming span-level dedup — batch d21's C4 rule AT INGEST TIME:
+    * a span is kept iff its content was never admitted before; later
+    * occurrences (any document, any batch) are cut, each verdict naming
+    * the first owner. State is keyed by span CONTENT (collision-free —
+    * the key IS the span) and holds exactly the first (doc_id, idx) per
+    * admitted span: the registry a streaming crawl checks before
+    * storing text. Within a batch rows process in (doc_id, idx) order,
+    * so for an in-order stream the decisions equal batch d21's
+    * min-packed-key winner exactly (spec-asserted agreement). A
+    * mega-repeated boilerplate span costs one state entry and O(batch
+    * copies) work per batch — the skew lives in the per-batch group,
+    * never accumulates. An event-time TTL composes as [[detectWithTtl]]
+    * if the registry needs a finite horizon. */
+  def detectSpanDups(chunks: Dataset[SpanChunk]): Dataset[SpanVerdict] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .groupByKey(_.chunk)
+      .flatMapGroupsWithState[(Long, Int), SpanVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[SpanChunk],
+         state: GroupState[(Long, Int)]) =>
+          val out = scala.collection.mutable.ListBuffer.empty[SpanVerdict]
+          var first = state.getOption
+          rows.toSeq.sortBy(r => (r.doc_id, r.idx)).foreach { r =>
+            first match {
+              case None =>
+                first = Some((r.doc_id, r.idx))
+                out += SpanVerdict(r.doc_id, r.idx, keep = true, r.doc_id)
+              case Some((fd, _)) =>
+                out += SpanVerdict(r.doc_id, r.idx, keep = false, fd)
+            }
+          }
+          first.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against
     * any previously-admitted signature in the same bucket. Emits one
     * Verdict per detected duplicate (first sighting is admitted silently). */

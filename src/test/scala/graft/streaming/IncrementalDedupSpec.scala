@@ -55,6 +55,60 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming span dedup: re-used spans cut across micro-batches and " +
+    "stream verdicts equal batch d21's accounting on an in-order stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // 6 docs, 16 tokens each (two 8-token chunks); doc 3 re-uses doc 0's
+    // first chunk at an aligned position, doc 4 repeats its OWN chunk,
+    // doc 5 is doc 1 verbatim — the d21 fixture shapes
+    val c = (n: Int) => (0 until 8).map(i => s"v${n}_$i").mkString(" ")
+    val texts = Seq(
+      c(0) + " " + c(1), c(2) + " " + c(3), c(4) + " " + c(5),
+      c(0) + " " + c(6), c(7) + " " + c(7), c(2) + " " + c(3))
+    val input = MemoryStream[Doc]
+    val q = detectSpanDups(chunkSpans(input.toDS()))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("span_out").start()
+    try {
+      // in doc_id order, split across three micro-batches
+      input.addData(Doc(0, texts(0)), Doc(1, texts(1)))
+      q.processAllAvailable()
+      input.addData(Doc(2, texts(2)), Doc(3, texts(3)))
+      q.processAllAvailable()
+      input.addData(Doc(4, texts(4)), Doc(5, texts(5)))
+      q.processAllAvailable()
+      val verdicts = spark.table("span_out")
+        .select("doc_id", "idx", "keep", "firstDoc")
+        .as[(Long, Int, Boolean, Long)].collect()
+      // a later-batch re-encounter is cut and names the original owner
+      assert(verdicts.filter(v => v._1 == 3L).sortBy(_._2).toSeq ==
+        Seq((3L, 0, false, 0L), (3L, 1, true, 3L)))
+      // within-doc repeat: first position kept, second cut
+      assert(verdicts.filter(v => v._1 == 4L).sortBy(_._2).toSeq ==
+        Seq((4L, 0, true, 4L), (4L, 1, false, 4L)))
+      // verbatim copy loses everything
+      assert(verdicts.filter(v => v._1 == 5L).forall(!_._3))
+      // batch/stream agreement: per-doc kept counts equal batch d21 on
+      // the SAME corpus written as a documents table
+      val dir = java.nio.file.Files.createTempDirectory("spancorp").toString
+      texts.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val batch = graft.SparkEntry.queries("d21_span_dedup")(spark, dir)
+        .select("doc_id", "n_chunks", "n_kept")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val streamed = verdicts.groupBy(_._1).map { case (id, vs) =>
+        id -> ((vs.length.toLong, vs.count(_._3).toLong))
+      }
+      assert(streamed == batch,
+        s"stream accounting $streamed != batch d21 $batch")
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup: near-identical vector flagged across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dims = 64
