@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+
+/** Tokenize-at-ingest: apply a LEARNED BPE merge table to documents as
+  * they stream in — the serving half of tokenizer training (t15 /
+  * [[graft.operators.BpeTrainer]] learn the table; this ships it). The
+  * merge table is exactly what ships to workers in a production
+  * tokenizer: vocabulary-bounded, broadcast once, applied per row with
+  * no state and no shuffle, so the op composes with any streaming
+  * source as a pure map and scales with the input, not the vocabulary.
+  *
+  * Word extraction ([a-z]+ over lowercased text) and the greedy-leftmost
+  * sequential apply are the SAME formulas as the batch chain
+  * ([[graft.queries.TextDedupOps]]'s bpeWords regex and bpeChain fold),
+  * so stream token accounting equals batch t16's exactly
+  * (spec-asserted: Σ n_tokens over the stream = t16's tokens_after on
+  * the same corpus and merge table). Distinct words repeat heavily in
+  * any real corpus, so the apply is memoized per partition — the
+  * tokenizer cache every serving implementation keeps.
+  */
+object StreamTokenizer {
+
+  case class Doc(doc_id: Long, text: String)
+  case class Tokenized(doc_id: Long, n_words: Long, n_chars: Long,
+      n_tokens: Long)
+
+  /** One word through the learned merges, sequentially in learned order
+    * with the chain's greedy-leftmost scan per rule (append, or replace
+    * the just-appended lhs when the pair matches — a merged symbol
+    * lhs||rhs can never equal lhs, so one pass per rule suffices). This
+    * IS the definition the distributed chain and the trainer both
+    * implement, so all three produce identical sequences. */
+  private[graft] def tokenizeWord(word: String,
+      merges: IndexedSeq[(String, String)]): Array[String] = {
+    var seq: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (lhs, rhs) =>
+      if (seq.length >= 2 && seq.contains(lhs)) {
+        val out = collection.mutable.ArrayBuffer.empty[String]
+        seq.foreach { x =>
+          if (out.nonEmpty && out.last == lhs && x == rhs)
+            out(out.length - 1) = lhs + rhs
+          else out += x
+        }
+        seq = out.toArray
+      }
+    }
+    seq
+  }
+
+  /** Per-doc token accounting under the learned table: word count,
+    * character-token baseline, and post-merge token count — the stream
+    * analogue of t16's corpus rollup, per document at ingest. */
+  def tokenize(docs: Dataset[Doc],
+      merges: Seq[(String, String)]): Dataset[Tokenized] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(merges.toIndexedSeq)
+    docs.mapPartitions { it =>
+      // per-partition tokenizer cache: distinct words ≪ occurrences
+      val cache = collection.mutable.HashMap.empty[String, Int]
+      val re = java.util.regex.Pattern.compile("[a-z]+")
+      it.map { d =>
+        val m = re.matcher(d.text.toLowerCase(java.util.Locale.ROOT))
+        var nW = 0L; var nCh = 0L; var nTok = 0L
+        while (m.find()) {
+          val w = m.group()
+          nW += 1
+          nCh += w.length
+          nTok += cache.getOrElseUpdate(w, tokenizeWord(w, bc.value).length)
+        }
+        Tokenized(d.doc_id, nW, nCh, nTok)
+      }
+    }
+  }
+}

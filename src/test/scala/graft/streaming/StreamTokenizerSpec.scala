@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.helium.SparkSuite
+import StreamTokenizer._
+
+class StreamTokenizerSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokenizeWord: greedy-leftmost sequential apply, including the " +
+    "lhs=rhs contraction and rule composition") {
+    assert(tokenizeWord("abab", IndexedSeq(("a", "b"))).toSeq ==
+      Seq("ab", "ab"))
+    // lhs = rhs: floor(run/2) pairwise contraction, leftmost first
+    assert(tokenizeWord("aaa", IndexedSeq(("a", "a"))).toSeq ==
+      Seq("aa", "a"))
+    // a later rule consumes the product of an earlier one
+    assert(tokenizeWord("abc", IndexedSeq(("a", "b"), ("ab", "c"))).toSeq ==
+      Seq("abc"))
+    // a rule absent from the word is the identity
+    assert(tokenizeWord("xyz", IndexedSeq(("a", "b"))).toSeq ==
+      Seq("x", "y", "z"))
+  }
+
+  test("stream tokenization under the trained table equals batch t16's " +
+    "corpus accounting exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocabWords = Seq("alpha", "beta", "gamma", "delta", "alphabet",
+      "betamax", "gamut", "alpine")
+    val rnd = new scala.util.Random(41)
+    val texts = (0 until 12).map { _ =>
+      Seq.fill(20 + rnd.nextInt(20))(vocabWords(rnd.nextInt(vocabWords.size)))
+        .mkString(" ")
+    }
+    // batch side: t16 over the corpus written as a documents table
+    val dir = java.nio.file.Files.createTempDirectory("tokcorp").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t16 = graft.SparkEntry.queries("t16_bpe_compression")(spark, dir)
+      .select("n_word_occurrences", "tokens_before", "tokens_after")
+      .as[(Long, Long, Long)].collect().head
+    // the served table: trained on the SAME aggregated vocabulary with
+    // the same round count as t16's default chain
+    val vocab = texts.flatMap("[a-z]+".r.findAllIn(_)).groupBy(identity)
+      .map { case (w, ws) => (w, ws.size.toLong) }.toVector
+    val (merges, _) = graft.operators.BpeTrainer.train(vocab, 6)
+    val table = merges.map(m => (m.lhs, m.rhs))
+    assert(table.nonEmpty, "fixture corpus learned no merges")
+
+    val input = MemoryStream[Doc]
+    val q = tokenize(input.toDS(), table)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tok_out").start()
+    try {
+      // two micro-batches — the map is stateless, every doc emits once
+      input.addData(texts.take(5).zipWithIndex.map { case (t, i) =>
+        Doc(i.toLong, t) }: _*)
+      q.processAllAvailable()
+      input.addData(texts.drop(5).zipWithIndex.map { case (t, i) =>
+        Doc((i + 5).toLong, t) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("tok_out")
+        .select("doc_id", "n_words", "n_chars", "n_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      assert(rows.length == 12 && rows.map(_._1).distinct.length == 12)
+      assert(rows.map(_._2).sum == t16._1, "word occurrences diverged")
+      assert(rows.map(_._3).sum == t16._2, "char-token baseline diverged")
+      assert(rows.map(_._4).sum == t16._3,
+        s"post-merge token totals diverged: stream ${rows.map(_._4).sum} " +
+          s"vs batch ${t16._3}")
+      // the table actually compresses on this corpus
+      assert(rows.map(_._4).sum < rows.map(_._3).sum)
+    } finally q.stop()
+  }
+}
