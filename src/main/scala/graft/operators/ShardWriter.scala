@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-shard output — the pipeline's last mile: the cleaned corpus
+  * written as N deterministic shards a training job can consume
+  * round-robin. Shard assignment is a pure function of doc_id
+  * ([[graft.functions.Portable.hash60]] mod N — the d15 split trick at
+  * shard granularity): no global sort, no coordination, reproducible
+  * across runs and engines, and balanced to LLN over any corpus large
+  * enough to matter (per-shard token mass concentrates at Σ/N). At
+  * 100 TB the write is one hash-partitioned pass — the shard column IS
+  * the partition key, so each task streams its shard files without a
+  * pre-shuffle sort; no driver bottleneck anywhere.
+  *
+  * d22 exposes the same assignment as a gated query (per-shard token
+  * accounting), so the planned layout is oracle-checked before anything
+  * writes. */
+object ShardWriter {
+
+  private val Seed = 999
+
+  /** The deterministic shard column — ONE definition shared by the d22
+    * accounting query and [[write]], so the audited plan and the written
+    * layout can never diverge. */
+  def shardCol(docId: org.apache.spark.sql.Column, nShards: Int)
+      : org.apache.spark.sql.Column =
+    graft.functions.Portable.hash60(docId.cast("string"), Seed) % nShards
+
+  /** Write `docs` as `nShards` hash-sharded parquet directories under
+    * `path` (shard=K subdirs). Returns per-shard (shard, n_docs) read
+    * back from the written files — the caller's receipt. */
+  def write(docs: DataFrame, nShards: Int, path: String): DataFrame = {
+    docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    docs.sparkSession.read.parquet(path)
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+  }
+}

@@ -1082,6 +1082,26 @@ object TextDedupOps {
       .withColumn("score_pm", expr("sum_inv_pm DIV n_trans"))
   }
 
+  /** Training-shard plan audit — the accounting face of
+    * [[graft.operators.ShardWriter]] (ONE shared shard column, so the
+    * audited plan and the written layout cannot diverge): per shard,
+    * document count, token mass, and the largest single document. The
+    * readout a pipeline checks before materializing shards: hash
+    * assignment balances token mass to LLN with no global sort and no
+    * coordination — at 100 TB each of the N shards concentrates at Σ/N
+    * and the whole audit is one scan + a 16-key rollup. */
+  private val NShards = 16
+
+  private def d22(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .withColumn("shard",
+        graft.operators.ShardWriter.shardCol(col("doc_id"), NShards))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("sum_words"),
+        max(col("n_words")).cast("long").as("max_doc_words"))
+
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
     * of the single most common 2-gram — the two signals that catch
@@ -1232,6 +1252,7 @@ object TextDedupOps {
     "t18_novel_bigrams" -> t18 _,
     "t19_bigram_lm_score" -> t19 _,
     "d21_span_dedup" -> d21 _,
+    "d22_shard_plan" -> d22 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1521,6 +1542,16 @@ object TextDedupOps {
          |         THEN c.chunk END, ' ' ORDER BY c.idx), '')) AS clean_md5
          |FROM chunks c JOIN first f USING (chunk)
          |GROUP BY 1, 2""".stripMargin,
+    // SQL twin of d22: the same portable-MD5 shard assignment
+    // (Portable.sqlHash60) and token counting as the Spark side.
+    "d22_shard_plan" -> {
+      val h = graft.functions.Portable.sqlHash60("doc_id::VARCHAR", 999)
+      s"""SELECT ($h % 16) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  SUM(len($toksSql))::BIGINT AS sum_words,
+         |  MAX(len($toksSql))::BIGINT AS max_doc_words
+         |FROM documents GROUP BY 1""".stripMargin
+    },
     // SQL twin of t19: range(1, len) over 1-based lists = Spark's
     // sequence(0, size-2) over 0-based; prefix totals derived from the
     // bigram table, not a second corpus pass, same as the Spark side.

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+
+class ShardWriterSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def tmpDir(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  test("shard write is lossless, deterministic, and every shard lands") {
+    val docs = graft.Tables.documents(spark, sf)
+    val out = tmpDir("shards")
+    val receipt = ShardWriter.write(docs, 8, out)
+      .as[(Long, Long)].collect().toMap
+    // every shard materialized, counts add up to the corpus
+    assert(receipt.keySet == (0L until 8L).toSet, s"missing shards: $receipt")
+    assert(receipt.values.sum == docs.count())
+    // lossless: the same rows come back (shard is the only added column)
+    val back = spark.read.parquet(out).drop("shard")
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // deterministic: a second write assigns every doc identically
+    val out2 = tmpDir("shards2")
+    ShardWriter.write(docs, 8, out2)
+    val a = spark.read.parquet(out).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    val b = spark.read.parquet(out2).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "hash sharding must be reproducible across runs")
+  }
+
+  test("d22 audits the SAME assignment the writer materializes, and the " +
+    "hash balances token mass") {
+    val plan = graft.SparkEntry.queries("d22_shard_plan")(spark, sf)
+      .select("shard", "n_docs", "sum_words")
+      .as[(Long, Long, Long)].collect()
+    assert(plan.map(_._1).sorted.toSeq == (0L until 16L).toSeq)
+    // balance: no shard above 2x or below half the mean token mass —
+    // LLN at ~31 docs/shard on the deterministic fixture
+    val masses = plan.map(_._3)
+    val mean = masses.sum / masses.length
+    assert(masses.max <= 2 * mean && masses.min * 2 >= mean,
+      s"skewed shards: min ${masses.min}, mean $mean, max ${masses.max}")
+    // the written layout groups exactly the docs d22 counted per shard
+    val out = tmpDir("shards3")
+    ShardWriter.write(graft.Tables.documents(spark, sf), 16, out)
+    val written = spark.read.parquet(out)
+      .groupBy("shard").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    plan.foreach { case (shard, nDocs, _) =>
+      assert(written(shard) == nDocs,
+        s"shard $shard: audit says $nDocs docs, writer landed ${written(shard)}")
+    }
+  }
+}
