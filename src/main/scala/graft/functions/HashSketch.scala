@@ -42,6 +42,21 @@ object HashSketch {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_hash_seq",
       exprs => TokenHashSeq(exprs(0), exprs(1), exprs(2)), "built-in")
+    // Spark's runtime-filter bloom expressions, surfaced as callable
+    // functions (they exist in catalyst but are not in the public
+    // registry): graft_bloom_agg(longCol) -> binary sketch;
+    // graft_bloom_contains(binary, longCol) -> boolean. The contains
+    // side requires a CONSTANT sketch (it deserializes once via
+    // eval(null)), so callers embed the aggregated bloom as a literal —
+    // the d12 contamPrefilter pattern.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg",
+      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => org.apache.spark.sql.catalyst.expressions
+        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** mod > 0 reduces each hash mod `mod`; mod = 0 keeps the full 60 bits

@@ -565,7 +565,19 @@ object TextDedupOps {
     * left join. The semi join is a plain equi-join Catalyst plans by
     * size: at bench scale the corpus distinct-shingle set broadcasts
     * (build side of a LeftSemi BHJ must be the right), at 100 TB it
-    * degrades gracefully to a shuffled join on the shingle hash. */
+    * degrades gracefully to a shuffled join on the shingle hash.
+    *
+    * 100 TB scale switch `spark.graft.dedup.contamPrefilter`: the
+    * dominant cost above is the corpus-sized distinct-shingle shuffle —
+    * but the probe (benchmark) side is tiny BY DEFINITION, so a Bloom
+    * filter over the probe shingles (Spark's `bloom_filter_agg`, one
+    * broadcast-sized aggregate) prefilters corpus shingles to possible
+    * matches BEFORE the distinct: the shuffle shrinks from corpus-sized
+    * to ~probe-sized. Result-IDENTICAL by construction — Bloom has no
+    * false negatives, so every true match survives the prefilter, and
+    * the exact semi-join still decides membership (false positives just
+    * ride along to the join and lose there). The dfPrefilter pattern:
+    * flag on == flag off, spec-asserted. */
   private def d12(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
     val hs = documents(s, d)
@@ -578,8 +590,21 @@ object TextDedupOps {
       .select(col("doc_id").as("probe_id"),
         size(col("hs")).cast("long").as("n_shingles"),
         explode(col("hs")).as("shingle"))
-    val corpus = hs.filter(col("doc_id") >= 10)
-      .select(explode(col("hs")).as("shingle")).distinct()
+    val corpusAll = hs.filter(col("doc_id") >= 10)
+      .select(explode(col("hs")).as("shingle"))
+    val corpus = (if (s.conf.getOption("spark.graft.dedup.contamPrefilter")
+        .exists(_.toBoolean)) {
+      // the bloom aggregates the BENCHMARK side — config-sized by
+      // definition (the allowlist discipline: a driver-held sketch of
+      // the small side, like Transforms' broadcast filter lists) — and
+      // embeds as a literal because might_contain deserializes its
+      // sketch once, constant-style
+      val bfBytes = probe
+        .agg(call_function("graft_bloom_agg", col("shingle")).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
+      corpusAll.filter(
+        call_function("graft_bloom_contains", lit(bfBytes), col("shingle")))
+    } else corpusAll).distinct()
     val shared = probe.join(corpus, Seq("shingle"), "left_semi")
       .groupBy(col("probe_id")).agg(count(lit(1)).as("n_shared"))
     // per-probe base rows WITHOUT re-running the pipeline: one row per

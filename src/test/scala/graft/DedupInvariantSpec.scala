@@ -97,6 +97,25 @@ class DedupInvariantSpec extends SparkSuite {
       "equality vacuous: planted corpus produced no pairs")
   }
 
+  test("d12 100TB path: the bloom contamination prefilter preserves the " +
+    "exact result and actually routes through the bloom") {
+    // the scale switch (spark.graft.dedup.contamPrefilter) bloom-filters
+    // corpus shingles against the tiny probe side BEFORE the distinct —
+    // no false negatives, and the exact semi-join still decides
+    // membership, so the rewrite must be result-identical
+    def run() = SparkEntry.queries("d12_contamination")(spark, corpusDir)
+      .collect().map(_.toSeq).toSet
+    val plain = run()
+    assert(plain.nonEmpty)
+    spark.conf.set("spark.graft.dedup.contamPrefilter", "true")
+    try {
+      assert(run() == plain, "bloom prefilter changed d12's result")
+      val p = SparkEntry.queries("d12_contamination")(spark, corpusDir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"flag ignored:\n$p")
+    } finally spark.conf.unset("spark.graft.dedup.contamPrefilter")
+  }
+
   test("d16 exact-pairs mode bounds the LSH audit cell-wise from above") {
     // the leakage audit over d05's exact pairs must see at least as many
     // pairs in EVERY (split_lo, split_hi) cell as the LSH default — LSH
