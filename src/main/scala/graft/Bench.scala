@@ -25,12 +25,7 @@ object Bench {
     // restricts to the named queries (short or full ids) so a variant can
     // be timed without the other ~95 queries; SPARK_GRAFT_CONF=k=v,k=v
     // applies session conf overrides (e.g. the dedup df-prefilter flag).
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
-      .foreach { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"bad SPARK_GRAFT_CONF entry: $kv")
-        spark.conf.set(kv.take(i), kv.drop(i + 1))
-      })
+    SparkEntry.applyEnvConf(spark)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').filter(_.nonEmpty).toSet)
     val queries = only match {

@@ -12,6 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Apply `SPARK_GRAFT_CONF=k=v,k=v` session overrides — the one
+    * iteration knob Bench and Verify share, factored so the two entry
+    * points cannot drift to different conf syntaxes. */
+  def applyEnvConf(spark: SparkSession): Unit =
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"bad SPARK_GRAFT_CONF entry: $kv")
+        spark.conf.set(kv.take(i), kv.drop(i + 1))
+      })
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Uses the star-join revenue rollup — the densest single exercise of the
     * surface (broadcast dims, fact shuffle, decimal-exact aggregation). */

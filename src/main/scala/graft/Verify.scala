@@ -22,12 +22,7 @@ object Verify {
     // session conf overrides, so flagged modes (leakage.exactPairs,
     // ann.refinedCentroids, bpe.rounds, …) can be oracle-verified — the
     // conf-generated oracle SQL below describes the same computation.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.nonEmpty)
-      .foreach { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"bad SPARK_GRAFT_CONF entry: $kv")
-        spark.conf.set(kv.take(i), kv.drop(i + 1))
-      })
+    SparkEntry.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -47,14 +47,22 @@ class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
       val out = conn.getOutputStream
       try out.write(body.getBytes(UTF_8)) finally out.close()
       val code = conn.getResponseCode
-      val is = if (code / 100 == 2) conn.getInputStream
-               else Option(conn.getErrorStream).getOrElse(conn.getInputStream)
-      val txt = try scala.io.Source.fromInputStream(is, "UTF-8").mkString
-                finally is.close()
-      if (code / 100 != 2)
+      if (code / 100 != 2) {
+        // read the error body if the server sent one — but a bodyless
+        // 4xx (auth proxy, Content-Length: 0) has a null error stream,
+        // and falling back to getInputStream would throw a PLAIN
+        // IOException before HttpStatusError is constructed, silently
+        // reclassifying a deterministic 4xx as transient (retried)
+        val txt = Option(conn.getErrorStream).map { es =>
+          try scala.io.Source.fromInputStream(es, "UTF-8").mkString
+          finally es.close()
+        }.getOrElse("")
         throw new HttpNode.HttpStatusError(code,
           s"node $endpoint returned HTTP $code: ${txt.take(200)}")
-      txt
+      }
+      val is = conn.getInputStream
+      try scala.io.Source.fromInputStream(is, "UTF-8").mkString
+      finally is.close()
     } catch {
       case e: Throwable =>
         // a failed exchange leaves a half-read connection that cannot

@@ -125,30 +125,49 @@ object Media {
       (r.getWidth(0), r.getHeight(0), n)
     }
 
+  /** Every `stride`-th frame of a GIF decoded and mapped with `f` —
+    * frame seek is `ImageReader.read(i)`, the real demux-and-decode
+    * shape shared by [[gifFrameEnergies]] (m02) and [[frameHashes]]
+    * (m09). */
+  private def gifFrames[T](gif: Array[Byte], stride: Int)
+      (f: java.awt.image.BufferedImage => T): Option[Seq[(Int, T)]] =
+    withGifReader(gif) { r =>
+      (0 until r.getNumImages(true) by stride).map(i => (i, f(r.read(i))))
+    }
+
+  /** The GIF-or-wrap dispatch every frame-level op shares: a payload
+    * that IS a GIF runs `read` directly; anything else (and a torn
+    * direct GIF — `read` returns None on parse failure) byte-wraps into
+    * a real animated GIF with (n mod 24)+1 frames ([[gifFromBytes]])
+    * and runs the SAME codec path. */
+  private def viaGif[T](payload: Array[Byte])
+      (read: Array[Byte] => Option[T]): Option[T] =
+    (if (looksLikeGif(payload)) read(payload) else None)
+      .orElse(read(gifFromBytes(payload, (payload.length % 24 + 1).toInt)))
+
+  /** Integer luminance energy of one frame: Σ over pixels of
+    * (299r+587g+114b)/1000. */
+  private def lumEnergy(img: java.awt.image.BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF)
+          + 114L * (rgb & 0xFF)) / 1000L
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
   /** Every `stride`-th frame of a GIF decoded to its integer luminance
-    * energy (Σ over pixels of (299r+587g+114b)/1000) — frame seek is
-    * `ImageReader.read(i)`, the real demux-and-decode shape. */
+    * energy. */
   private[multimodal] def gifFrameEnergies(gif: Array[Byte], stride: Int)
       : Option[Seq[(Int, Long)]] =
-    withGifReader(gif) { r =>
-      val n = r.getNumImages(true)
-      (0 until n by stride).map { i =>
-        val img = r.read(i)
-        var s = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            s += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF)
-              + 114L * (rgb & 0xFF)) / 1000L
-            x += 1
-          }
-          y += 1
-        }
-        (i, s)
-      }
-    }
+    gifFrames(gif, stride)(lumEnergy)
 
   /** Animated 8×8 grayscale GIF with `nFrames` frames wrapping `bytes` as
     * pixel data: frame f, pixel p (row-major) gets gray
@@ -229,9 +248,7 @@ object Media {
     val realImg = if (r.kind == "image") decodeImage(r.payload) else None
     val realWav = if (r.kind == "audio") decodeWav(r.payload) else None
     val realVid =
-      if (r.kind != "video") None
-      else (if (looksLikeGif(r.payload)) gifMeta(r.payload) else None)
-        .orElse(gifMeta(gifFromBytes(r.payload, (n % 24 + 1).toInt)))
+      if (r.kind != "video") None else viaGif(r.payload)(gifMeta)
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
@@ -291,13 +308,8 @@ object Media {
     media.mapPartitions { it =>
       // per-partition init would happen here (demuxer/decoder contexts)
       it.filter(_.kind == "video").flatMap { r =>
-        val n = r.payload.length.toLong
-        val frames =
-          (if (looksLikeGif(r.payload)) gifFrameEnergies(r.payload, stride)
-           else None)
-            .orElse(gifFrameEnergies(
-              gifFromBytes(r.payload, (n % 24 + 1).toInt), stride))
-            .getOrElse(sys.error("self-encoded GIF failed to decode"))
+        val frames = viaGif(r.payload)(gifFrameEnergies(_, stride))
+          .getOrElse(sys.error("self-encoded GIF failed to decode"))
         frames.iterator.map { case (i, feat) =>
           FrameSample(r.media_id, r.source, i, feat)
         }
@@ -327,16 +339,8 @@ object Media {
     media.mapPartitions { it =>
       // per-partition init would happen here (demuxer/decoder contexts)
       it.filter(_.kind == "video").flatMap { r =>
-        val n = r.payload.length.toLong
-        def hashes(gif: Array[Byte]): Option[Seq[(Int, Long)]] =
-          withGifReader(gif) { rd =>
-            val nf = rd.getNumImages(true)
-            (0 until nf by stride).map(i => (i, aHash60(rd.read(i))))
-          }
-        val frames =
-          (if (looksLikeGif(r.payload)) hashes(r.payload) else None)
-            .orElse(hashes(gifFromBytes(r.payload, (n % 24 + 1).toInt)))
-            .getOrElse(sys.error("self-encoded GIF failed to decode"))
+        val frames = viaGif(r.payload)(gifFrames(_, stride)(aHash60))
+          .getOrElse(sys.error("self-encoded GIF failed to decode"))
         frames.iterator.map { case (i, h) => FrameHash(r.media_id, i, h) }
       }
     }

@@ -154,7 +154,11 @@ object MultimodalOps {
     * animated-GIF fixtures (MediaSpec). */
   private def m09(s: SparkSession, d: String): DataFrame = {
     val media = Media.mediaFromDocuments(documents(s, d))
-    frameNearDupPairs(Media.frameHashes(media, stride = 4).toDF())
+    // persisted: the most expensive decode in the suite (GIF wrap +
+    // demux + per-frame hash) feeds the band join AND two verify joins
+    // on different keys — without materialization each branch re-runs
+    // the decode scan (the d05/t19 discipline)
+    frameNearDupPairs(Media.frameHashes(media, stride = 4).toDF().persist())
   }
 
   /** Majority-of-common-frames video pairing over a (media_id,

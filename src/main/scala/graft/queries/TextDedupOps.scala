@@ -809,8 +809,13 @@ object TextDedupOps {
 
   /** Default number of BPE merge-learning rounds (t15/t16) — override
     * with `spark.graft.bpe.rounds` for real vocabularies (a production
-    * BPE vocabulary is ~30k–100k merges; the oracle SQL chain is
-    * generated from the same conf, so non-default runs still verify). */
+    * BPE vocabulary is ~30k–100k merges; the Spark side rides the
+    * size-gated local trainer at any round count). The oracle SQL chain
+    * is generated from the same conf so MODERATE non-default runs still
+    * verify end-to-end; at tokenizer-production round counts the
+    * one-CTE-per-round oracle is no longer plannable by DuckDB — there
+    * the cross-check is BpeTrainerSpec's clean-room sequential-BPE
+    * equality (300 merges), not the SQL oracle. */
   private[graft] val BpeRounds = 6
 
   private def bpeRoundsConf(s: SparkSession): Int =
@@ -836,19 +841,32 @@ object TextDedupOps {
     * ≥30k rounds — per-round cost touches only words containing the
     * merged pair), the distributed chain ([[bpeMerges]]) above it. Both
     * paths learn identical merge tables (tie-break (count desc, lhs,
-    * rhs) everywhere; equality spec-asserted in BpeTrainerSpec). */
-  private[graft] def bpeTrain(words: DataFrame, rounds: Int): DataFrame = {
+    * rhs) everywhere; equality spec-asserted in BpeTrainerSpec). Returns
+    * (merges, final per-word symbol sequences) — BOTH halves of the
+    * trainer's output, so t15 AND t16's compression accounting ride the
+    * scale path (the trainer computes the final sequences anyway;
+    * discarding them would force t16 back onto the
+    * one-stage-per-round chain the gate exists to avoid). */
+  private[graft] def bpeTrainChain(words: DataFrame, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val s = words.sparkSession
     val w = words.persist()
     if (w.count() <= bpeLocalVocabCutoff(s)) {
       val vocab = w.select(col("word"), col("cnt")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
-      val (merges, _) = graft.operators.BpeTrainer.train(vocab, rounds)
+      val (merges, seqs) = graft.operators.BpeTrainer.train(vocab, rounds)
       import s.implicits._
-      merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+      val mergesDf = merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
         .toDF("merge_round", "lhs", "rhs", "pair_count")
-    } else bpeMerges(w, rounds)
+      val seqsDf = vocab.zip(seqs)
+        .map { case ((word, cnt), sq) => (word, cnt, sq.toSeq) }
+        .toDF("word", "cnt", "seq")
+      (mergesDf, seqsDf)
+    } else bpeChain(w, rounds)
   }
+
+  private[graft] def bpeTrain(words: DataFrame, rounds: Int): DataFrame =
+    bpeTrainChain(words, rounds)._1
 
   /** BPE merge LEARNING over a (word, cnt) table — the tokenizer-training
     * step t08's pre-tokenization stops short of: k rounds of "count
@@ -946,11 +964,13 @@ object TextDedupOps {
     * baseline, weighted by word frequency. One row: distinct vocabulary
     * size, corpus word occurrences, character tokens before, tokens
     * after, and the realized compression in per-mille (integer — the
-    * oracle matches exactly). The merge application is t15's own chain
-    * ([[bpeChain]] — the accounting can't drift from the learner), and
-    * the rollup is a single aggregate over the vocabulary table. */
+    * oracle matches exactly). The sequences come from t15's OWN trainer
+    * ([[bpeTrainChain]] — the accounting can't drift from the learner,
+    * and the size-gated scale path covers both queries: a 30k-round run
+    * is the local trainer for t16 exactly as for t15), and the rollup is
+    * a single aggregate over the vocabulary table. */
   private def t16(s: SparkSession, d: String): DataFrame = {
-    bpeChain(bpeWords(s, d), bpeRoundsConf(s))._2
+    bpeTrainChain(bpeWords(s, d), bpeRoundsConf(s))._2
       .agg(
         count(lit(1)).as("n_vocab_words"),
         sum(col("cnt")).as("n_word_occurrences"),

@@ -122,7 +122,8 @@ object IncrementalDedup {
 
   case class VecDoc(vec_id: Long, embedding: Seq[Float])
   case class VecBanded(bucket: Long, vec_id: Long, qv: Seq[Long])
-  case class VecVerdict(vec_id: Long, duplicateOf: Long, cosMilli: Long)
+  case class VecVerdict(bucket: Long, vec_id: Long, duplicateOf: Long,
+      cosMilli: Long)
 
   /** Embedding-side banding: quantize, compute the four 4-bit hyperplane
     * table signatures (same fused [[graft.functions.HashSketch.lshSig]]
@@ -146,7 +147,11 @@ object IncrementalDedup {
   /** Admit a vector iff no previously-admitted vector in any shared LSH
     * bucket has cosine ≥ `cosMilliThresh`/1000 with it (exact cosine on
     * the quantized grid verifies every bucket collision — LSH only
-    * prunes). */
+    * prunes). Verdicts are PER BUCKET (the [[Verdict]] contract): a
+    * vector colliding in several band tables emits one row per table,
+    * possibly naming different admitted predecessors — consumers
+    * counting duplicates dedupe on vec_id
+    * (`dropDuplicates("vec_id")`). */
   def detectVecDups(banded: Dataset[VecBanded], cosMilliThresh: Long = 950)
       : Dataset[VecVerdict] = {
     val spark = banded.sparkSession
@@ -164,7 +169,7 @@ object IncrementalDedup {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Seq[Long])], VecVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[VecBanded],
+        (bucket: Long, rows: Iterator[VecBanded],
          state: GroupState[List[(Long, Seq[Long])]]) =>
           var admitted = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[VecVerdict]
@@ -173,7 +178,7 @@ object IncrementalDedup {
               .map { case (origId, qv) => (origId, cosMilli(qv, r.qv)) }
               .find(_._2 >= cosMilliThresh) match {
               case Some((origId, cm)) =>
-                out += VecVerdict(r.vec_id, origId, cm)
+                out += VecVerdict(bucket, r.vec_id, origId, cm)
               case None =>
                 admitted = (r.vec_id, r.qv) :: admitted
             }
@@ -184,7 +189,8 @@ object IncrementalDedup {
   }
 
   case class FpBanded(bucket: Long, media_id: Long, phash: Long)
-  case class FpVerdict(media_id: Long, duplicateOf: Long, hamming: Long)
+  case class FpVerdict(bucket: Long, media_id: Long, duplicateOf: Long,
+      hamming: Long)
 
   /** Perceptual-fingerprint banding — m07's pigeonhole banding in
     * incremental form, the shape a live media crawl wants (near-dup
@@ -218,7 +224,11 @@ object IncrementalDedup {
     * State per bucket is the admitted (id, 8-byte hash) list — hashes,
     * never payloads — and bounds like [[detect]]'s signature state; an
     * event-time TTL composes exactly as [[detectWithTtl]] does for text
-    * if the crawl needs a finite horizon. */
+    * if the crawl needs a finite horizon. Verdicts are PER BUCKET (the
+    * [[Verdict]] contract — an exact re-encode at hamming 0 collides in
+    * all 5 bands and emits up to 5 rows, possibly naming different
+    * admitted predecessors); consumers counting duplicates dedupe on
+    * media_id (`dropDuplicates("media_id")`). */
   def detectFpDups(banded: Dataset[FpBanded], maxHamming: Long = 4)
       : Dataset[FpVerdict] = {
     val spark = banded.sparkSession
@@ -227,7 +237,7 @@ object IncrementalDedup {
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Long)], FpVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[FpBanded],
+        (bucket: Long, rows: Iterator[FpBanded],
          state: GroupState[List[(Long, Long)]]) =>
           var admitted = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
@@ -237,7 +247,7 @@ object IncrementalDedup {
                 (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
               .find(_._2 <= maxHamming) match {
               case Some((origId, h)) =>
-                out += FpVerdict(r.media_id, origId, h)
+                out += FpVerdict(bucket, r.media_id, origId, h)
               case None =>
                 admitted = (r.media_id, r.phash) :: admitted
             }

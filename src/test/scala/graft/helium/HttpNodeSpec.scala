@@ -33,9 +33,11 @@ class MockNodeHttpServer(backend: NodeClient) {
     * rate-limiting proxy (429/503) in front of the node. */
   private val httpStatus = new java.util.concurrent.atomic.AtomicInteger(0)
   private val httpStatusRemaining = new java.util.concurrent.atomic.AtomicInteger(0)
-  def armHttpStatus(status: Int, n: Int): Unit = {
+  private val httpStatusEmptyBody = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def armHttpStatus(status: Int, n: Int, emptyBody: Boolean = false): Unit = {
     httpStatus.set(status)
     httpStatusRemaining.set(n)
+    httpStatusEmptyBody.set(emptyBody)
   }
   /** Requests served per method — lets a test PROVE a retry happened. */
   val served = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -49,9 +51,15 @@ class MockNodeHttpServer(backend: NodeClient) {
       val params = req.get("params")
       served.merge(method, 1, (a, b) => a + b)
       if (httpStatusRemaining.getAndUpdate(n => math.max(n - 1, 0)) > 0) {
-        val err = s"""{"error":"armed HTTP failure"}""".getBytes(UTF_8)
-        ex.sendResponseHeaders(httpStatus.get(), err.length)
-        ex.getResponseBody.write(err)
+        if (httpStatusEmptyBody.get()) {
+          // bodyless failure: HttpURLConnection.getErrorStream is null
+          // on the client — the auth-proxy/Content-Length:0 shape
+          ex.sendResponseHeaders(httpStatus.get(), -1)
+        } else {
+          val err = s"""{"error":"armed HTTP failure"}""".getBytes(UTF_8)
+          ex.sendResponseHeaders(httpStatus.get(), err.length)
+          ex.getResponseBody.write(err)
+        }
         ex.close()
         return
       }
@@ -238,6 +246,14 @@ class HttpNodeSpec extends SparkSuite {
       assert(http.height() > 0)
       assert(servedHeight - b503 == 2,
         s"expected 1 failed + 1 successful attempt; saw ${servedHeight - b503}")
+      // a BODYLESS 404 (null error stream client-side) must classify the
+      // same as one with a body: fail fast, one request, no backoff
+      srv.armHttpStatus(404, 1000, emptyBody = true)
+      val bEmpty = servedHeight
+      intercept[java.io.IOException] { http.height() }
+      assert(servedHeight - bEmpty == 1,
+        s"bodyless 404 must fail on the FIRST attempt; saw ${servedHeight - bEmpty}")
+      srv.armHttpStatus(404, 0)
     } finally srv.stop()
   }
 
