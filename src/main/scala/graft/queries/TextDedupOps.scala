@@ -1032,6 +1032,29 @@ object TextDedupOps {
         expr("(1000L * sum_novel) DIV sum_bigrams"))
   }
 
+  /** Per-source vocabulary richness — the type-token readout that
+    * completes the corpus-QA battery (t17 profiles the GLOBAL Zipf
+    * spectrum; this localizes it per source): distinct terms, token
+    * occurrences, within-source hapaxes, and the two integer ratios
+    * corpus triage actually reads — type-token ratio (boilerplate and
+    * template sources repeat a small vocabulary: low TTR) and hapax
+    * share (genuinely authored text is dominated by one-off terms).
+    * Scale shape: one explode, then two map-side-combine groupBys
+    * ((source, term) tf, then the per-source rollup) — the t17/t18
+    * cost model, nothing corpus × corpus. */
+  private def t20(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).as("n_tokens"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_pm", expr("(1000L * n_types) DIV n_tokens"))
+      .withColumn("hapax_pm", expr("(1000L * n_hapax) DIV n_types"))
+
   /** Span-level cross-corpus dedup — the C4 "remove any repeated
     * three-sentence span" / CCNet paragraph rule, re-expressed over this
     * corpus's punctuation-free text as fixed [[ChunkW]]-token chunks:
@@ -1296,6 +1319,7 @@ object TextDedupOps {
     "t17_freq_spectrum" -> t17 _,
     "t18_novel_bigrams" -> t18 _,
     "t19_bigram_lm_score" -> t19 _,
+    "t20_vocab_richness" -> t20 _,
     "d21_span_dedup" -> d21 _,
     "d22_shard_plan" -> d22 _,
   )
@@ -1587,6 +1611,17 @@ object TextDedupOps {
          |         THEN c.chunk END, ' ' ORDER BY c.idx), '')) AS clean_md5
          |FROM chunks c JOIN first f USING (chunk)
          |GROUP BY 1, 2""".stripMargin,
+    "t20_vocab_richness" ->
+      s"""WITH tf AS (
+         |  SELECT source, term, COUNT(*)::BIGINT AS tf FROM (
+         |    SELECT source, UNNEST($toksSql) AS term FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT source, COUNT(*) AS n_types, SUM(tf)::BIGINT AS n_tokens,
+         |  SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |  ((1000 * COUNT(*)) // SUM(tf))::BIGINT AS ttr_pm,
+         |  ((1000 * SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END))
+         |    // COUNT(*))::BIGINT AS hapax_pm
+         |FROM tf GROUP BY source""".stripMargin,
     // SQL twin of d22: the same portable-MD5 shard assignment
     // (Portable.sqlHash60) and token counting as the Spark side.
     "d22_shard_plan" -> {

@@ -252,6 +252,23 @@ class QuerySurfaceSpec extends SparkSuite {
       "spectrum must conserve the corpus token count")
   }
 
+  test("t20 richness conserves token mass against t01/t17 and bounds " +
+    "hapaxes by types") {
+    val rows = SparkEntry.queries("t20_vocab_richness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("n_types"), r.toString)
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"), r.toString)
+      val ttr = r.getAs[Long]("ttr_pm")
+      assert(ttr >= 0 && ttr <= 1000, r.toString)
+    }
+    // same tokenizer as t01 => per-source token masses sum to the corpus
+    val total = SparkEntry.queries("t01_text_stats")(spark, sf).collect()
+      .map(_.getAs[Long]("sum_words")).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == total,
+      "per-source token masses must conserve the corpus token count")
+  }
+
   test("t18 novelty rates are valid per-mille shares of each source's bigrams") {
     val rows = SparkEntry.queries("t18_novel_bigrams")(spark, sf).collect()
     assert(rows.nonEmpty)
