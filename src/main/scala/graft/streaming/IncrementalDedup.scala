@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -206,8 +206,34 @@ object IncrementalDedup {
       : Dataset[FpBanded] = {
     val spark = media.sparkSession
     import spark.implicits._
-    graft.multimodal.Media.perceptualHashes(media).toDF()
-      .select(col("media_id"), col("phash"),
+    bandHashes60(graft.multimodal.Media.perceptualHashes(media).toDF()
+      .select(col("media_id"), col("phash")))
+  }
+
+  /** [[bandFingerprints]]' audio sibling: the SAME real decode +
+    * envHash60 path as batch m08, banded into the shared
+    * [[detectFpDups]] state shape — acoustic near-dup dedup at ingest
+    * (a bit-depth re-encode of an already-crawled clip is caught before
+    * it is stored, where m06-style byte checksums cannot see it). */
+  def bandAudioFingerprints(
+      media: Dataset[graft.multimodal.Media.MediaRecord])
+      : Dataset[FpBanded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    bandHashes60(graft.multimodal.Media.audioHashes(
+        media.filter(col("kind") === "audio")).toDF()
+      .select(col("media_id"), col("phash")))
+  }
+
+  /** The 5×12 pigeonhole banding over ANY 60-bit fingerprint column
+    * (`media_id`, `phash`) — bucket = band·4096 + 12-bit nib, exact for
+    * hamming ≤ 4 — shared by the image (aHash60) and audio (envHash60)
+    * ingest paths: [[detectFpDups]] is hash-agnostic, so any modality
+    * that fingerprints to 60 bits dedups through the same state shape. */
+  private def bandHashes60(ph: DataFrame): Dataset[FpBanded] = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    ph.select(col("media_id"), col("phash"),
         explode(array((0 until 5).map(b =>
           (lit(b.toLong * 4096L) + shiftRight(col("phash"), b * 12)
             .bitwiseAND(lit(0xFFFL))).as("bucket")): _*)).as("bucket"))

@@ -206,6 +206,50 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming acoustic dedup: a bit-depth RE-ENCODE arriving in a " +
+    "later micro-batch is flagged; an unrelated envelope is admitted") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Media
+    def wav16(s: Array[Int]): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](s.length * 2)
+      for (i <- s.indices) {
+        val v = (s(i) - 128) << 8
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val stream = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, s.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(stream, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val s16 = Array.tabulate(1280)(i =>
+      128 + (if ((i / 20) % 2 == 0) 90 else -90))
+    val input = MemoryStream[Media.MediaRecord]
+    val q = detectFpDups(bandAudioFingerprints(input.toDS()))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("audio_out").start()
+    try {
+      // first batch: the original 16-bit clip + an inverted envelope
+      input.addData(
+        Media.MediaRecord(1L, "audio", wav16(s16), "mic"),
+        Media.MediaRecord(2L, "audio", wav16(s16.map(v => 256 - v)), "mic"))
+      q.processAllAvailable()
+      assert(spark.table("audio_out").count() == 0) // both admitted
+      // later batch: the SAME waveform re-encoded at 8-bit — different
+      // bytes, same real-decoded envelope
+      input.addData(Media.MediaRecord(3L, "audio",
+        Media.wavFromBytes(s16.map(_.toByte)), "mic"))
+      q.processAllAvailable()
+      val flagged = spark.table("audio_out")
+        .select("media_id", "duplicateOf", "hamming").distinct()
+        .as[(Long, Long, Long)].collect().toSet
+      assert(flagged == Set((3L, 1L, 0L)), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("perceptual batch/stream agreement on the documents fixture: " +
     "stream verdicts are exactly m07 pairs, and every dup of an " +
     "unflagged cluster head is caught") {
