@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Materialized ANN index — the offline-build / online-serve split an
+  * IVFADC deployment actually runs: the four index tables
+  * ([[graft.queries.SimilarityOps.buildAnnIndex]] — coarse centroids,
+  * PQ codebook, inverted lists, per-candidate code words) written as
+  * parquet, read back by a serving job that never re-derives them.
+  * Everything the serving path needs beyond these tables is the query
+  * vectors and the full vectors for the shortlist re-rank.
+  *
+  * At 100 TB the proportions matter: centroids and codebook are
+  * broadcast-sized, lists and codes are ~9 narrow rows per candidate —
+  * the index is a small multiple of an id column, NOT of the vectors,
+  * which is the whole point of PQ. Serving from the store is
+  * spec-asserted bit-identical to serving the in-memory build
+  * (AnnRefinementSpec), in both seed and refined centroid modes. */
+object AnnIndexStore {
+
+  val Tables: Seq[String] = Seq("centroids", "codebook", "lists", "codes")
+
+  def write(index: Map[String, DataFrame], path: String): Unit =
+    Tables.foreach(t =>
+      index(t).write.mode("overwrite").parquet(s"$path/$t"))
+
+  def read(spark: SparkSession, path: String): Map[String, DataFrame] =
+    Tables.map(t => t -> spark.read.parquet(s"$path/$t")).toMap
+}

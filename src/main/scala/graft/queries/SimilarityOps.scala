@@ -624,22 +624,22 @@ object SimilarityOps {
     * per-query LUT (NQ·8·16 rows) broadcast; candidate codes are 8
     * narrow rows each; the only data-sized shuffles are the id-only
     * IVF list join and the (pairs×8)-row ADC rollup. */
-  private def s17(s: SparkSession, d: String): DataFrame = {
-    val SHORTLIST = 32
-    val emb = withQ(embeddings(s, d))
+  /** The OFFLINE half of s17 — the four index tables an IVFADC build
+    * materializes (coarse centroids, PQ codebook, inverted lists,
+    * per-candidate code words). Factored from the serving path so the
+    * build can be written to storage and served later
+    * ([[graft.operators.AnnIndexStore]] — spec asserts serving from the
+    * round-tripped tables is bit-identical to serving the in-memory
+    * build). */
+  private[graft] def buildAnnIndex(emb: DataFrame): Map[String, DataFrame] = {
     val cents = ivfCentroids(emb)
     val cb = pqCodebook(emb)
-    // IVF: candidates to their top-1 list, queries probe NPROBE lists
+    // IVF: candidates to their top-1 list
     val lists = assignToCentroids(cents,
       emb.filter(col("vec_id") >= NQ)
         .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
       "cand_id", top = 1)
       .select(col("c_id"), col("cand_id"))
-    val probes = assignToCentroids(cents,
-      emb.filter(col("vec_id") < NQ)
-        .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
-      "query_id", top = NPROBE)
-      .select(col("c_id"), col("query_id"))
     // PQ: each candidate becomes its per-subspace nearest-code word
     val vsub = subspaces(emb.filter(col("vec_id") >= NQ))
       .withColumn("svn2", norm2q(col("sv")))
@@ -652,6 +652,25 @@ object SimilarityOps {
       .filter(col("rk") === 1)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code_id"),
         col("cvn2"))
+    Map("centroids" -> cents, "codebook" -> cb, "lists" -> lists,
+      "codes" -> codes)
+  }
+
+  /** The ONLINE half of s17: probe, ADC-price, re-rank against the four
+    * index tables — whether they came straight from [[buildAnnIndex]]
+    * (s17's self-contained form) or were read back from storage. */
+  private[graft] def serveAnnIndex(emb: DataFrame,
+      index: Map[String, DataFrame]): DataFrame = {
+    val SHORTLIST = 32
+    val cents = index("centroids")
+    val cb = index("codebook")
+    val lists = index("lists")
+    val codes = index("codes")
+    val probes = assignToCentroids(cents,
+      emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
+      "query_id", top = NPROBE)
+      .select(col("c_id"), col("query_id"))
     // ADC lookup table: per (query, subspace, code) integer inner
     // product. The shortlist metric must MATCH the final metric —
     // pricing by quantized L2 while re-ranking by cosine silently drops
@@ -695,6 +714,16 @@ object SimilarityOps {
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
   }
+
+  private def s17(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    serveAnnIndex(emb, buildAnnIndex(emb))
+  }
+
+  /** The quantized embedding view build/serve operate on — exposed for
+    * the index round-trip spec. */
+  private[graft] def annEmb(s: SparkSession, d: String): DataFrame =
+    withQ(embeddings(s, d))
 
   /** SemDeDup-style semantic dedup (cluster-then-prune): assign every
     * embedding to its nearest coarse centroid (the [[ivfCentroids]]

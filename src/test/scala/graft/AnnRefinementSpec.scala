@@ -96,6 +96,35 @@ class AnnRefinementSpec extends SparkSuite {
       "s18 ignored refinedCentroids — not reading ivfCentroids")
   }
 
+  test("the materialized ANN index serves bit-identically to the " +
+    "in-memory build, in both seed and refined centroid modes") {
+    import graft.queries.SimilarityOps
+    def roundTrip(): (Set[(Long, Long, Long, Double)],
+        Set[(Long, Long, Long, Double)]) = {
+      val emb = SimilarityOps.annEmb(spark, sf)
+      val built = SimilarityOps.buildAnnIndex(emb)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("query_id"), col("cand_id"), col("rank"), col("cos"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      val direct = rows(SimilarityOps.serveAnnIndex(emb, built))
+      val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+      graft.operators.AnnIndexStore.write(built, dir)
+      val fromDisk = rows(SimilarityOps.serveAnnIndex(emb,
+        graft.operators.AnnIndexStore.read(spark, dir)))
+      (direct, fromDisk)
+    }
+    val (d1, s1) = roundTrip()
+    assert(d1.nonEmpty && d1 == s1,
+      "serving from the written index diverged from the in-memory build")
+    spark.conf.set(Flag, "true")
+    try {
+      val (d2, s2) = roundTrip()
+      assert(d2.nonEmpty && d2 == s2,
+        "refined-mode serving diverged after the parquet round-trip")
+      assert(d2 != d1, "refined index unexpectedly equals seed index")
+    } finally spark.conf.unset(Flag)
+  }
+
   test("lloydChain lineage truncation keeps the s16 plan flat in rounds") {
     // the final plan must not nest one crossJoin per Lloyd round: the
     // centroid side is a truncated leaf, so exactly ONE join with the
