@@ -327,6 +327,23 @@ class PlanAuditSpec extends SparkSuite {
       s"t19's model consumers don't share one materialization:\n$p")
   }
 
+  test("d22 shard plan: one scan, one aggregation — no join, no window") {
+    val p = plan("d22_shard_plan")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"shard audit grew a join/window:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("t20 vocabulary richness: two map-side-combine shuffles, no join") {
+    val p = plan("t20_vocab_richness")
+    assert(!p.contains("Join"), s"t20 grew a join:\n$p")
+    // (source, term) tf then the per-source rollup — exactly two
+    // aggregation exchanges, both with partial_ combines upstream
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"t20 shuffle count drifted:\n$p")
+    assert(p.contains("partial_count"), p)
+  }
+
   test("s18 cluster dedup: quantizer broadcasts, pair join keys on the " +
     "cluster — no corpus cartesian") {
     val p = plan("s18_semantic_cluster_dedup")
