@@ -345,6 +345,66 @@ object IncrementalDedup {
       }
   }
 
+  /** m09's frame hashes banded into POSITION-QUALIFIED buckets for the
+    * streaming prefilter: bucket = frame_idx · 20480 + band · 4096 +
+    * nib, so only position-aligned frames ever share a bucket — the
+    * m09 alignment rule. Runs the same real demux + aHash60 path as
+    * batch ([[graft.multimodal.Media.frameHashes]]); only (bucket, id,
+    * 8-byte hash) rows leave the decode. */
+  def bandFrameFingerprints(
+      media: Dataset[graft.multimodal.Media.MediaRecord],
+      stride: Int = 4): Dataset[FpBanded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    graft.multimodal.Media.frameHashes(media, stride).toDF()
+      .select(col("media_id"), col("fhash").as("phash"),
+        explode(array((0 until 5).map(b =>
+          (col("frame_idx").cast("long") * 20480L + lit(b.toLong * 4096L)
+            + shiftRight(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)))
+            .as("bucket")): _*)).as("bucket"))
+      .select(col("bucket"), col("media_id"), col("phash"))
+      .as[FpBanded]
+  }
+
+  /** Ingest-time video COPY-CANDIDATE flagging — the streaming
+    * prefilter for batch m09: a clip is flagged when ANY of its sampled
+    * frames matches an earlier clip's frame at the same position within
+    * hamming ≤ `maxHamming`. Deliberately more conservative than m09's
+    * majority rule (any-match ⊇ majority, since a majority pair has
+    * n_match ≥ 1 and banding is exact per position), so every clip
+    * batch m09 would pair is flagged at ingest — the high-recall
+    * candidate set a crawl quarantines for offline m09 verification.
+    * Unlike [[detectFpDups]], every clip's frames ALWAYS enter state
+    * (m09 pairs all clips, not just survivors); per-bucket verdicts as
+    * ever — dedupe on media_id. */
+  def detectFrameDupCandidates(banded: Dataset[FpBanded],
+      maxHamming: Long = 4): Dataset[FpVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long)], FpVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[FpBanded],
+         state: GroupState[List[(Long, Long)]]) =>
+          var admitted = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
+          rows.toSeq.sortBy(_.media_id).foreach { r =>
+            admitted.iterator
+              .filter(_._1 != r.media_id)
+              .map { case (origId, ph) =>
+                (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
+              .find(_._2 <= maxHamming)
+              .foreach { case (origId, h) =>
+                out += FpVerdict(bucket, r.media_id, origId, h)
+              }
+            admitted = (r.media_id, r.phash) :: admitted
+          }
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
   /** Flag documents whose signature estimates ≥ `threshPm` Jaccard against
     * any previously-admitted signature in the same bucket. Emits one
     * Verdict per detected duplicate (first sighting is admitted silently). */

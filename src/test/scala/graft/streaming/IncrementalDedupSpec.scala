@@ -250,6 +250,70 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming video copy-candidates: a transcode arriving later is " +
+    "flagged, and the candidate set covers every batch m09 pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Media
+    val base = (0 until 576).map(i => ((i * 31 + 17) % 256).toByte).toArray
+    def corrupt(frames: Seq[Int]): Array[Byte] = {
+      val arr = base.clone()
+      frames.foreach(f => (0 until 64).foreach(p =>
+        arr(f * 64 + p) = (~arr(f * 64 + p)).toByte))
+      arr
+    }
+    def invertedGif(nFrames: Int): Array[Byte] = {
+      val grays = Array.tabulate(256)(j => (255 - j).toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        def b(i: Int): Int = base(i % base.length) & 0xFF
+        (0 until nFrames).foreach { f =>
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          (0 until 64).foreach(p =>
+            img.getRaster.setSample(p % 8, p / 8, 0, 255 - b(f * 64 + p)))
+          w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+    // same shapes as the m09 MediaSpec fixture: 9 frames, sampled 0/4/8
+    val recs = Seq(
+      Media.MediaRecord(1L, "video", Media.gifFromBytes(base, 9), "crawl"),
+      Media.MediaRecord(2L, "video", invertedGif(9), "crawl"),
+      Media.MediaRecord(3L, "video",
+        Media.gifFromBytes(corrupt(Seq(8)), 9), "crawl"),
+      Media.MediaRecord(4L, "video",
+        Media.gifFromBytes(corrupt(Seq(4, 8)), 9), "crawl"))
+    val input = MemoryStream[Media.MediaRecord]
+    val q = detectFrameDupCandidates(bandFrameFingerprints(input.toDS()))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vidcand_out").start()
+    try {
+      input.addData(recs(0))
+      q.processAllAvailable()
+      assert(spark.table("vidcand_out").count() == 0) // first clip admitted
+      input.addData(recs(1), recs(2)) // transcode + 1-frame corruption
+      q.processAllAvailable()
+      input.addData(recs(3)) // 2-frame corruption: still matches at pos 0
+      q.processAllAvailable()
+      val flagged = spark.table("vidcand_out")
+        .select("media_id").distinct().as[Long].collect().toSet
+      // the candidate set must cover every later clip of a batch m09 pair
+      val m09Later = graft.queries.MultimodalOps.frameNearDupPairs(
+        Media.frameHashes(recs.toDS(), stride = 4).toDF())
+        .select("b_id").as[Long].collect().toSet
+      assert(m09Later.subsetOf(flagged),
+        s"prefilter missed m09 pairs: ${m09Later -- flagged}")
+      assert(flagged == Set(2L, 3L, 4L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("perceptual batch/stream agreement on the documents fixture: " +
     "stream verdicts are exactly m07 pairs, and every dup of an " +
     "unflagged cluster head is caught") {
