@@ -31,10 +31,16 @@ object TextDedupOps {
   private val BANDS = 4        // 4 bands × 3 rows: catches jaccard ≳ 0.63
   private val ROWS = MINHASH_K / BANDS
 
-  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Tokenized view of any (…, text) frame — the one tokenization
+    * definition every stage shares, parameterized over the input so the
+    * p01 pipeline can re-tokenize CLEANED text with the same rule. */
+  private[graft] def withTokens(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")))
+
+  private def docsWithTokens(s: SparkSession, d: String): DataFrame =
+    withTokens(documents(s, d))
 
   // ---- text analysis ----
 
@@ -212,9 +218,15 @@ object TextDedupOps {
     * this is the materialized signature table every LSH pipeline keeps).
     * Only doc_ids travel through the band join; shingle sets are joined
     * back for the (few) candidate pairs. */
-  private def d03(s: SparkSession, d: String): DataFrame = {
+  private def d03(s: SparkSession, d: String): DataFrame =
+    d03Pairs(s, documents(s, d))
+
+  /** d03's LSH pair chain over an arbitrary (doc_id, text, …) frame —
+    * p01 decontaminates over CLEANED text, so the pair source must be
+    * input-parameterized; `d03` is the documents-table instance. */
+  private[graft] def d03Pairs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.HashSketch.register(s)
-    val sigd = documents(s, d)
+    val sigd = docs
       .withColumn("th", tokenHashSeq(col("text")))
       .withColumn("hs",
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
@@ -288,9 +300,15 @@ object TextDedupOps {
         .filter(col("df") > 1).select(key),
       Seq(key), "left_semi")
 
-  private def d05(s: SparkSession, d: String): DataFrame = {
+  private def d05(s: SparkSession, d: String): DataFrame =
+    d05Pairs(s, documents(s, d))
+
+  /** d05's exact inverted-index pair chain, input-parameterized like
+    * [[d03Pairs]] (the `leakage.exactPairs` switch must work inside the
+    * p01 pipeline too). */
+  private[graft] def d05Pairs(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.HashSketch.register(s)
-    val hsTab = documents(s, d)
+    val hsTab = docs
       .withColumn("th", tokenHashSeq(col("text")))
       .withColumn("hs",
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
@@ -686,9 +704,14 @@ object TextDedupOps {
     * exact mode upper-bound the LSH audit's cell-wise (spec-asserted,
     * DedupInvariantSpec). */
   private def leakagePairs(s: SparkSession, d: String): DataFrame =
+    leakagePairsOf(s, documents(s, d))
+
+  /** The d16/d18/d19 pair source over an arbitrary docs frame — same
+    * `leakage.exactPairs` switch, input-parameterized for p01. */
+  private[graft] def leakagePairsOf(s: SparkSession, docs: DataFrame): DataFrame =
     if (s.conf.getOption("spark.graft.dedup.leakage.exactPairs")
-        .exists(_.toBoolean)) d05(s, d)
-    else d03(s, d)
+        .exists(_.toBoolean)) d05Pairs(s, docs)
+    else d03Pairs(s, docs)
 
   /** Train-split decontamination — the ACTION d16's audit calls for:
     * drop from train every document that is a near-dup of ANY val/test
