@@ -17,10 +17,11 @@ object Catalog {
 
   def registerAll(spark: SparkSession, dir: String): Unit =
     tableNames.foreach {
-      // events is TIMESTAMP(NANOS) parquet: must go through Tables.events,
-      // which flips the nanosAsLong switch — Tables.t would make view
-      // registration fail in any session that hasn't touched events yet
-      // (latent order-dependence the shared test session masked)
+      // events must go through Tables.events, which flips the nanosAsLong
+      // switch so the TIMESTAMP(NANOS) testdata vintage still loads —
+      // Tables.t would make view registration fail on that vintage in any
+      // session that hasn't touched events yet (latent order-dependence
+      // the shared test session masked)
       case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
       case t => Tables.t(spark, dir, t).createOrReplaceTempView(t)
     }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 
 /** Table loaders + oracle-parity numeric helpers.
   *
@@ -24,13 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless
-    * nanos are read as raw longs; set the switch here so every session that
-    * touches events works regardless of builder config. Queries convert with
-    * `timestamp_micros(ts div 1000)` (UTC session). */
+  /** `events.ts` has drifted across driver testdata generations: parquet
+    * TIMESTAMP(NANOS) (arrives as raw long nanos under the legacy switch) in
+    * one vintage, TIMESTAMP_MICROS isAdjustedToUTC=0 (arrives as
+    * TIMESTAMP_NTZ) in another. Keep the nanos switch on so the nanos
+    * vintage still loads, and let queries adapt per-dtype via [[epochUs]] —
+    * a driver-side regeneration then changes the scan, not the results. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
+  }
+
+  /** Event time as epoch microseconds, adaptive to how the parquet writer
+    * encoded `ts` (see [[events]]): long nanos → integer `div 1000`;
+    * TIMESTAMP_NTZ → cast to timestamp (wall-clock identity under the UTC
+    * session every entry point pins) then `unix_micros`; plain timestamp →
+    * `unix_micros` directly. Matches DuckDB `epoch_us(ts)` bit-for-bit on
+    * every vintage. Pure column expression — stays inside whole-stage
+    * codegen either way. */
+  def epochUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType      => expr("ts div 1000")
+    case TimestampType => unix_micros(col("ts"))
+    case _             => unix_micros(col("ts").cast(TimestampType))
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")

@@ -81,14 +81,14 @@ object AdvancedOps {
   /** Full-frame window first/last: each user's first and last event type
     * over their whole history (ROWS UNBOUNDED PRECEDING..UNBOUNDED
     * FOLLOWING), then rolled up. Tie-broken on event_id; event time is
-    * compared at microsecond precision on both engines (events.ts is
-    * nanos-as-long here, µs timestamps in DuckDB). */
+    * compared at microsecond precision on both engines via the
+    * dtype-adaptive [[graft.Tables.epochUs]]. */
   private def q32(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
+    val ev = events(s, d)
+    ev.withColumn("ts_us", epochUs(ev))
       .select(col("user_id"),
         first(col("event_type")).over(w).as("first_ev"),
         last(col("event_type")).over(w).as("last_ev"))

@@ -14,9 +14,11 @@ import graft.Tables._
   * jsonb, /root/reference/src/transaction.rs:22), sessionization, and an
   * as-of ("most recent prior") join.
   *
-  * `ts` arrives as long nanoseconds (see [[graft.Tables.events]]). All
-  * time arithmetic stays in integer nanos so Spark and the DuckDB oracle
-  * agree exactly; calendar bucketing converts to civil date in UTC.
+  * `ts` arrives as long nanos or a µs timestamp depending on testdata
+  * vintage (see [[graft.Tables.events]]); [[graft.Tables.epochUs]] adapts
+  * per-dtype so all time arithmetic here is integer epoch microseconds and
+  * Spark and the DuckDB oracle agree exactly; calendar bucketing converts
+  * to civil date in UTC.
   *
   * Scale design: every query here groups or windows by (user_id) or by
   * (day, type) — both shuffle once on that key and never sort globally.
@@ -28,7 +30,7 @@ import graft.Tables._
 object EventsOps {
 
   private def withTs(df: DataFrame): DataFrame =
-    df.withColumn("ts_us", expr("ts div 1000"))
+    df.withColumn("ts_us", epochUs(df))
 
   /** Tumbling daily window per event type (reference §2.8 maps its 10s poll
     * micro-batches onto `window()` aggregation; daily here for stable
