@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * writes. */
 object ShardWriter {
 
-  private val Seed = 999
+  /** Shard-hash seed — private to the package so the d22/p01 oracles
+    * interpolate the SAME constant instead of hardcoding a copy. */
+  private[graft] val Seed = 999
 
   /** The deterministic shard column — ONE definition shared by the d22
     * accounting query and [[write]], so the audited plan and the written
@@ -38,5 +40,18 @@ object ShardWriter {
       .parquet(path)
     docs.sparkSession.read.parquet(path)
       .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Write `docs` hash-sharded exactly like [[write]] and return the
+    * read-back frame itself (`shard` recovered as a partition column) —
+    * the p01 pipeline computes its receipt from the files just written,
+    * so the receipt proves the on-disk layout rather than the pre-write
+    * plan. */
+  def writeDocs(docs: DataFrame, nShards: Int, path: String): DataFrame = {
+    docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    docs.sparkSession.read.parquet(path)
   }
 }

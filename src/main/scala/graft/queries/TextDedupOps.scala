@@ -61,7 +61,13 @@ object TextDedupOps {
     * percentile gate, so the score formula cannot drift between them
     * (its SQL twin is [[scoredCte]]). */
   private def scoredDocs(s: SparkSession, d: String): DataFrame =
-    docsWithTokens(s, d)
+    scoredOf(documents(s, d))
+
+  /** The quality-score chain over an arbitrary (…, text) frame — p01
+    * gates CLEANED text with the same formula, so it is
+    * input-parameterized like [[d03Pairs]]. */
+  private[graft] def scoredOf(docs: DataFrame): DataFrame =
+    withTokens(docs)
       .filter(col("n_words") > 0)
       .withColumn("score_pm",
         expr("(1000L * " + stopAlphaSql + ") DIV n_words"))
@@ -1101,9 +1107,21 @@ object TextDedupOps {
     * larger single documents than any crawl shard produces. */
   private val ChunkW = 8
 
-  private def d21(s: SparkSession, d: String): DataFrame = {
+  private def d21(s: SparkSession, d: String): DataFrame =
+    spanDedupedDocs(documents(s, d))
+      .select(col("doc_id"), col("source"), col("n_chunks"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** d21's span-dedup chain over an arbitrary (doc_id, source, text)
+    * frame, returning the CLEANED text itself — (doc_id, source,
+    * n_chunks, n_kept, clean_text) — so p01 can feed the surviving spans
+    * into downstream stages; d21 is the documents-table instance
+    * projecting the md5 digest. First-occurrence keys are computed over
+    * whatever frame is passed in (p01 runs it post-exact-dedup, so its
+    * winners differ from d21's full-corpus winners by design). */
+  private[graft] def spanDedupedDocs(docs: DataFrame): DataFrame = {
     val pk = col("doc_id") * lit(1000000000L) + col("idx")
-    val chunks = docsWithTokens(s, d)
+    val chunks = withTokens(docs)
       .filter(col("n_words") > 0)
       .select(col("doc_id"), col("source"),
         posexplode(expr(
@@ -1123,10 +1141,10 @@ object TextDedupOps {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         // collect_list drops the nulls the when() leaves for cut
         // chunks; the struct sort restores document order
-        md5(array_join(transform(
+        array_join(transform(
           array_sort(collect_list(when(col("keep"),
             struct(col("idx"), col("chunk"))))),
-          x => x.getField("chunk")), " ")).as("clean_md5"))
+          x => x.getField("chunk")), " ").as("clean_text"))
   }
 
   /** Bigram-LM perplexity proxy — the CCNet/KenLM quality-filter shape
@@ -1148,8 +1166,14 @@ object TextDedupOps {
     * either way nothing here is ever corpus × corpus. The model
     * includes each scored doc's own transitions, so c ≥ 1 everywhere —
     * no smoothing constant to tune and no division by zero. */
-  private def t19(s: SparkSession, d: String): DataFrame = {
-    val trans = docsWithTokens(s, d)
+  private def t19(s: SparkSession, d: String): DataFrame =
+    lmScoresOf(documents(s, d))
+
+  /** t19's bigram-LM scoring chain over an arbitrary (doc_id, text, …)
+    * frame — p01 scores the decontaminated CLEANED corpus with a model
+    * trained on that same corpus, so the chain is input-parameterized. */
+  private[graft] def lmScoresOf(docs: DataFrame): DataFrame = {
+    val trans = withTokens(docs)
       .filter(col("n_words") >= 2)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(0, size(toks) - 2),
@@ -1192,6 +1216,93 @@ object TextDedupOps {
         count(lit(1)).as("n_docs"),
         sum(col("n_words")).as("sum_words"),
         max(col("n_words")).cast("long").as("max_doc_words"))
+
+  /** p01 — the composed end-to-end corpus build, chaining the pipeline
+    * stages this file ships individually into the one job a user runs to
+    * produce training shards:
+    *
+    *   documents → exact dedup (d02's min-doc_id winner per content hash)
+    *   → span dedup over the survivors ([[spanDedupedDocs]] — CLEANED
+    *   text flows downstream, not the raw text) → decontamination (d18's
+    *   rule over [[leakagePairsOf]] on the cleaned text: drop train docs
+    *   near-dup of any val/test doc) → quality gates (t14's per-source
+    *   p10 score floor ∧ t19's per-source p90 LM-improbability ceiling,
+    *   model trained on the gated corpus itself) → t12's running-token
+    *   packing → [[graft.operators.ShardWriter.writeDocs]].
+    *
+    * The returned receipt is computed from the parquet files just
+    * written (per shard: doc count, token mass, packing-bin checksum,
+    * md5 of the sorted doc_id list), so the gate verifies the on-disk
+    * corpus, not an in-memory plan. Output dir:
+    * `spark.graft.p01.outDir`, default under java.io.tmpdir.
+    *
+    * Scale: every stage keeps its standalone shape (hash/banded
+    * shuffles, id-only pair joins, per-source windows, hash-partitioned
+    * write); composition adds no new shuffle beyond the narrow
+    * (doc_id, text) join feeding the writer, and the cleaned-docs frame
+    * is persisted once because the pair chain, both quality gates, and
+    * the writer all scan it. */
+  private[graft] def p01(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    val survivors = documents(s, d)
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keeper"))
+      .select(col("doc_id"), col("source"), col("text"))
+    val cleaned = spanDedupedDocs(survivors)
+      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
+      .persist()
+    val pairs = leakagePairsOf(s, cleaned)
+    val sym = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    val leaky = sym
+      .filter(splitCol(col("x")) === "train" && splitCol(col("y")) =!= "train")
+      .select(col("x").as("doc_id")).distinct()
+    val train = cleaned
+      .filter(splitCol(col("doc_id")) === "train")
+      .join(leaky, Seq("doc_id"), "left_anti")
+    val scored = scoredOf(train)
+      .select(col("doc_id"), col("source"), col("score_pm"),
+        col("n_words").cast("long").as("n_toks"))
+      .persist()
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+        .cast("long").as("p10"))
+    val lm = lmScoresOf(train)
+      .select(col("doc_id"), col("score_pm").as("lm_pm"))
+    val lmThr = scored.select(col("doc_id"), col("source"))
+      .join(lm, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lm_pm)")
+        .cast("long").as("p90"))
+    val kept = scored
+      .join(broadcast(thr), Seq("source"))
+      .join(lm, Seq("doc_id"), "left")
+      .join(broadcast(lmThr), Seq("source"), "left")
+      .filter(col("score_pm") >= col("p10") &&
+        (col("lm_pm").isNull || col("lm_pm") <= col("p90")))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = kept
+      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(wp), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
+    val outDir = s.conf.getOption("spark.graft.p01.outDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p01_shards")
+    val written = graft.operators.ShardWriter.writeDocs(
+      packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id")),
+      NShards, outDir)
+    written
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("bin")).as("sum_bin"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("ids_md5"))
+  }
+
+  private val PackBudget = 256L
 
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
@@ -1345,6 +1456,7 @@ object TextDedupOps {
     "t20_vocab_richness" -> t20 _,
     "d21_span_dedup" -> d21 _,
     "d22_shard_plan" -> d22 _,
+    "p01_corpus_pipeline" -> p01 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1479,12 +1591,13 @@ object TextDedupOps {
     "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' +', ' ', 'g')))"
 
   /** d05's exact all-pairs Jaccard — shared verbatim by the d06 component
-    * oracle (embedded as a derived-table CTE). */
-  private val d05Sql: String =
+    * oracle (embedded as a derived-table CTE), parameterized over the
+    * source relation so the p01 oracle can run it on CLEANED text. */
+  private def d05SqlFrom(rel: String): String =
     s"""WITH thm AS (
        |  SELECT doc_id,
        |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
-       |  FROM documents),
+       |  FROM $rel),
        |hs AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
@@ -1503,13 +1616,16 @@ object TextDedupOps {
        |JOIN sized sb ON sb.doc_id = b_id
        |WHERE (1000 * inter) // (sa.n + sb.n - inter) >= 500""".stripMargin
 
+  private val d05Sql: String = d05SqlFrom("documents")
+
   /** d03's LSH pipeline in SQL — shared verbatim by the d08 survivor oracle
-    * (embedded as a derived table, same pattern as d05Sql/d06). */
-  private val d03Sql: String =
+    * (embedded as a derived table, same pattern as d05Sql/d06), likewise
+    * parameterized over the source relation for p01. */
+  private def d03SqlFrom(rel: String): String =
     s"""WITH thm AS (
        |  SELECT doc_id,
        |    list_transform($toksSql, t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
-       |  FROM documents),
+       |  FROM $rel),
        |hs AS (
        |  SELECT doc_id,
        |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
@@ -1536,6 +1652,14 @@ object TextDedupOps {
        |SELECT a_id, b_id, (1000 * inter) // uni AS jaccard_pm
        |FROM verified WHERE (1000 * inter) // uni >= 500""".stripMargin
 
+  private val d03Sql: String = d03SqlFrom("documents")
+
+  /** SQL twin of [[leakagePairsOf]] over an arbitrary relation. */
+  private def leakagePairsSqlFrom(rel: String): String =
+    if (activeConf("spark.graft.dedup.leakage.exactPairs")
+        .exists(_.toBoolean)) d05SqlFrom(rel)
+    else d03SqlFrom(rel)
+
   /** Conf value as seen by the ACTIVE session (Verify dumps the oracle
     * JSON while its session is live) — so oracles generated from tunable
     * confs (`spark.graft.bpe.rounds`,
@@ -1549,10 +1673,7 @@ object TextDedupOps {
     activeConf("spark.graft.bpe.rounds").map(_.toInt).getOrElse(BpeRounds)
 
   /** SQL twin of [[leakagePairs]] — the d16/d18/d19 pair source. */
-  private def leakagePairsSql: String =
-    if (activeConf("spark.graft.dedup.leakage.exactPairs")
-        .exists(_.toBoolean)) d05Sql
-    else d03Sql
+  private def leakagePairsSql: String = leakagePairsSqlFrom("documents")
 
   def oracle: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
@@ -1646,10 +1767,12 @@ object TextDedupOps {
          |    // COUNT(*))::BIGINT AS hapax_pm
          |FROM tf GROUP BY source""".stripMargin,
     // SQL twin of d22: the same portable-MD5 shard assignment
-    // (Portable.sqlHash60) and token counting as the Spark side.
+    // (Portable.sqlHash60, seed and shard count interpolated from the
+    // shared constants) and token counting as the Spark side.
     "d22_shard_plan" -> {
-      val h = graft.functions.Portable.sqlHash60("doc_id::VARCHAR", 999)
-      s"""SELECT ($h % 16) AS shard,
+      val h = graft.functions.Portable.sqlHash60("doc_id::VARCHAR",
+        graft.operators.ShardWriter.Seed)
+      s"""SELECT ($h % $NShards) AS shard,
          |  COUNT(*) AS n_docs,
          |  SUM(len($toksSql))::BIGINT AS sum_words,
          |  MAX(len($toksSql))::BIGINT AS max_doc_words
@@ -2081,5 +2204,95 @@ object TextDedupOps {
          |  COUNT(*) AS n_shingles,
          |  SUM(df)::BIGINT AS sum_occurrences
          |FROM df GROUP BY 1""".stripMargin,
+    // SQL twin of p01 — the stage oracles composed as CTEs in pipeline
+    // order: d02's winner rule, d21's chunk/first/rebuild (string_agg of
+    // kept chunks = the clean text), the leakage pair chain over the
+    // CLEAN relation, d18's drop rule, t14's p10 floor + t19's p90
+    // ceiling (both computed over the decontaminated train corpus), t12's
+    // running-token packing, d22's shard assignment. The receipt digest
+    // is md5 of the sorted doc_id list — order-pinned on both engines.
+    "p01_corpus_pipeline" ->
+      s"""WITH surv AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |    FROM documents)
+         |  WHERE doc_id = keeper),
+         |tokp AS (SELECT doc_id, source, $toksSql AS toks FROM surv),
+         |chnk AS (
+         |  SELECT doc_id, source, idx,
+         |    array_to_string(toks[idx * $ChunkW + 1 : idx * $ChunkW + $ChunkW],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, source, toks,
+         |          UNNEST(range((len(toks) - 1) // $ChunkW + 1)) AS idx
+         |        FROM tokp WHERE len(toks) > 0)),
+         |frst AS (
+         |  SELECT chunk, MIN(doc_id * 1000000000 + idx) AS first_pk
+         |  FROM chnk GROUP BY 1),
+         |clean AS (
+         |  SELECT c.doc_id, c.source,
+         |    COALESCE(string_agg(
+         |      CASE WHEN c.doc_id * 1000000000 + c.idx = f.first_pk
+         |           THEN c.chunk END, ' ' ORDER BY c.idx), '') AS text
+         |  FROM chnk c JOIN frst f USING (chunk)
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM (${leakagePairsSqlFrom("clean")})),
+         |sym AS (
+         |  SELECT a_id AS x, b_id AS y FROM pairs
+         |  UNION ALL
+         |  SELECT b_id AS x, a_id AS y FROM pairs),
+         |leaky AS (
+         |  SELECT DISTINCT x AS doc_id FROM sym
+         |  WHERE ${splitCaseSqlFor("x")} = 'train'
+         |    AND ${splitCaseSqlFor("y")} <> 'train'),
+         |train AS (
+         |  SELECT c.doc_id, c.source, c.text FROM clean c
+         |  ANTI JOIN leaky l ON l.doc_id = c.doc_id
+         |  WHERE ${splitCaseSqlFor("c.doc_id")} = 'train'),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
+         |    len($toksSql)::BIGINT AS n_toks
+         |  FROM train WHERE len($toksSql) > 0),
+         |thr AS (
+         |  SELECT source, quantile_disc(score_pm, 0.1)::BIGINT AS p10
+         |  FROM scored GROUP BY source),
+         |ttok AS (SELECT doc_id, $toksSql AS toks FROM train),
+         |trans AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+         |        FROM ttok WHERE len(toks) >= 2)),
+         |bgc AS (
+         |  SELECT w1, w2, COUNT(*)::BIGINT AS c_bg FROM trans GROUP BY 1, 2),
+         |unc AS (SELECT w1, SUM(c_bg)::BIGINT AS c_w1 FROM bgc GROUP BY 1),
+         |lm AS (
+         |  SELECT t.doc_id,
+         |    (SUM((1000 * c_w1) // c_bg) // COUNT(*))::BIGINT AS lm_pm
+         |  FROM trans t JOIN bgc USING (w1, w2) JOIN unc USING (w1)
+         |  GROUP BY 1),
+         |lmthr AS (
+         |  SELECT s.source, quantile_disc(l.lm_pm, 0.9)::BIGINT AS p90
+         |  FROM scored s JOIN lm l ON l.doc_id = s.doc_id
+         |  GROUP BY 1),
+         |kept AS (
+         |  SELECT s.doc_id, s.source, s.n_toks
+         |  FROM scored s
+         |  JOIN thr t USING (source)
+         |  LEFT JOIN lm ON lm.doc_id = s.doc_id
+         |  LEFT JOIN lmthr lt ON lt.source = s.source
+         |  WHERE s.score_pm >= t.p10
+         |    AND (lm.lm_pm IS NULL OR lm.lm_pm <= lt.p90)),
+         |packed AS (
+         |  SELECT doc_id, source, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS bin
+         |  FROM kept)
+         |SELECT (${sqlHash60("doc_id::VARCHAR", graft.operators.ShardWriter.Seed)} % $NShards) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  SUM(bin)::BIGINT AS sum_bin,
+         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+         |FROM packed GROUP BY 1""".stripMargin,
   )
 }
