@@ -152,39 +152,105 @@ object IncrementalDedup {
     * possibly naming different admitted predecessors — consumers
     * counting duplicates dedupe on vec_id
     * (`dropDuplicates("vec_id")`). */
+  private def cosMilli(a: Seq[Long], b: Seq[Long]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+      nb += b(i).toDouble * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0L
+    else math.round(1000.0 * dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** One micro-batch of vector admissions against a bucket's state — the
+    * ONE decision body both [[detectVecDups]] and [[detectVecDupsWithTtl]]
+    * run, so the timed and untimed variants cannot drift. */
+  private def vecStep(bucket: Long, rows: Seq[VecBanded],
+      admitted0: List[(Long, Seq[Long])], cosMilliThresh: Long)
+      : (List[(Long, Seq[Long])], List[VecVerdict]) = {
+    var admitted = admitted0
+    val out = scala.collection.mutable.ListBuffer.empty[VecVerdict]
+    rows.sortBy(_.vec_id).foreach { r =>
+      admitted.iterator
+        .map { case (origId, qv) => (origId, cosMilli(qv, r.qv)) }
+        .find(_._2 >= cosMilliThresh) match {
+        case Some((origId, cm)) =>
+          out += VecVerdict(bucket, r.vec_id, origId, cm)
+        case None =>
+          admitted = (r.vec_id, r.qv) :: admitted
+      }
+    }
+    (admitted, out.toList)
+  }
+
   def detectVecDups(banded: Dataset[VecBanded], cosMilliThresh: Long = 950)
       : Dataset[VecVerdict] = {
     val spark = banded.sparkSession
     import spark.implicits._
-    def cosMilli(a: Seq[Long], b: Seq[Long]): Long = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
-        nb += b(i).toDouble * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0L
-      else math.round(1000.0 * dot / (math.sqrt(na) * math.sqrt(nb)))
-    }
     banded
       .groupByKey(_.bucket)
       .flatMapGroupsWithState[List[(Long, Seq[Long])], VecVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (bucket: Long, rows: Iterator[VecBanded],
          state: GroupState[List[(Long, Seq[Long])]]) =>
-          var admitted = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[VecVerdict]
-          rows.toSeq.sortBy(_.vec_id).foreach { r =>
-            admitted.iterator
-              .map { case (origId, qv) => (origId, cosMilli(qv, r.qv)) }
-              .find(_._2 >= cosMilliThresh) match {
-              case Some((origId, cm)) =>
-                out += VecVerdict(bucket, r.vec_id, origId, cm)
-              case None =>
-                admitted = (r.vec_id, r.qv) :: admitted
-            }
-          }
+          val (admitted, out) = vecStep(bucket, rows.toSeq,
+            state.getOption.getOrElse(Nil), cosMilliThresh)
           state.update(admitted)
           out.iterator
+      }
+  }
+
+  case class TimedVecDoc(vec_id: Long, embedding: Seq[Float],
+      ts: java.sql.Timestamp)
+  case class TimedVecBanded(bucket: Long, vec_id: Long, qv: Seq[Long],
+      ts: java.sql.Timestamp)
+
+  /** [[bandVectors]] with event time + watermark, feeding
+    * [[detectVecDupsWithTtl]]. */
+  def bandVectorsTimed(docs: Dataset[TimedVecDoc],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedVecBanded] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.HashSketch.register(spark)
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("qv", graft.functions.VectorFns.qvec(col("embedding")))
+      .select(col("vec_id"), col("qv"), col("ts"),
+        explode(array((0 until BANDS).map(t =>
+          (lit(t.toLong * 16) +
+            graft.functions.HashSketch.lshSig(col("qv"), 4, t * 4))
+            .as("bucket")): _*)).as("bucket"))
+      .select(col("bucket"), col("vec_id"), col("qv"), col("ts"))
+      .as[TimedVecBanded]
+  }
+
+  /** [[detectVecDups]] with [[detectWithTtl]]'s bounded-state contract:
+    * a bucket idle past `ttlMs` of event time drops its admitted
+    * vectors; re-arrivals after the horizon are admitted fresh. */
+  def detectVecDupsWithTtl(banded: Dataset[TimedVecBanded], ttlMs: Long,
+      cosMilliThresh: Long = 950): Dataset[VecVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Seq[Long])], VecVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, rows: Iterator[TimedVecBanded],
+         state: GroupState[List[(Long, Seq[Long])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (admitted, out) = vecStep(bucket,
+              rs.map(r => VecBanded(r.bucket, r.vec_id, r.qv)),
+              state.getOption.getOrElse(Nil), cosMilliThresh)
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
       }
   }
 
@@ -255,6 +321,28 @@ object IncrementalDedup {
     * all 5 bands and emits up to 5 rows, possibly naming different
     * admitted predecessors); consumers counting duplicates dedupe on
     * media_id (`dropDuplicates("media_id")`). */
+  /** One micro-batch of fingerprint admissions — shared by
+    * [[detectFpDups]] and [[detectFpDupsWithTtl]] (the [[vecStep]]
+    * pattern: one decision body, two state-lifetime contracts). */
+  private def fpStep(bucket: Long, rows: Seq[FpBanded],
+      admitted0: List[(Long, Long)], maxHamming: Long)
+      : (List[(Long, Long)], List[FpVerdict]) = {
+    var admitted = admitted0
+    val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
+    rows.sortBy(_.media_id).foreach { r =>
+      admitted.iterator
+        .map { case (origId, ph) =>
+          (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
+        .find(_._2 <= maxHamming) match {
+        case Some((origId, h)) =>
+          out += FpVerdict(bucket, r.media_id, origId, h)
+        case None =>
+          admitted = (r.media_id, r.phash) :: admitted
+      }
+    }
+    (admitted, out.toList)
+  }
+
   def detectFpDups(banded: Dataset[FpBanded], maxHamming: Long = 4)
       : Dataset[FpVerdict] = {
     val spark = banded.sparkSession
@@ -265,21 +353,61 @@ object IncrementalDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (bucket: Long, rows: Iterator[FpBanded],
          state: GroupState[List[(Long, Long)]]) =>
-          var admitted = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
-          rows.toSeq.sortBy(_.media_id).foreach { r =>
-            admitted.iterator
-              .map { case (origId, ph) =>
-                (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
-              .find(_._2 <= maxHamming) match {
-              case Some((origId, h)) =>
-                out += FpVerdict(bucket, r.media_id, origId, h)
-              case None =>
-                admitted = (r.media_id, r.phash) :: admitted
-            }
-          }
+          val (admitted, out) = fpStep(bucket, rows.toSeq,
+            state.getOption.getOrElse(Nil), maxHamming)
           state.update(admitted)
           out.iterator
+      }
+  }
+
+  case class TimedFpBanded(bucket: Long, media_id: Long, phash: Long,
+      ts: java.sql.Timestamp)
+
+  /** The [[bandHashes60]] banding over a timed (media_id, phash, ts)
+    * frame — the image (aHash60) and audio (envHash60) ingest paths
+    * attach the crawl timestamp to their decoded fingerprints and feed
+    * the TTL-bounded detector through here. */
+  def bandHashes60Timed(ph: DataFrame,
+      watermarkDelay: String = "0 seconds"): Dataset[TimedFpBanded] = {
+    val spark = ph.sparkSession
+    import spark.implicits._
+    ph.withWatermark("ts", watermarkDelay)
+      .select(col("media_id"), col("phash"), col("ts"),
+        explode(array((0 until 5).map(b =>
+          (lit(b.toLong * 4096L) + shiftRight(col("phash"), b * 12)
+            .bitwiseAND(lit(0xFFFL))).as("bucket")): _*)).as("bucket"))
+      .select(col("bucket"), col("media_id"), col("phash"), col("ts"))
+      .as[TimedFpBanded]
+  }
+
+  /** [[detectFpDups]] with [[detectWithTtl]]'s bounded-state contract:
+    * a fingerprint bucket idle past `ttlMs` of event time is dropped,
+    * so a re-encode arriving after the horizon is admitted fresh —
+    * state is bounded by one TTL horizon of distinct fingerprints. */
+  def detectFpDupsWithTtl(banded: Dataset[TimedFpBanded], ttlMs: Long,
+      maxHamming: Long = 4): Dataset[FpVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long)], FpVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, rows: Iterator[TimedFpBanded],
+         state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (admitted, out) = fpStep(bucket,
+              rs.map(r => FpBanded(r.bucket, r.media_id, r.phash)),
+              state.getOption.getOrElse(Nil), maxHamming)
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
       }
   }
 
@@ -320,6 +448,24 @@ object IncrementalDedup {
     * copies) work per batch — the skew lives in the per-batch group,
     * never accumulates. An event-time TTL composes as [[detectWithTtl]]
     * if the registry needs a finite horizon. */
+  /** One micro-batch of span admissions — shared by [[detectSpanDups]]
+    * and [[detectSpanDupsWithTtl]] (the [[vecStep]] pattern). */
+  private def spanStep(rows: Seq[SpanChunk], first0: Option[(Long, Int)])
+      : (Option[(Long, Int)], List[SpanVerdict]) = {
+    val out = scala.collection.mutable.ListBuffer.empty[SpanVerdict]
+    var first = first0
+    rows.sortBy(r => (r.doc_id, r.idx)).foreach { r =>
+      first match {
+        case None =>
+          first = Some((r.doc_id, r.idx))
+          out += SpanVerdict(r.doc_id, r.idx, keep = true, r.doc_id)
+        case Some((fd, _)) =>
+          out += SpanVerdict(r.doc_id, r.idx, keep = false, fd)
+      }
+    }
+    (first, out.toList)
+  }
+
   def detectSpanDups(chunks: Dataset[SpanChunk]): Dataset[SpanVerdict] = {
     val spark = chunks.sparkSession
     import spark.implicits._
@@ -329,19 +475,66 @@ object IncrementalDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: String, rows: Iterator[SpanChunk],
          state: GroupState[(Long, Int)]) =>
-          val out = scala.collection.mutable.ListBuffer.empty[SpanVerdict]
-          var first = state.getOption
-          rows.toSeq.sortBy(r => (r.doc_id, r.idx)).foreach { r =>
-            first match {
-              case None =>
-                first = Some((r.doc_id, r.idx))
-                out += SpanVerdict(r.doc_id, r.idx, keep = true, r.doc_id)
-              case Some((fd, _)) =>
-                out += SpanVerdict(r.doc_id, r.idx, keep = false, fd)
-            }
-          }
+          val (first, out) = spanStep(rows.toSeq, state.getOption)
           first.foreach(state.update)
           out.iterator
+      }
+  }
+
+  case class TimedSpanChunk(chunk: String, doc_id: Long, idx: Int,
+      ts: java.sql.Timestamp)
+
+  /** [[chunkSpans]] with event time + watermark, feeding
+    * [[detectSpanDupsWithTtl]]. */
+  def chunkSpansTimed(docs: Dataset[TimedDoc], width: Int = 8,
+      watermarkDelay: String = "0 seconds"): Dataset[TimedSpanChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) DIV $width),
+             |  i -> array_join(slice(toks, i * $width + 1, $width), ' '))"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as(Seq("idx", "chunk")))
+      .select(col("chunk"), col("doc_id"),
+        col("idx").cast("int").as("idx"), col("ts"))
+      .as[TimedSpanChunk]
+  }
+
+  /** [[detectSpanDups]] with [[detectWithTtl]]'s bounded-state
+    * contract: a span unseen for `ttlMs` of event time leaves the
+    * registry, so the same content re-arriving after the horizon is
+    * admitted (kept) again as a fresh first owner. The deliberate C4
+    * relaxation that keeps the registry finite on an unbounded crawl:
+    * state is one entry per DISTINCT span seen within the horizon. */
+  def detectSpanDupsWithTtl(chunks: Dataset[TimedSpanChunk], ttlMs: Long)
+      : Dataset[SpanVerdict] = {
+    val spark = chunks.sparkSession
+    import spark.implicits._
+    chunks
+      .groupByKey(_.chunk)
+      .flatMapGroupsWithState[(Long, Int), SpanVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: String, rows: Iterator[TimedSpanChunk],
+         state: GroupState[(Long, Int)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (first, out) = spanStep(
+              rs.map(r => SpanChunk(r.chunk, r.doc_id, r.idx)),
+              state.getOption)
+            first.foreach(state.update)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
       }
   }
 
@@ -377,6 +570,28 @@ object IncrementalDedup {
     * Unlike [[detectFpDups]], every clip's frames ALWAYS enter state
     * (m09 pairs all clips, not just survivors); per-bucket verdicts as
     * ever — dedupe on media_id. */
+  /** One micro-batch of frame-candidate flagging — shared by
+    * [[detectFrameDupCandidates]] and its TTL variant (the [[vecStep]]
+    * pattern). Unlike [[fpStep]], every frame always enters state. */
+  private def frameStep(bucket: Long, rows: Seq[FpBanded],
+      admitted0: List[(Long, Long)], maxHamming: Long)
+      : (List[(Long, Long)], List[FpVerdict]) = {
+    var admitted = admitted0
+    val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
+    rows.sortBy(_.media_id).foreach { r =>
+      admitted.iterator
+        .filter(_._1 != r.media_id)
+        .map { case (origId, ph) =>
+          (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
+        .find(_._2 <= maxHamming)
+        .foreach { case (origId, h) =>
+          out += FpVerdict(bucket, r.media_id, origId, h)
+        }
+      admitted = (r.media_id, r.phash) :: admitted
+    }
+    (admitted, out.toList)
+  }
+
   def detectFrameDupCandidates(banded: Dataset[FpBanded],
       maxHamming: Long = 4): Dataset[FpVerdict] = {
     val spark = banded.sparkSession
@@ -387,21 +602,43 @@ object IncrementalDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (bucket: Long, rows: Iterator[FpBanded],
          state: GroupState[List[(Long, Long)]]) =>
-          var admitted = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[FpVerdict]
-          rows.toSeq.sortBy(_.media_id).foreach { r =>
-            admitted.iterator
-              .filter(_._1 != r.media_id)
-              .map { case (origId, ph) =>
-                (origId, java.lang.Long.bitCount(ph ^ r.phash).toLong) }
-              .find(_._2 <= maxHamming)
-              .foreach { case (origId, h) =>
-                out += FpVerdict(bucket, r.media_id, origId, h)
-              }
-            admitted = (r.media_id, r.phash) :: admitted
-          }
+          val (admitted, out) = frameStep(bucket, rows.toSeq,
+            state.getOption.getOrElse(Nil), maxHamming)
           state.update(admitted)
           out.iterator
+      }
+  }
+
+  /** [[detectFrameDupCandidates]] with [[detectWithTtl]]'s
+    * bounded-state contract — frame buckets idle past `ttlMs` of event
+    * time drop their hashes, so the candidate registry holds one TTL
+    * horizon of frames. A transcode of a clip older than the horizon is
+    * NOT flagged (its original has aged out) — the crawl's retention
+    * window, chosen per deployment via `ttlMs`. */
+  def detectFrameDupCandidatesWithTtl(banded: Dataset[TimedFpBanded],
+      ttlMs: Long, maxHamming: Long = 4): Dataset[FpVerdict] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[(Long, Long)], FpVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (bucket: Long, rows: Iterator[TimedFpBanded],
+         state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (admitted, out) = frameStep(bucket,
+              rs.map(r => FpBanded(r.bucket, r.media_id, r.phash)),
+              state.getOption.getOrElse(Nil), maxHamming)
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+            out.iterator
+          }
       }
   }
 

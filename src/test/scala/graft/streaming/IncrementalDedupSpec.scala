@@ -161,6 +161,126 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  private def t(min: Int) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("span TTL: an expired span re-admits as a fresh first owner") {
+    implicit val sqlCtx = spark.sqlContext
+    val c = (n: Int) => (0 until 8).map(i => s"w${n}_$i").mkString(" ")
+    val input = MemoryStream[TimedDoc]
+    val q = detectSpanDupsWithTtl(chunkSpansTimed(input.toDS()),
+        ttlMs = 10L * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("span_ttl_out").start()
+    try {
+      input.addData(TimedDoc(1, c(0), t(0)))
+      q.processAllAvailable()
+      input.addData(TimedDoc(2, c(0), t(5))) // inside horizon: cut
+      q.processAllAvailable()
+      input.addData(TimedDoc(3, c(1), t(30))) // advances the watermark
+      q.processAllAvailable()
+      input.addData(TimedDoc(4, c(2), t(31))) // timeout fires this batch
+      q.processAllAvailable()
+      input.addData(TimedDoc(5, c(0), t(32))) // registry expired: fresh
+      q.processAllAvailable()
+      val v = spark.table("span_ttl_out")
+        .select("doc_id", "keep", "firstDoc")
+        .as[(Long, Boolean, Long)].collect().toSet
+      assert(v == Set((1L, true, 1L), (2L, false, 1L), (3L, true, 3L),
+        (4L, true, 4L), (5L, true, 5L)), s"got $v")
+    } finally q.stop()
+  }
+
+  test("vec TTL: an expired bucket re-admits a near-dup vector fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val dims = 64
+    val v = Seq.tabulate(dims)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val vDup = v.map(x => x * 1.01f)
+    val other = Seq.tabulate(dims)(i =>
+      (math.cos(3 * i + 2) * (if (i % 2 == 0) 0.7 else -0.6)).toFloat)
+    val input = MemoryStream[TimedVecDoc]
+    val q = detectVecDupsWithTtl(bandVectorsTimed(input.toDS()),
+        ttlMs = 10L * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("vec_ttl_out").start()
+    try {
+      input.addData(TimedVecDoc(1, v, t(0)))
+      q.processAllAvailable()
+      input.addData(TimedVecDoc(2, vDup, t(5))) // inside horizon: flagged
+      q.processAllAvailable()
+      input.addData(TimedVecDoc(3, other, t(30))) // advances the watermark
+      q.processAllAvailable()
+      input.addData(TimedVecDoc(4, other.map(-_), t(31))) // timeout fires
+      q.processAllAvailable()
+      input.addData(TimedVecDoc(5, vDup, t(32))) // expired: admitted fresh
+      q.processAllAvailable()
+      val flagged = spark.table("vec_ttl_out")
+        .select("vec_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((2L, 1L)), s"got $flagged")
+    } finally q.stop()
+  }
+
+  test("fingerprint TTL: an expired fingerprint bucket re-admits a " +
+    "re-encode fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val hA = 0x0123456789ABCL
+    val hB = 0xFEDCBA9876543L // far from hA in hamming
+    val hC = 0x0F0F0F0F0F0F0L
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val timed = bandHashes60Timed(
+      input.toDF().toDF("media_id", "phash", "ts"))
+    val q = detectFpDupsWithTtl(timed, ttlMs = 10L * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fp_ttl_out").start()
+    try {
+      input.addData((1L, hA, t(0)))
+      q.processAllAvailable()
+      input.addData((2L, hA, t(5))) // hamming 0 inside horizon: flagged
+      q.processAllAvailable()
+      input.addData((3L, hB, t(30))) // advances the watermark
+      q.processAllAvailable()
+      input.addData((4L, hC, t(31))) // timeout fires this batch
+      q.processAllAvailable()
+      input.addData((5L, hA, t(32))) // expired: admitted fresh
+      q.processAllAvailable()
+      val flagged = spark.table("fp_ttl_out")
+        .select("media_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((2L, 1L)), s"got $flagged")
+    } finally q.stop()
+  }
+
+  test("frame-candidate TTL: a transcode of a clip older than the " +
+    "horizon is no longer flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val hA = 0x0123456789ABCL
+    val hB = 0xFEDCBA9876543L
+    val hC = 0x0F0F0F0F0F0F0L
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val timed = bandHashes60Timed(
+      input.toDF().toDF("media_id", "phash", "ts"))
+    val q = detectFrameDupCandidatesWithTtl(timed, ttlMs = 10L * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("frame_ttl_out").start()
+    try {
+      input.addData((1L, hA, t(0)))
+      q.processAllAvailable()
+      input.addData((2L, hA, t(5))) // inside horizon: flagged against 1
+      q.processAllAvailable()
+      input.addData((3L, hB, t(30))) // advances the watermark
+      q.processAllAvailable()
+      input.addData((4L, hC, t(31))) // timeout fires this batch
+      q.processAllAvailable()
+      input.addData((5L, hA, t(32))) // 1 and 2 aged out: not flagged
+      q.processAllAvailable()
+      val flagged = spark.table("frame_ttl_out")
+        .select("media_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((2L, 1L)), s"got $flagged")
+    } finally q.stop()
+  }
+
   private def img8(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(
       8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
