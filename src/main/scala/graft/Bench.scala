@@ -79,6 +79,19 @@ object Bench {
       }.toMap
 
     runAll(measured = false) // warmup pass (uncounted)
+
+    // Self-calibration sentinel: the pinned trivial query (q20 — string
+    // funcs over a constant-size dimension table, data-size-insensitive
+    // across sf) timed once, warm, between the warmup and the measured
+    // passes. On an idle host it runs in well under [[CalSteadySec]];
+    // when the sample exceeds 3x that, the whole run is marked hot —
+    // r7's bench was poisoned by host load and took a manual same-host
+    // A/B to adjudicate, and this field makes that call automatic.
+    val calT0 = System.nanoTime()
+    SparkEntry.queries(CalQuery)(spark, sfDir).count()
+    val cal = (System.nanoTime() - calT0) / 1e9
+    spark.catalog.clearCache()
+
     // Two measured passes, per-query MIN: a single GC pause or concurrent
     // host load can inflate one pass 10x (q16 read 14.8s in a driver run
     // whose steady-state is 0.5s); the min of two independent passes is the
@@ -89,23 +102,40 @@ object Bench {
       // a query that failed BOTH passes has min=inf — report a sentinel
       // -1 (unmistakably not a timing) rather than poisoning the sum
       .map { case (k, v) => k -> (if (v.isInfinity) -1.0 else v) }
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
-    // The driver captures only the last 2000 chars of stdout and parses the
-    // final line as JSON (BENCH_r02 was truncated mid-line at ~2.4KB and
-    // failed to parse). Keep this line SHORT: short query ids (the prefix
-    // before the first '_' is unique across the surface), 3-decimal values,
-    // basename-only sf.
+    println(jsonLine(results, failed.size, sfDir.split('/').last, cal))
+    spark.stop()
+  }
+
+  /** The pinned calibration query — trivial, stable, constant-size input
+    * at every sf, so its warm wall time measures the HOST, not the data. */
+  private[graft] val CalQuery = "q20_string_funcs"
+
+  /** Steady-state calibration budget (seconds): the warm [[CalQuery]]
+    * runs in ~0.15–0.2 s on an idle host at any sf; 3x this flags the
+    * run as host-noise-poisoned (`"hot":1` in the JSON line). */
+  private[graft] val CalSteadySec = 0.25
+
+  private[graft] def calHot(calSec: Double): Boolean =
+    calSec > 3 * CalSteadySec
+
+  /** The one JSON line the driver parses — kept under its 2000-char tail
+    * capture (BENCH_r02 was truncated mid-line at ~2.4KB and failed to
+    * parse): short query ids (the prefix before the first '_' is unique
+    * across the surface), 3-decimal values, basename-only sf. */
+  private[graft] def jsonLine(results: Seq[(String, Double)], failures: Int,
+      sfName: String, calSec: Double): String = {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val sfName = sfDir.split('/').last
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":${failed.size},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,""" +
+        s""""cal":${fmt(calSec)},"hot":${if (calHot(calSec)) 1 else 0},""" +
+        s""""queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
         "driver tail captures 2000; shorten keys before this truncates")
-    println(line)
-    spark.stop()
+    line
   }
 }
