@@ -891,7 +891,7 @@ object TextDedupOps {
         .map { case ((word, cnt), sq) => (word, cnt, sq.toSeq) }
         .toDF("word", "cnt", "seq")
       (mergesDf, seqsDf)
-    } else bpeChain(w, rounds)
+    } else bpeChainBatched(w, rounds)
   }
 
   private[graft] def bpeTrain(words: DataFrame, rounds: Int): DataFrame =
@@ -968,6 +968,98 @@ object TextDedupOps {
       best
     }
     (bests.reduce(_ unionByName _), seqs)
+  }
+
+  /** The distributed trainer for vocabularies ABOVE the driver cutoff at
+    * production round counts — the piece the one-merge-per-round chain
+    * ([[bpeChain]]) cannot deliver (30k merges = 30k chained Spark
+    * stages): each Spark round learns a BATCH of merges that is provably
+    * identical to running that many sequential rounds, shrinking the
+    * stage count ~[[BpeBatchCap]]-fold (30k merges ≈ 120 rounds).
+    *
+    * Batch selection (driver-side, over the top pair stats only — a
+    * bounded `limit(2·cap+1)` collect, never data-scale): walk the
+    * (count desc, lhs, rhs)-sorted pair list, admitting pairs while they
+    * are SYMBOL-DISJOINT from everything already admitted, stopping at
+    * the first conflict; then truncate the batch to counts STRICTLY
+    * above the stopping pair's count (`C`). Exactness argument: merging
+    * a batched pair leaves every symbol-disjoint pair's count unchanged,
+    * only ever DECREASES conflicting pairs' counts, and any NEWLY
+    * CREATED pair (x, m)/(m, y) inherits count ≤ the pre-merge count of
+    * its neighbour pair (x, lhs)/(rhs, y) — a pair that SHARES a symbol
+    * and therefore sorts at or below the stopping conflict, so its count
+    * is ≤ C < every batched count. Hence at each sequential step the
+    * global argmax (with the shared (count desc, lhs, rhs) tie-break) is
+    * exactly the next batched pair. When truncation empties the batch
+    * (top count == C), fall back to the top pair alone — a single merge
+    * is sequential by definition. Batched application is one fold pass
+    * per word over a broadcast pair→merged map (disjointness means no
+    * intra-batch interaction; merged symbols are new, so no cascade).
+    * Spec: BpeTrainerSpec drives ≥300 merges through this path with
+    * `localVocabCutoff=1` and asserts equality with the local trainer. */
+  private[graft] val BpeBatchCap = 256
+
+  private[graft] def bpeChainBatched(words: DataFrame, rounds: Int,
+      batchCap: Int = BpeBatchCap): (DataFrame, DataFrame) = {
+    val s = words.sparkSession
+    import s.implicits._
+    var seqs = words.withColumn("seq",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    val learned =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (learned.size < rounds && !done) {
+      val want = math.min(batchCap, rounds - learned.size)
+      val lim = 2 * want + 1
+      val top = seqs.filter(size(col("seq")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(seq) - 2)," +
+            " i -> struct(seq[i] AS lhs, seq[i+1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+        .limit(lim)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.HashSet.empty[String]
+        val prefix =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var cutoff = -1L // count of the first pair NOT admitted
+        var i = 0
+        var stopped = false
+        while (i < top.length && !stopped && prefix.size < want) {
+          val (l, r2, c) = top(i)
+          if (used(l) || used(r2)) { cutoff = c; stopped = true }
+          else { prefix += top(i); used += l; used += r2; i += 1 }
+        }
+        if (!stopped && i < top.length) cutoff = top(i)._3 // capped by want
+        else if (!stopped && top.length == lim) cutoff = top.last._3 // limit-truncated
+        val safe = prefix.takeWhile(_._3 > cutoff) // counts non-increasing
+        val batch = if (safe.nonEmpty) safe.toSeq else prefix.take(1).toSeq
+        batch.foreach { case (l, r2, c) => learned += ((0L, l, r2, c)) }
+        val mmap = batch.map { case (l, r2, _) => (l, r2) -> (l + r2) }.toMap
+        seqs = graft.operators.Iterate.truncate(
+          seqs.withColumn("m", typedLit(mmap))
+            .withColumn("seq", expr(
+              """aggregate(seq, cast(array() as array<string>),
+                |  (acc, x) -> CASE
+                |    WHEN size(acc) > 0 AND element_at(m,
+                |      named_struct('_1', element_at(acc, -1), '_2', x)) IS NOT NULL
+                |    THEN concat(slice(acc, 1, size(acc) - 1),
+                |      array(element_at(m,
+                |        named_struct('_1', element_at(acc, -1), '_2', x))))
+                |    ELSE concat(acc, array(x)) END)""".stripMargin
+                .replaceAll("\n", " ")))
+            .drop("m"))
+      }
+    }
+    // round numbers are 1-based positions in learned order
+    val mergesDf = learned.zipWithIndex
+      .map { case ((_, l, r2, c), idx) => ((idx + 1).toLong, l, r2, c) }
+      .toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    (mergesDf, seqs)
   }
 
   /** The corpus vocabulary t15/t16 train over: lowercase ASCII words (the

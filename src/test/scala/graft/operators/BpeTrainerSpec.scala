@@ -109,6 +109,50 @@ class BpeTrainerSpec extends SparkSuite {
     }
   }
 
+  test("batched distributed chain at >=300 merges == local trainer, " +
+    "with localVocabCutoff=1 forcing the distributed path") {
+    val rounds = 300
+    val df = fixtureVocab.toSeq.toDF("word", "cnt")
+    val (localMerges, _) = BpeTrainer.train(fixtureVocab.toVector, rounds)
+    assert(localMerges.size >= 300, "fixture exhausted — grow the vocab")
+    spark.conf.set("spark.graft.bpe.localVocabCutoff", "1")
+    try {
+      val (mergesDf, seqsDf) =
+        graft.queries.TextDedupOps.bpeTrainChain(df, rounds)
+      val dist = mergesDf.as[(Long, String, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(dist == localMerges.map(m => (m.round, m.lhs, m.rhs, m.pairCount)),
+        s"batched chain diverged from the local trainer at $rounds merges")
+      // the batched path must actually batch: far fewer Spark rounds
+      // than merges (each super-round is one aggregation + one fold)
+      // — probed via the final sequence agreement instead of stage
+      // counts: replay the local trainer's sequences and compare
+      val vocabSeq = fixtureVocab.toVector
+      val (_, localSeqs) = BpeTrainer.train(vocabSeq, rounds)
+      val expectSeqs = vocabSeq.map(_._1).zip(localSeqs.map(_.toSeq)).toMap
+      val gotSeqs = seqsDf.select(col("word"), col("seq"))
+        .as[(String, Seq[String])].collect().toMap
+      assert(gotSeqs == expectSeqs, "batched final sequences diverged")
+    } finally spark.conf.unset("spark.graft.bpe.localVocabCutoff")
+  }
+
+  test("batched chain truncates unsafely-ordered batches: interacting " +
+    "pair fixtures stay equal to sequential at every batch cap") {
+    // chain-heavy fixture: long runs of the same letters force heavy
+    // pair interaction (neighbour pairs, self-pairs, ties)
+    val words = Map("aaaa" -> 7L, "aaab" -> 6L, "abab" -> 5L, "bbaa" -> 5L,
+      "abc" -> 9L, "bcd" -> 9L, "cdab" -> 4L, "dcba" -> 3L)
+    val df = words.toSeq.toDF("word", "cnt")
+    val expect = referenceBpe(words, 12)
+    Seq(1, 2, 4, 64).foreach { cap =>
+      val (mergesDf, _) =
+        graft.queries.TextDedupOps.bpeChainBatched(df, 12, batchCap = cap)
+      val got = mergesDf.as[(Long, String, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == expect, s"cap=$cap diverged:\n$got\n$expect")
+    }
+  }
+
   test("empty merge round is the identity, not annihilation: " +
     "t16-shape accounting survives a fully-merged vocabulary") {
     // 'ab' merges once ('a','b'); rounds 2..4 find no pair — the old
