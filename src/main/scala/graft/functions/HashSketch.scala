@@ -44,15 +44,24 @@ object HashSketch {
       exprs => TokenHashSeq(exprs(0), exprs(1), exprs(2)), "built-in")
     // Spark's runtime-filter bloom expressions, surfaced as callable
     // functions (they exist in catalyst but are not in the public
-    // registry): graft_bloom_agg(longCol) -> binary sketch;
-    // graft_bloom_contains(binary, longCol) -> boolean. The contains
-    // side requires a CONSTANT sketch (it deserializes once via
-    // eval(null)), so callers embed the aggregated bloom as a literal —
-    // the d12 contamPrefilter pattern.
+    // registry): graft_bloom_agg(longCol[, estimatedItems]) -> binary
+    // sketch; graft_bloom_contains(binary, longCol) -> boolean. The
+    // optional second argument sizes the sketch to the actual item
+    // count instead of the 1M-item conf default — undersizing blows up
+    // the false-positive rate (a prefilter that passes everything),
+    // oversizing broadcasts dead bytes. The contains side requires a
+    // CONSTANT sketch (it deserializes once via eval(null)), so callers
+    // embed the aggregated bloom as a literal — the d12 contamPrefilter
+    // pattern.
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_agg",
-      exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
-        .BloomFilterAggregate(exprs(0)), "built-in")
+      exprs =>
+        if (exprs.length >= 2)
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0), exprs(1))
+        else
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bloom_contains",
       exprs => org.apache.spark.sql.catalyst.expressions

@@ -114,11 +114,14 @@ class HttpNode(endpoint: String, maxAttempts: Int = 3) extends NodeClient {
     // endpoint costs (maxAttempts−1) extra requests plus ~300 ms sleep
     // per height in the lenient per-block scan. 408 (request timeout)
     // and 429 (rate limit) are the two 4xx that describe a transient
-    // server condition, so they retry like 5xx.
+    // server condition, so they retry like 5xx. 3xx is deterministic
+    // too: this client never follows redirects, so a redirecting
+    // endpoint is a misconfiguration that no retry can fix.
     val resp = try mapper.readTree(post(mapper.writeValueAsString(req)))
       catch {
         case e: HttpNode.HttpStatusError
-            if e.code / 100 == 4 && e.code != 408 && e.code != 429 =>
+            if (e.code / 100 == 4 && e.code != 408 && e.code != 429) ||
+              e.code / 100 == 3 =>
           throw e
         case e: java.io.IOException =>
           throw new HttpNode.TransientNodeError(

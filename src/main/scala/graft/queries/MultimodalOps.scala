@@ -311,7 +311,10 @@ object MultimodalOps {
         |    SELECT doc_id, source, hex(encode(text)) AS hx,
         |      octet_length(encode(text)) AS n,
         |      UNNEST(range(0, octet_length(encode(text)) % 24 + 1, 4)) AS f
-        |    FROM documents WHERE doc_id % 3 = 2))
+        |    -- n > 0: an empty payload has no frames on the Spark side
+        |    -- (nothing to decode) and would modulo-by-zero here
+        |    FROM documents
+        |    WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0))
         |GROUP BY source""".stripMargin,
     "m03_resize_rollup" ->
       """SELECT ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
@@ -392,9 +395,11 @@ object MultimodalOps {
     // position banding, exact for the majority rule (n_match >= 1).
     "m09_video_neardup" ->
       """WITH px AS (
+        |  -- n > 0: empty payloads have no frames (see the m02 guard)
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |    octet_length(encode(text)) AS n
-        |  FROM documents WHERE doc_id % 3 = 2),
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
         |fr AS (
         |  SELECT doc_id, f,
         |    list_transform(range(0, 64), p ->

@@ -634,14 +634,27 @@ object SimilarityOps {
   private[graft] def buildAnnIndex(emb: DataFrame): Map[String, DataFrame] = {
     val cents = ivfCentroids(emb)
     val cb = pqCodebook(emb)
+    val (lists, codes) =
+      encodeCandidates(cents, cb, emb.filter(col("vec_id") >= NQ))
+    Map("centroids" -> cents, "codebook" -> cb, "lists" -> lists,
+      "codes" -> codes)
+  }
+
+  /** The encode step of the offline build, factored so the incremental
+    * append runs the IDENTICAL per-candidate assignment: IVF top-1 list
+    * membership + per-subspace nearest-code words for `cand` under the
+    * given (frozen) quantizer. Per-candidate work is independent of
+    * every other candidate, which is what makes append ∪ old = rebuild
+    * exact. */
+  private[graft] def encodeCandidates(cents: DataFrame, cb: DataFrame,
+      cand: DataFrame): (DataFrame, DataFrame) = {
     // IVF: candidates to their top-1 list
     val lists = assignToCentroids(cents,
-      emb.filter(col("vec_id") >= NQ)
-        .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+      cand.select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
       "cand_id", top = 1)
       .select(col("c_id"), col("cand_id"))
     // PQ: each candidate becomes its per-subspace nearest-code word
-    val vsub = subspaces(emb.filter(col("vec_id") >= NQ))
+    val vsub = subspaces(cand)
       .withColumn("svn2", norm2q(col("sv")))
     val wCode = Window.partitionBy(col("vec_id"), col("sub"))
       .orderBy(col("dist2").asc, col("code_id").asc)
@@ -652,8 +665,26 @@ object SimilarityOps {
       .filter(col("rk") === 1)
       .select(col("vec_id").as("cand_id"), col("sub"), col("code_id"),
         col("cvn2"))
-    Map("centroids" -> cents, "codebook" -> cb, "lists" -> lists,
-      "codes" -> codes)
+    (lists, codes)
+  }
+
+  /** Incremental ANN index append — the ingest path an IVFADC deployment
+    * runs between offline retrains: NEW vectors are assigned and
+    * PQ-encoded under the index's FROZEN quantizer (centroids and
+    * codebook untouched), and their rows are unioned into the inverted
+    * lists and code tables. Because [[encodeCandidates]] is
+    * per-candidate independent, append-then-serve is bit-identical to a
+    * full rebuild under the same quantizer (spec-asserted,
+    * AnnRefinementSpec). At 100 TB this is the difference between
+    * encoding the daily delta and re-encoding the corpus; quantizer
+    * drift is handled by the scheduled offline retrain, not by ingest. */
+  private[graft] def appendToAnnIndex(index: Map[String, DataFrame],
+      newEmb: DataFrame): Map[String, DataFrame] = {
+    val (lists, codes) = encodeCandidates(index("centroids"),
+      index("codebook"), newEmb.filter(col("vec_id") >= NQ))
+    index +
+      ("lists" -> index("lists").unionByName(lists)) +
+      ("codes" -> index("codes").unionByName(codes))
   }
 
   /** The ONLINE half of s17: probe, ADC-price, re-rank against the four
@@ -766,6 +797,37 @@ object SimilarityOps {
         when(col("is_dropped").isNotNull, 0L).otherwise(1L).as("keep"))
   }
 
+  /** SemDeDup coverage report — what s18's cluster bargain costs, in the
+    * s12 recall-report shape: the s04 near-dup truth split into
+    * WITHIN-cluster pairs (all of which s18's within-cluster join sees,
+    * so n_within IS the true-positive count) and CROSS-cluster pairs
+    * (invisible to s18 by construction — the recall it trades for
+    * O(Σ n_c²) cost). One row: n_truth, n_within, n_cross, recall_pm.
+    * Metrology query like s12: the truth side is the declared O(n²)
+    * audit, run at audit scope (s15's sampled-truth pattern is the
+    * production variant of this readout). The cluster quantizer is the
+    * SAME conf-switched [[ivfCentroids]] s18 reads, so the report moves
+    * with the refined-centroid mode. */
+  private def s19(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val truth = s04(s, d).select(col("a_id"), col("b_id"))
+    val assigned = assignToCentroids(ivfCentroids(emb),
+      emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id", top = 1)
+      .select(col("vec_id"), col("c_id"))
+    truth
+      .join(assigned.select(col("vec_id").as("a_id"), col("c_id").as("a_c")),
+        Seq("a_id"))
+      .join(assigned.select(col("vec_id").as("b_id"), col("c_id").as("b_c")),
+        Seq("b_id"))
+      .agg(
+        count(lit(1)).as("n_truth"),
+        sum(when(col("a_c") === col("b_c"), 1L).otherwise(0L)).as("n_within"),
+        sum(when(col("a_c") =!= col("b_c"), 1L).otherwise(0L)).as("n_cross"))
+      .withColumn("recall_pm",
+        when(col("n_truth") > 0, expr("(1000L * n_within) DIV n_truth"))
+          .otherwise(1000L))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -785,6 +847,7 @@ object SimilarityOps {
     "s16_kmeans_iterations" -> s16 _,
     "s17_ivf_pq_rerank" -> s17 _,
     "s18_semantic_cluster_dedup" -> s18 _,
+    "s19_cluster_recall_report" -> s19 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1259,5 +1322,33 @@ object SimilarityOps {
          |SELECT a.vec_id, a.c_id,
          |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS keep
          |FROM assigned a LEFT JOIN dropped d USING (vec_id)""".stripMargin,
+    // SQL twin of s19: the s04 truth labelled by the same conf-switched
+    // cluster assignment as the s18 oracle, split within/cross.
+    "s19_cluster_recall_report" ->
+      s"""WITH $embCte,
+         |$centsCteSql,
+         |assigned AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT v.vec_id, c.c_id,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c)
+         |  WHERE crk = 1),
+         |truth AS (SELECT a_id, b_id FROM ($s04Sql)),
+         |lab AS (
+         |  SELECT ca.c_id AS a_c, cb.c_id AS b_c
+         |  FROM truth t
+         |  JOIN assigned ca ON ca.vec_id = t.a_id
+         |  JOIN assigned cb ON cb.vec_id = t.b_id)
+         |SELECT COUNT(*) AS n_truth,
+         |  SUM(CASE WHEN a_c = b_c THEN 1 ELSE 0 END)::BIGINT AS n_within,
+         |  SUM(CASE WHEN a_c <> b_c THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+         |  CASE WHEN COUNT(*) > 0
+         |       THEN (1000 * SUM(CASE WHEN a_c = b_c THEN 1 ELSE 0 END)::BIGINT)
+         |              // COUNT(*)
+         |       ELSE 1000 END AS recall_pm
+         |FROM lab""".stripMargin,
   )
 }

@@ -622,9 +622,14 @@ object TextDedupOps {
       // definition (the allowlist discipline: a driver-held sketch of
       // the small side, like Transforms' broadcast filter lists) — and
       // embeds as a literal because might_contain deserializes its
-      // sketch once, constant-style
+      // sketch once, constant-style. Sized to the ACTUAL probe shingle
+      // count (one cheap count on the tiny side), not the 1M-item conf
+      // default: an undersized bloom passes everything (dead prefilter),
+      // an oversized one broadcasts dead bytes.
+      val nProbeShingles = math.max(probe.count(), 1L)
       val bfBytes = probe
-        .agg(call_function("graft_bloom_agg", col("shingle")).as("bf"))
+        .agg(call_function("graft_bloom_agg", col("shingle"),
+          lit(nProbeShingles)).as("bf"))
         .head.getAs[Array[Byte]]("bf")
       corpusAll.filter(
         call_function("graft_bloom_contains", lit(bfBytes), col("shingle")))

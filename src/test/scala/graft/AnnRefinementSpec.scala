@@ -125,6 +125,35 @@ class AnnRefinementSpec extends SparkSuite {
     } finally spark.conf.unset(Flag)
   }
 
+  test("incremental append under the frozen quantizer serves " +
+    "bit-identically to a full rebuild") {
+    import graft.queries.SimilarityOps
+    val emb = SimilarityOps.annEmb(spark, sf).persist()
+    try {
+      // "old" corpus: vec_id < 300 — contains the queries (< 8) and the
+      // 100–115 quantizer seeds, so build(old) freezes the same
+      // quantizer as build(all); "delta": the 200 vectors above
+      val old = emb.filter(col("vec_id") < 300)
+      val delta = emb.filter(col("vec_id") >= 300)
+      assert(old.count() > 0 && delta.count() > 0, "split fixture empty")
+      val appended = SimilarityOps.appendToAnnIndex(
+        SimilarityOps.buildAnnIndex(old), delta)
+      val rebuilt = SimilarityOps.buildAnnIndex(emb)
+      def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+        df.collect().map(_.toSeq).toSet
+      // the appended index tables ARE the rebuild's, row for row
+      assert(rows(appended("lists")) == rows(rebuilt("lists")),
+        "inverted lists diverge from the full rebuild")
+      assert(rows(appended("codes")) == rows(rebuilt("codes")),
+        "PQ code words diverge from the full rebuild")
+      // and serving from them is bit-identical
+      val a = rows(SimilarityOps.serveAnnIndex(emb, appended))
+      val b = rows(SimilarityOps.serveAnnIndex(emb, rebuilt))
+      assert(a.nonEmpty && a == b,
+        "append-then-serve diverges from rebuild-then-serve")
+    } finally emb.unpersist()
+  }
+
   test("lloydChain lineage truncation keeps the s16 plan flat in rounds") {
     // the final plan must not nest one crossJoin per Lloyd round: the
     // centroid side is a truncated leaf, so exactly ONE join with the
