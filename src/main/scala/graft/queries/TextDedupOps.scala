@@ -1340,6 +1340,24 @@ object TextDedupOps {
     * is persisted once because the pair chain, both quality gates, and
     * the writer all scan it. */
   private[graft] def p01(s: SparkSession, d: String): DataFrame = {
+    val outDir = s.conf.getOption("spark.graft.p01.outDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p01_shards")
+    val written = graft.operators.ShardWriter.writeDocs(
+      p01Corpus(s, d), NShards, outDir)
+    written
+      .groupBy(col("shard").cast("long").as("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(col("bin")).as("sum_bin"),
+        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",")).as("ids_md5"))
+  }
+
+  /** p01's pre-write frame — the packed corpus the writer shards,
+    * exposed so PlanAuditSpec can pin the composed plan's shape (banded
+    * pair joins only, broadcast threshold joins, no cartesian). */
+  private[graft] def p01Corpus(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(md5(col("text")))
     val survivors = documents(s, d)
       .withColumn("keeper", min(col("doc_id")).over(w))
@@ -1384,19 +1402,7 @@ object TextDedupOps {
       .withColumn("cum_before", coalesce(sum(col("n_toks")).over(wp), lit(0L)))
       .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
-    val outDir = s.conf.getOption("spark.graft.p01.outDir")
-      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p01_shards")
-    val written = graft.operators.ShardWriter.writeDocs(
-      packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id")),
-      NShards, outDir)
-    written
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_toks")).as("sum_tokens"),
-        sum(col("bin")).as("sum_bin"),
-        md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
-          x => x.cast("string")), ",")).as("ids_md5"))
+    packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
   }
 
   private val PackBudget = 256L

@@ -355,4 +355,41 @@ class PlanAuditSpec extends SparkSuite {
       s"s18 lost its centroid broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("p01 composed pipeline: banded pair joins only — no cartesian, " +
+    "no nested loop anywhere in six composed stages") {
+    // the pre-write frame (the full composition; p01 itself returns the
+    // post-write receipt scan, whose plan is just the shard read-back)
+    val p = graft.queries.TextDedupOps.p01Corpus(spark, sf)
+      .queryExecution.executedPlan.toString
+    // decontamination rides d03's banded LSH pair chain over the
+    // cleaned text: every join in the composition is an equi-join
+    // (band key, doc_id, source) — a CartesianProduct or nested loop
+    // would mean a stage degenerated to all-pairs
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p01 degenerated to all-pairs:\n$p")
+    // the tiny per-source threshold tables (p10 floor, p90 ceiling)
+    // broadcast back — never a shuffle join against two-digit-row sides
+    assert(p.contains("BroadcastHashJoin"),
+      s"p01 lost its threshold broadcasts:\n$p")
+  }
+
+  test("s19 cluster recall report: truth labeling is hash joins; the " +
+    "only non-equi shapes are the two declared audit scans") {
+    val p = plan("s19_cluster_recall_report")
+    // the s04 truth side (vec_id < vec_id all-pairs audit) and the
+    // broadcast centroid argmax are the two DECLARED non-equi joins;
+    // labeling truth pairs with cluster ids must stay equi-join
+    // (broadcast/shuffled-hash/sort-merge — anything but a loop)
+    assert("SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(p).nonEmpty,
+      s"s19's truth labeling lost its equi joins:\n$p")
+    // three declared non-equi nodes: the s04 pair audit plus the
+    // broadcast centroid argmax, which the plan string reprints once
+    // per labeling side (assigned is referenced for a_id AND b_id)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 3,
+      s"s19 grew an undeclared non-equi join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
