@@ -1372,9 +1372,13 @@ object TextDedupOps {
     val leaky = sym
       .filter(splitCol(col("x")) === "train" && splitCol(col("y")) =!= "train")
       .select(col("x").as("doc_id")).distinct()
+    // train is scanned by BOTH quality gates (the scoring chain and the
+    // bigram-LM chain) — without materialization each gate re-runs the
+    // decontamination pair chain (the banded LSH joins) from scratch
     val train = cleaned
       .filter(splitCol(col("doc_id")) === "train")
       .join(leaky, Seq("doc_id"), "left_anti")
+      .persist()
     val scored = scoredOf(train)
       .select(col("doc_id"), col("source"), col("score_pm"),
         col("n_words").cast("long").as("n_toks"))
@@ -1382,8 +1386,11 @@ object TextDedupOps {
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
+    // lm feeds the p90 threshold AND the gate join — persist the narrow
+    // (doc_id, lm_pm) result so the model chain runs once
     val lm = lmScoresOf(train)
       .select(col("doc_id"), col("score_pm").as("lm_pm"))
+      .persist()
     val lmThr = scored.select(col("doc_id"), col("source"))
       .join(lm, Seq("doc_id"))
       .groupBy(col("source"))
