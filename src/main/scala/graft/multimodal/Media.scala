@@ -413,22 +413,29 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val direct =
-          if (looksLikeImage(r.payload))
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(r.payload)))
-            catch { case _: Exception => None }
-          else None
-        val img = direct.getOrElse {
-          val bmp = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bmpFromBytes(r.payload)))
-          require(bmp != null, "self-encoded BMP failed to decode")
-          bmp
-        }
-        MediaPHash(r.media_id, r.kind, r.source, aHash60(img))
-      }
+      it.map(r =>
+        MediaPHash(r.media_id, r.kind, r.source, imagePHashOf(r.payload)))
     }
+  }
+
+  /** The per-payload decode + aHash60, factored so the TIMED ingest
+    * banding ([[graft.streaming.IncrementalDedup.bandFingerprintsTimed]])
+    * hashes through the identical decode as batch m07 — one definition,
+    * no batch/stream drift. */
+  def imagePHashOf(payload: Array[Byte]): Long = {
+    val direct =
+      if (looksLikeImage(payload))
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      else None
+    val img = direct.getOrElse {
+      val bmp = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bmpFromBytes(payload)))
+      require(bmp != null, "self-encoded BMP failed to decode")
+      bmp
+    }
+    aHash60(img)
   }
 
   /** Minimal PCM WAV container (8-bit unsigned mono, 8 kHz) wrapping
@@ -533,14 +540,19 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        val samples = readWavSamples(r.payload).getOrElse {
-          readWavSamples(wavFromBytes(r.payload)).getOrElse(
-            sys.error("self-encoded WAV failed to parse"))
-        }
-        MediaPHash(r.media_id, r.kind, r.source, envHash60(samples))
-      }
+      it.map(r =>
+        MediaPHash(r.media_id, r.kind, r.source, audioEnvHashOf(r.payload)))
     }
+  }
+
+  /** The per-payload WAV parse + envHash60 — [[imagePHashOf]]'s audio
+    * sibling, shared by batch m08 and the timed ingest banding. */
+  def audioEnvHashOf(payload: Array[Byte]): Long = {
+    val samples = readWavSamples(payload).getOrElse {
+      readWavSamples(wavFromBytes(payload)).getOrElse(
+        sys.error("self-encoded WAV failed to parse"))
+    }
+    envHash60(samples)
   }
 
   /** One fixed-size shard of a payload. */

@@ -363,6 +363,42 @@ object IncrementalDedup {
   case class TimedFpBanded(bucket: Long, media_id: Long, phash: Long,
       ts: java.sql.Timestamp)
 
+  /** A crawl record with its ingest event time — the timed face of
+    * [[graft.multimodal.Media.MediaRecord]]. */
+  case class TimedMediaRecord(media_id: Long, kind: String,
+      payload: Array[Byte], source: String, ts: java.sql.Timestamp)
+
+  /** [[bandFingerprints]] for a timed crawl: the SAME real decode +
+    * aHash60 as batch m07 ([[graft.multimodal.Media.imagePHashOf]] —
+    * one definition, no batch/stream drift), with the event time
+    * carried through the decode so [[detectFpDupsWithTtl]] can evict on
+    * the watermark. Payloads never leave the decode. */
+  def bandFingerprintsTimed(media: Dataset[TimedMediaRecord],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedFpBanded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    bandHashes60Timed(
+      media.mapPartitions(it => it.map(r =>
+        (r.media_id, graft.multimodal.Media.imagePHashOf(r.payload), r.ts)))
+        .toDF("media_id", "phash", "ts"),
+      watermarkDelay)
+  }
+
+  /** [[bandAudioFingerprints]]' timed sibling — real WAV parse +
+    * envHash60 ([[graft.multimodal.Media.audioEnvHashOf]]) with the
+    * event time carried through. */
+  def bandAudioFingerprintsTimed(media: Dataset[TimedMediaRecord],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedFpBanded] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    bandHashes60Timed(
+      media.filter(_.kind == "audio")
+        .mapPartitions(it => it.map(r =>
+          (r.media_id, graft.multimodal.Media.audioEnvHashOf(r.payload), r.ts)))
+        .toDF("media_id", "phash", "ts"),
+      watermarkDelay)
+  }
+
   /** The [[bandHashes60]] banding over a timed (media_id, phash, ts)
     * frame — the image (aHash60) and audio (envHash60) ingest paths
     * attach the crawl timestamp to their decoded fingerprints and feed

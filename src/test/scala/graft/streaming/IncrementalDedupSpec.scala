@@ -326,6 +326,36 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("timed perceptual ingest: a re-encode inside the horizon is " +
+    "flagged through the REAL decode; after expiry it re-admits") {
+    implicit val sqlCtx = spark.sqlContext
+    val a = img8((_, y) => if (y < 4) 40 else 210)
+    val b = img8((x, _) => if (x % 2 == 0) 30 else 220)
+    val input = MemoryStream[TimedMediaRecord]
+    val q = detectFpDupsWithTtl(bandFingerprintsTimed(input.toDS()),
+        ttlMs = 10L * 60 * 1000)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("fp_timed_out").start()
+    try {
+      input.addData(TimedMediaRecord(1, "image", encode(a, "png"), "crawl", t(0)))
+      q.processAllAvailable()
+      // same pixels, different container, inside the horizon: flagged
+      input.addData(TimedMediaRecord(2, "image", encode(a, "bmp"), "crawl", t(5)))
+      q.processAllAvailable()
+      input.addData(TimedMediaRecord(3, "image", encode(b, "png"), "crawl", t(30)))
+      q.processAllAvailable()
+      input.addData(TimedMediaRecord(4, "image", encode(b, "bmp"), "crawl", t(31)))
+      q.processAllAvailable() // timeout fires for clip 1's buckets
+      // the same re-encode again — original aged out: admitted fresh
+      input.addData(TimedMediaRecord(5, "image", encode(a, "bmp"), "crawl", t(32)))
+      q.processAllAvailable()
+      val flagged = spark.table("fp_timed_out")
+        .select("media_id", "duplicateOf").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(flagged == Set((2L, 1L), (4L, 3L)), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming acoustic dedup: a bit-depth RE-ENCODE arriving in a " +
     "later micro-batch is flagged; an unrelated envelope is admitted") {
     implicit val sqlCtx = spark.sqlContext
