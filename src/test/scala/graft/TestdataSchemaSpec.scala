@@ -114,6 +114,36 @@ class TestdataSchemaSpec extends SparkSuite {
         drift.mkString("\n  "))
   }
 
+  test("epochUs handles every ts vintage: long nanos, timestamp, NTZ") {
+    import spark.implicits._
+    // long-nanos vintage (the r1–r7 testdata encoding): ts arrives as a
+    // plain int64 column and epochUs must integer-divide, not cast
+    val dir = java.nio.file.Files.createTempDirectory("ts_vintage").toString
+    Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val nanos = Tables.events(spark, dir)
+    assert(nanos.schema("ts").dataType == LongType)
+    assert(nanos.select(Tables.epochUs(nanos).as("us")).as[Long].head()
+      == 1700000000123456L)
+    // timestamp vintage: epochUs == unix_micros of the wall-clock value
+    // under the pinned UTC session
+    val tsDir = java.nio.file.Files.createTempDirectory("ts_vintage2").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 03:04:05.678901")))
+      .toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$tsDir/events.parquet")
+    val tsv = Tables.events(spark, tsDir)
+    val expected = java.time.LocalDateTime
+      .of(2024, 1, 2, 3, 4, 5, 678901000)
+      .toInstant(java.time.ZoneOffset.UTC)
+    assert(tsv.select(Tables.epochUs(tsv).as("us")).as[Long].head()
+      == expected.getEpochSecond * 1000000L + expected.getNano / 1000L)
+    // the live testdata vintage goes through the same helper and lands
+    // in a sane range (year 2000+ in µs)
+    val live = Tables.events(spark, sf)
+    assert(live.select(Tables.epochUs(live).as("us")).as[Long].head()
+      > 946684800000000L)
+  }
+
   test("ignoring array element nullability, embeddings round-trips through the ANN entry schema") {
     // embeddings.embedding element nullability varies by writer; the ANN
     // surface treats elements as non-null floats — pin that read succeeds.
