@@ -5,11 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    if (args.length != 2) {
-      System.err.println("usage: Verify <sfDir> <outDir>")
+    if (args.length < 2 || args.length > 3) {
+      System.err.println("usage: Verify <sfDir> <outDir> [q1,q2,...]")
       sys.exit(2)
     }
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional local-iteration filter; the driver always passes 2 args
+    val only: Option[Set[String]] =
+      if (args.length == 3) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +27,9 @@ object Verify {
     // conf-generated oracle SQL below describes the same computation.
     SparkEntry.applyEnvConf(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sum — the scale-safe replacement for the
+  * `Window.partitionBy(part).orderBy(ord)` running-sum idiom.
+  *
+  * A plain ordered window funnels EVERY row of a partition key through a
+  * single task's sort: fine when the key is high-cardinality, a
+  * serialization point when it is not (a corpus with a handful of
+  * sources at 100 TB pushes terabytes through one task). This operator
+  * computes the identical result with the classic two-pass
+  * scan/offset/scan decomposition used by GPU prefix sums and
+  * external-sort runs:
+  *
+  *  1. range-bucket each row by its ORDER column — bucket
+  *     `(ord - lo) DIV width` is monotone in `ord`, so bucket boundaries
+  *     respect the global order (this is what makes the result
+  *     bit-identical to the single-window formulation, unlike hash
+  *     bucketing);
+  *  2. aggregate per-(part, bucket) subtotals — a map-side-combinable
+  *     shuffle reduced to `parts × buckets` rows;
+  *  3. turn subtotals into exclusive per-bucket offsets with an ordered
+  *     window over that TINY frame (bounded by the bucket-count config,
+  *     not by the data — at most `buckets` rows per partition key);
+  *  4. broadcast the offsets back and finish with a bucket-local ordered
+  *     window: parallelism `parts × buckets` instead of `parts`.
+  *
+  * The whole decomposition stays IN the logical plan (declarative,
+  * auditable, no driver round-trip), which means the input subtree
+  * appears three times in the final plan (range probe, subtotals, final
+  * pass). Two consequences for callers:
+  *
+  *  - evaluation: the input is computed three times — persist it first
+  *    when it is expensive (the range probe only references (part, ord),
+  *    so column pruning keeps that pass cheap on raw scans);
+  *  - planning: on a DEEP-LINEAGE input, Catalyst analysis cost triples
+  *    with the subtree — cut the lineage first (`localCheckpoint` /
+  *    `checkpoint`), which is what the p01 pipeline does. On shallow
+  *    scans (t12) the tripling is noise.
+  *
+  * Requirements: `ord` is integral (LongType) and unique within each
+  * `part` group — the same precondition the ordered-window formulation
+  * needs for a deterministic frame.
+  *
+  * Reference packing rule this feeds (greedy token-budget binning):
+  * dewi-alliance/helium-etl-lite has no training-data surface; this is
+  * part of the LLM-pipeline extension (SURVEY §2, t12/p01).
+  */
+object PrefixSum {
+
+  /** Number of range buckets per partition key. More buckets = more
+    * parallelism in the final pass; the offsets frame stays
+    * `parts × buckets` rows. Overridable for tests via
+    * `spark.graft.pack.buckets`. */
+  val DefaultBuckets = 32
+
+  /** Adds column `out` = exclusive prefix sum of `value` over rows
+    * ordered by `ord` within each `part` group. Bit-identical to
+    * {{{ sum(value).over(Window.partitionBy(part).orderBy(ord)
+    *     .rowsBetween(unboundedPreceding, -1)) }}}
+    * but never funnels a whole partition key through one task. */
+  def exclusive(df: DataFrame, part: String, ord: String, value: String,
+                out: String, buckets: Int = DefaultBuckets): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // pass 0: per-part ord range — #parts rows, broadcast back.
+    // width = (hi-lo) DIV buckets + 1 guarantees bucket ids in
+    // [0, buckets): for hi-lo = b*q + r (r < b), width = q+1 and
+    // (hi-lo) DIV (q+1) <= b-1.
+    val rng = df.groupBy(col(part))
+      .agg(min(col(ord)).as("__lo"), max(col(ord)).as("__hi"))
+      .withColumn("__w", expr(s"(__hi - __lo) DIV $buckets + 1"))
+      .select(col(part), col("__lo"), col("__w"))
+    val bucketed = df.join(broadcast(rng), Seq(part))
+      .withColumn("__bkt", expr(s"($ord - __lo) DIV __w"))
+      .drop("__lo", "__w")
+    // pass 1: per-bucket subtotals (map-side combinable), then exclusive
+    // offsets via a window over the parts × buckets frame — each window
+    // partition holds at most `buckets` rows, a config-plane bound.
+    val subs = bucketed.groupBy(col(part), col("__bkt"))
+      .agg(sum(col(value)).as("__sub"))
+    val wOff = Window.partitionBy(col(part)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subs
+      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
+      .select(col(part), col("__bkt"), col("__off"))
+    // pass 2: bucket-local running sum + broadcast offset. The ordered
+    // window now partitions on (part, bucket) — parallelism scales with
+    // the bucket count, not the number of distinct partition keys.
+    val wLoc = Window.partitionBy(col(part), col("__bkt")).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq(part, "__bkt"))
+      .withColumn(out,
+        col("__off") + coalesce(sum(col(value)).over(wLoc), lit(0L)))
+      .drop("__bkt", "__off")
+  }
+}

@@ -1334,16 +1334,22 @@ object TextDedupOps {
     * `spark.graft.p01.outDir`, default under java.io.tmpdir.
     *
     * Scale: every stage keeps its standalone shape (hash/banded
-    * shuffles, id-only pair joins, per-source windows, hash-partitioned
-    * write); composition adds no new shuffle beyond the narrow
+    * shuffles, id-only pair joins, bucketed packing prefix sum,
+    * hash-partitioned write); composition adds no new shuffle beyond the narrow
     * (doc_id, text) join feeding the writer, and the cleaned-docs frame
     * is persisted once because the pair chain, both quality gates, and
     * the writer all scan it. */
   private[graft] def p01(s: SparkSession, d: String): DataFrame = {
     val outDir = s.conf.getOption("spark.graft.p01.outDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_p01_shards")
-    val written = graft.operators.ShardWriter.writeDocs(
-      p01Corpus(s, d), NShards, outDir)
+    val (corpus, release) = p01CorpusLoan(s, d)
+    val written =
+      try graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir)
+      // the shard write is the one action that consumes the corpus frame;
+      // once the files are on disk every intermediate persist is dead
+      // weight — release them here (loan pattern) instead of leaving the
+      // caller to clearCache()
+      finally release()
     written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(
@@ -1354,18 +1360,35 @@ object TextDedupOps {
           x => x.cast("string")), ",")).as("ids_md5"))
   }
 
-  /** p01's pre-write frame — the packed corpus the writer shards,
-    * exposed so PlanAuditSpec can pin the composed plan's shape (banded
-    * pair joins only, broadcast threshold joins, no cartesian). */
-  private[graft] def p01Corpus(s: SparkSession, d: String): DataFrame = {
+  /** p01's pre-write frame as ONE fully-declarative plan — no persists,
+    * no lineage cuts — exposed so PlanAuditSpec can pin the composed
+    * shape end-to-end (banded pair joins only, broadcast threshold
+    * joins, bucketed packing windows, no cartesian). Plan-inspection
+    * only; production callers go through [[p01CorpusLoan]], which runs
+    * the SAME builder with materialization turned on. */
+  private[graft] def p01Corpus(s: SparkSession, d: String): DataFrame =
+    p01Build(s, d, production = false)._1
+
+  /** [[p01Corpus]] with production materialization: the multiply-scanned
+    * intermediates persist, the packing input's lineage is cut, and the
+    * returned release handle unpersists everything — call it after the
+    * consuming action completes (loan pattern). */
+  private[graft] def p01CorpusLoan(
+      s: SparkSession, d: String): (DataFrame, () => Unit) =
+    p01Build(s, d, production = true)
+
+  private def p01Build(s: SparkSession, d: String,
+      production: Boolean): (DataFrame, () => Unit) = {
+    // audit mode skips persist(): a plan-inspection call must not
+    // register cache entries it has no action to release
+    def pin(df: DataFrame): DataFrame = if (production) df.persist() else df
     val w = Window.partitionBy(md5(col("text")))
     val survivors = documents(s, d)
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("source"), col("text"))
-    val cleaned = spanDedupedDocs(survivors)
-      .select(col("doc_id"), col("source"), col("clean_text").as("text"))
-      .persist()
+    val cleaned = pin(spanDedupedDocs(survivors)
+      .select(col("doc_id"), col("source"), col("clean_text").as("text")))
     val pairs = leakagePairsOf(s, cleaned)
     val sym = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
@@ -1375,44 +1398,75 @@ object TextDedupOps {
     // train is scanned by BOTH quality gates (the scoring chain and the
     // bigram-LM chain) — without materialization each gate re-runs the
     // decontamination pair chain (the banded LSH joins) from scratch
-    val train = cleaned
+    val train = pin(cleaned
       .filter(splitCol(col("doc_id")) === "train")
-      .join(leaky, Seq("doc_id"), "left_anti")
-      .persist()
-    val scored = scoredOf(train)
+      .join(leaky, Seq("doc_id"), "left_anti"))
+    val scored = pin(scoredOf(train)
       .select(col("doc_id"), col("source"), col("score_pm"),
-        col("n_words").cast("long").as("n_toks"))
-      .persist()
+        col("n_words").cast("long").as("n_toks")))
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
     // lm feeds the p90 threshold AND the gate join — persist the narrow
     // (doc_id, lm_pm) result so the model chain runs once
-    val lm = lmScoresOf(train)
-      .select(col("doc_id"), col("score_pm").as("lm_pm"))
-      .persist()
+    val lm = pin(lmScoresOf(train)
+      .select(col("doc_id"), col("score_pm").as("lm_pm")))
     val lmThr = scored.select(col("doc_id"), col("source"))
       .join(lm, Seq("doc_id"))
       .groupBy(col("source"))
       .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lm_pm)")
         .cast("long").as("p90"))
-    val kept = scored
+    val kept0 = scored
       .join(broadcast(thr), Seq("source"))
       .join(lm, Seq("doc_id"), "left")
       .join(broadcast(lmThr), Seq("source"), "left")
       .filter(col("score_pm") >= col("p10") &&
         (col("lm_pm").isNull || col("lm_pm") <= col("p90")))
       .select(col("doc_id"), col("source"), col("n_toks"))
-    val wp = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val packed = kept
-      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(wp), lit(0L)))
+    // PrefixSum embeds its input subtree THREE times in one plan (range
+    // probe, subtotals, final pass). kept's lineage is the entire gated
+    // chain, so without a cut Catalyst re-analyzes that chain three
+    // times per action and driver-side planning dominates wall time
+    // (measured 6.9 s -> 40 s at sf0.001). The cut materializes the
+    // narrow 24-byte/row projection once and hands PrefixSum a
+    // constant-size logical plan. localCheckpoint trades executor-loss
+    // recoverability for speed; a cluster run that cannot afford a
+    // lost-executor job restart sets spark.graft.checkpointDir to get a
+    // reliable (fs-backed) cut instead.
+    val kept =
+      if (!production) kept0
+      else s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          s.sparkContext.setCheckpointDir(dir); kept0.checkpoint()
+        case None => kept0.localCheckpoint()
+      }
+    // two-pass bucketed prefix sum, NOT a per-source ordered window: the
+    // corpus has a handful of sources, so a per-source window would
+    // funnel terabytes through one task at 100 TB (the bins are
+    // bit-identical — see PrefixSum's monotone range-bucketing argument)
+    val packed = graft.operators.PrefixSum
+      .exclusive(kept, "source", "doc_id", "n_toks", "cum_before",
+        packBuckets(s))
       .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
-    packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val corpus =
+      packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
+    // kept's checkpoint block is not in the release list: checkpoint
+    // storage lives at the RDD layer and the ContextCleaner reclaims it
+    // once the frame becomes unreachable (no catalog entry to leak)
+    val release = () => {
+      if (production) Seq(cleaned, train, scored, lm).foreach(_.unpersist())
+    }
+    (corpus, release)
   }
 
   private val PackBudget = 256L
+
+  /** Bucket count for the packing prefix sum — config-overridable so
+    * specs can force a high bucket count through the two-pass path. */
+  private def packBuckets(s: SparkSession): Int =
+    s.conf.getOption("spark.graft.pack.buckets").map(_.toInt)
+      .getOrElse(graft.operators.PrefixSum.DefaultBuckets)
 
   /** Gopher-style REPETITION filters, completing t09's static rules: a
     * duplicate-token rate (n_words − n_distinct_tokens) and the frequency
@@ -1477,17 +1531,20 @@ object TextDedupOps {
   /** Greedy sequence packing — assign documents (in deterministic doc_id
     * order per source) to fixed token-budget bins by running token count:
     * bin = tokens-before-this-doc DIV budget, the one-pass packing rule a
-    * training-data loader uses to build ~equal-size shards. One window
-    * (shuffle on source, partition-local sort) computes every assignment;
-    * the rollup reports bins and an integer per-mille fill factor. At
-    * 100 TB the same window runs per source-partition — no global sort. */
+    * training-data loader uses to build ~equal-size shards. The running
+    * sum is [[graft.operators.PrefixSum.exclusive]]'s two-pass bucketed
+    * decomposition, NOT a per-source ordered window — with a handful of
+    * sources a per-source window serializes each source through one
+    * task's sort at 100 TB; the bucketed form is bit-identical (monotone
+    * range buckets) with parallelism sources × buckets. The rollup
+    * reports bins and an integer per-mille fill factor. */
   private def t12(s: SparkSession, d: String): DataFrame = {
     val budget = 256L
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docsWithTokens(s, d)
+    val base = docsWithTokens(s, d)
       .select(col("source"), col("doc_id"), col("n_words").cast("long").as("n_toks"))
-      .withColumn("cum_before", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+    graft.operators.PrefixSum
+      .exclusive(base, "source", "doc_id", "n_toks", "cum_before",
+        packBuckets(s))
       .withColumn("bin", expr(s"cum_before DIV $budget"))
       .groupBy(col("source"))
       .agg(

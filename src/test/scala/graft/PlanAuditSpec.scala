@@ -148,13 +148,36 @@ class PlanAuditSpec extends SparkSuite {
     assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
   }
 
-  test("t12 sequence packing: one window shuffle, no global sort") {
+  test("t12 sequence packing: bucketed prefix sum — no per-source-only " +
+    "ordered window, no global sort, offsets broadcast back") {
     val p = plan("t12_sequence_packing")
     assert(p.contains("Window"), p)
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
-      s"t12 should shuffle once on source:\n$p")
     assert(!p.contains("Exchange rangepartitioning"),
       s"t12 must not globally sort:\n$p")
+    // the scale pin: every ordered window over the FULL data (the ones
+    // sorting by doc_id) must partition on (source, bucket), never on
+    // source alone — a source-only window serializes a whole source
+    // through one task at 100 TB. The only source-partitioned window
+    // allowed is the per-bucket offsets pass, which orders by __bkt over
+    // the tiny sources × buckets subtotal frame.
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"t12 regressed to the per-source ordered window:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, __bkt#\\d+L?, doc_id".r
+      .findFirstIn(p).isDefined,
+      s"t12 lost the bucket-local window:\n$p")
+    // range probe and offsets ride back on broadcasts, not shuffles
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"t12 lost its range/offset broadcasts:\n$p")
+  }
+
+  test("p01 packing stage: no per-source-only ordered window either") {
+    val p = graft.queries.TextDedupOps.p01Corpus(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"p01 packing regressed to the per-source ordered window:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, __bkt#\\d+L?, doc_id".r
+      .findFirstIn(p).isDefined,
+      s"p01 packing lost the bucket-local window:\n$p")
   }
 
   test("s09 embedding screen: single scan, one rollup shuffle, no join") {
