@@ -135,21 +135,34 @@ object AdvancedOps {
   /** Sketch percentiles — the 100 TB path q30/q36's exact forms defer to:
     * `percentile_approx` (KLL-style quantile sketch) holds bounded state
     * per group regardless of group width, where exact percentile buffers
-    * every value. Approximate by construction ⇒ no cross-engine oracle
-    * (rows-only gate); the ScalaTest asserts each estimate lands within
-    * one quantity unit of the exact quartiles. */
+    * every value. The raw estimates are engine-specific, so the external
+    * gate is a BOUND CERTIFICATE (same design as q22): emit the exact
+    * discrete quartiles plus a boolean certifying every sketch estimate
+    * landed within one quantity unit of its exact quartile (accuracy
+    * 10000 ⇒ rank error ≤ n/10000, far inside one unit on this data).
+    * DuckDB reproduces the exact quartiles and the literal TRUE; a
+    * broken sketch flips the flag and fails the hash. The exact
+    * percentile_disc is the certificate's audit cost — production
+    * callers at 100 TB run the sketch alone. */
   private def q39(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_linestatus"))
       .agg(
         expr("percentile_approx(l_quantity, array(0.25D, 0.5D, 0.75D), 10000)")
           .as("qarr"),
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("exact_q25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("exact_q50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity)")
+          .as("exact_q75"),
         count(lit(1)).as("n_rows"))
       .select(col("l_linestatus"),
-        element_at(col("qarr"), 1).cast("double").as("approx_q25"),
-        element_at(col("qarr"), 2).cast("double").as("approx_q50"),
-        element_at(col("qarr"), 3).cast("double").as("approx_q75"),
-        col("n_rows"))
+        col("exact_q25"), col("exact_q50"), col("exact_q75"), col("n_rows"),
+        (abs(element_at(col("qarr"), 1).cast("double") - col("exact_q25")) <= 1.0 &&
+          abs(element_at(col("qarr"), 2).cast("double") - col("exact_q50")) <= 1.0 &&
+          abs(element_at(col("qarr"), 3).cast("double") - col("exact_q75")) <= 1.0)
+          .as("within_unit"))
 
   /** Discrete quantiles — PERCENTILE_DISC WITHIN GROUP returns an ACTUAL
     * data value (the first value whose cumulative distribution reaches
@@ -327,6 +340,17 @@ object AdvancedOps {
         |  quantile_cont(l_quantity, 0.5) AS qty_q50,
         |  quantile_cont(l_quantity, 0.75) AS qty_q75,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    // q39: the sketch estimates are engine-specific; the oracle gates
+    // the bound certificate — exact discrete quartiles + the
+    // within-bound TRUE the Spark side must reproduce from its sketch.
+    "q39_approx_quartiles" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_quantity, 0.25) AS exact_q25,
+        |  quantile_disc(l_quantity, 0.5)  AS exact_q50,
+        |  quantile_disc(l_quantity, 0.75) AS exact_q75,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS within_unit
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
     // the oracle is the PLAIN join — proving the salt rewrite is invisible
     "q37_salted_join" ->

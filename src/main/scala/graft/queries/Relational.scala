@@ -223,14 +223,25 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n_orders"), col("sum_price"))
 
-  /** HLL approximate distinct (§2.5) — approximate by construction, so no
-    * cross-engine oracle: the driver records the rows-only check. The
-    * ScalaTest asserts the estimate lands within 5% of exact. */
+  /** HLL approximate distinct (§2.5), externally gated as a BOUND
+    * CERTIFICATE: the raw estimate is engine-specific (no cross-engine
+    * oracle can hash it), so the query emits what IS deterministic —
+    * the exact distinct count and a boolean certifying the HLL estimate
+    * landed within 5% of it (5σ at rsd=0.01; deterministic-true for a
+    * correct sketch). DuckDB reproduces the exact count and the literal
+    * TRUE; a broken sketch flips the flag and fails the hash gate. The
+    * exact countDistinct is the audit cost of the certificate — a
+    * production caller at 100 TB runs the sketch alone. */
   private def q22(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("n_rows"),
+        (abs(col("approx") - col("exact_orders")).cast("double") <=
+          col("exact_orders").cast("double") * 0.05).as("within_5pct"))
 
   /** Equi + range join (§2.4 range row): lineitems shipped within 30 days
     * of their order's date. The equi key (orderkey) carries the shuffle;
@@ -481,8 +492,15 @@ object Relational {
          |  COALESCE(o_orderpriority, 'ALL') AS priority,
          |  COUNT(*) AS n_orders, ${sqlSumd("o_totalprice")} AS sum_price
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-    // q22_approx_distinct: intentionally no oracle (HLL estimates are
-    // engine-specific); rows-only check + ScalaTest accuracy bound.
+    // q22: the HLL estimate itself is engine-specific; the oracle gates
+    // the bound certificate — exact count + the within-bound TRUE the
+    // Spark side must reproduce from its live sketch.
+    "q22_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  COUNT(*) AS n_rows,
+        |  TRUE AS within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q23_range_join_shipwindow" ->
       s"""SELECT o_orderpriority, COUNT(*) AS n_quick_ships,
          |  ${sqlSumd("l_extendedprice")} AS quick_revenue
