@@ -87,9 +87,19 @@ object Bench {
     // when the sample exceeds 3x that, the whole run is marked hot —
     // r7's bench was poisoned by host load and took a manual same-host
     // A/B to adjudicate, and this field makes that call automatic.
+    // A cal failure must not kill the run before its JSON line exists:
+    // report the -1 sentinel with hot=1 (an unmeasurable host is an
+    // untrustworthy run, same as a hot one) and keep going.
     val calT0 = System.nanoTime()
-    SparkEntry.queries(CalQuery)(spark, sfDir).count()
-    val cal = (System.nanoTime() - calT0) / 1e9
+    val cal =
+      try {
+        SparkEntry.queries(CalQuery)(spark, sfDir).count()
+        (System.nanoTime() - calT0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+          -1.0
+      }
     spark.catalog.clearCache()
 
     // Two measured passes, per-query MIN: a single GC pause or concurrent
@@ -117,7 +127,7 @@ object Bench {
   private[graft] val CalSteadySec = 0.25
 
   private[graft] def calHot(calSec: Double): Boolean =
-    calSec > 3 * CalSteadySec
+    calSec < 0 || calSec > 3 * CalSteadySec
 
   /** The one JSON line the driver parses — kept under its 2000-char tail
     * capture (BENCH_r02 was truncated mid-line at ~2.4KB and failed to
@@ -129,9 +139,12 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // "reps":2 documents the measurement policy in the artifact itself:
+    // every per-query number is the MIN of two measured passes (after an
+    // uncounted warmup), the jitter-kill for sub-second queries
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,""" +
-        s""""cal":${fmt(calSec)},"hot":${if (calHot(calSec)) 1 else 0},""" +
+        s""""cal":${fmt(calSec)},"hot":${if (calHot(calSec)) 1 else 0},"reps":2,""" +
         s""""queries":$qs,"sf":"$sfName"}"""
     if (line.length > 1800)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +

@@ -12,12 +12,15 @@ class BenchSentinelSpec extends AnyFunSuite {
     assert(SparkEntry.queries.contains(Bench.CalQuery))
   }
 
-  test("hot flag trips strictly above 3x the steady-state budget") {
+  test("hot flag trips strictly above 3x the steady-state budget, and on " +
+    "the -1 failed-calibration sentinel") {
     assert(!Bench.calHot(0.0))
     assert(!Bench.calHot(Bench.CalSteadySec))
     assert(!Bench.calHot(3 * Bench.CalSteadySec))
     assert(Bench.calHot(3 * Bench.CalSteadySec + 0.001))
     assert(Bench.calHot(10.0))
+    // a cal query that THREW reports -1 — unmeasurable host, treat as hot
+    assert(Bench.calHot(-1.0))
   }
 
   test("json line carries cal and hot, excludes failure sentinels from the total") {
@@ -32,5 +35,7 @@ class BenchSentinelSpec extends AnyFunSuite {
     val cold = Bench.jsonLine(results, 0, "sf0.1", 0.18)
     assert(cold.contains("\"hot\":0"))
     assert(cold.contains("\"cal\":0.180"))
+    // the rep policy rides in the artifact (min of 2 measured passes)
+    assert(cold.contains("\"reps\":2"))
   }
 }
