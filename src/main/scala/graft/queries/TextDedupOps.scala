@@ -1000,6 +1000,21 @@ object TextDedupOps {
     * is sequential by definition. Batched application is one fold pass
     * per word over a broadcast pair→merged map (disjointness means no
     * intra-batch interaction; merged symbols are new, so no cascade).
+    *
+    * ALIASING GUARD — the "merged symbols are new" premise is enforced,
+    * not assumed: merged symbols are string concatenations, so 'a'+'bc'
+    * would COLLIDE with a live symbol 'abc' formed earlier from
+    * ('ab','c'), and the collided pair counts could then exceed the
+    * batch's floor, breaking the argmax argument. The admission walk
+    * therefore also stops at any pair whose concatenation equals a LIVE
+    * symbol (tracked on the driver: the initial character alphabet plus
+    * every merge applied so far — a conservative superset, since symbols
+    * that later vanish from every sequence stay in the set) or equals a
+    * concatenation already admitted in this batch (two disjoint pairs
+    * like ('a','bc')/('ab','c') may not both land in one batch). A
+    * stopped batch truncates exactly like a symbol conflict, and the
+    * single-merge fallback is sequential by definition, so aliasing
+    * costs batching efficiency, never exactness.
     * Spec: BpeTrainerSpec drives ≥300 merges through this path with
     * `localVocabCutoff=1` and asserts equality with the local trainer. */
   private[graft] val BpeBatchCap = 256
@@ -1010,6 +1025,13 @@ object TextDedupOps {
     import s.implicits._
     var seqs = words.withColumn("seq",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    // live symbol superset for the aliasing guard: the initial character
+    // alphabet (one bounded collect — alphabet-sized, not data-sized)
+    // plus every merged symbol applied so far
+    val live = scala.collection.mutable.HashSet.empty[String]
+    live ++= words.select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        .as("c")).distinct().as[String].collect()
     val learned =
       scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
@@ -1029,6 +1051,7 @@ object TextDedupOps {
       if (top.isEmpty) done = true
       else {
         val used = scala.collection.mutable.HashSet.empty[String]
+        val created = scala.collection.mutable.HashSet.empty[String]
         val prefix =
           scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var cutoff = -1L // count of the first pair NOT admitted
@@ -1036,14 +1059,26 @@ object TextDedupOps {
         var stopped = false
         while (i < top.length && !stopped && prefix.size < want) {
           val (l, r2, c) = top(i)
-          if (used(l) || used(r2)) { cutoff = c; stopped = true }
-          else { prefix += top(i); used += l; used += r2; i += 1 }
+          // stop on symbol overlap OR on a merge string that aliases a
+          // live symbol / an already-admitted merge (see scaladoc guard)
+          if (used(l) || used(r2) || live(l + r2) || created(l + r2)) {
+            cutoff = c; stopped = true
+          } else {
+            prefix += top(i); used += l; used += r2; created += (l + r2)
+            i += 1
+          }
         }
         if (!stopped && i < top.length) cutoff = top(i)._3 // capped by want
         else if (!stopped && top.length == lim) cutoff = top.last._3 // limit-truncated
+        // fallback is the GLOBAL top pair, not prefix.take(1): the
+        // aliasing guard can reject the very first candidate, leaving
+        // the prefix empty — and a single merge of the argmax is
+        // sequential by definition even when its string aliases
         val safe = prefix.takeWhile(_._3 > cutoff) // counts non-increasing
-        val batch = if (safe.nonEmpty) safe.toSeq else prefix.take(1).toSeq
-        batch.foreach { case (l, r2, c) => learned += ((0L, l, r2, c)) }
+        val batch = if (safe.nonEmpty) safe.toSeq else top.take(1).toSeq
+        batch.foreach { case (l, r2, c) =>
+          learned += ((0L, l, r2, c)); live += (l + r2)
+        }
         val mmap = batch.map { case (l, r2, _) => (l, r2) -> (l + r2) }.toMap
         seqs = graft.operators.Iterate.truncate(
           seqs.withColumn("m", typedLit(mmap))

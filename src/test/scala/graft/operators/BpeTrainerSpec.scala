@@ -153,6 +153,58 @@ class BpeTrainerSpec extends SparkSuite {
     }
   }
 
+  test("aliasing guard: alias-prone fixtures (merge strings colliding " +
+    "with live symbols) stay equal to sequential at every batch cap") {
+    // tiny alphabet + overlapping segments maximize the chance that a
+    // concatenated merge string ('a'+'bc') collides with a live symbol
+    // ('abc' formed from ('ab','c')) — the hole in the pre-guard
+    // batched argmax argument
+    val words = Map(
+      "abc" -> 20L, "ab" -> 18L, "bc" -> 17L, "abcabc" -> 9L,
+      "aabc" -> 8L, "abcc" -> 8L, "cab" -> 7L, "bca" -> 7L,
+      "aab" -> 6L, "bcc" -> 6L, "abab" -> 5L, "bcbc" -> 5L,
+      "cabc" -> 4L, "abca" -> 4L, "ccab" -> 3L, "bcab" -> 3L)
+    val df = words.toSeq.toDF("word", "cnt")
+    val expect = referenceBpe(words, 20)
+    Seq(1, 2, 3, 4, 8, 64).foreach { cap =>
+      val (mergesDf, _) =
+        graft.queries.TextDedupOps.bpeChainBatched(df, 20, batchCap = cap)
+      val got = mergesDf.as[(Long, String, String, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == expect, s"cap=$cap diverged:\n$got\n$expect")
+    }
+  }
+
+  test("stress: batched chain == local trainer at >=3000 merges " +
+    "(gated: set GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    // heavy-tail vocabulary big enough to sustain production-scale
+    // round counts: 6000 words, 12-letter alphabet, Zipf-ish counts
+    val rnd = new scala.util.Random(77)
+    val letters = "abcdefghijkl"
+    val vocab = (0 until 6000).map { i =>
+      val len = 4 + rnd.nextInt(13)
+      val w = (0 until len).map(_ => letters(rnd.nextInt(letters.length)))
+        .mkString
+      w -> (1L + (50000.0 / (1 + rnd.nextInt(5000))).toLong)
+    }.toMap
+    val rounds = 3000
+    val (localMerges, _) = BpeTrainer.train(vocab.toVector, rounds)
+    assert(localMerges.size >= rounds, s"fixture exhausted at ${localMerges.size}")
+    val df = vocab.toSeq.toDF("word", "cnt")
+    val t0 = System.nanoTime()
+    val (mergesDf, _) =
+      graft.queries.TextDedupOps.bpeChainBatched(df, rounds)
+    val dist = mergesDf.as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"batched chain: $rounds merges in $secs%.1f s " +
+      f"(${rounds / secs}%.0f merges/s)")
+    assert(dist == localMerges.map(m => (m.round, m.lhs, m.rhs, m.pairCount)),
+      s"batched chain diverged from the local trainer at $rounds merges")
+  }
+
   test("empty merge round is the identity, not annihilation: " +
     "t16-shape accounting survives a fully-merged vocabulary") {
     // 'ab' merges once ('a','b'); rounds 2..4 find no pair — the old
