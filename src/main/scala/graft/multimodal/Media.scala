@@ -346,6 +346,216 @@ object Media {
     }
   }
 
+  // ---- AVI/MJPEG: the pure-JVM non-GIF video codec path ----------------
+
+  /** RIFF/AVI container sniff — the video analogue of [[looksLikeWav]]. */
+  private[multimodal] def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Pure-JVM AVI demux: walk the RIFF chunk tree, descend into `movi`
+    * (and legacy `rec ` grouping) LISTs, and return the video-stream
+    * chunk payloads (`00dc` compressed / `00db` uncompressed, stream 0)
+    * in file order — each one a complete JPEG bitstream in an MJPEG
+    * file. This is the demuxer half of the video pipeline ffmpeg would
+    * provide; word-aligned chunk padding is honored and torn containers
+    * degrade to None (the [[decodeImage]] contract), never throw. */
+  private[multimodal] def aviFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
+    if (!looksLikeAvi(p)) None
+    else try {
+      val buf = java.nio.ByteBuffer.wrap(p)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(start: Int, end: Int): Unit = {
+        var pos = start
+        var ok = true
+        while (ok && pos + 8 <= end) {
+          val id = new String(p, pos, 4, "US-ASCII")
+          val sz = buf.getInt(pos + 4)
+          if (sz < 0 || pos + 8 + sz > end) ok = false // torn — stop here
+          else {
+            if (id == "LIST" && sz >= 4) {
+              val ltype = new String(p, pos + 8, 4, "US-ASCII")
+              if (ltype == "movi" || ltype == "rec ")
+                walk(pos + 12, pos + 8 + sz)
+            } else if (id.startsWith("00") &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              out += java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + sz)
+            }
+            pos += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+        }
+      }
+      val riffEnd = math.min(8L + buf.getInt(4), p.length.toLong).toInt
+      walk(12, riffEnd)
+      if (out.isEmpty) None else Some(out.toSeq)
+    } catch { case _: Exception => None }
+
+  /** Decode one demuxed MJPEG frame via the JDK JPEG codec. */
+  private def decodeJpegFrame(frame: Array[Byte])
+      : Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(frame)))
+    catch { case _: Exception => None }
+
+  private def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  /** Minimal but REAL MJPEG-in-AVI muxer: RIFF('AVI ') with a proper
+    * `hdrl` (main header + one 'vids'/'MJPG' stream with its
+    * BITMAPINFOHEADER) and a `movi` LIST of `00dc` chunks, one complete
+    * JPEG per frame, word-aligned. The output opens in any AVI-aware
+    * player/demuxer and round-trips through [[aviFrames]]. */
+  def aviFromJpegFrames(frames: Seq[Array[Byte]], w: Int, h: Int)
+      : Array[Byte] = {
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = body.length & 1
+      val out = java.nio.ByteBuffer.allocate(8 + body.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(fourcc(id)).putInt(body.length).put(body)
+      out.array()
+    }
+    def list(ltype: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(ltype) ++ body)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(100000)          // usec per frame (10 fps)
+        .putInt(maxFrame * 10)  // max bytes per sec
+        .putInt(0)              // padding granularity
+        .putInt(0x10)           // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE off
+        .putInt(frames.length)  // total frames
+        .putInt(0)              // initial frames
+        .putInt(1)              // streams
+        .putInt(maxFrame)       // suggested buffer
+        .putInt(w).putInt(h)
+      b.array()                 // 4 reserved ints stay zero
+    }
+    val strh = {
+      val b = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(fourcc("vids")).put(fourcc("MJPG"))
+        .putInt(0).putShort(0.toShort).putShort(0.toShort) // flags, prio, lang
+        .putInt(0)                 // initial frames
+        .putInt(1).putInt(10)      // scale/rate = 10 fps
+        .putInt(0)                 // start
+        .putInt(frames.length)     // length in frames
+        .putInt(maxFrame)          // suggested buffer
+        .putInt(-1)                // quality
+        .putInt(0)                 // sample size (varies per frame)
+        .putShort(0.toShort).putShort(0.toShort)
+        .putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h)
+        .putShort(1.toShort).putShort(24.toShort)  // planes, bpp
+        .put(fourcc("MJPG"))
+        .putInt(w * h * 3)         // image size
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(fourcc("RIFF")).putInt(body.length).put(body)
+    out.array()
+  }
+
+  /** JPEG-encode one 8×8 grayscale frame whose pixel p (row-major) is
+    * `b(f·64+p)` — [[gifFromBytes]]'s frame rule pushed through the JDK
+    * JPEG encoder. JPEG is LOSSY, so unlike the GIF arm the decoded
+    * pixels are NOT a pure function a SQL oracle can recompute — which
+    * is exactly why the m10/m11 gates are a container census and an
+    * exactly-verified pair report, not a pixel recompute. */
+  private def jpegFrameFromBytes(bytes: Array[Byte], f: Int): Array[Byte] = {
+    def b(i: Int): Int = if (bytes.isEmpty) 0 else bytes(i % bytes.length) & 0xFF
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    (0 until 64).foreach(p =>
+      img.getRaster.setSample(p % 8, p / 8, 0, b(f * 64 + p)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  /** A REAL MJPEG AVI wrapping `bytes`: `nFrames` 8×8 grayscale frames,
+    * each a complete JDK-encoded JPEG — the non-GIF analogue of
+    * [[gifFromBytes]], muxed by [[aviFromJpegFrames]]. */
+  def aviFromBytes(bytes: Array[Byte], nFrames: Int): Array[Byte] =
+    aviFromJpegFrames(
+      (0 until math.max(nFrames, 1)).map(jpegFrameFromBytes(bytes, _)),
+      8, 8)
+
+  /** The AVI-or-wrap dispatch mirroring [[viaGif]]: a payload that IS an
+    * AVI demuxes directly; anything else byte-wraps into a real MJPEG
+    * AVI with (n mod 24)+1 frames and runs the SAME demux+decode path. */
+  private def viaAvi[T](payload: Array[Byte])
+      (read: Array[Byte] => Option[T]): Option[T] =
+    (if (looksLikeAvi(payload)) read(payload) else None)
+      .orElse(read(aviFromBytes(payload, (payload.length % 24 + 1).toInt)))
+
+  /** Per-clip demux census — narrow, shuffle-safe. */
+  case class ClipCensus(
+      media_id: Long,
+      source: String,
+      n_frames: Int,
+      frames_ok: Boolean)
+
+  /** MJPEG demux census over the video rows: every payload runs the
+    * REAL AVI path (direct AVIs demux as-is; others byte-wrap through
+    * [[aviFromBytes]]) and reports the container-read frame count plus a
+    * certificate that every demuxed frame JPEG-decoded at the container
+    * dimensions. Payloads never outlive the partition — only narrow
+    * census rows shuffle (the m01/m02 discipline). */
+  def mjpegCensus(media: Dataset[MediaRecord]): Dataset[ClipCensus] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // per-partition init would happen here (demuxer/decoder contexts)
+      it.filter(r => r.kind == "video" && r.payload.nonEmpty).map { r =>
+        val frames = viaAvi(r.payload)(aviFrames)
+          .getOrElse(sys.error("self-muxed AVI failed to demux"))
+        val decoded = frames.map(decodeJpegFrame)
+        val ok = decoded.forall(_.exists(im =>
+          im.getWidth == 8 && im.getHeight == 8)) || {
+          // a DIRECT real AVI may carry any dimensions — certificate is
+          // "every frame decoded", 8×8 applies to the wrapped arm only
+          looksLikeAvi(r.payload) && decoded.forall(_.isDefined)
+        }
+        ClipCensus(r.media_id, r.source, frames.size, ok)
+      }
+    }
+  }
+
+  /** Every `stride`-th MJPEG frame of each video demuxed ([[aviFrames]]),
+    * JPEG-decoded, and average-hashed — [[frameHashes]] re-expressed over
+    * the AVI/MJPEG codec path, feeding the exactly-verified copy report
+    * (m11). Only (id, idx, 8-byte hash) rows leave the scan. */
+  def mjpegFrameHashes(media: Dataset[MediaRecord], stride: Int = 4)
+      : Dataset[FrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(r => r.kind == "video" && r.payload.nonEmpty).flatMap { r =>
+        val frames = viaAvi(r.payload)(aviFrames)
+          .getOrElse(sys.error("self-muxed AVI failed to demux"))
+        frames.iterator.zipWithIndex
+          .filter(_._2 % stride == 0)
+          .flatMap { case (f, i) =>
+            decodeJpegFrame(f).map(im => FrameHash(r.media_id, i, aHash60(im)))
+          }
+      }
+    }
+  }
+
   /** 8×8 24-bit uncompressed BMP wrapping `bytes` as pixel data: pixel
     * p = y*8+x (top-left origin) gets (r,g,b) = bytes (3p, 3p+1, 3p+2)
     * cycled mod length (0 on empty). The container is a REAL decodable

@@ -267,6 +267,57 @@ object MultimodalOps {
         max(col("chunk_idx")).cast("long").as("max_chunk_idx"))
   }
 
+  /** MJPEG demux census (the non-GIF video codec path, pure JVM): every
+    * video payload muxes into a REAL MJPEG-in-AVI container
+    * ([[Media.aviFromBytes]] — direct AVIs demux as-is), the RIFF walker
+    * extracts the `00dc` frame chunks, and every frame JPEG-decodes.
+    * JPEG is lossy, so decoded pixels are NOT oracle-recomputable (the
+    * GIF arm's trick); the external gate is therefore a census +
+    * certificate: frame count = (n mod 24)+1 (the wrap parameter,
+    * container-read back) and a frames_ok boolean the oracle emits as
+    * literal TRUE — a demux or decode failure flips it and fails the
+    * hash (the q22/q39 bound-certificate design). Per-frame pixel
+    * fidelity is spec-gated instead (MediaSpec round-trip fixtures). */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    Media.mjpegCensus(media).toDF()
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_videos"),
+        sum(col("n_frames").cast("long")).as("n_frames"),
+        bool_and(col("frames_ok")).as("frames_ok"))
+  }
+
+  /** Exactly-verified MJPEG copy report — the d03→d05 discipline on the
+    * video axis: banded near-dup candidates over REAL MJPEG frame hashes
+    * (demux → per-frame JPEG decode → aHash → per-position band join,
+    * [[frameNearDupPairs]]), then EXACT verification by payload checksum
+    * equality. Exact copies can never escape the candidate stage (equal
+    * payloads ⇒ equal frame hashes ⇒ same bands), so confirmed pairs ==
+    * payload-equal pairs — which IS the oracle, expressible without
+    * touching lossy JPEG pixels. Near-dup-but-not-equal candidates are
+    * the recall surface the verify step filters; they are spec-covered
+    * with re-encoded fixtures (MediaSpec), the same split as m09's
+    * oracle-vs-spec coverage. Like d01, legitimately EMPTY on a
+    * clean corpus. */
+  private def m11(s: SparkSession, d: String): DataFrame = {
+    val media = Media.mediaFromDocuments(documents(s, d))
+    val fh = Media.mjpegFrameHashes(media, stride = 4).toDF().persist()
+    val sums = media.toDF()
+      .filter(col("kind") === "video" && length(col("payload")) > 0)
+      .select(col("media_id"),
+        md5(upper(hex(col("payload"))).cast("binary")).as("ck"),
+        length(col("payload")).cast("long").as("n"))
+    frameNearDupPairs(fh)
+      .join(sums.select(col("media_id").as("a_id"), col("ck").as("a_ck"),
+        col("n").as("a_n")), Seq("a_id"))
+      .join(sums.select(col("media_id").as("b_id"), col("ck").as("b_ck")),
+        Seq("b_id"))
+      .filter(col("a_ck") === col("b_ck"))
+      .select(col("a_id"), col("b_id"),
+        (col("a_n") % 24 + 1).as("n_frames"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
     "m02_frame_sample" -> m02 _,
@@ -277,6 +328,8 @@ object MultimodalOps {
     "m07_perceptual_neardup" -> m07 _,
     "m08_audio_neardup" -> m08 _,
     "m09_video_neardup" -> m09 _,
+    "m10_mjpeg_census" -> m10 _,
+    "m11_mjpeg_copies" -> m11 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -422,6 +475,29 @@ object MultimodalOps {
         |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND a.f = b.f
         |  GROUP BY 1, 2)
         |WHERE n_match * 2 >= n_common""".stripMargin,
+    // m10: JPEG is lossy so pixels are not oracle-recomputable; the gate
+    // is the census (wrap-parameter frame count, container-read back) +
+    // the frames_ok certificate the Spark side must earn from real
+    // demux+decode (bound-certificate design, as q22/q39)
+    "m10_mjpeg_census" ->
+      """SELECT source, COUNT(*) AS n_videos,
+        |  SUM(octet_length(encode(text)) % 24 + 1)::BIGINT AS n_frames,
+        |  TRUE AS frames_ok
+        |FROM documents
+        |WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+        |GROUP BY source""".stripMargin,
+    // m11: confirmed MJPEG copies == payload-equal video pairs (equal
+    // payloads can never escape the banded candidate stage, and the
+    // exact-verify join filters everything else)
+    "m11_mjpeg_copies" ->
+      """WITH px AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  (a.n % 24 + 1)::BIGINT AS n_frames
+        |FROM px a JOIN px b ON a.doc_id < b.doc_id AND a.hx = b.hx""".stripMargin,
     "m04_crossmodal_join" ->
       s"""WITH feats AS (
          |  SELECT doc_id AS media_id,

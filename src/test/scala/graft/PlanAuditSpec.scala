@@ -298,6 +298,26 @@ class PlanAuditSpec extends SparkSuite {
     assert(serialized.nonEmpty && !serialized.contains("payload"), p)
   }
 
+  test("m10 MJPEG census: narrow census rows only — payload never " +
+    "outlives the demux scan") {
+    val p = plan("m10_mjpeg_census")
+    assert(!p.contains("Join"), s"m10 census needs no join:\n$p")
+    val serialized = p.linesIterator
+      .find(_.contains("SerializeFromObject")).getOrElse("")
+    assert(serialized.nonEmpty && !serialized.contains("payload"), p)
+  }
+
+  test("m11 MJPEG copies: banded candidates + hash equi-joins for the " +
+    "exact verify — no all-pairs, no payload in any shuffle") {
+    val p = plan("m11_mjpeg_copies")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"m11 degenerated to all-pairs:\n$p")
+    // the verify join moves (id, 16-byte md5) rows — never the payload
+    assert(!"Exchange[^\\n]*payload".r.findFirstIn(p).isDefined,
+      s"payload entered a shuffle:\n$p")
+  }
+
   test("s13 k-means step: seed codebook broadcasts, assignment never cartesians") {
     val p = plan("s13_kmeans_step")
     // same contract as s06: the 16-row centroid side rides a broadcast

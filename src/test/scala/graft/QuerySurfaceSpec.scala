@@ -43,7 +43,8 @@ class QuerySurfaceSpec extends SparkSuite {
   }
 
   test("every declared query returns rows at sf0.01 except dup-hunters on clean data") {
-    val mayBeEmpty = Set("d01_exact_dup_groups", "t05_fingerprint_dups")
+    val mayBeEmpty = Set("d01_exact_dup_groups", "t05_fingerprint_dups",
+      "m11_mjpeg_copies") // exact-copy hunter — empty on a clean corpus
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")

@@ -418,6 +418,88 @@ class MediaSpec extends SparkSuite {
     assert(fr.map(_.frame_idx).sorted.toSeq == Seq(0, 4, 8))
   }
 
+  // ---- AVI/MJPEG: the pure-JVM non-GIF video codec path ----------------
+
+  /** One JDK-encoded JPEG frame: 16×12 grayscale gradient shifted by
+    * `phase` — distinct per phase, smooth enough that a second-generation
+    * re-encode decodes to near-identical pixels. */
+  private def jpegFrame(phase: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, ((x * 16 + y * 3 + phase) % 256))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  test("MJPEG mux/demux round trip: every frame comes back byte-identical, " +
+    "in order, through the RIFF walker") {
+    val frames = (0 until 7).map(jpegFrame(_))
+    val avi = aviFromJpegFrames(frames, 16, 12)
+    assert(looksLikeAvi(avi))
+    val back = aviFrames(avi)
+    assert(back.isDefined && back.get.size == 7)
+    back.get.zip(frames).foreach { case (g, e) =>
+      assert(java.util.Arrays.equals(g, e), "frame bytes changed in transit")
+    }
+  }
+
+  test("mjpegCensus on a DIRECT real MJPEG AVI: container-read frame " +
+    "count and an earned frames_ok at non-8x8 dimensions") {
+    val avi = aviFromJpegFrames((0 until 5).map(jpegFrame(_)), 16, 12)
+    val got = mjpegCensus(
+      Seq(MediaRecord(1L, "video", avi, "crawl")).toDS()).collect()
+    assert(got.toSeq == Seq(ClipCensus(1L, "crawl", 5, frames_ok = true)))
+  }
+
+  test("mjpegCensus certificate FLIPS on a garbage frame chunk — " +
+    "frames_ok is earned from real decode, not assumed") {
+    val avi = aviFromJpegFrames(
+      Seq(jpegFrame(0), Array.fill[Byte](40)(0x5A)), 16, 12)
+    val got = mjpegCensus(
+      Seq(MediaRecord(2L, "video", avi, "crawl")).toDS()).collect()
+    assert(got.toSeq == Seq(ClipCensus(2L, "crawl", 2, frames_ok = false)))
+  }
+
+  test("re-encoded MJPEG copy pairs with its original through the frame-" +
+    "hash band join; unrelated content does not") {
+    // clip A: first-generation JPEG frames; clip B: decode A's frames and
+    // re-encode (second generation) — different bytes, near-identical
+    // pixels; clip C: different content entirely
+    val aFrames = (0 until 8).map(jpegFrame(_))
+    val bFrames = aFrames.map { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val cFrames = (0 until 8).map(i => jpegFrame(phase = 128 + 7 * i))
+    assert(aFrames.map(_.toSeq) != bFrames.map(_.toSeq),
+      "fixture degenerate: re-encode was byte-identical")
+    val media = Seq(
+      MediaRecord(1L, "video", aviFromJpegFrames(aFrames, 16, 12), "crawl"),
+      MediaRecord(2L, "video", aviFromJpegFrames(bFrames, 16, 12), "crawl"),
+      MediaRecord(3L, "video", aviFromJpegFrames(cFrames, 16, 12), "crawl")
+    ).toDS()
+    val pairs = graft.queries.MultimodalOps.frameNearDupPairs(
+      mjpegFrameHashes(media, stride = 1).toDF())
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "re-encoded copy not detected")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"unrelated clips paired: $pairs")
+  }
+
+  test("a torn AVI degrades: header-only truncation falls back to the " +
+    "wrapped arm; mid-chunk truncation demuxes the intact prefix") {
+    val avi = aviFromJpegFrames((0 until 6).map(jpegFrame(_)), 16, 12)
+    assert(aviFrames(avi.take(16)).isEmpty, "header-only should demux to None")
+    val census = mjpegCensus(
+      Seq(MediaRecord(9L, "video", avi.take(16), "crawl")).toDS()).collect()
+    // wrapped arm: (16 % 24) + 1 = 17 frames of the byte-wrap
+    assert(census.toSeq == Seq(ClipCensus(9L, "crawl", 17, frames_ok = true)))
+  }
+
   test("feature extraction then aggregate: binary never enters the shuffle") {
     val plan = decodeFeatures(mediaFromDocuments(docs)).toDF()
       .groupBy("kind").agg(sum("n_bytes"))
