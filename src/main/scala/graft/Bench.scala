@@ -71,10 +71,12 @@ object Bench {
             false
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // Per-query persists are for multi-scan reuse WITHIN a query;
-        // clear between queries so 101 queries' cached blocks don't
+        // Per-query pins are for multi-scan reuse WITHIN a query;
+        // release between queries so 127 queries' cached blocks don't
         // accumulate (and distort later queries' memory budget).
-        spark.catalog.clearCache()
+        // Pinned.releaseAll drops exactly what graft pinned — the
+        // library-clean alternative to clearCache().
+        Pinned.releaseAll(spark)
         name -> (if (ok) dt else Double.PositiveInfinity)
       }.toMap
 
@@ -100,7 +102,7 @@ object Bench {
           System.err.println(s"[bench] calibration failed: ${e.getMessage}")
           -1.0
       }
-    spark.catalog.clearCache()
+    Pinned.releaseAll(spark)
 
     // Two measured passes, per-query MIN: a single GC pause or concurrent
     // host load can inflate one pass 10x (q16 read 14.8s in a driver run

@@ -35,11 +35,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // Queries persist intermediate tables (signature tables etc.) for
+      // Queries pin intermediate tables (signature tables etc.) for
       // multi-scan reuse WITHIN the query; nothing reuses them across
-      // queries, so drop them here or cached blocks from all 96 queries
-      // accumulate for the life of the run.
-      spark.catalog.clearCache()
+      // queries. releaseAll drops exactly the frames graft pinned — the
+      // library-clean alternative to clearCache(), which would also
+      // nuke an embedding application's own caches.
+      Pinned.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

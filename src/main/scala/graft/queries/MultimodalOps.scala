@@ -158,7 +158,7 @@ object MultimodalOps {
     // demux + per-frame hash) feeds the band join AND two verify joins
     // on different keys — without materialization each branch re-runs
     // the decode scan (the d05/t19 discipline)
-    frameNearDupPairs(Media.frameHashes(media, stride = 4).toDF().persist())
+    frameNearDupPairs(graft.Pinned.pin(Media.frameHashes(media, stride = 4).toDF()))
   }
 
   /** Majority-of-common-frames video pairing over a (media_id,
@@ -302,7 +302,7 @@ object MultimodalOps {
     * clean corpus. */
   private def m11(s: SparkSession, d: String): DataFrame = {
     val media = Media.mediaFromDocuments(documents(s, d))
-    val fh = Media.mjpegFrameHashes(media, stride = 4).toDF().persist()
+    val fh = graft.Pinned.pin(Media.mjpegFrameHashes(media, stride = 4).toDF())
     val sums = media.toDF()
       .filter(col("kind") === "video" && length(col("payload")) > 0)
       .select(col("media_id"),

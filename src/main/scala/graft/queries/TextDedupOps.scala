@@ -98,9 +98,8 @@ object TextDedupOps {
     // persisted: the scored projection feeds BOTH the threshold agg and
     // the join probe side — without it the text scan + tokenization runs
     // twice (Spark has no automatic subplan reuse). Narrow columns only.
-    val scored = scoredDocs(s, d)
-      .select(col("source"), col("score_pm"))
-      .persist()
+    val scored = graft.Pinned.pin(scoredDocs(s, d)
+      .select(col("source"), col("score_pm")))
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
@@ -152,7 +151,7 @@ object TextDedupOps {
       .withColumn("fps", graft.functions.HashSketch.winnowSet(col("sq"), W))
       .filter(size(col("fps")) > 0)
       .select(col("doc_id"), col("fps"), size(col("fps")).as("n"))
-      .persist()
+      .transform(graft.Pinned.pin)
     // df>1 prefilter behind the same conf flag as d05 — same trade-off
     val ex0 = fpTab.select(col("doc_id"), explode(col("fps")).as("fp"))
     val ex = if (dfPrefilterOn(s)) dfPrefilter(ex0, "fp") else ex0
@@ -239,7 +238,7 @@ object TextDedupOps {
       .filter(size(col("hs")) > 0)
       .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("hs"), col("sig"))
-      .persist()
+      .transform(graft.Pinned.pin)
     val banded = sigd.select(
       col("doc_id"),
       explode(array((0 until BANDS).map(b =>
@@ -320,7 +319,7 @@ object TextDedupOps {
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
-      .persist()
+      .transform(graft.Pinned.pin)
     // df>1 prefilter behind the conf flag above. Default-off on merit,
     // twice measured: (round 4) the groupBy(shingle)+collect_list pair
     // generation — one fewer exchange on paper — benched 2.4 s vs this
@@ -363,7 +362,7 @@ object TextDedupOps {
       .filter(size(col("hb")) > 0)
       .withColumn("sh", graft.functions.HashSketch.simhashBits(col("hb"), 48))
       .select(col("doc_id"), col("sh"))
-      .persist()
+      .transform(graft.Pinned.pin)
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
@@ -609,7 +608,8 @@ object TextDedupOps {
       .withColumn("hs",
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
-      .persist() // scanned twice (probe + corpus) — same discipline as d05
+      // scanned twice (probe + corpus) — same discipline as d05
+      .transform(graft.Pinned.pin)
     val probe = hs.filter(col("doc_id") < 10)
       .select(col("doc_id").as("probe_id"),
         size(col("hs")).cast("long").as("n_shingles"),
@@ -884,7 +884,7 @@ object TextDedupOps {
   private[graft] def bpeTrainChain(words: DataFrame, rounds: Int)
       : (DataFrame, DataFrame) = {
     val s = words.sparkSession
-    val w = words.persist()
+    val w = graft.Pinned.pin(words)
     if (w.count() <= bpeLocalVocabCutoff(s)) {
       val vocab = w.select(col("word"), col("cnt")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
@@ -1318,7 +1318,7 @@ object TextDedupOps {
     // this is the cheap side to cache — the d05/t06 discipline)
     val bgc = trans.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
-      .persist()
+      .transform(graft.Pinned.pin)
     val unc = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
     trans
       .join(bgc, Seq("w1", "w2"))
@@ -1416,7 +1416,8 @@ object TextDedupOps {
       production: Boolean): (DataFrame, () => Unit) = {
     // audit mode skips persist(): a plan-inspection call must not
     // register cache entries it has no action to release
-    def pin(df: DataFrame): DataFrame = if (production) df.persist() else df
+    def pin(df: DataFrame): DataFrame =
+      if (production) graft.Pinned.pin(df) else df
     val w = Window.partitionBy(md5(col("text")))
     val survivors = documents(s, d)
       .withColumn("keeper", min(col("doc_id")).over(w))
