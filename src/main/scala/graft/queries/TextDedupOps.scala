@@ -1418,6 +1418,22 @@ object TextDedupOps {
     // register cache entries it has no action to release
     def pin(df: DataFrame): DataFrame =
       if (production) graft.Pinned.pin(df) else df
+    // production lineage cut at the chain's narrow hubs: this pipeline
+    // stacks six stages, and EVERY downstream action re-pays Catalyst
+    // analysis of the whole stack (measured at sf0.1: the p90 threshold
+    // agg alone took 4.4 s on ~40k cached rows — planning, not data).
+    // Cutting at train/scored/lm/kept caps every plan at one stage's
+    // depth. localCheckpoint materializes eagerly (the frames are
+    // needed anyway) and the ContextCleaner reclaims blocks on GC; a
+    // cluster run that cannot afford lost-executor restarts sets
+    // spark.graft.checkpointDir for a reliable (fs-backed) cut.
+    def cut(df: DataFrame): DataFrame =
+      if (!production) df
+      else s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          s.sparkContext.setCheckpointDir(dir); df.checkpoint()
+        case None => df.localCheckpoint()
+      }
     val w = Window.partitionBy(md5(col("text")))
     val survivors = documents(s, d)
       .withColumn("keeper", min(col("doc_id")).over(w))
@@ -1434,10 +1450,10 @@ object TextDedupOps {
     // train is scanned by BOTH quality gates (the scoring chain and the
     // bigram-LM chain) — without materialization each gate re-runs the
     // decontamination pair chain (the banded LSH joins) from scratch
-    val train = pin(cleaned
+    val train = cut(cleaned
       .filter(splitCol(col("doc_id")) === "train")
       .join(leaky, Seq("doc_id"), "left_anti"))
-    val scored = pin(scoredOf(train)
+    val scored = cut(scoredOf(train)
       .select(col("doc_id"), col("source"), col("score_pm"),
         col("n_words").cast("long").as("n_toks")))
     val thr = scored.groupBy(col("source"))
@@ -1445,7 +1461,7 @@ object TextDedupOps {
         .cast("long").as("p10"))
     // lm feeds the p90 threshold AND the gate join — persist the narrow
     // (doc_id, lm_pm) result so the model chain runs once
-    val lm = pin(lmScoresOf(train)
+    val lm = cut(lmScoresOf(train)
       .select(col("doc_id"), col("score_pm").as("lm_pm")))
     val lmThr = scored.select(col("doc_id"), col("source"))
       .join(lm, Seq("doc_id"))
@@ -1459,23 +1475,11 @@ object TextDedupOps {
       .filter(col("score_pm") >= col("p10") &&
         (col("lm_pm").isNull || col("lm_pm") <= col("p90")))
       .select(col("doc_id"), col("source"), col("n_toks"))
-    // PrefixSum embeds its input subtree THREE times in one plan (range
-    // probe, subtotals, final pass). kept's lineage is the entire gated
-    // chain, so without a cut Catalyst re-analyzes that chain three
-    // times per action and driver-side planning dominates wall time
-    // (measured 6.9 s -> 40 s at sf0.001). The cut materializes the
-    // narrow 24-byte/row projection once and hands PrefixSum a
-    // constant-size logical plan. localCheckpoint trades executor-loss
-    // recoverability for speed; a cluster run that cannot afford a
-    // lost-executor job restart sets spark.graft.checkpointDir to get a
-    // reliable (fs-backed) cut instead.
-    val kept =
-      if (!production) kept0
-      else s.conf.getOption("spark.graft.checkpointDir") match {
-        case Some(dir) =>
-          s.sparkContext.setCheckpointDir(dir); kept0.checkpoint()
-        case None => kept0.localCheckpoint()
-      }
+    // PrefixSum additionally embeds its input subtree THREE times in
+    // one plan (range probe, subtotals, final pass) — without this cut
+    // planning cost tripled on top of the stack depth (measured
+    // 6.9 s -> 40 s at sf0.001 before any cuts existed).
+    val kept = cut(kept0)
     // two-pass bucketed prefix sum, NOT a per-source ordered window: the
     // corpus has a handful of sources, so a per-source window would
     // funnel terabytes through one task at 100 TB (the bins are
@@ -1487,11 +1491,12 @@ object TextDedupOps {
       .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
     val corpus =
       packed.join(cleaned.select(col("doc_id"), col("text")), Seq("doc_id"))
-    // kept's checkpoint block is not in the release list: checkpoint
-    // storage lives at the RDD layer and the ContextCleaner reclaims it
-    // once the frame becomes unreachable (no catalog entry to leak)
+    // checkpoint blocks (train/scored/lm/kept) are not in the release
+    // list: checkpoint storage lives at the RDD layer and the
+    // ContextCleaner reclaims it once the frames become unreachable (no
+    // catalog entry to leak); cleaned is the one catalog pin
     val release = () => {
-      if (production) Seq(cleaned, train, scored, lm).foreach(_.unpersist())
+      if (production) { cleaned.unpersist(); () }
     }
     (corpus, release)
   }
