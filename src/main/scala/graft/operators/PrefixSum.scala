@@ -45,6 +45,16 @@ import org.apache.spark.sql.functions._
   * `part` group — the same precondition the ordered-window formulation
   * needs for a deterministic frame.
   *
+  * Skewed ord distributions: buckets are fixed-width over [lo, hi], so
+  * heavily CLUSTERED ord values (most rows in a narrow range plus far
+  * outliers) land in few buckets — correctness is unaffected (the
+  * decomposition is exact for any monotone bucketing; PrefixSumSpec
+  * pins sparse/non-contiguous fixtures), but final-pass parallelism
+  * degrades toward the plain window's. Raising `buckets` restores it at
+  * the cost of a proportionally larger offsets frame; a quantile-based
+  * bucketing would balance perfectly but needs a sampled boundary pass
+  * whose determinism across runs this operator refuses to trade away.
+  *
   * Reference packing rule this feeds (greedy token-budget binning):
   * dewi-alliance/helium-etl-lite has no training-data surface; this is
   * part of the LLM-pipeline extension (SURVEY §2, t12/p01).

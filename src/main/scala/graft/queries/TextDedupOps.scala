@@ -1581,8 +1581,11 @@ object TextDedupOps {
     * reports bins and an integer per-mille fill factor. */
   private def t12(s: SparkSession, d: String): DataFrame = {
     val budget = 256L
-    val base = docsWithTokens(s, d)
-      .select(col("source"), col("doc_id"), col("n_words").cast("long").as("n_toks"))
+    // pinned: PrefixSum's subtotal and final passes would otherwise each
+    // re-tokenize the corpus (the range probe prunes to (source, doc_id)
+    // and stays cheap); 24 bytes/row, released via Pinned.releaseAll
+    val base = graft.Pinned.pin(docsWithTokens(s, d)
+      .select(col("source"), col("doc_id"), col("n_words").cast("long").as("n_toks")))
     graft.operators.PrefixSum
       .exclusive(base, "source", "doc_id", "n_toks", "cum_before",
         packBuckets(s))

@@ -36,6 +36,23 @@ class PipelineComposeSpec extends SparkSuite {
     assert(receipt.nonEmpty && receipt == fromFiles)
   }
 
+  test("p01 reliable-checkpoint path (spark.graft.checkpointDir) writes " +
+    "fs-backed cuts and produces the identical receipt") {
+    val base = TextDedupOps.p01(spark, sf).collect().toSet
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", ckpt)
+    try {
+      val withReliable = TextDedupOps.p01(spark, sf).collect().toSet
+      assert(withReliable == base,
+        "reliable-checkpoint run changed the receipt")
+      // the cut actually went through the fs-backed path
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, s"no checkpoint files written under $ckpt")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("p01 written corpus equals its stage-by-stage composition") {
     TextDedupOps.p01(spark, sf).collect() // materialize the shards
     val written = spark.read.parquet(outDir).persist()
