@@ -582,11 +582,27 @@ object IncrementalDedup {
     * 8-byte hash) rows leave the decode. */
   def bandFrameFingerprints(
       media: Dataset[graft.multimodal.Media.MediaRecord],
-      stride: Int = 4): Dataset[FpBanded] = {
-    val spark = media.sparkSession
+      stride: Int = 4): Dataset[FpBanded] =
+    bandFrameHashes(
+      graft.multimodal.Media.frameHashes(media, stride).toDF())
+
+  /** [[bandFrameFingerprints]] over the MJPEG-in-AVI codec path
+    * ([[graft.multimodal.Media.mjpegFrameHashes]] — RIFF demux +
+    * per-frame JPEG decode) — the ingest face of m11, sharing the exact
+    * banding rule with the GIF arm so detector state is
+    * codec-agnostic. */
+  def bandFrameFingerprintsMjpeg(
+      media: Dataset[graft.multimodal.Media.MediaRecord],
+      stride: Int = 4): Dataset[FpBanded] =
+    bandFrameHashes(
+      graft.multimodal.Media.mjpegFrameHashes(media, stride).toDF())
+
+  /** The shared position-qualified banding over a (media_id, frame_idx,
+    * fhash) table — one rule for every video codec arm. */
+  private def bandFrameHashes(fh: DataFrame): Dataset[FpBanded] = {
+    val spark = fh.sparkSession
     import spark.implicits._
-    graft.multimodal.Media.frameHashes(media, stride).toDF()
-      .select(col("media_id"), col("fhash").as("phash"),
+    fh.select(col("media_id"), col("fhash").as("phash"),
         explode(array((0 until 5).map(b =>
           (col("frame_idx").cast("long") * 20480L + lit(b.toLong * 4096L)
             + shiftRight(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)))

@@ -400,6 +400,50 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming MJPEG copy-candidates: a second-generation re-encode " +
+    "arriving later is flagged through the AVI demux arm; unrelated " +
+    "content is not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.Media
+    def jpegFrame(phase: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 12; x <- 0 until 16)
+        img.getRaster.setSample(x, y, 0, ((x * 16 + y * 3 + phase) % 256))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val aFrames = (0 until 8).map(jpegFrame(_))
+    val bFrames = aFrames.map { f => // second-generation re-encode
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val cFrames = (0 until 8).map(i => jpegFrame(128 + 7 * i))
+    val input = MemoryStream[Media.MediaRecord]
+    val q = detectFrameDupCandidates(
+      bandFrameFingerprintsMjpeg(input.toDS(), stride = 1))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mjpeg_out").start()
+    try {
+      input.addData(Media.MediaRecord(1L, "video",
+        Media.aviFromJpegFrames(aFrames, 16, 12), "crawl"))
+      q.processAllAvailable()
+      assert(spark.table("mjpeg_out").count() == 0) // original admitted
+      input.addData(
+        Media.MediaRecord(2L, "video",
+          Media.aviFromJpegFrames(bFrames, 16, 12), "crawl"),
+        Media.MediaRecord(3L, "video",
+          Media.aviFromJpegFrames(cFrames, 16, 12), "crawl"))
+      q.processAllAvailable()
+      val flagged = spark.table("mjpeg_out")
+        .select("media_id").distinct().as[Long].collect().toSet
+      assert(flagged == Set(2L), s"got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming video copy-candidates: a transcode arriving later is " +
     "flagged, and the candidate set covers every batch m09 pair") {
     implicit val sqlCtx = spark.sqlContext
