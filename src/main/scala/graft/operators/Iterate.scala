@@ -26,4 +26,14 @@ object Iterate {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint(true)
     else df.localCheckpoint(true)
+
+  /** [[truncate]] without the eager materialization job: the NEXT action
+    * over the frame materializes the checkpoint as part of its own job.
+    * Right for tight driver loops (the batched BPE chain) where an extra
+    * scheduler round-trip per iteration is pure overhead; wrong when the
+    * frame is consumed by several independent actions concurrently. */
+  def truncateLazy(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(false)
+    else df.localCheckpoint(false)
 }
