@@ -1358,6 +1358,127 @@ object TextDedupOps {
         sum(col("n_words")).as("sum_words"),
         max(col("n_words")).cast("long").as("max_doc_words"))
 
+  /** Exact substring dedup — the suffix-array dedup semantics of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee et
+    * al. 2021) re-expressed as a shuffle-friendly k-gram-anchor plan.
+    * d21 cuts on FIXED chunk boundaries (the C4 rule); this operator
+    * removes every non-first occurrence of every duplicated
+    * [[SubstrK]]-token run at ANY offset, the alignment-free semantics
+    * the suffix-array formulation exists for. Definition: position `i`
+    * of a doc is a *dup anchor* iff the k-gram starting at `i` occurs
+    * earlier in the global `(doc_id, i)` order — including earlier in
+    * the SAME doc, so within-doc boilerplate repetition is caught too.
+    * Each anchor marks tokens `[i, i+k-1]` for removal; per doc the
+    * marked ranges merge into maximal intervals (two anchors coalesce
+    * when their starts differ by ≤ k). The report carries the interval
+    * algebra (count, removed-token mass) plus an md5 over the exact
+    * interval list, so the oracle confirms the spans themselves, not
+    * just their count.
+    *
+    * Scale shape (the reason this is not a literal suffix array): a
+    * distributed suffix array needs a global order over all suffixes —
+    * a total sort of the corpus. The anchor plan needs (1) one linear
+    * pass emitting `(gram, pk)` rows — n_tokens rows, ~100 bytes each,
+    * (2) a map-side-combinable `min(pk)` per gram (hot grams collapse
+    * in the combiner, no skew), (3) one hash join back on the gram key,
+    * and (4) per-DOC windows bounded by document length. Nothing is
+    * ever corpus × corpus and no stage needs a global order. Grouping
+    * on the literal gram string guarantees zero false merges; swapping
+    * the key for [[graft.functions.Portable.hash60]] of the gram halves
+    * the shuffle at 100 TB at a quantifiable (~2⁻⁶⁰ pairwise) collision
+    * risk — the key is isolated in [[substrGrams]] so that swap is one
+    * line. */
+  private[graft] val SubstrK = 8
+
+  /** The `(doc_id, source, i, gram, pk)` anchor-candidate frame: one row
+    * per token position that starts a full k-gram. Recomputed (not
+    * persisted) by design — at 100 TB this frame is the corpus ×k and
+    * caching it would evict everything else; both consumers re-derive it
+    * from the narrow documents scan. */
+  private def substrGrams(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .filter(col("n_words") >= SubstrK)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        posexplode(expr(
+          s"""transform(sequence(0, n_words - $SubstrK),
+             |  i -> array_join(slice(toks, i + 1, $SubstrK), ' '))"""
+            .stripMargin.replaceAll("\n", " "))).as(Seq("i", "gram")))
+      .withColumn("pk", col("doc_id") * lit(1000000000L) + col("i"))
+
+  private def d23(s: SparkSession, d: String): DataFrame = {
+    val grams = substrGrams(documents(s, d))
+    val first = grams.groupBy(col("gram")).agg(min(col("pk")).as("first_pk"))
+    val anchors = grams
+      .join(first, Seq("gram"))
+      .filter(col("pk") > col("first_pk"))
+      .select(col("doc_id"), col("i"))
+    // gaps-and-islands interval merge — per-DOC windows (bounded by doc
+    // length, fully parallel across docs; the d21 collect_list argument)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val islands = anchors
+      .withColumn("gap", col("i") - lag(col("i"), 1).over(w))
+      .withColumn("new_iv",
+        when(col("gap").isNotNull && col("gap") <= SubstrK, 0L).otherwise(1L))
+      .withColumn("island", sum(col("new_iv")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"),
+        (max(col("i")) + lit(SubstrK - 1)).as("e"),
+        count(lit(1)).as("n_a"))
+    val report = islands
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n_a")).as("n_anchors"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("e") - col("s") + 1).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("e")))),
+          x => concat(x.getField("s").cast("string"), lit(":"),
+            x.getField("e").cast("string"))), ",")).as("iv_md5"))
+    // every doc reports, dup-free ones with zeros — the second documents
+    // scan is narrow (no gram explode) and keeps the output a total
+    // per-doc accounting like d21's
+    docsWithTokens(s, d)
+      .select(col("doc_id"), col("source"),
+        col("n_words").cast("long").as("n_toks"))
+      .join(report, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        coalesce(col("n_anchors"), lit(0L)).as("n_anchors"),
+        coalesce(col("n_intervals"), lit(0L)).as("n_intervals"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("iv_md5"), md5(lit(""))).as("iv_md5"))
+  }
+
+  /** Sliding-window chunker with overlap — the retrieval/context-window
+    * prep step (split every document into [[ChunkOvW]]-token windows at
+    * stride [[ChunkOvS]], 50% overlap) that sits between a cleaned
+    * corpus and an embedding or packing stage. Deterministic contract:
+    * a chunk starts at every stride multiple below the doc length
+    * (`ceil(n/S)` chunks), tail chunks run short rather than re-anchor,
+    * so chunk boundaries are a pure function of (doc_id, n_words) —
+    * re-running the chunker on an appended corpus never re-chunks old
+    * docs (the incremental-ingest property d22's hash sharding has).
+    * Per chunk: ordinal, token offset, token count, content digest.
+    * Scale: one narrow scan, per-row higher-order functions, ZERO
+    * shuffles — the explode multiplies rows ~n/S× but never leaves the
+    * partition. */
+  private val ChunkOvW = 32
+  private val ChunkOvS = 16
+
+  private def t21(s: SparkSession, d: String): DataFrame =
+    docsWithTokens(s, d)
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        posexplode(expr(
+          s"""transform(sequence(0, (n_words - 1) DIV $ChunkOvS),
+             |  i -> array_join(slice(toks, i * $ChunkOvS + 1, $ChunkOvW), ' '))"""
+            .stripMargin.replaceAll("\n", " "))).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("source"),
+        col("idx").cast("long").as("idx"),
+        (col("idx") * ChunkOvS).cast("long").as("t_start"),
+        least(lit(ChunkOvW), col("n_words") - col("idx") * ChunkOvS)
+          .cast("long").as("n_chunk_toks"),
+        md5(col("chunk")).as("chunk_md5"))
+
   /** p01 — the composed end-to-end corpus build, chaining the pipeline
     * stages this file ships individually into the one job a user runs to
     * produce training shards:
@@ -1676,6 +1797,8 @@ object TextDedupOps {
     "t20_vocab_richness" -> t20 _,
     "d21_span_dedup" -> d21 _,
     "d22_shard_plan" -> d22 _,
+    "d23_substring_dedup" -> d23 _,
+    "t21_overlap_chunks" -> t21 _,
     "p01_corpus_pipeline" -> p01 _,
   )
 
@@ -1975,6 +2098,67 @@ object TextDedupOps {
          |         THEN c.chunk END, ' ' ORDER BY c.idx), '')) AS clean_md5
          |FROM chunks c JOIN first f USING (chunk)
          |GROUP BY 1, 2""".stripMargin,
+    // SQL twin of d23: same 0-based k-gram positions (1-based inclusive
+    // list slice), same packed global-first key, the same
+    // gaps-and-islands merge (LAG NULL on the first anchor falls to the
+    // ELSE 1 branch on both engines), string_agg ORDER BY s == Spark's
+    // array_sort over disjoint (s, e) structs.
+    "d23_substring_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, i,
+         |    array_to_string(toks[i + 1 : i + $SubstrK], ' ') AS gram,
+         |    doc_id * 1000000000 + i AS pk
+         |  FROM (SELECT doc_id, toks,
+         |          UNNEST(range(len(toks) - $SubstrK + 1)) AS i
+         |        FROM tok WHERE len(toks) >= $SubstrK)),
+         |first AS (SELECT gram, MIN(pk) AS first_pk FROM g GROUP BY 1),
+         |anch AS (
+         |  SELECT g.doc_id, g.i FROM g JOIN first f USING (gram)
+         |  WHERE g.pk > f.first_pk),
+         |isl AS (
+         |  SELECT doc_id, i,
+         |    SUM(new_iv) OVER (PARTITION BY doc_id ORDER BY i) AS island
+         |  FROM (SELECT doc_id, i,
+         |          CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+         |                    <= $SubstrK THEN 0 ELSE 1 END AS new_iv
+         |        FROM anch)),
+         |iv AS (
+         |  SELECT doc_id, island, MIN(i) AS s,
+         |    MAX(i) + ${SubstrK - 1} AS e, COUNT(*) AS n_a
+         |  FROM isl GROUP BY 1, 2),
+         |rep AS (
+         |  SELECT doc_id, SUM(n_a) AS n_anchors, COUNT(*) AS n_intervals,
+         |    SUM(e - s + 1) AS n_removed,
+         |    md5(string_agg(s || ':' || e, ',' ORDER BY s)) AS iv_md5
+         |  FROM iv GROUP BY 1)
+         |SELECT t.doc_id, t.source, len(t.toks)::BIGINT AS n_toks,
+         |  COALESCE(r.n_anchors, 0)::BIGINT AS n_anchors,
+         |  COALESCE(r.n_intervals, 0)::BIGINT AS n_intervals,
+         |  COALESCE(r.n_removed, 0)::BIGINT AS n_removed,
+         |  COALESCE(r.iv_md5, md5('')) AS iv_md5
+         |FROM tok t LEFT JOIN rep r USING (doc_id)""".stripMargin,
+    // SQL twin of t21: ceil(n/S) windows per doc (range((n-1)//S + 1)),
+    // the same 1-based inclusive slice (tail windows truncate on both
+    // engines), LEAST for the short-tail token count.
+    "t21_overlap_chunks" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, len(toks) AS n_words, idx,
+         |    array_to_string(
+         |      toks[idx * $ChunkOvS + 1 : idx * $ChunkOvS + $ChunkOvW],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, source, toks,
+         |          UNNEST(range((len(toks) - 1) // $ChunkOvS + 1)) AS idx
+         |        FROM tok WHERE len(toks) > 0))
+         |SELECT doc_id, source, idx::BIGINT AS idx,
+         |  (idx * $ChunkOvS)::BIGINT AS t_start,
+         |  LEAST($ChunkOvW, n_words - idx * $ChunkOvS)::BIGINT
+         |    AS n_chunk_toks,
+         |  md5(chunk) AS chunk_md5
+         |FROM c""".stripMargin,
     "t20_vocab_richness" ->
       s"""WITH tf AS (
          |  SELECT source, term, COUNT(*)::BIGINT AS tf FROM (

@@ -246,4 +246,93 @@ class DedupInvariantSpec extends SparkSuite {
     val planted = (0 until 15).map(i => (i.toLong, 60L + i)).toSet
     assert((planted & winnow).size >= 12, s"winnowing found ${(planted & winnow).size}/15")
   }
+
+  /** d23/t21 fixture: token runs shared at ARBITRARY (non-chunk-aligned)
+    * offsets, so the expected anchors/intervals are computable by hand.
+    * Symbols are all distinct across families (a/u/p/v/b) — the only
+    * 8-gram matches are the planted ones. */
+  private lazy val substrDir: String = {
+    def run(p: String, n: Int, from: Int = 0) =
+      (from until from + n).map(i => s"$p$i")
+    val a = run("a", 20)
+    val docs = Seq(
+      a,                                                     // 0: fresh
+      a.take(10) ++ run("u", 10),                            // 1: head copy
+      run("p", 10) ++ a.take(8) ++ run("v", 5) ++
+        a.slice(10, 18),                                     // 2: two islands
+      run("b", 8) ++ run("b", 8),                            // 3: self-repeat
+      Seq("x", "y", "z"),                                    // 4: < k tokens
+      a)                                                     // 5: exact copy
+    val dir = Files.createTempDirectory("substr").toString
+    docs.map(_.mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val md5Of = (s: String) => java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString
+
+  test("d23 substring dedup: hand-computed anchors, merged intervals, " +
+    "and removal mass at unaligned offsets") {
+    val rows = SparkEntry.queries("d23_substring_dedup")(spark, substrDir)
+      .select("doc_id", "n_toks", "n_anchors", "n_intervals", "n_removed",
+        "iv_md5")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val none = md5Of("")
+    // doc 0 is globally first: nothing to remove
+    assert(rows(0L) == ((20L, 0L, 0L, 0L, none)))
+    // doc 1 copies a0..a9: grams at 0,1,2 are dups -> one interval [0,9]
+    assert(rows(1L) == ((20L, 3L, 1L, 10L, md5Of("0:9"))))
+    // doc 2 embeds a0..a7 at offset 10 and a10..a17 at offset 23 — two
+    // single-anchor islands, NOT mergeable (gap 13 > k)
+    assert(rows(2L) == ((31L, 2L, 2L, 16L, md5Of("10:17,23:30"))))
+    // doc 3 repeats its OWN first 8 tokens: within-doc anchor at 8
+    assert(rows(3L) == ((16L, 1L, 1L, 8L, md5Of("8:15"))))
+    // doc 4 is shorter than k: no grams, clean report
+    assert(rows(4L) == ((3L, 0L, 0L, 0L, none)))
+    // doc 5 is an exact copy: every position 0..12 anchors, one interval
+    assert(rows(5L) == ((20L, 13L, 1L, 20L, md5Of("0:19"))))
+  }
+
+  test("d23 on the planted corpus: exact copies fully removed, bases " +
+    "untouched, one-token-edit near-dups lose all but the edit window") {
+    val rows = SparkEntry.queries("d23_substring_dedup")(spark, corpusDir)
+      .select("doc_id", "n_toks", "n_intervals", "n_removed")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (id, n, niv, rem) =>
+      if (id < 60L)       // bases precede all planted copies; a random
+        assert(rem == 0L, // 8-gram collision from a 20-word vocab is ~0
+          s"base doc $id lost $rem tokens")
+      else if (id >= 75L) // exact copies: one interval covering the doc
+        assert(niv == 1L && rem == n, s"copy doc $id kept ${n - rem}")
+      else                // 1-token edit: only the edit's k-window survives
+        assert(rem >= n - 8L && rem < n,
+          s"near-dup doc $id removed $rem of $n")
+    }
+  }
+
+  test("t21 overlap chunks: ceil(n/S) windows per doc, hand-checked " +
+    "offsets, short tails, and digests") {
+    val rows = SparkEntry.queries("t21_overlap_chunks")(spark, substrDir)
+      .select("doc_id", "idx", "t_start", "n_chunk_toks", "chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect()
+    // ceil(n/16) per doc: 20->2, 20->2, 31->2, 16->1, 3->1, 20->2
+    assert(rows.length == 10)
+    val doc0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    val a = (0 until 20).map(i => s"a$i")
+    // window 32 > doc length: first chunk is the whole doc
+    assert(doc0(0) == ((0L, 0L, 0L, 20L, md5Of(a.mkString(" ")))))
+    // second window starts at stride 16, runs 4 short-tail tokens
+    assert(doc0(1) == ((0L, 1L, 16L, 4L, md5Of(a.drop(16).mkString(" ")))))
+    val doc4 = rows.filter(_._1 == 4L)
+    assert(doc4.toSeq == Seq((4L, 0L, 0L, 3L, md5Of("x y z"))))
+    // overlap invariant: consecutive windows of a 31-token doc share
+    // 32 - 16 = 16 tokens of coverage (starts differ by exactly S)
+    val doc2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3)
+    assert(doc2.toSeq == Seq(0L, 16L))
+  }
 }
