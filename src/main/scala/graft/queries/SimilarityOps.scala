@@ -271,9 +271,13 @@ object SimilarityOps {
     * (bounded, unlike q33's per-user cohort); assignment is a per-row
     * argmax over the broadcast list, one final shuffle on the (tiny)
     * confusion key. */
-  private def s06(s: SparkSession, d: String): DataFrame = {
-    val emb = withQ(embeddings(s, d))
-    val cents = emb
+  /** Per-label SUM centroids with their norms — shared by s06's
+    * confusion matrix and s20's balanced sample so the assignment rule
+    * cannot drift between them (cosine is scale-invariant, so the sum
+    * vector IS the centroid and every coordinate stays an exact
+    * integer). */
+  private def labelCentroidsQ(emb: DataFrame): DataFrame =
+    emb
       .select(col("label").as("c_label"), posexplode(col("qv")).as(Seq("pos", "q")))
       .groupBy(col("c_label"), col("pos"))
       .agg(sum(col("q")).as("s"))
@@ -281,17 +285,28 @@ object SimilarityOps {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
         x => x.getField("s")).as("cqv"))
       .withColumn("cn2", norm2q(col("cqv")))
+
+  /** Every vector scored against every centroid, argmax kept (ties to
+    * the smaller label): the `(vec_id, label, assigned, cos)` frame both
+    * centroid consumers slice. The vec_id window is bounded by |labels|
+    * rows per key — never a scale shape. */
+  private def nearestCentroidQ(emb: DataFrame): DataFrame = {
     val scored = emb.select(col("vec_id"), col("label"), col("qv"), col("n2"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(labelCentroidsQ(emb)))
       .withColumn("cos",
         cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2")))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("c_label").asc)
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .groupBy(col("label"), col("c_label").as("assigned"))
-      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
+        col("cos"))
   }
+
+  private def s06(s: SparkSession, d: String): DataFrame =
+    nearestCentroidQ(withQ(embeddings(s, d)))
+      .groupBy(col("label"), col("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
 
   /** Banded embedding near-dup pairs — the SCALE PATH for s04 (the batch
     * analog of the streaming `bandVectors` + `detectVecDups` shape in
@@ -828,6 +843,41 @@ object SimilarityOps {
           .otherwise(1000L))
   }
 
+  /** Cluster-balanced prototypical sample — the subset-selection step
+    * after clustering (the SemDeDup-family "keep the k most central
+    * examples per cluster" rule): assign every vector to its nearest
+    * label-centroid ([[nearestCentroidQ]], the s06 rule verbatim) and
+    * keep each cluster's [[SampleK]] most-similar members, ranked.
+    * Emitted columns are ids/ranks only, so the gate hashes exactly
+    * even though the ranking score is a double (same integer inputs →
+    * same IEEE ops on both engines; ties break on vec_id).
+    *
+    * Scale shape: the per-cluster top-k runs through
+    * [[graft.functions.TopKByScore]] — a bounded typed Aggregator whose
+    * partial buffers cap at k entries, so the shuffle carries
+    * (#clusters × k) rows with map-side combine. The row_number-window
+    * alternative sorts every cluster member through one task; a popular
+    * cluster at 100 TB makes that the straggler. PlanAuditSpec pins the
+    * partial aggregation. */
+  private val SampleK = 5
+
+  private def s20(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(SampleK),
+      org.apache.spark.sql.Encoders.product[
+        graft.functions.TopKByScore.ScoredId])
+    nearestCentroidQ(withQ(embeddings(s, d)))
+      .groupBy(col("assigned"))
+      // the product-encoded udaf takes ScoredId's fields positionally
+      .agg(topk(col("cos"), col("vec_id"), col("label").cast("long"))
+        .as("top"))
+      .select(col("assigned"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(
+        col("assigned").cast("long").as("assigned"),
+        (col("i") + 1).cast("long").as("rk"),
+        col("e.id").as("vec_id"),
+        col("e.payload").as("label"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "s01_knn_bruteforce" -> s01 _,
     "s02_ann_lsh" -> s02 _,
@@ -848,6 +898,7 @@ object SimilarityOps {
     "s17_ivf_pq_rerank" -> s17 _,
     "s18_semantic_cluster_dedup" -> s18 _,
     "s19_cluster_recall_report" -> s19 _,
+    "s20_balanced_sample" -> s20 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1350,5 +1401,39 @@ object SimilarityOps {
          |              // COUNT(*)
          |       ELSE 1000 END AS recall_pm
          |FROM lab""".stripMargin,
+    // SQL twin of s20: s06's assignment CTEs with cos carried through,
+    // then top-SampleK per assigned cluster (cos DESC, vec_id ASC — the
+    // aggregator's exact ordering; the doubles agree bit-for-bit
+    // because both engines divide the same integer dot by the same
+    // sqrt products).
+    "s20_balanced_sample" ->
+      s"""WITH $embCte,
+         |dims AS (
+         |  SELECT label AS c_label, i, SUM(qv[i])::BIGINT AS s
+         |  FROM embn, range(1, ${DIMS + 1}) AS r(i)
+         |  GROUP BY c_label, i),
+         |cents AS (
+         |  SELECT c_label, list(s ORDER BY i) AS cqv FROM dims GROUP BY c_label),
+         |centn AS (
+         |  SELECT c_label, cqv, ${dot("cqv", "cqv")} AS cn2 FROM cents),
+         |scored AS (
+         |  SELECT v.vec_id, v.label, c.c_label,
+         |    CAST(${dot("v.qv", "c.cqv")} AS DOUBLE)
+         |      / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) AS cos
+         |  FROM embn v CROSS JOIN centn c),
+         |best AS (
+         |  SELECT vec_id, label, c_label, cos FROM (
+         |    SELECT vec_id, label, c_label, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, c_label ASC) AS rk
+         |    FROM scored) WHERE rk = 1)
+         |SELECT c_label::BIGINT AS assigned, rk::BIGINT AS rk,
+         |  vec_id, label::BIGINT AS label
+         |FROM (
+         |  SELECT c_label, vec_id, label,
+         |    ROW_NUMBER() OVER (PARTITION BY c_label
+         |      ORDER BY cos DESC, vec_id ASC) AS rk
+         |  FROM best)
+         |WHERE rk <= ${SampleK}""".stripMargin,
   )
 }

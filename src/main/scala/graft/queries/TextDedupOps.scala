@@ -1479,6 +1479,50 @@ object TextDedupOps {
           .cast("long").as("n_chunk_toks"),
         md5(col("chunk")).as("chunk_md5"))
 
+  /** DSIR-style importance weights — the data-selection shape of "Data
+    * Selection for Language Models via Importance Resampling" (Xie et
+    * al. 2023): score every document by how much more likely its
+    * features are under a TARGET distribution than under the raw
+    * corpus, using bag-of-bigram models, then resample by the weight.
+    * Integer-exact formulation: per transition, the add-one-smoothed
+    * target-affinity per-mille `1000·(c_t+1) DIV (c_r+1)` where c_t /
+    * c_r count the bigram in the target subset ([[DsirTarget]] sources)
+    * vs the whole corpus; the per-doc report is the transition count,
+    * affinity sum, and mean. Dropping the corpus-constant normalizers
+    * (N_t, N_r) keeps every product ≤ 1000·c_t — overflow-safe at 10¹⁵
+    * bigram occurrences — and shifts all docs by the same factor, which
+    * resampling ranks through unchanged.
+    *
+    * Scale shape: ONE grouped pass builds both models (c_r as count,
+    * c_t as a conditional sum — map-side combinable, vocab-bounded
+    * output ≪ corpus); scoring is a single join of corpus transitions
+    * to that table on the bigram key (AQE broadcasts it when it fits).
+    * The target never needs its own corpus scan. */
+  private val DsirTarget = Seq("src0", "src1", "src2")
+
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val trans = withTokens(documents(s, d))
+      .filter(col("n_words") >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+          |  i -> struct(toks[i] AS w1, toks[i + 1] AS w2))"""
+          .stripMargin.replaceAll("\n", " "))).as("t"))
+      .select(col("doc_id"), col("source"),
+        col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val model = trans.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("source").isin(DsirTarget: _*), 1L).otherwise(0L))
+          .as("c_t"))
+    trans
+      .join(model, Seq("w1", "w2"))
+      .withColumn("aff_pm", expr("(1000L * (c_t + 1)) DIV (c_r + 1)"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_trans"), sum(col("aff_pm")).as("sum_aff_pm"))
+      .withColumn("aff_pm", expr("sum_aff_pm DIV n_trans"))
+      .withColumn("is_target",
+        col("source").isin(DsirTarget: _*).cast("long"))
+  }
+
   /** p01 — the composed end-to-end corpus build, chaining the pipeline
     * stages this file ships individually into the one job a user runs to
     * produce training shards:
@@ -1799,6 +1843,7 @@ object TextDedupOps {
     "d22_shard_plan" -> d22 _,
     "d23_substring_dedup" -> d23 _,
     "t21_overlap_chunks" -> t21 _,
+    "t22_dsir_weights" -> t22 _,
     "p01_corpus_pipeline" -> p01 _,
   )
 
@@ -1806,6 +1851,8 @@ object TextDedupOps {
 
   private val toksSql =
     "list_filter(string_split(text, ' '), t -> t <> '')"
+  private val dsirTargetSql =
+    DsirTarget.map(s => s"'$s'").mkString(", ")
   private val alphaSql =
     s"len(list_filter($toksSql, t -> regexp_matches(t, '^[a-zA-Z]{2,}$$')))"
   private val stopSql =
@@ -2159,6 +2206,29 @@ object TextDedupOps {
          |    AS n_chunk_toks,
          |  md5(chunk) AS chunk_md5
          |FROM c""".stripMargin,
+    // SQL twin of t22: one grouped pass builds both models (c_t as a
+    // conditional sum), integer DIV per transition then per doc.
+    "t22_dsir_weights" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |tr AS (
+         |  SELECT doc_id, source, toks[i + 1] AS w1, toks[i + 2] AS w2
+         |  FROM (SELECT doc_id, source, toks,
+         |          UNNEST(range(len(toks) - 1)) AS i
+         |        FROM tok WHERE len(toks) >= 2)),
+         |m AS (
+         |  SELECT w1, w2, COUNT(*)::BIGINT AS c_r,
+         |    SUM(CASE WHEN source IN ($dsirTargetSql)
+         |             THEN 1 ELSE 0 END)::BIGINT AS c_t
+         |  FROM tr GROUP BY 1, 2)
+         |SELECT doc_id, source, COUNT(*)::BIGINT AS n_trans,
+         |  SUM((1000 * (c_t + 1)) // (c_r + 1))::BIGINT AS sum_aff_pm,
+         |  (SUM((1000 * (c_t + 1)) // (c_r + 1)) // COUNT(*))::BIGINT
+         |    AS aff_pm,
+         |  (CASE WHEN source IN ($dsirTargetSql)
+         |        THEN 1 ELSE 0 END)::BIGINT AS is_target
+         |FROM tr JOIN m USING (w1, w2)
+         |GROUP BY doc_id, source""".stripMargin,
     "t20_vocab_richness" ->
       s"""WITH tf AS (
          |  SELECT source, term, COUNT(*)::BIGINT AS tf FROM (

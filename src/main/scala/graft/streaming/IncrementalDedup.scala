@@ -517,6 +517,56 @@ object IncrementalDedup {
       }
   }
 
+  /** Batch d23's k-gram anchors AT INGEST: one [[SpanChunk]] per token
+    * position (idx = the 0-based offset), the chunk being the k-token
+    * run starting there — every offset, not d21's aligned chunks.
+    * Feeding these into the UNCHANGED span registry
+    * ([[detectSpanDups]] / [[detectSpanDupsWithTtl]]) reproduces the
+    * batch operator's decision exactly on an in-order stream: a cut
+    * verdict at (doc, i) is precisely a d23 dup anchor (the gram was
+    * admitted earlier — any doc, any batch), a kept verdict a
+    * first-ever gram. Interval merging stays a consumer-side per-doc
+    * fold over its own verdicts; the registry only owns the global
+    * first-occurrence decision. State: one entry per distinct gram in
+    * the horizon — ~k× denser than spans, so the TTL variant is the
+    * production path on an unbounded crawl. */
+  def gramSpans(docs: Dataset[Doc], k: Int = 8): Dataset[SpanChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(toks) - $k),
+             |  i -> array_join(slice(toks, i + 1, $k), ' '))"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as(Seq("idx", "chunk")))
+      .select(col("chunk"), col("doc_id"), col("idx").cast("int").as("idx"))
+      .as[SpanChunk]
+  }
+
+  /** [[gramSpans]] with event time + watermark, feeding
+    * [[detectSpanDupsWithTtl]]. */
+  def gramSpansTimed(docs: Dataset[TimedDoc], k: Int = 8,
+      watermarkDelay: String = "0 seconds"): Dataset[TimedSpanChunk] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.toDF()
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("toks", TextFns.tokens(col("text")))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(toks) - $k),
+             |  i -> array_join(slice(toks, i + 1, $k), ' '))"""
+            .stripMargin.replaceAll("\n", " ")))
+          .as(Seq("idx", "chunk")))
+      .select(col("chunk"), col("doc_id"),
+        col("idx").cast("int").as("idx"), col("ts"))
+      .as[TimedSpanChunk]
+  }
+
   case class TimedSpanChunk(chunk: String, doc_id: Long, idx: Int,
       ts: java.sql.Timestamp)
 

@@ -335,4 +335,35 @@ class DedupInvariantSpec extends SparkSuite {
     val doc2 = rows.filter(_._1 == 2L).sortBy(_._2).map(_._3)
     assert(doc2.toSeq == Seq(0L, 16L))
   }
+
+  test("t22 DSIR weights: hand-computed target-affinity on a mixed corpus") {
+    val docs = Seq(
+      (0L, "a b", "src0"),  // target
+      (1L, "a b", "src5"),  // same bigram, outside the target
+      (2L, "a c", "src5"))
+    val dir = Files.createTempDirectory("dsir").toString
+    docs.map { case (i, t, s) => (i, t, "en", s, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t22_dsir_weights")(spark, dir)
+      .select("doc_id", "n_trans", "sum_aff_pm", "aff_pm", "is_target")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // (a,b): c_r=2, c_t=1 -> 1000*2 DIV 3 = 666; (a,c): c_r=1, c_t=0 -> 500
+    assert(rows(0L) == ((1L, 666L, 666L, 1L)))
+    assert(rows(1L) == ((1L, 666L, 666L, 0L)))
+    assert(rows(2L) == ((1L, 500L, 500L, 0L)))
+  }
+
+  test("t22 degenerates correctly when the target IS the corpus: every " +
+    "affinity is exactly 1000 per-mille") {
+    // corpusDir sources cycle src0/src1/src2 — all inside DsirTarget,
+    // so c_t == c_r for every bigram and the smoothed ratio is 1
+    val rows = SparkEntry.queries("t22_dsir_weights")(spark, corpusDir)
+      .select("aff_pm", "is_target").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (aff, tgt) =>
+      assert(aff == 1000L && tgt == 1L, s"aff $aff target $tgt")
+    }
+  }
 }

@@ -435,4 +435,42 @@ class PlanAuditSpec extends SparkSuite {
       s"s19 grew an undeclared non-equi join:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d23 substring dedup: hash joins only, and the interval-merge " +
+    "windows partition on doc_id — never corpus-wide") {
+    val p = plan("d23_substring_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"d23 degenerated to all-pairs:\n$p")
+    // every ordered window runs per-doc (bounded by document length);
+    // an empty-partition window would serialize the whole anchor set
+    assert("windowspecdefinition\\(doc_id#\\d+L, i#".r.findFirstIn(p).isDefined,
+      s"d23 lost its per-doc window:\n$p")
+    assert(!p.contains("windowspecdefinition(i#"),
+      s"d23 grew an unpartitioned window:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"d23 must not globally sort:\n$p")
+  }
+
+  test("s20 balanced sample: per-cluster top-k aggregates map-side " +
+    "(bounded partials), centroids ride a broadcast") {
+    val p = plan("s20_balanced_sample")
+    assert(p.contains("partial_topkbyscore"),
+      s"s20 lost its bounded map-side top-k:\n$p")
+    // the centroid argmax is the declared broadcast nested-loop (s06's
+    // shape); nothing else may degenerate to a loop join
+    assert(p.contains("BroadcastExchange"), s"s20 lost its broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the top-k must NOT run through a row_number window over members
+    assert("windowspecdefinition\\(assigned".r.findFirstIn(p).isEmpty,
+      s"s20 regressed to a per-cluster window sort:\n$p")
+  }
+
+  test("t21 overlap chunks: one scan, zero shuffles — the chunk explode " +
+    "never leaves its partition") {
+    val p = plan("t21_overlap_chunks")
+    assert(!p.contains("Exchange"), s"t21 grew a shuffle:\n$p")
+    assert(!p.contains("Join"), p)
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+  }
 }

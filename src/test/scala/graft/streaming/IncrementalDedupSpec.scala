@@ -109,6 +109,58 @@ class IncrementalDedupSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming substring dedup: gram anchors cut at unaligned offsets " +
+    "across micro-batches, agreeing with batch d23's anchor counts") {
+    implicit val sqlCtx = spark.sqlContext
+    // the d23 fixture shapes: doc 1 copies doc 0's first 10 tokens
+    // (anchors 0,1,2), doc 2 embeds 8 of them at unaligned offset 10
+    // (anchor 10), doc 3 self-repeats (anchor 8)
+    val a = (0 until 20).map(i => s"g$i")
+    val texts = Seq(
+      a.mkString(" "),
+      (a.take(10) ++ (0 until 10).map(i => s"u$i")).mkString(" "),
+      ((0 until 10).map(i => s"p$i") ++ a.take(8)).mkString(" "),
+      ((0 until 8).map(i => s"b$i") ++ (0 until 8).map(i => s"b$i"))
+        .mkString(" "))
+    val input = MemoryStream[Doc]
+    val q = detectSpanDups(gramSpans(input.toDS()))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gram_out").start()
+    try {
+      input.addData(Doc(0, texts(0)), Doc(1, texts(1)))
+      q.processAllAvailable()
+      input.addData(Doc(2, texts(2)), Doc(3, texts(3)))
+      q.processAllAvailable()
+      val verdicts = spark.table("gram_out")
+        .select("doc_id", "idx", "keep", "firstDoc")
+        .as[(Long, Int, Boolean, Long)].collect()
+      // doc 1: the 10-token head copy anchors at offsets 0..2, owner doc 0
+      assert(verdicts.filter(v => v._1 == 1L && !v._3).sortBy(_._2).toSeq ==
+        Seq((1L, 0, false, 0L), (1L, 1, false, 0L), (1L, 2, false, 0L)))
+      // doc 2: ONE unaligned anchor at offset 10 (a later micro-batch)
+      assert(verdicts.filter(v => v._1 == 2L && !v._3).toSeq ==
+        Seq((2L, 10, false, 0L)))
+      // doc 3: within-doc repeat anchors at offset 8, owned by itself
+      assert(verdicts.filter(v => v._1 == 3L && !v._3).toSeq ==
+        Seq((3L, 8, false, 3L)))
+      // batch/stream agreement: cut counts per doc == batch d23 anchors
+      val dir = java.nio.file.Files.createTempDirectory("gramcorp").toString
+      texts.zipWithIndex
+        .map { case (t, i) =>
+          (i.toLong, t, "en", s"src${i % 2}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val batch = graft.SparkEntry.queries("d23_substring_dedup")(spark, dir)
+        .select("doc_id", "n_anchors")
+        .as[(Long, Long)].collect().toMap
+      val streamed = verdicts.groupBy(_._1)
+        .map { case (id, vs) => id -> vs.count(!_._3).toLong }
+      assert(streamed == batch,
+        s"stream anchors $streamed != batch d23 $batch")
+    } finally q.stop()
+  }
+
   test("streaming embedding dedup: near-identical vector flagged across batches") {
     implicit val sqlCtx = spark.sqlContext
     val dims = 64
