@@ -69,8 +69,9 @@ object DotQ {
   /** Register `dotq` in the session's function registry (idempotent) so it
     * is reachable from the public Column API via `call_function`. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dotq", exprs => DotQ(exprs(0), exprs(1)), "built-in")
+    // delegates to the shared definition list so the lazy in-session
+    // path and the spark.sql.extensions injector cannot drift
+    FunctionDefs.registerAll(spark)
 
   def dotq(a: Column, b: Column): Column = call_function("dotq", a, b)
 }

@@ -28,45 +28,12 @@ object HashSketch {
 
   /** Register all native sketch functions in the session registry
     * (idempotent). */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_bits", exprs => SimHashBits(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_sig", exprs => MinHashSig(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_seq", exprs => ShingleSeq(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_set", exprs => WinnowSet(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lsh_sig", exprs => LshSig(exprs(0), exprs(1), exprs(2)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_hash_seq",
-      exprs => TokenHashSeq(exprs(0), exprs(1), exprs(2)), "built-in")
-    // Spark's runtime-filter bloom expressions, surfaced as callable
-    // functions (they exist in catalyst but are not in the public
-    // registry): graft_bloom_agg(longCol[, estimatedItems]) -> binary
-    // sketch; graft_bloom_contains(binary, longCol) -> boolean. The
-    // optional second argument sizes the sketch to the actual item
-    // count instead of the 1M-item conf default — undersizing blows up
-    // the false-positive rate (a prefilter that passes everything),
-    // oversizing broadcasts dead bytes. The contains side requires a
-    // CONSTANT sketch (it deserializes once via eval(null)), so callers
-    // embed the aggregated bloom as a literal — the d12 contamPrefilter
-    // pattern.
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_agg",
-      exprs =>
-        if (exprs.length >= 2)
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(exprs(0), exprs(1))
-        else
-          new org.apache.spark.sql.catalyst.expressions.aggregate
-            .BloomFilterAggregate(exprs(0)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => org.apache.spark.sql.catalyst.expressions
-        .BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
-  }
+  def register(spark: SparkSession): Unit =
+    // delegates to the shared definition list (FunctionDefs) so the
+    // lazy in-session path and the spark.sql.extensions injector cannot
+    // drift; the bloom sizing/constant-sketch contract is documented on
+    // the FunctionDefs entries
+    FunctionDefs.registerAll(spark)
 
   /** mod > 0 reduces each hash mod `mod`; mod = 0 keeps the full 60 bits
     * (the [[TextFns.hash60Array]]-over-tokens shape d04/d07 use). */
