@@ -163,6 +163,76 @@ class TrainingOpsPropertySpec extends SparkSuite {
     }
   }
 
+  /** Clean-room d23: global first-occurrence per k-gram in (doc, pos)
+    * order, later occurrences anchor, anchors merge into intervals when
+    * starts differ by ≤ k. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def referenceSubstrDedup(docs: Seq[(Long, Vector[String])], k: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val firstPk = scala.collection.mutable.Map.empty[Seq[String], Long]
+    val anchors = scala.collection.mutable.Map
+      .empty[Long, Vector[Int]].withDefaultValue(Vector.empty)
+    docs.sortBy(_._1).foreach { case (id, toks) =>
+      (0 to toks.size - k).foreach { i =>
+        val g = toks.slice(i, i + k)
+        val pk = id * 1000000000L + i
+        firstPk.get(g) match {
+          case None => firstPk(g) = pk
+          case Some(f) if pk > f => anchors(id) = anchors(id) :+ i
+          case _ => ()
+        }
+      }
+    }
+    docs.map { case (id, _) =>
+      val as = anchors(id)
+      if (as.isEmpty) id -> ((0L, 0L, 0L,
+        md5Hex("")))
+      else {
+        val ivs = as.tail.foldLeft(Vector((as.head, as.head + k - 1))) {
+          case (acc, i) =>
+            val (s0, e0) = acc.last
+            if (i <= s0 + k) acc.init :+ ((s0, i + k - 1))
+            else acc :+ ((i, i + k - 1))
+        }
+        id -> ((as.size.toLong, ivs.size.toLong,
+          ivs.map { case (s, e) => (e - s + 1).toLong }.sum,
+          md5Hex(
+            ivs.map { case (s, e) => s"$s:$e" }.mkString(","))))
+      }
+    }.toMap
+  }
+
+  test("d23 equals the clean-room substring dedup on random small-vocab " +
+    "corpora (collisions forced)") {
+    val k = graft.queries.TextDedupOps.SubstrK
+    // 3-word vocabulary: k-gram collisions everywhere, within-doc
+    // repeats common — the interval-merge algebra is fully exercised
+    val docGen = Gen.chooseNum(0, 26).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("x", "y", "z")).map(_.toVector))
+    (0 until 3).foreach { round =>
+      val docs = samples(docGen, 30).zipWithIndex
+        .map { case (t, i) => (i.toLong + round * 100, t) }
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"substrprop$round").toString
+      docs.map { case (id, t) =>
+        (id, t.mkString(" "), "en", s"src${id % 3}", t.size.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("d23_substring_dedup")(spark, dir)
+        .select("doc_id", "n_anchors", "n_intervals", "n_removed", "iv_md5")
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val want = referenceSubstrDedup(docs, k)
+      assert(got == want,
+        s"round $round diff: ${(got.toSet -- want.toSet).take(3)} vs " +
+          s"${(want.toSet -- got.toSet).take(3)}")
+    }
+  }
+
   test("streaming packing equals the batch rule for random docs and " +
     "random micro-batch splits") {
     implicit val sqlCtx = spark.sqlContext
