@@ -1448,6 +1448,95 @@ object TextDedupOps {
         coalesce(col("iv_md5"), md5(lit(""))).as("iv_md5"))
   }
 
+  /** Delta dedup against a PERSISTED signature index — the third
+    * dedup execution mode next to static-batch (d01–d08) and streaming
+    * ingest ([[graft.streaming.IncrementalDedup]]): a nightly crawl
+    * increment dedups against yesterday's corpus WITHOUT rescanning
+    * yesterday's text. The base partition (a deterministic hash split
+    * standing in for "the existing corpus") is distilled to a narrow
+    * index — (doc_id, content md5, MinHash signature) — written to
+    * parquet and READ BACK, the same offline-build / online-serve
+    * discipline as [[graft.operators.AnnIndexStore]]; the delta pass
+    * touches only that index plus the new documents. Verdict per delta
+    * doc: `exact` (content hash present in the index; winner = smallest
+    * such base id), else `near` (band-join candidates, verified by the
+    * MinHash COMPONENT-MATCH estimate `1000·matches DIV k ≥ 500` —
+    * signatures only, so the index never stores shingle sets; winner =
+    * smallest verified base id, its estimate reported), else `unique`.
+    * Intra-delta duplicates are deliberately out of scope — compose
+    * d02/d03 over the delta for those; this operator is the
+    * index-reuse face.
+    *
+    * Scale: the index is ~40 bytes/doc regardless of document size
+    * (the text never ships); the delta pass is one scan of the
+    * increment + id-only band joins against the index + one signature
+    * join back — cost proportional to |delta| + |index|, never
+    * |base text|. */
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val indexDir = s.conf.getOption("spark.graft.d24.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_d24_index")
+    val docs = documents(s, d)
+    val isDelta =
+      pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
+        424), lit(5L)) === 0L
+    def withSig(df: DataFrame): DataFrame = df
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .withColumn("sig", when(size(col("hs")) > 0,
+        graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K)))
+      .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
+    // offline face: distill + persist the base index, then read the
+    // artifact back — delta runs consume the files, not the base scan
+    withSig(docs.filter(!isDelta)).write.mode("overwrite").parquet(indexDir)
+    val index = s.read.parquet(indexDir)
+    val delta = graft.Pinned.pin(withSig(docs.filter(isDelta)))
+    val exact = delta.select(col("doc_id"), col("content_hash"))
+      .join(index.select(col("content_hash"), col("doc_id").as("base_id")),
+        Seq("content_hash"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("base_id")).as("exact_winner"))
+    // id-only band join (the d03 discipline): signatures rejoin only
+    // for the candidate pairs
+    def bands(df: DataFrame, as: String) = df
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id").as(as),
+        explode(array((0 until BANDS).map(b =>
+          bandKey(col("sig"), b, ROWS)): _*)).as("band_key"))
+    val cand = bands(delta, "doc_id")
+      .join(bands(index, "base_id"), Seq("band_key"))
+      .select("doc_id", "base_id")
+      .dropDuplicates("doc_id", "base_id")
+    val near = cand
+      .join(delta.select(col("doc_id"), col("sig").as("d_sig")), Seq("doc_id"))
+      .join(index.select(col("doc_id").as("base_id"), col("sig").as("b_sig")),
+        Seq("base_id"))
+      .withColumn("est_pm", expr(
+        s"""(1000L * size(filter(zip_with(d_sig, b_sig, (x, y) -> x = y),
+           |  v -> v))) DIV $MINHASH_K"""
+          .stripMargin.replaceAll("\n", " ")))
+      .filter(col("est_pm") >= 500)
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("base_id"), col("est_pm"))).as("w"))
+      .select(col("doc_id"), col("w.base_id").as("near_winner"),
+        col("w.est_pm").as("near_est"))
+    delta.select(col("doc_id"), col("source"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("source"),
+        when(col("exact_winner").isNotNull, "exact")
+          .when(col("near_winner").isNotNull, "near")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_winner"), col("near_winner"), lit(-1L))
+          .as("winner"),
+        when(col("exact_winner").isNotNull, 1000L)
+          .when(col("near_winner").isNotNull, col("near_est"))
+          .otherwise(0L).as("est_pm"))
+  }
+
   /** Sliding-window chunker with overlap — the retrieval/context-window
     * prep step (split every document into [[ChunkOvW]]-token windows at
     * stride [[ChunkOvS]], 50% overlap) that sits between a cleaned
@@ -1842,6 +1931,7 @@ object TextDedupOps {
     "d21_span_dedup" -> d21 _,
     "d22_shard_plan" -> d22 _,
     "d23_substring_dedup" -> d23 _,
+    "d24_delta_dedup" -> d24 _,
     "t21_overlap_chunks" -> t21 _,
     "t22_dsir_weights" -> t22 _,
     "p01_corpus_pipeline" -> p01 _,
@@ -2186,6 +2276,63 @@ object TextDedupOps {
          |  COALESCE(r.n_removed, 0)::BIGINT AS n_removed,
          |  COALESCE(r.iv_md5, md5('')) AS iv_md5
          |FROM tok t LEFT JOIN rep r USING (doc_id)""".stripMargin,
+    // SQL twin of d24: same hash split, same signature chain as d03's
+    // oracle, the same component-match estimate (list positions i where
+    // the two sigs agree), arg_min == Spark's min-struct winner (base
+    // ids are unique per candidate pair).
+    "d24_delta_dedup" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id, source, text,
+         |    list_transform($toksSql,
+         |      t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |hsx AS (
+         |  SELECT doc_id, source, text,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j =>
+                  s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}")
+                  .mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+         |  FROM thm),
+         |sigd AS (
+         |  SELECT doc_id, source,
+         |    (${sqlHash60("doc_id::VARCHAR", 424)} % 5 = 0) AS is_delta,
+         |    md5(text) AS content_hash,
+         |    CASE WHEN len(ss) > 0 THEN ${minhashSql("ss")} END AS sig
+         |  FROM hsx),
+         |base AS (SELECT * FROM sigd WHERE NOT is_delta),
+         |delta AS (SELECT * FROM sigd WHERE is_delta),
+         |exact AS (
+         |  SELECT d.doc_id, MIN(b.doc_id) AS exact_winner
+         |  FROM delta d JOIN base b USING (content_hash) GROUP BY 1),
+         |db AS (SELECT doc_id, UNNEST(${bandKeySql("sig")}) AS band_key
+         |       FROM delta WHERE sig IS NOT NULL),
+         |bb AS (SELECT doc_id AS base_id, UNNEST(${bandKeySql("sig")}) AS band_key
+         |       FROM base WHERE sig IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT db.doc_id, bb.base_id
+         |  FROM db JOIN bb USING (band_key)),
+         |est AS (
+         |  SELECT c.doc_id, c.base_id,
+         |    (1000 * len(list_filter(range(1, ${MINHASH_K + 1}),
+         |       i -> d.sig[i] = b.sig[i]))) // $MINHASH_K AS est_pm
+         |  FROM cand c
+         |  JOIN delta d ON d.doc_id = c.doc_id
+         |  JOIN base b ON b.doc_id = c.base_id),
+         |near AS (
+         |  SELECT doc_id, MIN(base_id) AS near_winner,
+         |    arg_min(est_pm, base_id) AS near_est
+         |  FROM est WHERE est_pm >= 500 GROUP BY 1)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN e.exact_winner IS NOT NULL THEN 'exact'
+         |       WHEN n.near_winner IS NOT NULL THEN 'near'
+         |       ELSE 'unique' END AS verdict,
+         |  COALESCE(e.exact_winner, n.near_winner, -1)::BIGINT AS winner,
+         |  (CASE WHEN e.exact_winner IS NOT NULL THEN 1000
+         |        WHEN n.near_winner IS NOT NULL THEN n.near_est
+         |        ELSE 0 END)::BIGINT AS est_pm
+         |FROM delta d
+         |LEFT JOIN exact e USING (doc_id)
+         |LEFT JOIN near n USING (doc_id)""".stripMargin,
     // SQL twin of t21: ceil(n/S) windows per doc (range((n-1)//S + 1)),
     // the same 1-based inclusive slice (tail windows truncate on both
     // engines), LEAST for the short-tail token count.

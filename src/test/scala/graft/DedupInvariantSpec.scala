@@ -336,6 +336,52 @@ class DedupInvariantSpec extends SparkSuite {
     assert(doc2.toSeq == Seq(0L, 16L))
   }
 
+  test("d24 delta dedup: exact copy, near edit, and novel delta docs " +
+    "verdict correctly against the persisted base index") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // the base/delta split is a doc_id hash — discover membership first,
+    // then PLACE each planted document on the side its role needs
+    val probe = (0L until 200L).toDF("doc_id")
+      .withColumn("is_delta",
+        pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
+          424), lit(5L)) === 0L)
+      .as[(Long, Boolean)].collect().toMap
+    val baseIds = (0L until 200L).filter(id => !probe(id)).take(2)
+    val deltaIds = (0L until 200L).filter(probe).take(3)
+    val baseText = (0 until 40).map(i => s"w$i").mkString(" ")
+    val otherBase = (0 until 40).map(i => s"q$i").mkString(" ")
+    val nearText = baseText.split(" ").updated(7, "EDITED").mkString(" ")
+    val novel = (0 until 40).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (baseIds(0), baseText), (baseIds(1), otherBase),
+      (deltaIds(0), baseText),   // exact copy of a base doc
+      (deltaIds(1), nearText),   // one-token edit of a base doc
+      (deltaIds(2), novel))      // nothing like it in the index
+    val dir = Files.createTempDirectory("delta").toString
+    docs.map { case (i, t) => (i, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.d24.indexDir",
+      Files.createTempDirectory("deltaidx").toString)
+    try {
+      val rows = SparkEntry.queries("d24_delta_dedup")(spark, dir)
+        .select("doc_id", "verdict", "winner", "est_pm")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      // only delta docs report
+      assert(rows.keySet == deltaIds.toSet)
+      assert(rows(deltaIds(0)) == (("exact", baseIds(0), 1000L)))
+      val (v1, w1, e1) = rows(deltaIds(1))
+      assert(v1 == "near" && w1 == baseIds(0),
+        s"near edit got $v1/$w1")
+      // 1-token edit of 40 tokens: shingle jaccard ~0.85, so the
+      // 12-component estimate sits well above the 500pm floor and
+      // below exact's 1000
+      assert(e1 >= 500L && e1 < 1000L, s"est $e1")
+      assert(rows(deltaIds(2)) == (("unique", -1L, 0L)))
+    } finally spark.conf.unset("spark.graft.d24.indexDir")
+  }
+
   test("t22 DSIR weights: hand-computed target-affinity on a mixed corpus") {
     val docs = Seq(
       (0L, "a b", "src0"),  // target
