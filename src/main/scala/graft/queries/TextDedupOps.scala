@@ -1537,6 +1537,53 @@ object TextDedupOps {
           .otherwise(0L).as("est_pm"))
   }
 
+  /** Tokenizer-artifact round trip — the offline-train / online-serve
+    * discipline for the BPE family (the d24/AnnIndexStore pattern,
+    * applied to the tokenizer): learn the merge table (t15's size-gated
+    * trainer), WRITE it to parquet as the tokenizer artifact, read it
+    * back FROZEN, and re-tokenize the corpus vocabulary under the
+    * stored table via the serving fold
+    * ([[graft.streaming.StreamTokenizer.tokenizeWord]] — the one merge
+    * definition the trainer, the distributed chain, and the stream
+    * tokenizer all implement). Output: t16's accounting columns plus
+    * the artifact's merge count; the oracle recomputes the whole chain
+    * relationally with no artifact at all, so a hash match PROVES the
+    * disk round-trip and the serve-path fold reproduce training
+    * exactly — the guarantee a production pipeline needs before
+    * shipping the artifact to a separate tokenization fleet.
+    *
+    * Scale: the artifact is rounds-bounded (rows = merges), the
+    * broadcast is a few KB, and serving is one scan of the DISTINCT
+    * vocabulary (≪ corpus) with a per-word fold. */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = s.conf.getOption("spark.graft.t23.tokenizerDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_t23_tokenizer")
+    val words = graft.Pinned.pin(bpeWords(s, d))
+    bpeTrain(words, bpeRoundsConf(s)).write.mode("overwrite").parquet(dir)
+    // the artifact is rounds-bounded: collect is size-gated by design
+    val merges = s.read.parquet(dir)
+      .orderBy(col("merge_round"))
+      .select(col("lhs"), col("rhs"))
+      .as[(String, String)].collect().toIndexedSeq
+    val bc = s.sparkContext.broadcast(merges)
+    words.select(col("word"), col("cnt")).as[(String, Long)]
+      .map { case (w, c) =>
+        (w, c,
+          graft.streaming.StreamTokenizer.tokenizeWord(w, bc.value)
+            .length.toLong)
+      }
+      .toDF("word", "cnt", "n_toks")
+      .agg(
+        count(lit(1)).as("n_vocab_words"),
+        sum(col("cnt")).as("n_word_occurrences"),
+        sum(col("cnt") * length(col("word"))).as("tokens_before"),
+        sum(col("cnt") * col("n_toks")).as("tokens_after"))
+      .withColumn("compression_pm",
+        expr("(1000L * tokens_after) DIV tokens_before"))
+      .withColumn("n_merges", lit(merges.size.toLong))
+  }
+
   /** Sliding-window chunker with overlap — the retrieval/context-window
     * prep step (split every document into [[ChunkOvW]]-token windows at
     * stride [[ChunkOvS]], 50% overlap) that sits between a cleaned
@@ -1934,6 +1981,7 @@ object TextDedupOps {
     "d24_delta_dedup" -> d24 _,
     "t21_overlap_chunks" -> t21 _,
     "t22_dsir_weights" -> t22 _,
+    "t23_tokenizer_store" -> t23 _,
     "p01_corpus_pipeline" -> p01 _,
   )
 
@@ -2025,6 +2073,25 @@ object TextDedupOps {
        |  SUM(cnt * len(seq))::BIGINT AS tokens_after,
        |  (1000 * SUM(cnt * len(seq)) // SUM(cnt * length(word)))::BIGINT
        |    AS compression_pm
+       |FROM seqs_$nRounds""".stripMargin
+  }
+
+  /** SQL twin of t23: t16's relational chain — NO artifact anywhere —
+    * plus the learned-merge count; a hash match therefore proves the
+    * parquet round-trip + frozen serve fold equal training. */
+  private def t23Sql(nRounds: Int): String = {
+    val chain = t15Sql(nRounds)
+    val upToChain = chain.substring(0, chain.lastIndexOf("\nSELECT"))
+    val union = (1 to nRounds).map(r => s"SELECT * FROM best_$r")
+      .mkString(" UNION ALL ")
+    s"""$upToChain
+       |SELECT COUNT(*) AS n_vocab_words,
+       |  SUM(cnt)::BIGINT AS n_word_occurrences,
+       |  SUM(cnt * length(word))::BIGINT AS tokens_before,
+       |  SUM(cnt * len(seq))::BIGINT AS tokens_after,
+       |  (1000 * SUM(cnt * len(seq)) // SUM(cnt * length(word)))::BIGINT
+       |    AS compression_pm,
+       |  (SELECT COUNT(*) FROM ($union))::BIGINT AS n_merges
        |FROM seqs_$nRounds""".stripMargin
   }
 
@@ -2179,6 +2246,7 @@ object TextDedupOps {
          |FROM scored s JOIN thr t USING (source) GROUP BY 1, 2""".stripMargin,
     "t15_bpe_merges" -> t15Sql(activeBpeRounds),
     "t16_bpe_compression" -> t16Sql(activeBpeRounds),
+    "t23_tokenizer_store" -> t23Sql(activeBpeRounds),
     "t17_freq_spectrum" ->
       s"""WITH tf AS (
          |  SELECT term, COUNT(*)::BIGINT AS tf FROM (

@@ -382,6 +382,25 @@ class DedupInvariantSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.d24.indexDir")
   }
 
+  test("t23 tokenizer artifact round-trip reproduces t16's in-query " +
+    "accounting exactly, plus the stored merge count") {
+    spark.conf.set("spark.graft.t23.tokenizerDir",
+      Files.createTempDirectory("tok23").toString)
+    try {
+      val t16r = SparkEntry.queries("t16_bpe_compression")(spark, corpusDir)
+        .collect()(0)
+      val t23r = SparkEntry.queries("t23_tokenizer_store")(spark, corpusDir)
+        .collect()(0)
+      Seq("n_vocab_words", "n_word_occurrences", "tokens_before",
+        "tokens_after", "compression_pm").foreach { c =>
+        assert(t23r.getAs[Long](c) == t16r.getAs[Long](c),
+          s"$c: artifact path ${t23r.getAs[Long](c)} != " +
+            s"in-query ${t16r.getAs[Long](c)}")
+      }
+      assert(t23r.getAs[Long]("n_merges") == 6L) // default rounds, rich vocab
+    } finally spark.conf.unset("spark.graft.t23.tokenizerDir")
+  }
+
   test("t22 DSIR weights: hand-computed target-affinity on a mixed corpus") {
     val docs = Seq(
       (0L, "a b", "src0"),  // target
