@@ -466,6 +466,24 @@ class PlanAuditSpec extends SparkSuite {
       s"s20 regressed to a per-cluster window sort:\n$p")
   }
 
+  test("d24 delta dedup: hash joins only against the read-back index — " +
+    "no cartesian, no text column in the serve plan") {
+    spark.conf.set("spark.graft.d24.indexDir",
+      java.nio.file.Files.createTempDirectory("d24audit").toString)
+    try {
+      val p = plan("d24_delta_dedup")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"d24 degenerated to all-pairs:\n$p")
+      // the index read-back side must be the narrow artifact: content
+      // hash + signature, never the base text
+      val idxLines = p.linesIterator.filter(_.contains("d24audit")).toSeq
+      assert(idxLines.nonEmpty, s"no index scan in plan:\n$p")
+      idxLines.foreach(l =>
+        assert(!l.contains("text"), s"index scan carries text: $l"))
+    } finally spark.conf.unset("spark.graft.d24.indexDir")
+  }
+
   test("t21 overlap chunks: one scan, zero shuffles — the chunk explode " +
     "never leaves its partition") {
     val p = plan("t21_overlap_chunks")
