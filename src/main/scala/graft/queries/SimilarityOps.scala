@@ -861,6 +861,42 @@ object SimilarityOps {
     * partial aggregation. */
   private val SampleK = 5
 
+  /** Filtered kNN — vector search under a metadata predicate (the
+    * "filtered ANN" every retrieval stack needs): top-k cosine
+    * neighbors among candidates whose label is in [[FilterLabels]],
+    * with PRE-filter semantics — the predicate prunes candidates
+    * BEFORE the distance math and the rank, so every query still gets
+    * k results from the allowed universe. (Post-filtering a plain
+    * top-k instead returns < k rows and silently loses recall — the
+    * classic filtered-search bug.) The label predicate reaches the
+    * parquet scan (PushedFilters, plan-pinned), so at 100 TB the scan
+    * itself skips disallowed row groups; the same predicate composes
+    * inside s05's probed IVF lists for the sublinear route, since list
+    * membership and metadata are independent. */
+  private val FilterLabels = Seq(1, 3, 5, 7)
+
+  private def s21(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d)
+      .filter(col("vec_id") < NQ ||
+        col("label").isin(FilterLabels: _*)))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val cands = emb
+      .filter(col("vec_id") >= NQ &&
+        col("label").isin(FilterLabels: _*))
+      .select(col("vec_id").as("cand_id"), col("label"), col("qv"), col("n2"))
+    val scored = cands.crossJoin(broadcast(queries))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TOPK)
+      .select(col("query_id"), col("cand_id"),
+        col("label").cast("long").as("label"), col("rank"), col("cos"))
+  }
+
   private def s20(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(SampleK),
       org.apache.spark.sql.Encoders.product[
@@ -899,6 +935,7 @@ object SimilarityOps {
     "s18_semantic_cluster_dedup" -> s18 _,
     "s19_cluster_recall_report" -> s19 _,
     "s20_balanced_sample" -> s20 _,
+    "s21_filtered_knn" -> s21 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1435,5 +1472,22 @@ object SimilarityOps {
          |      ORDER BY cos DESC, vec_id ASC) AS rk
          |  FROM best)
          |WHERE rk <= ${SampleK}""".stripMargin,
+    // SQL twin of s21: s01's exact ranking with the label predicate
+    // applied to CANDIDATES before scoring (pre-filter semantics).
+    "s21_filtered_knn" ->
+      s"""WITH $embCte,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    c.label::BIGINT AS label,
+         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+         |  FROM embn q JOIN embn c
+         |    ON q.vec_id < $NQ AND c.vec_id >= $NQ
+         |   AND c.label IN (${FilterLabels.mkString(", ")}))
+         |SELECT query_id, cand_id, label, rank, cos FROM (
+         |  SELECT query_id, cand_id, label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, cand_id ASC) AS rank
+         |  FROM scored) WHERE rank <= $TOPK""".stripMargin,
   )
 }

@@ -1561,11 +1561,8 @@ object TextDedupOps {
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_t23_tokenizer")
     val words = graft.Pinned.pin(bpeWords(s, d))
     bpeTrain(words, bpeRoundsConf(s)).write.mode("overwrite").parquet(dir)
-    // the artifact is rounds-bounded: collect is size-gated by design
-    val merges = s.read.parquet(dir)
-      .orderBy(col("merge_round"))
-      .select(col("lhs"), col("rhs"))
-      .as[(String, String)].collect().toIndexedSeq
+    // the artifact is rounds-bounded: the loader's collect is a few KB
+    val merges = graft.streaming.StreamTokenizer.loadMerges(s, dir)
     val bc = s.sparkContext.broadcast(merges)
     words.select(col("word"), col("cnt")).as[(String, Long)]
       .map { case (w, c) =>

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 
 /** Tokenize-at-ingest: apply a LEARNED BPE merge table to documents as
   * they stream in — the serving half of tokenizer training (t15 /
@@ -22,6 +22,21 @@ import org.apache.spark.sql.Dataset
 object StreamTokenizer {
 
   case class Doc(doc_id: Long, text: String)
+
+  /** Load a FROZEN merge table from a t23-style tokenizer artifact
+    * (parquet rows `(merge_round, lhs, rhs, pair_count)`) — the glue
+    * between the batch-trained artifact and this serving path: a
+    * streaming fleet starts from the files the training job shipped,
+    * never from a retrain. Rounds-bounded, so the collect is a few KB. */
+  def loadMerges(spark: SparkSession, dir: String)
+      : IndexedSeq[(String, String)] = {
+    import spark.implicits._
+    spark.read.parquet(dir)
+      .orderBy("merge_round")
+      .select("lhs", "rhs")
+      .as[(String, String)].collect().toIndexedSeq
+  }
+
   case class Tokenized(doc_id: Long, n_words: Long, n_chars: Long,
       n_tokens: Long)
 

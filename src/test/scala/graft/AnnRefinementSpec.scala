@@ -154,6 +154,33 @@ class AnnRefinementSpec extends SparkSuite {
     } finally emb.unpersist()
   }
 
+  test("s21 filtered kNN: full k per query, every hit from the allowed " +
+    "label universe, and hits agree with s01 where labels permit") {
+    val allowed = Set(1L, 3L, 5L, 7L)
+    val rows = SparkEntry.queries("s21_filtered_knn")(spark, sf)
+      .select("query_id", "cand_id", "label", "rank")
+      .as[(Long, Long, Long, Long)].collect()
+    // pre-filter semantics: k results per query despite the predicate
+    assert(rows.length == 8 * 5, s"${rows.length} rows")
+    rows.foreach { case (_, _, l, _) => assert(allowed(l), s"label $l") }
+    rows.groupBy(_._1).values.foreach(g =>
+      assert(g.map(_._4).sorted.toSeq == (1L to 5L), g.toSeq.toString))
+    // consistency with the unfiltered truth: an s01 top hit whose label
+    // is allowed must appear in s21 at an equal-or-better rank
+    val s01 = SparkEntry.queries("s01_knn_bruteforce")(spark, sf)
+      .select("query_id", "cand_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    val labels = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val filteredRanks = rows.map(r => (r._1, r._2) -> r._4).toMap
+    s01.filter { case (_, c, _) => allowed(labels(c).toLong) }
+      .foreach { case (q, c, rk) =>
+        val frk = filteredRanks.get((q, c))
+        assert(frk.exists(_ <= rk),
+          s"allowed s01 hit ($q,$c) rank $rk missing/demoted in s21: $frk")
+      }
+  }
+
   test("lloydChain lineage truncation keeps the s16 plan flat in rounds") {
     // the final plan must not nest one crossJoin per Lloyd round: the
     // centroid side is a truncated leaf, so exactly ONE join with the

@@ -484,6 +484,20 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.d24.indexDir")
   }
 
+  test("s21 filtered kNN: the label predicate reaches the parquet scan " +
+    "(pre-filter semantics, not post-rank filtering)") {
+    val p = plan("s21_filtered_knn")
+    val pushed = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("label"))
+    assert(pushed.nonEmpty, s"label filter not pushed to the scan:\n$p")
+    // the rank must come AFTER the filter: no Filter on label above the
+    // Window in the final plan (post-filtering would lose recall)
+    val aboveWindow = p.substring(0, p.indexOf("Window"))
+    assert(!aboveWindow.contains("label IN"),
+      s"s21 filters labels after ranking:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("t21 overlap chunks: one scan, zero shuffles — the chunk explode " +
     "never leaves its partition") {
     val p = plan("t21_overlap_chunks")

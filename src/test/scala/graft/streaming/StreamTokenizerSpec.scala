@@ -76,4 +76,21 @@ class StreamTokenizerSpec extends SparkSuite {
       assert(rows.map(_._4).sum < rows.map(_._3).sum)
     } finally q.stop()
   }
+
+  test("loadMerges round-trips a t23 artifact: the frozen table equals " +
+    "the trainer's, order included") {
+    val vocab = Vector(("lower", 3L), ("lowest", 2L), ("newest", 5L),
+      ("widest", 4L))
+    val (merges, _) = graft.operators.BpeTrainer.train(vocab, 5)
+    val table = merges.map(m => (m.lhs, m.rhs)).toIndexedSeq
+    val dir = java.nio.file.Files.createTempDirectory("tokart").toString
+    merges.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+      .write.mode("overwrite").parquet(dir)
+    val loaded = StreamTokenizer.loadMerges(spark, dir)
+    assert(loaded == table, s"loaded $loaded != trained $table")
+    // and the frozen table tokenizes identically to the live one
+    assert(tokenizeWord("lowest", loaded).toSeq ==
+      tokenizeWord("lowest", table).toSeq)
+  }
 }
