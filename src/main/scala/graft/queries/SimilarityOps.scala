@@ -897,6 +897,47 @@ object SimilarityOps {
         col("label").cast("long").as("label"), col("rank"), col("cos"))
   }
 
+  /** Filtered IVF + recall report — the SUBLINEAR route for s21's
+    * predicate, certified: candidate lists build only from
+    * allowed-label vectors (the filter composes with list assignment
+    * because list membership and metadata are independent — the s21
+    * scaladoc claim, delivered), probes are s05's, and the one-row
+    * report scores the filtered-IVF top-3 against s21's exact top-3.
+    * The centroids come from the FULL corpus ([[ivfCentroids]], shared
+    * index geometry): one physical index serves every predicate, which
+    * is how filtered ANN deploys — per-predicate indexes don't scale.
+    * At 100 TB the filter prunes inside probed lists, so serve cost is
+    * |probed ∩ allowed|, and recall_pm is the knob-tuning metric
+    * (the s08 discipline). */
+  private def s22(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val cents = ivfCentroids(emb)
+    val lists = assignToCentroids(cents,
+      emb.filter(col("vec_id") >= NQ &&
+        col("label").isin(FilterLabels: _*))
+        .select(col("vec_id").as("cand_id"), col("qv"), col("n2")),
+      "cand_id", top = 1)
+      .select(col("c_id"), col("cand_id"), col("qv"), col("n2"))
+    val probes = assignToCentroids(cents,
+      emb.filter(col("vec_id") < NQ)
+        .select(col("vec_id").as("query_id"), col("qv"), col("n2")),
+      "query_id", top = NPROBE)
+      .select(col("c_id"), col("query_id"),
+        col("qv").as("q_qv"), col("n2").as("q_n2"))
+    val scored = lists.join(broadcast(probes), Seq("c_id"))
+      .withColumn("cos",
+        cosineQ(dotq(col("qv"), col("q_qv")), col("n2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val got = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    recallReport(
+      s21(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("cand_id")),
+      got, Seq("query_id", "cand_id"))
+  }
+
   private def s20(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(SampleK),
       org.apache.spark.sql.Encoders.product[
@@ -936,6 +977,7 @@ object SimilarityOps {
     "s19_cluster_recall_report" -> s19 _,
     "s20_balanced_sample" -> s20 _,
     "s21_filtered_knn" -> s21 _,
+    "s22_filtered_ivf_recall" -> s22 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1474,20 +1516,73 @@ object SimilarityOps {
          |WHERE rk <= ${SampleK}""".stripMargin,
     // SQL twin of s21: s01's exact ranking with the label predicate
     // applied to CANDIDATES before scoring (pre-filter semantics).
-    "s21_filtered_knn" ->
+    "s21_filtered_knn" -> s21Sql,
+    // SQL twin of s22: the filtered-IVF hits (s05's CTEs with the label
+    // predicate inside the candidate lists) scored against s21's exact
+    // top-3 truth, s08's report shape.
+    "s22_filtered_ivf_recall" ->
       s"""WITH $embCte,
+         |$centsCteSql,
+         |truth AS (
+         |  SELECT query_id, cand_id FROM ($s21Sql) WHERE rank <= 3),
+         |cand_assign AS (
+         |  SELECT c_id, cand_id, qv, n2 FROM (
+         |    SELECT c.c_id, v.vec_id AS cand_id, v.qv, v.n2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c
+         |    WHERE v.vec_id >= $NQ
+         |      AND v.label IN (${FilterLabels.mkString(", ")}))
+         |  WHERE crk <= 1),
+         |probes AS (
+         |  SELECT c_id, query_id, q_qv, q_n2 FROM (
+         |    SELECT c.c_id, v.vec_id AS query_id, v.qv AS q_qv, v.n2 AS q_n2,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+         |        CAST(${dot("v.qv", "c.c_qv")} AS DOUBLE)
+         |          / (sqrt(CAST(v.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |        c.c_id ASC) AS crk
+         |    FROM embn v CROSS JOIN cents c WHERE v.vec_id < $NQ)
+         |  WHERE crk <= $NPROBE),
          |scored AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         |    c.label::BIGINT AS label,
-         |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
-         |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
-         |  FROM embn q JOIN embn c
-         |    ON q.vec_id < $NQ AND c.vec_id >= $NQ
-         |   AND c.label IN (${FilterLabels.mkString(", ")}))
-         |SELECT query_id, cand_id, label, rank, cos FROM (
-         |  SELECT query_id, cand_id, label, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, cand_id ASC) AS rank
-         |  FROM scored) WHERE rank <= $TOPK""".stripMargin,
+         |  SELECT p.query_id, l.cand_id,
+         |    CAST(${dot("l.qv", "p.q_qv")} AS DOUBLE)
+         |      / (sqrt(CAST(l.n2 AS DOUBLE)) * sqrt(CAST(p.q_n2 AS DOUBLE))) AS cos
+         |  FROM cand_assign l JOIN probes p USING (c_id)),
+         |got AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, cand_id ASC) AS rank
+         |    FROM scored) WHERE rank <= 3),
+         |tp AS (SELECT query_id, cand_id FROM got
+         |       SEMI JOIN truth USING (query_id, cand_id))
+         |SELECT
+         |  (SELECT COUNT(*) FROM truth) AS n_truth,
+         |  (SELECT COUNT(*) FROM got) AS n_got,
+         |  (SELECT COUNT(*) FROM tp) AS n_tp,
+         |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+         |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+         |              // (SELECT COUNT(*) FROM truth)
+         |       ELSE 1000 END AS recall_pm""".stripMargin,
   )
+
+  /** s21's exact filtered ranking — shared by its own oracle entry and
+    * the s22 recall twin's truth CTE. */
+  private def s21Sql: String =
+    s"""WITH $embCte,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    c.label::BIGINT AS label,
+       |    CAST(${dot("c.qv", "q.qv")} AS DOUBLE)
+       |      / (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+       |  FROM embn q JOIN embn c
+       |    ON q.vec_id < $NQ AND c.vec_id >= $NQ
+       |   AND c.label IN (${FilterLabels.mkString(", ")}))
+       |SELECT query_id, cand_id, label, rank, cos FROM (
+       |  SELECT query_id, cand_id, label, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, cand_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TOPK""".stripMargin
 }
