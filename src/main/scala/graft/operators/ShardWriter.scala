@@ -33,14 +33,9 @@ object ShardWriter {
   /** Write `docs` as `nShards` hash-sharded parquet directories under
     * `path` (shard=K subdirs). Returns per-shard (shard, n_docs) read
     * back from the written files — the caller's receipt. */
-  def write(docs: DataFrame, nShards: Int, path: String): DataFrame = {
-    docs.withColumn("shard", shardCol(col("doc_id"), nShards))
-      .write.mode("overwrite")
-      .partitionBy("shard")
-      .parquet(path)
-    docs.sparkSession.read.parquet(path)
+  def write(docs: DataFrame, nShards: Int, path: String): DataFrame =
+    writeDocs(docs, nShards, path)
       .groupBy(col("shard")).agg(count(lit(1)).as("n_docs"))
-  }
 
   /** Write `docs` hash-sharded exactly like [[write]] and return the
     * read-back frame itself (`shard` recovered as a partition column) —
@@ -48,10 +43,20 @@ object ShardWriter {
     * so the receipt proves the on-disk layout rather than the pre-write
     * plan. */
   def writeDocs(docs: DataFrame, nShards: Int, path: String): DataFrame = {
-    docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+    val sharded = docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+    sharded
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(path)
-    docs.sparkSession.read.parquet(path)
+    // explicit schema on the read-back: a 0-row corpus writes no part
+    // files, and schema INFERENCE over an empty directory throws —
+    // the "new deployment, nothing ingested" state must read as an
+    // empty frame, not an AnalysisException (EmptyCorpusSpec).
+    // partitionBy moves `shard` last in the on-disk layout; reorder the
+    // declared schema to match so non-empty reads bind correctly.
+    val fields = sharded.schema.fields
+    val readSchema = org.apache.spark.sql.types.StructType(
+      fields.filter(_.name != "shard") :+ fields.find(_.name == "shard").get)
+    docs.sparkSession.read.schema(readSchema).parquet(path)
   }
 }
