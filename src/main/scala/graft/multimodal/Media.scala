@@ -60,7 +60,11 @@ object Media {
   def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(
+    // a NULL text row carries no payload bytes — it is NOT a media
+    // record, and letting it through NPEs every decode arm downstream
+    // (DirtyCorpusSpec). Dropping at the boundary is the production
+    // rule: absent payloads are filtered at ingest, not decoded.
+    docs.filter(col("text").isNotNull).select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (col("doc_id") % 3 + 1).cast("int")).as("kind"),
