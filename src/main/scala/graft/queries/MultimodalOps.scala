@@ -318,6 +318,80 @@ object MultimodalOps {
         (col("a_n") % 24 + 1).as("n_frames"))
   }
 
+  /** Media delta dedup against a persisted fingerprint index — d24's
+    * third-execution-mode discipline on the media axis: the base
+    * partition distills to (media_id, kind, byte checksum, perceptual
+    * aHash60) — ~50 B per asset, payloads never stored — written to
+    * parquet and read back; the increment dedups against the artifact.
+    * Verdicts per delta asset: `exact` (same kind + byte checksum;
+    * winner = smallest base id), else `near` (m07's 5×12 pigeonhole
+    * banding over the perceptual hash — exact for hamming ≤ 4 — winner
+    * = smallest base id, its hamming reported), else `unique`. The
+    * perceptual arm catches what the checksum cannot: a RE-ENCODE of a
+    * base asset arriving in the delta (MediaSpec's invariance
+    * fixtures). Payloads never shuffle: fingerprints compute in the
+    * decode scan, everything after is narrow. */
+  private def m12(s: SparkSession, d: String): DataFrame = {
+    val indexDir = s.conf.getOption("spark.graft.m12.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_m12_index")
+    val media = Media.mediaFromDocuments(documents(s, d))
+    val feats = Media.decodeFeatures(Media.resize(media, 64)).toDF()
+      .select(col("media_id"), col("kind"), col("checksum"))
+    val ph = Media.perceptualHashes(media).toDF()
+      .select(col("media_id"), col("phash"))
+    val all = feats.join(ph, Seq("media_id"))
+      .withColumn("is_delta",
+        pmod(graft.functions.Portable.hash60(
+          col("media_id").cast("string"), 424), lit(5L)) === 0L)
+    all.filter(!col("is_delta"))
+      .select("media_id", "kind", "checksum", "phash")
+      .write.mode("overwrite").parquet(indexDir)
+    val index = s.read.parquet(indexDir)
+    val delta = graft.Pinned.pin(all.filter(col("is_delta"))
+      .select("media_id", "kind", "checksum", "phash"))
+    val exact = delta.select(col("media_id"), col("kind"), col("checksum"))
+      .join(index.select(col("kind"), col("checksum"),
+        col("media_id").as("base_id")), Seq("kind", "checksum"))
+      .groupBy(col("media_id"))
+      .agg(min(col("base_id")).as("exact_winner"))
+    def bands(df: DataFrame, as: String) = df
+      .select(col("media_id").as(as),
+        explode(array((0 until 5).map(b =>
+          struct(lit(b).as("band"),
+            shiftRight(col("phash"), b * 12).bitwiseAND(lit(0xFFFL))
+              .as("nib"))): _*)).as("bk"))
+      .select(col(as), col("bk.band").as("band"), col("bk.nib").as("nib"))
+    val cand = bands(delta, "media_id")
+      .join(bands(index, "base_id"), Seq("band", "nib"))
+      .select("media_id", "base_id")
+      .dropDuplicates("media_id", "base_id")
+    val near = cand
+      .join(delta.select(col("media_id"), col("phash").as("d_ph")),
+        Seq("media_id"))
+      .join(index.select(col("media_id").as("base_id"),
+        col("phash").as("b_ph")), Seq("base_id"))
+      .withColumn("hamming",
+        bit_count(col("d_ph").bitwiseXOR(col("b_ph"))).cast("long"))
+      .filter(col("hamming") <= 4)
+      .groupBy(col("media_id"))
+      .agg(min(struct(col("base_id"), col("hamming"))).as("w"))
+      .select(col("media_id"), col("w.base_id").as("near_winner"),
+        col("w.hamming").as("near_ham"))
+    delta.select(col("media_id"), col("kind"))
+      .join(exact, Seq("media_id"), "left")
+      .join(near, Seq("media_id"), "left")
+      .select(
+        col("media_id"), col("kind"),
+        when(col("exact_winner").isNotNull, "exact")
+          .when(col("near_winner").isNotNull, "near")
+          .otherwise("unique").as("verdict"),
+        coalesce(col("exact_winner"), col("near_winner"), lit(-1L))
+          .as("winner"),
+        when(col("exact_winner").isNotNull, 0L)
+          .when(col("near_winner").isNotNull, col("near_ham"))
+          .otherwise(-1L).as("hamming"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "m01_media_features" -> m01 _,
     "m02_frame_sample" -> m02 _,
@@ -330,6 +404,7 @@ object MultimodalOps {
     "m09_video_neardup" -> m09 _,
     "m10_mjpeg_census" -> m10 _,
     "m11_mjpeg_copies" -> m11 _,
+    "m12_media_delta" -> m12 _,
   )
 
   val oracle: ListMap[String, String] = ListMap(
@@ -526,5 +601,63 @@ object MultimodalOps {
         |  SUM(n_bytes)::BIGINT AS total_bytes,
         |  MAX(nc - 1) AS max_chunk_idx
         |FROM f GROUP BY 1""".stripMargin,
+    // SQL twin of m12: m06's byte checksum + m07's perceptual-hash CTEs
+    // with d24's hash split and verdict logic; the all-pairs near join
+    // is oracle-side only (Spark prunes via the exact-for-hamming<=4
+    // 5x12 banding), arg_min == Spark's min-struct winner.
+    "m12_media_delta" ->
+      s"""WITH px AS (
+         |  SELECT doc_id,
+         |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS kind,
+         |    hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM documents),
+         |ck AS (SELECT doc_id, kind, md5(substr(hx, 1, 128)) AS checksum
+         |       FROM px),
+         |gr AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 64), p ->
+         |      (299 * ('0x' || substr(hx, 2 * ((3*p) % n) + 1, 2))::BIGINT
+         |       + 587 * ('0x' || substr(hx, 2 * ((3*p+1) % n) + 1, 2))::BIGINT
+         |       + 114 * ('0x' || substr(hx, 2 * ((3*p+2) % n) + 1, 2))::BIGINT)
+         |      // 1000) AS gray
+         |  FROM px),
+         |ph AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(0, 60), p ->
+         |      CASE WHEN gray[(p+1)::INT] > (list_sum(gray) // 64)
+         |           THEN (1::BIGINT << p::INT) ELSE 0::BIGINT END))::BIGINT
+         |      AS phash
+         |  FROM gr),
+         |rec AS (
+         |  SELECT c.doc_id, c.kind, c.checksum, p.phash,
+         |    (${graft.functions.Portable.sqlHash60("c.doc_id::VARCHAR", 424)}
+         |      % 5 = 0) AS is_delta
+         |  FROM ck c JOIN ph p USING (doc_id)),
+         |base AS (SELECT * FROM rec WHERE NOT is_delta),
+         |delta AS (SELECT * FROM rec WHERE is_delta),
+         |exact AS (
+         |  SELECT d.doc_id, MIN(b.doc_id) AS exact_winner
+         |  FROM delta d JOIN base b
+         |    ON b.kind = d.kind AND b.checksum = d.checksum
+         |  GROUP BY 1),
+         |near AS (
+         |  SELECT d.doc_id, MIN(b.doc_id) AS near_winner,
+         |    arg_min(bit_count(xor(d.phash, b.phash))::BIGINT, b.doc_id)
+         |      AS near_ham
+         |  FROM delta d JOIN base b
+         |    ON bit_count(xor(d.phash, b.phash)) <= 4
+         |  GROUP BY 1)
+         |SELECT d.doc_id AS media_id, d.kind,
+         |  CASE WHEN e.exact_winner IS NOT NULL THEN 'exact'
+         |       WHEN nr.near_winner IS NOT NULL THEN 'near'
+         |       ELSE 'unique' END AS verdict,
+         |  COALESCE(e.exact_winner, nr.near_winner, -1)::BIGINT AS winner,
+         |  (CASE WHEN e.exact_winner IS NOT NULL THEN 0
+         |        WHEN nr.near_winner IS NOT NULL THEN nr.near_ham
+         |        ELSE -1 END)::BIGINT AS hamming
+         |FROM delta d
+         |LEFT JOIN exact e USING (doc_id)
+         |LEFT JOIN near nr USING (doc_id)""".stripMargin,
   )
 }

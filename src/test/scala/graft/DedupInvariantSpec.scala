@@ -382,6 +382,52 @@ class DedupInvariantSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.d24.indexDir")
   }
 
+  test("m12 media delta: byte-identical, perturbed, and novel delta " +
+    "assets verdict correctly against the persisted fingerprint index") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val probe = (0L until 300L).toDF("doc_id")
+      .withColumn("is_delta",
+        pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
+          424), lit(5L)) === 0L)
+      .as[(Long, Boolean)].collect().toMap
+    // the EXACT arm matches on (kind, checksum) and kind = media_id % 3,
+    // so the planted exact/near partners must share the base's kind
+    val baseIds = (0L until 300L).filter(id => !probe(id)).take(1)
+    val sameKind = (0L until 300L)
+      .filter(id => probe(id) && id % 3 == baseIds(0) % 3).take(2)
+    val deltaIds = sameKind ++
+      (0L until 300L).filter(id => probe(id) && !sameKind.contains(id)).take(1)
+    // > 192 bytes so every aHash cell reads a distinct byte: a one-char
+    // edit moves exactly one gray cell (plus bounded mean drift)
+    val baseText = (0 until 80).map(i => s"w$i").mkString(" ")
+    assert(baseText.length > 192)
+    val perturbed = "W" + baseText.tail // first byte: inside the checksum
+    val novel = (0 until 80).map(i => s"zz$i").mkString(" ")
+    val docs = Seq(
+      (baseIds(0), baseText),
+      (deltaIds(0), baseText),   // byte-identical -> exact
+      (deltaIds(1), perturbed),  // thumbnail differs, phash close -> near
+      (deltaIds(2), novel))      // -> unique
+    val dir = Files.createTempDirectory("mediadelta").toString
+    docs.map { case (i, t) => (i, t, "en", s"src${i % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set("spark.graft.m12.indexDir",
+      Files.createTempDirectory("mediaidx").toString)
+    try {
+      val rows = SparkEntry.queries("m12_media_delta")(spark, dir)
+        .select("media_id", "verdict", "winner", "hamming")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(rows.keySet == deltaIds.toSet)
+      assert(rows(deltaIds(0)) == (("exact", baseIds(0), 0L)))
+      val (v1, w1, h1) = rows(deltaIds(1))
+      assert(v1 == "near" && w1 == baseIds(0) && h1 >= 1L && h1 <= 4L,
+        s"perturbed asset got $v1/$w1/$h1")
+      assert(rows(deltaIds(2)) == (("unique", -1L, -1L)))
+    } finally spark.conf.unset("spark.graft.m12.indexDir")
+  }
+
   test("t23 tokenizer artifact round-trip reproduces t16's in-query " +
     "accounting exactly, plus the stored merge count") {
     spark.conf.set("spark.graft.t23.tokenizerDir",
