@@ -1656,6 +1656,58 @@ object TextDedupOps {
         col("source").isin(DsirTarget: _*).cast("long"))
   }
 
+  /** p02 — the per-source corpus REPORT CARD: one composed read-only
+    * query joining four pipelines' accounting into the table a data
+    * lead reads before deciding what to ingest, dedup, or drop. Per
+    * source: document and token mass; exact-duplicate rate (non-first
+    * occurrence of the content hash under global id order — the d02
+    * winner rule, cross-source aware); span-cut rate (d21's C4
+    * accounting); the t14 bottom-decile quality threshold; and the
+    * mean bigram-LM improbability (t19's corpus-trained model). Every
+    * metric is the SAME formula its standalone query gates — composed
+    * here, not re-derived — and integer per-mille, so the whole report
+    * hash-matches the oracle.
+    *
+    * Scale: four narrow per-source rollups over shared scans; the only
+    * corpus-wide shuffles are the ones the standalone stages already
+    * pay (content-hash window, chunk group, bigram model). Nothing
+    * collects; the report is |sources| rows. */
+  private def p02(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Pinned.pin(withTokens(documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"), col("n_words")))
+    val w = Window.partitionBy(md5(col("text")))
+    val basics = docs
+      .withColumn("keeper", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("sum_toks"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_exact_dup"))
+    val span = spanDedupedDocs(docs)
+      .groupBy(col("source"))
+      .agg(sum(col("n_chunks")).as("nc"), sum(col("n_kept")).as("nk"))
+    val q = scoredOf(docs)
+      .groupBy(col("source"))
+      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+        .cast("long").as("q_p10"))
+    val lm = lmScoresOf(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_lm"), sum(col("score_pm")).as("slm"))
+    basics
+      .join(span, Seq("source"), "left")
+      .join(q, Seq("source"), "left")
+      .join(lm, Seq("source"), "left")
+      .select(
+        col("source"), col("n_docs"), col("sum_toks"),
+        expr("(1000L * n_exact_dup) DIV n_docs").as("exact_dup_pm"),
+        when(col("nc") > 0, expr("(1000L * (nc - nk)) DIV nc"))
+          .otherwise(0L).as("span_cut_pm"),
+        coalesce(col("q_p10"), lit(0L)).as("q_p10"),
+        when(col("n_lm") > 0, expr("slm DIV n_lm"))
+          .otherwise(0L).as("lm_score_pm"))
+  }
+
   /** p01 — the composed end-to-end corpus build, chaining the pipeline
     * stages this file ships individually into the one job a user runs to
     * produce training shards:
@@ -1980,6 +2032,7 @@ object TextDedupOps {
     "t22_dsir_weights" -> t22 _,
     "t23_tokenizer_store" -> t23 _,
     "p01_corpus_pipeline" -> p01 _,
+    "p02_corpus_report" -> p02 _,
   )
 
   // ---- DuckDB oracles ----
@@ -2895,6 +2948,69 @@ object TextDedupOps {
     // kept chunks = the clean text), the leakage pair chain over the
     // CLEAN relation, d18's drop rule, t14's p10 floor + t19's p90
     // ceiling (both computed over the decontaminated train corpus), t12's
+    // SQL twin of p02: the d02 winner rule, d21's chunk accounting, the
+    // t14 decile, and t19's LM mean — each the SAME formula its
+    // standalone oracle uses, joined per source.
+    "p02_corpus_report" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |firsts AS (
+         |  SELECT doc_id, source, len(toks) AS n_words,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM tok),
+         |basics AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    SUM(n_words)::BIGINT AS sum_toks,
+         |    SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_exact_dup
+         |  FROM firsts GROUP BY 1),
+         |chunks AS (
+         |  SELECT doc_id, source, idx,
+         |    array_to_string(toks[idx * $ChunkW + 1 : idx * $ChunkW + $ChunkW],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, source, toks,
+         |          UNNEST(range((len(toks) - 1) // $ChunkW + 1)) AS idx
+         |        FROM tok WHERE len(toks) > 0)),
+         |firstc AS (
+         |  SELECT chunk, MIN(doc_id * 1000000000 + idx) AS first_pk
+         |  FROM chunks GROUP BY 1),
+         |span AS (
+         |  SELECT source, COUNT(*)::BIGINT AS nc,
+         |    SUM(CASE WHEN c.doc_id * 1000000000 + c.idx = f.first_pk
+         |             THEN 1 ELSE 0 END)::BIGINT AS nk
+         |  FROM chunks c JOIN firstc f USING (chunk) GROUP BY 1),
+         |$scoredCte,
+         |q AS (
+         |  SELECT source,
+         |    (percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm))::BIGINT
+         |      AS q_p10
+         |  FROM scored GROUP BY 1),
+         |trans AS (
+         |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+         |  FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+         |        FROM tok WHERE len(toks) >= 2)),
+         |bgc AS (
+         |  SELECT w1, w2, COUNT(*)::BIGINT AS c_bg FROM trans GROUP BY 1, 2),
+         |unc AS (SELECT w1, SUM(c_bg)::BIGINT AS c_w1 FROM bgc GROUP BY 1),
+         |lmdoc AS (
+         |  SELECT t.doc_id,
+         |    (SUM((1000 * c_w1) // c_bg) // COUNT(*))::BIGINT AS score
+         |  FROM trans t JOIN bgc USING (w1, w2) JOIN unc USING (w1)
+         |  GROUP BY 1),
+         |lm AS (
+         |  SELECT source, COUNT(*)::BIGINT AS n_lm, SUM(score)::BIGINT AS slm
+         |  FROM lmdoc JOIN tok USING (doc_id) GROUP BY 1)
+         |SELECT b.source, b.n_docs, b.sum_toks,
+         |  ((1000 * b.n_exact_dup) // b.n_docs)::BIGINT AS exact_dup_pm,
+         |  (CASE WHEN s.nc > 0 THEN (1000 * (s.nc - s.nk)) // s.nc
+         |        ELSE 0 END)::BIGINT AS span_cut_pm,
+         |  COALESCE(q.q_p10, 0)::BIGINT AS q_p10,
+         |  (CASE WHEN l.n_lm > 0 THEN l.slm // l.n_lm ELSE 0 END)::BIGINT
+         |    AS lm_score_pm
+         |FROM basics b
+         |LEFT JOIN span s USING (source)
+         |LEFT JOIN q USING (source)
+         |LEFT JOIN lm l USING (source)""".stripMargin,
     // running-token packing, d22's shard assignment. The receipt digest
     // is md5 of the sorted doc_id list — order-pinned on both engines.
     "p01_corpus_pipeline" ->
