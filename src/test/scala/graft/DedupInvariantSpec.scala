@@ -382,6 +382,55 @@ class DedupInvariantSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.d24.indexDir")
   }
 
+  test("d23 at scale: 100k docs / ~5M gram rows, planted cross-doc runs " +
+    "at a fixed offset — linear anchor plan, exact interval algebra " +
+    "(gated: set GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    import org.apache.spark.sql.functions.{col, concat, expr, lit, pmod}
+    // 100k docs x 60 tokens from a 5k vocabulary (random 8-gram
+    // collisions ~ 5000^-8 x pairs = none); every 10th doc embeds the
+    // SAME 16-token run at offset 20 — anchors 20..28, one interval
+    // [20, 35] in every planted doc except the global first
+    val n = 100000L
+    val docs = spark.range(n).select(
+      col("id").as("doc_id"),
+      expr("""concat_ws(' ', transform(sequence(0, 59), j ->
+        CASE WHEN id % 10 = 0 AND j BETWEEN 20 AND 35
+             THEN concat('s', j - 20)
+             ELSE concat('w', pmod(xxhash64(id * 60 + j), 5000)) END))""")
+        .as("text"),
+      lit("en").as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(4))).as("source"),
+      lit(60L).as("n_chars"))
+    val dir = Files.createTempDirectory("substrscale").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val agg = SparkEntry.queries("d23_substring_dedup")(spark, dir)
+      .groupBy(col("n_intervals"), col("n_removed"))
+      .count()
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"d23 over ${n}%d docs (~${n * 53}%d grams): $secs%.1f s")
+    // every planted doc except the global first carries ONE interval
+    // covering the 16-token run — possibly extended by a few tokens,
+    // because the 10k planted docs birthday-collide on the single
+    // random tokens flanking the shared run (10k draws over a 5k
+    // vocabulary), which legitimately chains boundary anchors. The
+    // extension is bounded by one k-window per side.
+    val planted = agg.collect {
+      case ((1L, r), c) if r >= 16L && r <= 16L + 2 * 8 => c }.sum
+    assert(planted == n / 10 - 1,
+      s"planted-interval docs $planted != ${n / 10 - 1}: $agg")
+    // the 90k unplanted docs (plus the planted first-occurrence) are
+    // byte-for-byte clean: no random 8-gram collision at 5000^8 space
+    assert(agg((0L, 0L)) == n - n / 10 + 1, agg.toString)
+    assert(agg.keys.forall { case (iv, r) =>
+      (iv == 0L && r == 0L) || (iv == 1L && r >= 16L && r <= 32L) },
+      s"unexpected interval shapes: $agg")
+  }
+
   test("m12 media delta: byte-identical, perturbed, and novel delta " +
     "assets verdict correctly against the persisted fingerprint index") {
     import org.apache.spark.sql.functions.{col, lit, pmod}

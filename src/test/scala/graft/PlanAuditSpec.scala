@@ -498,6 +498,31 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("m12 media delta: banded fingerprint joins only, and the binary " +
+    "payload never enters a shuffle") {
+    spark.conf.set("spark.graft.m12.indexDir",
+      java.nio.file.Files.createTempDirectory("m12audit").toString)
+    try {
+      val p = plan("m12_media_delta")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"m12 degenerated to all-pairs:\n$p")
+      // fingerprints extract in the decode scan; every Exchange after
+      // carries narrow rows only
+      p.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("payload"), s"payload entered a shuffle: $l"))
+    } finally spark.conf.unset("spark.graft.m12.indexDir")
+  }
+
+  test("p02 corpus report: four rollups, hash joins only, no metric " +
+    "re-derives the corpus through a cartesian") {
+    val p = plan("p02_corpus_report")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"p02 grew an all-pairs:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"p02 must not globally sort:\n$p")
+  }
+
   test("t21 overlap chunks: one scan, zero shuffles — the chunk explode " +
     "never leaves its partition") {
     val p = plan("t21_overlap_chunks")
