@@ -1387,7 +1387,13 @@ object TextDedupOps {
     * the key for [[graft.functions.Portable.hash60]] of the gram halves
     * the shuffle at 100 TB at a quantifiable (~2⁻⁶⁰ pairwise) collision
     * risk — the key is isolated in [[substrGrams]] so that swap is one
-    * line. */
+    * line.
+    *
+    * Id bound (d21's packed-key contract): the global-order key is
+    * `doc_id·10⁹ + i`, exact while doc_id < 9.2·10⁹ and docs stay under
+    * 10⁹ tokens; a corpus beyond that re-keys on
+    * `struct(doc_id, i)` ordering (min over structs is lexicographic —
+    * same winner, two-column state). */
   private[graft] val SubstrK = 8
 
   /** The `(doc_id, source, i, gram, pk)` anchor-candidate frame: one row
