@@ -41,8 +41,17 @@ object VectorFns {
   def norm2q(a: Column): Column = dotq(a, a)
 
   /** Cosine similarity from quantized ints — deterministic double. */
+  /** Quantized-grid cosine. NULL when either norm is zero or absent —
+    * a zero-norm (or null/empty) vector has no direction, and emitting
+    * NULL makes every downstream threshold and rank drop it naturally
+    * instead of dying on the ANSI divide-by-zero (EmbBoundarySpec: 17
+    * similarity queries failed on one dirty vector before this guard).
+    * The DuckDB oracles need no twin change: their float division
+    * yields NaN, which fails the same predicates the NULL does. */
   def cosineQ(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+    when(n2a > 0 && n2b > 0,
+      dot.cast("double") /
+        (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))))
 
   /** DuckDB fragments mirroring the above (same names, same math). */
   def sqlQvec(expr: String): String =
