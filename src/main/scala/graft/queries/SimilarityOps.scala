@@ -938,6 +938,62 @@ object SimilarityOps {
       got, Seq("query_id", "cand_id"))
   }
 
+  /** Scalar-quantized (int8) index + recall — the third classic index
+    * compression after hyperplane LSH bits (s02) and PQ codes (s10/s17):
+    * per-dimension [lo, hi] bounds over the candidate set, each
+    * component linearly quantized to 8 bits, 8× smaller than the
+    * 10⁴-grid longs. Serving is ASYMMETRIC (queries stay full
+    * precision, the index reconstructs integer grid points), ranked by
+    * cosine on the reconstruction; the one-row report scores SQ top-3
+    * against s01's exact truth — the s08/s12/s22 certification
+    * discipline, so the compression/recall trade is measured, not
+    * assumed. All quantization arithmetic is integer (DIV with the
+    * same floor on both engines), so the oracle reproduces the
+    * reconstruction bit-for-bit.
+    *
+    * Scale: the bounds are one 64-row aggregation broadcast back;
+    * codes/reconstruction are per-row; scoring is the s01 broadcast
+    * shape over the NQ queries. At 100 TB the int8 codes are what the
+    * index SHIPS (8× bandwidth/memory), and recall_pm is the knob
+    * deciding whether SQ suffices or PQ/rerank is needed. */
+  private def s23(s: SparkSession, d: String): DataFrame = {
+    val emb = withQ(embeddings(s, d))
+    val cands = emb.filter(col("vec_id") >= NQ)
+    val bounds = cands
+      .select(posexplode(col("qv")).as(Seq("pos", "q")))
+      .groupBy(col("pos"))
+      .agg(min(col("q")).as("lo"), max(col("q")).as("hi"))
+      .groupBy()
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+          x => x.getField("lo")).as("lo"),
+        transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+          x => x.getField("hi")).as("hi"))
+    val recon = cands.crossJoin(broadcast(bounds))
+      .withColumn("rq", expr(
+        s"""transform(sequence(0, ${DIMS - 1}), i ->
+           |  lo[i] + ((((qv[i] - lo[i]) * 255) DIV greatest(hi[i] - lo[i], 1L))
+           |           * (hi[i] - lo[i])) DIV 255)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .withColumn("rn2", norm2q(col("rq")))
+      .select(col("vec_id").as("cand_id"), col("rq"), col("rn2"))
+    val queries = emb.filter(col("vec_id") < NQ)
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("n2").as("q_n2"))
+    val scored = recon.crossJoin(broadcast(queries))
+      .withColumn("cos",
+        cosineQ(dotq(col("rq"), col("q_qv")), col("rn2"), col("q_n2")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("cand_id").asc)
+    val got = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("cand_id"))
+    recallReport(
+      s01(s, d).filter(col("rank") <= 3)
+        .select(col("query_id"), col("cand_id")),
+      got, Seq("query_id", "cand_id"))
+  }
+
   private def s20(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKByScore(SampleK),
       org.apache.spark.sql.Encoders.product[
@@ -978,6 +1034,7 @@ object SimilarityOps {
     "s20_balanced_sample" -> s20 _,
     "s21_filtered_knn" -> s21 _,
     "s22_filtered_ivf_recall" -> s22 _,
+    "s23_sq_recall" -> s23 _,
   )
 
   // ---- DuckDB oracles ----
@@ -1517,6 +1574,7 @@ object SimilarityOps {
     // SQL twin of s21: s01's exact ranking with the label predicate
     // applied to CANDIDATES before scoring (pre-filter semantics).
     "s21_filtered_knn" -> s21Sql,
+    "s23_sq_recall" -> s23Sql,
     // SQL twin of s22: the filtered-IVF hits (s05's CTEs with the label
     // predicate inside the candidate lists) scored against s21's exact
     // top-3 truth, s08's report shape.
@@ -1567,6 +1625,49 @@ object SimilarityOps {
          |              // (SELECT COUNT(*) FROM truth)
          |       ELSE 1000 END AS recall_pm""".stripMargin,
   )
+
+  /** SQL twin of s23: identical integer quantize/reconstruct (the //
+    * floor matches DIV on non-negative spans), asymmetric scoring,
+    * s08's report shape against the s01 truth. */
+  private def s23Sql: String =
+    s"""WITH $embCte,
+       |cands AS (SELECT vec_id, qv, n2 FROM embn WHERE vec_id >= $NQ),
+       |b AS (
+       |  SELECT i, MIN(qv[i]) AS lo, MAX(qv[i]) AS hi
+       |  FROM cands, range(1, ${DIMS + 1}) r(i) GROUP BY i),
+       |lohi AS (
+       |  SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+       |  FROM b),
+       |recon AS (
+       |  SELECT vec_id AS cand_id,
+       |    list_transform(range(1, ${DIMS + 1}), i ->
+       |      lo[i] + ((((qv[i] - lo[i]) * 255) // greatest(hi[i] - lo[i], 1))
+       |               * (hi[i] - lo[i])) // 255) AS rq
+       |  FROM cands, lohi),
+       |rn AS (SELECT cand_id, rq, ${dot("rq", "rq")} AS rn2 FROM recon),
+       |sq_scored AS (
+       |  SELECT q.vec_id AS query_id, r.cand_id,
+       |    CAST(${dot("r.rq", "q.qv")} AS DOUBLE)
+       |      / (sqrt(CAST(r.rn2 AS DOUBLE)) * sqrt(CAST(q.n2 AS DOUBLE))) AS cos
+       |  FROM rn r CROSS JOIN embn q WHERE q.vec_id < $NQ),
+       |got AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT query_id, cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, cand_id ASC) AS rank
+       |    FROM sq_scored) WHERE rank <= 3),
+       |truth AS (
+       |  SELECT query_id, cand_id FROM ($s01Sql) WHERE rank <= 3),
+       |tp AS (SELECT query_id, cand_id FROM got
+       |       SEMI JOIN truth USING (query_id, cand_id))
+       |SELECT
+       |  (SELECT COUNT(*) FROM truth) AS n_truth,
+       |  (SELECT COUNT(*) FROM got) AS n_got,
+       |  (SELECT COUNT(*) FROM tp) AS n_tp,
+       |  CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+       |       THEN (1000 * (SELECT COUNT(*) FROM tp))
+       |              // (SELECT COUNT(*) FROM truth)
+       |       ELSE 1000 END AS recall_pm""".stripMargin
 
   /** s21's exact filtered ranking — shared by its own oracle entry and
     * the s22 recall twin's truth CTE. */
