@@ -958,7 +958,11 @@ object SimilarityOps {
     * deciding whether SQ suffices or PQ/rerank is needed. */
   private def s23(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
-    val cands = emb.filter(col("vec_id") >= NQ)
+    // ragged vectors drop at the index boundary (the s09 screen's
+    // documented rule): the reconstruction transform indexes all DIMS
+    // positions strictly, unlike the native dotq whose loop bounds by
+    // the shorter operand (EmbBoundarySpec caught exactly this)
+    val cands = emb.filter(col("vec_id") >= NQ && size(col("qv")) === DIMS)
     val bounds = cands
       .select(posexplode(col("qv")).as(Seq("pos", "q")))
       .groupBy(col("pos"))
@@ -1631,7 +1635,8 @@ object SimilarityOps {
     * s08's report shape against the s01 truth. */
   private def s23Sql: String =
     s"""WITH $embCte,
-       |cands AS (SELECT vec_id, qv, n2 FROM embn WHERE vec_id >= $NQ),
+       |cands AS (SELECT vec_id, qv, n2 FROM embn
+       |          WHERE vec_id >= $NQ AND len(qv) = $DIMS),
        |b AS (
        |  SELECT i, MIN(qv[i]) AS lo, MAX(qv[i]) AS hi
        |  FROM cands, range(1, ${DIMS + 1}) r(i) GROUP BY i),

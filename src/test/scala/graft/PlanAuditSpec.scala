@@ -523,6 +523,17 @@ class PlanAuditSpec extends SparkSuite {
       s"p02 must not globally sort:\n$p")
   }
 
+  test("s23 SQ recall: bounds and queries ride broadcasts — the only " +
+    "wide joins are the two declared per-row broadcast scans") {
+    val p = plan("s23_sq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // the 64-dim bounds row and the NQ query rows each broadcast
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+      s"s23 lost its bounds/query broadcasts:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"s23 must not globally sort:\n$p")
+  }
+
   test("t21 overlap chunks: one scan, zero shuffles — the chunk explode " +
     "never leaves its partition") {
     val p = plan("t21_overlap_chunks")
