@@ -335,20 +335,27 @@ object MultimodalOps {
     val indexDir = s.conf.getOption("spark.graft.m12.indexDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_m12_index")
     val media = Media.mediaFromDocuments(documents(s, d))
-    val feats = Media.decodeFeatures(Media.resize(media, 64)).toDF()
-      .select(col("media_id"), col("kind"), col("checksum"))
-    val ph = Media.perceptualHashes(media).toDF()
-      .select(col("media_id"), col("phash"))
-    val all = feats.join(ph, Seq("media_id"))
-      .withColumn("is_delta",
-        pmod(graft.functions.Portable.hash60(
-          col("media_id").cast("string"), 424), lit(5L)) === 0L)
-    all.filter(!col("is_delta"))
-      .select("media_id", "kind", "checksum", "phash")
-      .write.mode("overwrite").parquet(indexDir)
+    // the split filters BEFORE the decode (mapPartitions is opaque to
+    // Catalyst, so a post-decode filter would still decode both sides)
+    val isDelta =
+      pmod(graft.functions.Portable.hash60(
+        col("media_id").cast("string"), 424), lit(5L)) === 0L
+    import org.apache.spark.sql.Dataset
+    def fingerprints(m: Dataset[Media.MediaRecord]): DataFrame =
+      Media.decodeFeatures(Media.resize(m, 64)).toDF()
+        .select(col("media_id"), col("kind"), col("checksum"))
+        .join(Media.perceptualHashes(m).toDF()
+          .select(col("media_id"), col("phash")), Seq("media_id"))
+    import s.implicits._
+    // `spark.graft.m12.buildIndex=false` serves from a pre-built
+    // artifact without decoding the base partition at all (d24's
+    // nightly contract — IndexReuseSpec pins it)
+    if (s.conf.getOption("spark.graft.m12.buildIndex").forall(_.toBoolean))
+      fingerprints(media.toDF().filter(!isDelta).as[Media.MediaRecord])
+        .write.mode("overwrite").parquet(indexDir)
     val index = s.read.parquet(indexDir)
-    val delta = graft.Pinned.pin(all.filter(col("is_delta"))
-      .select("media_id", "kind", "checksum", "phash"))
+    val delta = graft.Pinned.pin(
+      fingerprints(media.toDF().filter(isDelta).as[Media.MediaRecord]))
     val exact = delta.select(col("media_id"), col("kind"), col("checksum"))
       .join(index.select(col("kind"), col("checksum"),
         col("media_id").as("base_id")), Seq("kind", "checksum"))

@@ -1495,8 +1495,13 @@ object TextDedupOps {
         graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K)))
       .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
     // offline face: distill + persist the base index, then read the
-    // artifact back — delta runs consume the files, not the base scan
-    withSig(docs.filter(!isDelta)).write.mode("overwrite").parquet(indexDir)
+    // artifact back — delta runs consume the files, not the base scan.
+    // `spark.graft.d24.buildIndex=false` skips the build entirely (the
+    // nightly contract: today's run serves from yesterday's artifact,
+    // and the plan then contains exactly ONE documents scan — the
+    // delta's; IndexReuseSpec pins both facts)
+    if (s.conf.getOption("spark.graft.d24.buildIndex").forall(_.toBoolean))
+      withSig(docs.filter(!isDelta)).write.mode("overwrite").parquet(indexDir)
     val index = s.read.parquet(indexDir)
     val delta = graft.Pinned.pin(withSig(docs.filter(isDelta)))
     val exact = delta.select(col("doc_id"), col("content_hash"))
