@@ -56,3 +56,43 @@ object TopKByScore {
     * next to its id); ordering never looks at it. */
   case class ScoredId(score: Double, id: Long, payload: Long)
 }
+
+/** [[TopKByScore]] for string-keyed, integer-scored groups (t07's
+  * per-language distinctive terms: key = token, score = the exact
+  * tf·10⁶ DIV df surrogate). Same bound — partial buffers never exceed
+  * k entries, shuffle bounded at (#groups × k) — same deterministic
+  * (score DESC, id ASC) order; Long scores keep the result exact and
+  * hash-gateable (no float merges). */
+class TopKByScoreStr(k: Int)
+    extends Aggregator[TopKByScoreStr.Scored, Seq[TopKByScoreStr.Scored],
+      Seq[TopKByScoreStr.Scored]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private val ord: Ordering[TopKByScoreStr.Scored] =
+    Ordering.by(e => (-e.score, e.id))
+
+  private def trim(s: Seq[TopKByScoreStr.Scored]): Seq[TopKByScoreStr.Scored] =
+    s.sorted(ord).take(k)
+
+  override def zero: Seq[TopKByScoreStr.Scored] = Seq.empty
+
+  override def reduce(b: Seq[TopKByScoreStr.Scored],
+      a: TopKByScoreStr.Scored): Seq[TopKByScoreStr.Scored] =
+    trim(b :+ a)
+
+  override def merge(x: Seq[TopKByScoreStr.Scored],
+      y: Seq[TopKByScoreStr.Scored]): Seq[TopKByScoreStr.Scored] =
+    trim(x ++ y)
+
+  override def finish(r: Seq[TopKByScoreStr.Scored])
+      : Seq[TopKByScoreStr.Scored] = r.sorted(ord)
+
+  override def bufferEncoder: Encoder[Seq[TopKByScoreStr.Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[TopKByScoreStr.Scored]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
+object TopKByScoreStr {
+  case class Scored(score: Long, id: String)
+}

@@ -174,7 +174,14 @@ object TextDedupOps {
     * (tf·10⁶ / df — no transcendental functions, so the oracle matches
     * exactly): explode tokens once, compute per-(lang, token) term counts
     * and per-token document frequency, score, top-3 per lang. The explode
-    * shuffles (token) pairs only — the standard distributed tf-idf shape. */
+    * shuffles (token) pairs only — the standard distributed tf-idf shape.
+    *
+    * The per-language top-3 uses the bounded
+    * [[graft.functions.TopKByScoreStr]] Aggregator (the s20 pattern), NOT
+    * `row_number().over(Window.partitionBy(lang))`: with a handful of
+    * languages the window would sort an entire language's vocabulary
+    * (10⁷–10⁸ rows at 100 TB) through one task, while the aggregator's
+    * map-side partials bound the shuffle at langs × 3 rows. */
   private def t07(s: SparkSession, d: String): DataFrame = {
     val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
@@ -182,13 +189,17 @@ object TextDedupOps {
       .agg(countDistinct(col("doc_id")).as("df"))
     val tf = tok.groupBy(col("lang"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("score").desc, col("token").asc)
+    val topk = udaf(new graft.functions.TopKByScoreStr(3),
+      org.apache.spark.sql.Encoders.product[
+        graft.functions.TopKByScoreStr.Scored])
     tf.join(df_, Seq("token"))
       .withColumn("score", expr("(tf * 1000000L) DIV df"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("lang"), col("token"), col("score"), col("rk"))
+      .groupBy(col("lang"))
+      // the product-encoded udaf takes Scored's fields positionally
+      .agg(topk(col("score"), col("token")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("lang"), col("e.id").as("token"),
+        col("e.score").as("score"), (col("i") + 1).cast("long").as("rk"))
   }
 
   // ---- dedup ----
@@ -1411,11 +1422,48 @@ object TextDedupOps {
             .stripMargin.replaceAll("\n", " "))).as(Seq("i", "gram")))
       .withColumn("pk", col("doc_id") * lit(1000000000L) + col("i"))
 
-  private def d23(s: SparkSession, d: String): DataFrame = {
-    val grams = substrGrams(documents(s, d))
-    val first = grams.groupBy(col("gram")).agg(min(col("pk")).as("first_pk"))
-    val anchors = grams
-      .join(first, Seq("gram"))
+  private def d23(s: SparkSession, d: String): DataFrame =
+    d23Report(s, documents(s, d))
+
+  /** d23 over an arbitrary (doc_id, source, text) frame — the skew spec
+    * drives this with a synthetic hot-gram corpus.
+    *
+    * Hot-gram isolation (the [[graft.operators.ConnectedComponents]]
+    * hot-key discipline): `grams.join(first, "gram")` sends EVERY
+    * occurrence of a gram to one task — a ubiquitous k-gram (boilerplate
+    * headers, license blocks) at 100 TB is a hot key no AQE split fully
+    * saves, because the skew is in the KEY, not the partition. Hot grams
+    * are detected once from the same aggregation that computes the
+    * first-occurrence winners (count ≥ `spark.graft.d23.hotCount`,
+    * default 1M, top-100 cap — the size-gated-collect discipline), and
+    * their occurrence rows take a BROADCAST join against just their
+    * winners — never shuffling on the hot key — while cold grams take
+    * the ordinary hash join. Result-identical: the two arms partition
+    * the gram space. */
+  private[graft] def d23Report(s: SparkSession, docs: DataFrame): DataFrame = {
+    val grams = substrGrams(docs)
+    val first = grams.groupBy(col("gram"))
+      .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("cnt"))
+    val hotCount = s.conf.getOption("spark.graft.d23.hotCount")
+      .map(_.toLong).getOrElse(1000000L)
+    // one extra map-side-combinable pass over grams; NOT pinned — the
+    // winners frame is one row per distinct gram (corpus-scale at
+    // 100 TB), caching it would evict everything else
+    val hotGrams: Array[String] = first
+      .filter(col("cnt") >= hotCount)
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(100)
+      .select("gram").collect().map(_.getString(0))
+    val winners = first.select(col("gram"), col("first_pk"))
+    val joined =
+      if (hotGrams.isEmpty) grams.join(winners, Seq("gram"))
+      else {
+        val isHot = col("gram").isin(hotGrams.toSeq: _*)
+        grams.filter(!isHot).join(winners.filter(!isHot), Seq("gram"))
+          .unionByName(grams.filter(isHot)
+            .join(broadcast(winners.filter(isHot)), Seq("gram")))
+      }
+    val anchors = joined
       .filter(col("pk") > col("first_pk"))
       .select(col("doc_id"), col("i"))
     // gaps-and-islands interval merge — per-DOC windows (bounded by doc
@@ -1443,7 +1491,7 @@ object TextDedupOps {
     // every doc reports, dup-free ones with zeros — the second documents
     // scan is narrow (no gram explode) and keeps the output a total
     // per-doc accounting like d21's
-    docsWithTokens(s, d)
+    withTokens(docs)
       .select(col("doc_id"), col("source"),
         col("n_words").cast("long").as("n_toks"))
       .join(report, Seq("doc_id"), "left")

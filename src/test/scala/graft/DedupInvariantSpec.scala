@@ -315,6 +315,31 @@ class DedupInvariantSpec extends SparkSuite {
     }
   }
 
+  test("d23 hot-gram isolation: a gram at ~17% of all gram rows routes " +
+    "through the broadcast arm, result identical to the shuffle-only plan") {
+    // every doc opens with the SAME 8-gram (a license-header stand-in),
+    // then a per-doc unique tail: 13 tokens -> 6 grams/doc, exactly one
+    // of which (position 0) is the shared hot gram
+    val hot = (0 until 8).map(i => s"h$i").mkString(" ")
+    val docs = (0 until 200).map { i =>
+      val tail = (0 until 5).map(j => s"u${i}x$j").mkString(" ")
+      (i.toLong, s"$hot $tail", "en", s"src${i % 2}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cold = graft.queries.TextDedupOps.d23Report(spark, docs)
+      .orderBy("doc_id").collect().toSeq
+    spark.conf.set("spark.graft.d23.hotCount", "100")
+    try {
+      val run = graft.queries.TextDedupOps.d23Report(spark, docs)
+      val p = run.queryExecution.executedPlan.toString
+      assert(p.contains("Union"),
+        s"hot-gram isolation lost its two-arm union:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"hot arm should broadcast the winners, not shuffle the grams:\n$p")
+      assert(run.orderBy("doc_id").collect().toSeq == cold,
+        "hot-gram isolation changed the verdicts")
+    } finally spark.conf.unset("spark.graft.d23.hotCount")
+  }
+
   test("t21 overlap chunks: ceil(n/S) windows per doc, hand-checked " +
     "offsets, short tails, and digests") {
     val rows = SparkEntry.queries("t21_overlap_chunks")(spark, substrDir)

@@ -436,6 +436,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("t07 distinctive terms: bounded top-k aggregate, no per-language " +
+    "window sort") {
+    val p = plan("t07_tfidf_top_terms")
+    // with a handful of languages a per-lang window would sort a whole
+    // language's vocabulary through one task; the TopKByScoreStr
+    // aggregate bounds the shuffle at langs × 3
+    assert(!p.contains("windowspecdefinition"),
+      s"t07 regressed to a window sort:\n$p")
+    assert(p.contains("partial_topkbyscorestr"),
+      s"t07 lost its bounded map-side top-k:\n$p")
+  }
+
   test("d23 substring dedup: hash joins only, and the interval-merge " +
     "windows partition on doc_id — never corpus-wide") {
     val p = plan("d23_substring_dedup")
