@@ -331,6 +331,42 @@ object MultimodalOps {
     * base asset arriving in the delta (MediaSpec's invariance
     * fixtures). Payloads never shuffle: fingerprints compute in the
     * decode scan, everything after is narrow. */
+  /** m12's index row for any media dataset: kind + byte checksum +
+    * perceptual aHash60 — ~50 B/asset, payloads never leave the decode
+    * scan. */
+  private[graft] def m12Fingerprints(
+      m: org.apache.spark.sql.Dataset[Media.MediaRecord]): DataFrame =
+    Media.decodeFeatures(Media.resize(m, 64)).toDF()
+      .select(col("media_id"), col("kind"), col("checksum"))
+      .join(Media.perceptualHashes(m).toDF()
+        .select(col("media_id"), col("phash")), Seq("media_id"))
+
+  /** Build (or rebuild from scratch) the m12 fingerprint index from a
+    * base media corpus — generation 0 of the
+    * [[graft.operators.IndexGenerations]] store. */
+  def m12Build(s: SparkSession, indexDir: String,
+      baseMedia: org.apache.spark.sql.Dataset[Media.MediaRecord]): Unit =
+    graft.operators.IndexGenerations.reset(s, indexDir,
+      m12Fingerprints(baseMedia))
+
+  /** The nightly write face on the media axis (d24Advance's twin):
+    * verdicts for `deltaMedia` against the LIVE index generation, then
+    * fold the admitted `unique` assets' fingerprints into generation
+    * N+1. Returns the verdicts frame (same schema as m12); caller
+    * releases pins via [[graft.Pinned.releaseAll]]. */
+  def m12Advance(s: SparkSession, indexDir: String,
+      deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord])
+      : DataFrame = {
+    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    val delta = graft.Pinned.pin(m12Fingerprints(deltaMedia))
+    val v = graft.Pinned.pin(mediaDeltaVerdicts(index, delta))
+    val uniques = delta
+      .join(v.filter(col("verdict") === "unique").select("media_id"),
+        Seq("media_id"))
+    graft.operators.IndexGenerations.advance(s, indexDir, uniques)
+    v
+  }
+
   private def m12(s: SparkSession, d: String): DataFrame = {
     val indexDir = s.conf.getOption("spark.graft.m12.indexDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_m12_index")
@@ -340,22 +376,26 @@ object MultimodalOps {
     val isDelta =
       pmod(graft.functions.Portable.hash60(
         col("media_id").cast("string"), 424), lit(5L)) === 0L
-    import org.apache.spark.sql.Dataset
-    def fingerprints(m: Dataset[Media.MediaRecord]): DataFrame =
-      Media.decodeFeatures(Media.resize(m, 64)).toDF()
-        .select(col("media_id"), col("kind"), col("checksum"))
-        .join(Media.perceptualHashes(m).toDF()
-          .select(col("media_id"), col("phash")), Seq("media_id"))
     import s.implicits._
     // `spark.graft.m12.buildIndex=false` serves from a pre-built
     // artifact without decoding the base partition at all (d24's
-    // nightly contract — IndexReuseSpec pins it)
+    // nightly contract — IndexReuseSpec pins it); generation store so
+    // the nightly loop can ADVANCE it ([[m12Advance]])
     if (s.conf.getOption("spark.graft.m12.buildIndex").forall(_.toBoolean))
-      fingerprints(media.toDF().filter(!isDelta).as[Media.MediaRecord])
-        .write.mode("overwrite").parquet(indexDir)
-    val index = s.read.parquet(indexDir)
+      graft.operators.IndexGenerations.reset(s, indexDir,
+        m12Fingerprints(media.toDF().filter(!isDelta).as[Media.MediaRecord]))
+    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(
-      fingerprints(media.toDF().filter(isDelta).as[Media.MediaRecord]))
+      m12Fingerprints(media.toDF().filter(isDelta).as[Media.MediaRecord]))
+    mediaDeltaVerdicts(index, delta)
+  }
+
+  /** Verdicts for a fingerprinted `delta` frame against a fingerprinted
+    * `index` frame — the read-only core shared by the m12 query face and
+    * [[m12Advance]]. Both inputs carry (media_id, kind, checksum,
+    * phash); `delta` should be pinned by the caller. */
+  private[graft] def mediaDeltaVerdicts(index: DataFrame,
+      delta: DataFrame): DataFrame = {
     val exact = delta.select(col("media_id"), col("kind"), col("checksum"))
       .join(index.select(col("kind"), col("checksum"),
         col("media_id").as("base_id")), Seq("kind", "checksum"))

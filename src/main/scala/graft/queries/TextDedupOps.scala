@@ -1526,6 +1526,46 @@ object TextDedupOps {
     * increment + id-only band joins against the index + one signature
     * join back — cost proportional to |delta| + |index|, never
     * |base text|. */
+  /** d24's index row for any (doc_id, source, text) frame: content md5 +
+    * MinHash signature — ~40 B/doc, the text never leaves this select. */
+  private[graft] def d24Sig(df: DataFrame): DataFrame = df
+    .withColumn("content_hash", md5(col("text")))
+    .withColumn("th", tokenHashSeq(col("text")))
+    .withColumn("hs",
+      array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+    .withColumn("sig", when(size(col("hs")) > 0,
+      graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K)))
+    .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
+
+  /** Build (or rebuild from scratch) the d24 signature index from a base
+    * corpus — generation 0 of the
+    * [[graft.operators.IndexGenerations]] store. */
+  def d24Build(s: SparkSession, indexDir: String, baseDocs: DataFrame): Unit = {
+    graft.functions.HashSketch.register(s)
+    graft.operators.IndexGenerations.reset(s, indexDir, d24Sig(baseDocs))
+  }
+
+  /** The nightly write face: verdicts for `deltaDocs` against the LIVE
+    * index generation, then fold the admitted `unique` docs' signatures
+    * into generation N+1 (write-new + atomic marker swap — see
+    * [[graft.operators.IndexGenerations.advance]]). Night 2's uniques
+    * are in night 3's index, which is the contract the read-only d24
+    * query face cannot deliver alone. Returns the verdicts frame (same
+    * schema as d24); caller releases pins via [[graft.Pinned.releaseAll]]
+    * after consuming it. */
+  def d24Advance(s: SparkSession, indexDir: String,
+      deltaDocs: DataFrame): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    val delta = graft.Pinned.pin(d24Sig(deltaDocs))
+    val v = graft.Pinned.pin(deltaVerdicts(index, delta))
+    val uniques = delta
+      .join(v.filter(col("verdict") === "unique").select("doc_id"),
+        Seq("doc_id"))
+    graft.operators.IndexGenerations.advance(s, indexDir, uniques)
+    v
+  }
+
   private def d24(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
     val indexDir = s.conf.getOption("spark.graft.d24.indexDir")
@@ -1534,24 +1574,27 @@ object TextDedupOps {
     val isDelta =
       pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
         424), lit(5L)) === 0L
-    def withSig(df: DataFrame): DataFrame = df
-      .withColumn("content_hash", md5(col("text")))
-      .withColumn("th", tokenHashSeq(col("text")))
-      .withColumn("hs",
-        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
-      .withColumn("sig", when(size(col("hs")) > 0,
-        graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K)))
-      .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
     // offline face: distill + persist the base index, then read the
     // artifact back — delta runs consume the files, not the base scan.
     // `spark.graft.d24.buildIndex=false` skips the build entirely (the
     // nightly contract: today's run serves from yesterday's artifact,
     // and the plan then contains exactly ONE documents scan — the
-    // delta's; IndexReuseSpec pins both facts)
+    // delta's; IndexReuseSpec pins both facts). The artifact is a
+    // generation store so the nightly loop can ADVANCE it ([[d24Advance]]).
     if (s.conf.getOption("spark.graft.d24.buildIndex").forall(_.toBoolean))
-      withSig(docs.filter(!isDelta)).write.mode("overwrite").parquet(indexDir)
-    val index = s.read.parquet(indexDir)
-    val delta = graft.Pinned.pin(withSig(docs.filter(isDelta)))
+      graft.operators.IndexGenerations.reset(s, indexDir,
+        d24Sig(docs.filter(!isDelta)))
+    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    val delta = graft.Pinned.pin(d24Sig(docs.filter(isDelta)))
+    deltaVerdicts(index, delta)
+  }
+
+  /** Verdicts for a sig'd `delta` frame against a sig'd `index` frame —
+    * the read-only core shared by the d24 query face and [[d24Advance]].
+    * Both inputs carry (doc_id, source, content_hash, sig); `delta`
+    * should be pinned by the caller (three scans below). */
+  private[graft] def deltaVerdicts(index: DataFrame,
+      delta: DataFrame): DataFrame = {
     val exact = delta.select(col("doc_id"), col("content_hash"))
       .join(index.select(col("content_hash"), col("doc_id").as("base_id")),
         Seq("content_hash"))

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.helium.SparkSuite
+import graft.multimodal.Media
+import graft.operators.IndexGenerations
+import graft.queries.{MultimodalOps, TextDedupOps}
+
+/** The nightly index-advance contract for the delta-dedup family: night 1
+  * builds the base index, night 2 runs the delta AND folds its admitted
+  * uniques into a new index generation, night 3's delta is judged against
+  * an index that already contains night 2 — a dup of a night-2 doc gets
+  * caught. Each advance writes ONLY a new `gen=N` directory; every
+  * earlier generation's files stay byte-identical (the write-new +
+  * atomic-marker-swap discipline, [[graft.operators.IndexGenerations]]).
+  */
+class DeltaAdvanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fileState(dir: String): Map[String, (Long, Long)] = {
+    val d = Paths.get(dir)
+    import scala.jdk.CollectionConverters._
+    Files.walk(d).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .map(p => d.relativize(p).toString ->
+        ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+      .toMap
+  }
+
+  private def genFiles(state: Map[String, (Long, Long)], n: Long) =
+    state.filter { case (k, _) => k.startsWith(s"gen=$n/") }
+
+  /** documents-shaped frame from (id, text) pairs. */
+  private def docs(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  // distinct token families per doc so the only near/exact matches are
+  // the planted ones (the DedupInvariantSpec fixture discipline)
+  private def freshText(p: String): String =
+    (0 until 40).map(i => s"$p$i").mkString(" ")
+
+  test("d24: night-2 uniques enter the index, night-3 dups of them are " +
+    "caught; every advance leaves earlier generations byte-identical") {
+    val idx = Files.createTempDirectory("d24adv").toString
+    val base = docs((0L to 9L).map(i => i -> freshText(s"b${i}w")): _*)
+    TextDedupOps.d24Build(spark, idx, base)
+    assert(IndexGenerations.currentGen(spark, idx).contains(0L))
+    val s0 = fileState(idx)
+
+    // night 2: an exact copy of base 3, two uniques, a 1-token edit of
+    // base 5 (near — must NOT be folded into the index)
+    val u1 = freshText("u1w")
+    val u2 = freshText("u2w")
+    val nearOf5 = freshText("b5w").split(" ").updated(7, "EDITED").mkString(" ")
+    val v2 = TextDedupOps.d24Advance(spark, idx,
+        docs(100L -> freshText("b3w"), 101L -> u1,
+          102L -> nearOf5, 103L -> u2))
+      .select("doc_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v2(100L) == (("exact", 3L)))
+    assert(v2(101L) == (("unique", -1L)))
+    assert(v2(102L) == (("near", 5L)))
+    assert(v2(103L) == (("unique", -1L)))
+    assert(IndexGenerations.currentGen(spark, idx).contains(1L))
+    val s1 = fileState(idx)
+    assert(genFiles(s1, 0L) == genFiles(s0, 0L),
+      "advance touched generation 0's files")
+
+    // night 3: judged against the ADVANCED index — an exact copy of
+    // night-2 unique 101 and a near edit of night-2 unique 103 are both
+    // caught; the night-2 NEAR doc's text was not folded, so a copy of
+    // it still resolves near against its base-5 root, not doc 102
+    val nearOfU2 = u2.split(" ").updated(11, "EDITED").mkString(" ")
+    val v3 = TextDedupOps.d24Advance(spark, idx,
+        docs(200L -> u1, 201L -> nearOfU2,
+          202L -> nearOf5, 203L -> freshText("u3w")))
+      .select("doc_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v3(200L) == (("exact", 101L)), s"night-3 copy of a night-2 " +
+      s"unique not caught: ${v3(200L)}")
+    assert(v3(201L) == (("near", 103L)))
+    assert(v3(202L) == (("near", 5L)))
+    assert(v3(203L) == (("unique", -1L)))
+    assert(IndexGenerations.currentGen(spark, idx).contains(2L))
+    val s2 = fileState(idx)
+    assert(genFiles(s2, 0L) == genFiles(s0, 0L) &&
+      genFiles(s2, 1L) == genFiles(s1, 1L),
+      "advance touched an earlier generation's files")
+  }
+
+  test("m12: a night-3 re-upload of a night-2 unique asset is exact " +
+    "against the advanced fingerprint index") {
+    val idx = Files.createTempDirectory("m12adv").toString
+    def media(rows: (Long, String)*) =
+      Media.mediaFromDocuments(docs(rows: _*))
+    // ids congruent mod 3 share the media kind (mediaFromDocuments'
+    // kind = f(id % 3)), so a payload copy at id+3k is an EXACT hit
+    MultimodalOps.m12Build(spark, idx,
+      media((0L to 8L).map(i => i -> freshText(s"m${i}w")): _*))
+    val s0 = fileState(idx)
+    val t1 = freshText("mu1w")
+    val v2 = MultimodalOps.m12Advance(spark, idx,
+        media(99L -> freshText("m3w"), 100L -> t1))
+      .select("media_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v2(99L) == (("exact", 3L)))
+    assert(v2(100L)._1 == "unique")
+    assert(genFiles(fileState(idx), 0L) == genFiles(s0, 0L),
+      "m12 advance touched generation 0's files")
+
+    // the second unique must be perceptually distinct, not just
+    // textually: a same-shape token family ("mu2w…" vs "mu1w…") renders
+    // to a near-identical byte raster and lands within the phash near
+    // threshold — use a different length and alphabet entirely
+    val v3 = MultimodalOps.m12Advance(spark, idx,
+        media(202L -> t1,
+          203L -> (0 until 9).map(i => s"ZZZZZZZ$i QQ").mkString(" | ")))
+      .select("media_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v3(202L) == (("exact", 100L)), s"night-3 re-upload of a " +
+      s"night-2 unique asset not caught: ${v3(202L)}")
+    assert(v3(203L)._1 == "unique")
+    assert(IndexGenerations.currentGen(spark, idx).contains(2L))
+  }
+
+  test("IndexGenerations: torn advances are invisible, prune keeps only " +
+    "the live generation") {
+    val root = Files.createTempDirectory("gens").toString
+    IndexGenerations.reset(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    IndexGenerations.advance(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(IndexGenerations.currentGen(spark, root).contains(1L))
+    // a torn advance: parquet written, marker never stamped — readers
+    // must keep serving gen 1
+    Seq((9L, "torn")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    assert(IndexGenerations.currentGen(spark, root).contains(1L))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+    IndexGenerations.prune(spark, root)
+    import scala.jdk.CollectionConverters._
+    val left = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
+    assert(left == Set("gen=1"), s"prune left $left")
+    assert(IndexGenerations.readCurrent(spark, root).count() == 2)
+  }
+}

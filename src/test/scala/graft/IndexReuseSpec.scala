@@ -12,12 +12,14 @@ class IndexReuseSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // recursive: the index root is a generation store (gen=N subdirs) —
+  // serve mode must leave every generation's files untouched
   private def fileState(dir: String): Map[String, (Long, Long)] = {
     val d = Paths.get(dir)
     import scala.jdk.CollectionConverters._
-    Files.list(d).iterator().asScala
+    Files.walk(d).iterator().asScala
       .filter(p => Files.isRegularFile(p))
-      .map(p => p.getFileName.toString ->
+      .map(p => d.relativize(p).toString ->
         ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
       .toMap
   }
