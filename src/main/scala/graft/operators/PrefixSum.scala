@@ -49,11 +49,30 @@ import org.apache.spark.sql.functions._
   * heavily CLUSTERED ord values (most rows in a narrow range plus far
   * outliers) land in few buckets — correctness is unaffected (the
   * decomposition is exact for any monotone bucketing; PrefixSumSpec
-  * pins sparse/non-contiguous fixtures), but final-pass parallelism
-  * degrades toward the plain window's. Raising `buckets` restores it at
-  * the cost of a proportionally larger offsets frame; a quantile-based
-  * bucketing would balance perfectly but needs a sampled boundary pass
-  * whose determinism across runs this operator refuses to trade away.
+  * pins sparse/non-contiguous AND 90%-in-1%-of-range fixtures), but
+  * final-pass parallelism degrades toward the plain window's. Raising
+  * `buckets` restores it, and is CHEAP: the only cost that scales with
+  * the bucket count is the offsets frame, parts × buckets rows of
+  * ~24 bytes — 10⁵ buckets over 100 sources is still a ~240 MB
+  * broadcast upper bound and usually far less (empty buckets emit no
+  * subtotal row).
+  *
+  * Sizing rule for `spark.graft.pack.buckets`: a cluster of C rows
+  * spanning width W inside a total ord range T receives ~buckets·W/T of
+  * the buckets, so to cap a bucket at R rows set
+  * {{{ buckets >= (T / W) * (C / R) }}}
+  * — e.g. 90% of 10⁹ rows packed into 1% of the id range with a 10⁶
+  * rows-per-task budget needs buckets ≥ 100 · 900 = 9·10⁴. When the
+  * distribution is unknown, over-provisioning is the right default
+  * (empty buckets are free); PrefixSumSpec measures exactly this
+  * fixture. The alternative — quantile (equi-depth) boundaries — would
+  * balance any distribution with far fewer buckets but needs a sampled
+  * boundary pass: sampling is partition-layout-dependent, so the SAME
+  * data could bucket differently across cluster configs. Results would
+  * still be identical (any monotone bucketing is exact), but plans and
+  * task metrics would not be reproducible run-to-run, and the
+  * over-provisioned fixed-width grid achieves the same parallelism for
+  * pennies — so this operator deliberately stays fixed-width.
   *
   * Reference packing rule this feeds (greedy token-budget binning):
   * dewi-alliance/helium-etl-lite has no training-data surface; this is

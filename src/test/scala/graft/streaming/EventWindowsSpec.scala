@@ -38,20 +38,38 @@ class EventWindowsSpec extends SparkSuite {
           "__sentinel", 0.0))
         q.processAllAvailable()
       }
-      val streamed = spark.table("daily_out")
+      val out = spark.table("daily_out")
         .filter(col("event_type") =!= "__sentinel")
-        .as[(java.sql.Date, String, Long, Double)].collect()
-        .map(r => (r._1.toString, r._2) -> ((r._3, r._4))).toMap
-      val batch = graft.SparkEntry
+        .as[(java.sql.Date, String, Long, Long, Double)].collect()
+      val streamed = out
+        .map(r => (r._1.toString, r._2) -> ((r._3, r._5))).toMap
+      val approxUsers = out
+        .map(r => (r._1.toString, r._2) -> r._4).toMap
+      val batchRows = graft.SparkEntry
         .queries("q11_time_bucket_daily")(spark, sf)
         .select(col("day"), col("event_type"), col("n_events"),
-          col("sum_value"))
-        .as[(java.sql.Date, String, Long, Double)].collect()
-        .map(r => (r._1.toString, r._2) -> ((r._3, r._4))).toMap
+          col("n_users"), col("sum_value"))
+        .as[(java.sql.Date, String, Long, Long, Double)].collect()
+      val batch = batchRows
+        .map(r => (r._1.toString, r._2) -> ((r._3, r._5))).toMap
       assert(streamed == batch,
         s"stream ${streamed.size} windows != batch ${batch.size}: " +
           s"missing ${(batch.keySet -- streamed.keySet).take(5)}, " +
           s"extra ${(streamed.keySet -- batch.keySet).take(5)}")
+      // bound certificate (the q22 discipline): every window's HLL
+      // estimate lands within 5 sigma of q11's exact distinct on the
+      // same rows — rsd 0.05, so |approx - exact| <= ceil(25% of exact)
+      // with a +1 floor for tiny windows where one register flip
+      // dominates. Deterministic: HLL++ is a pure fold, no sampling.
+      batchRows.foreach { r =>
+        val key = (r._1.toString, r._2)
+        val exact = r._4
+        val approx = approxUsers(key)
+        val bound = math.max(1L, math.ceil(
+          exact * 5 * EventWindows.Rsd).toLong)
+        assert(math.abs(approx - exact) <= bound,
+          s"window $key: approx $approx vs exact $exact exceeds ±$bound")
+      }
     } finally q.stop()
   }
 }
