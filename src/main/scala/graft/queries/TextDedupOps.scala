@@ -1774,9 +1774,19 @@ object TextDedupOps {
     * corpus-wide shuffles are the ones the standalone stages already
     * pay (content-hash window, chunk group, bigram model). Nothing
     * collects; the report is |sources| rows. */
-  private def p02(s: SparkSession, d: String): DataFrame = {
-    val docs = graft.Pinned.pin(withTokens(documents(s, d))
-      .select(col("doc_id"), col("source"), col("text"), col("n_words")))
+  private def p02(s: SparkSession, d: String): DataFrame =
+    p02Report(graft.Pinned.pin(withTokens(documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"), col("n_words"))))
+
+  /** p02 over a caller-supplied (pinned) tokenized docs frame — the
+    * composition face: [[buildAndReport]] hands the SAME cached base to
+    * p01's build and this report, so the session pays one documents
+    * scan, not two. The report's metrics are defined on the RAW corpus
+    * (dup rates and quality floors BEFORE any dedup decision — that is
+    * what a data lead triages with), so the base scan is the shared
+    * stage; p01's downstream stages (survivors, cleaned, train) are
+    * filtered views the report must not see. */
+  private[graft] def p02Report(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(md5(col("text")))
     val basics = docs
       .withColumn("keeper", min(col("doc_id")).over(w))
@@ -1846,6 +1856,10 @@ object TextDedupOps {
       // weight — release them here (loan pattern) instead of leaving the
       // caller to clearCache()
       finally release()
+    shardReceipt(written)
+  }
+
+  private def shardReceipt(written: DataFrame): DataFrame =
     written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(
@@ -1854,6 +1868,26 @@ object TextDedupOps {
         sum(col("bin")).as("sum_bin"),
         md5(array_join(transform(array_sort(collect_list(col("doc_id"))),
           x => x.cast("string")), ",")).as("ids_md5"))
+
+  /** Compose p01 (build + shard write) and p02 (report card) in ONE
+    * session over ONE documents scan: the tokenized base frame is
+    * pinned once and handed to both — the build's exact-dedup window
+    * and every report rollup read the cache, so the corpus parquet is
+    * scanned exactly once for the pair (PipelineComposeSpec pins this
+    * in the report's executed plan). Returns (shard receipt, report);
+    * the shard write has already run when this returns. Caller releases
+    * the base pin via [[graft.Pinned.releaseAll]] after consuming the
+    * report. */
+  def buildAndReport(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val outDir = s.conf.getOption("spark.graft.p01.outDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p01_shards")
+    val base = graft.Pinned.pin(withTokens(documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"), col("n_words")))
+    val (corpus, release) = p01Build(s, base, production = true)
+    val written =
+      try graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir)
+      finally release()
+    (shardReceipt(written), p02Report(base))
   }
 
   /** p01's pre-write frame as ONE fully-declarative plan — no persists,
@@ -1863,7 +1897,7 @@ object TextDedupOps {
     * only; production callers go through [[p01CorpusLoan]], which runs
     * the SAME builder with materialization turned on. */
   private[graft] def p01Corpus(s: SparkSession, d: String): DataFrame =
-    p01Build(s, d, production = false)._1
+    p01Build(s, documents(s, d), production = false)._1
 
   /** [[p01Corpus]] with production materialization: the multiply-scanned
     * intermediates persist, the packing input's lineage is cut, and the
@@ -1871,9 +1905,12 @@ object TextDedupOps {
     * consuming action completes (loan pattern). */
   private[graft] def p01CorpusLoan(
       s: SparkSession, d: String): (DataFrame, () => Unit) =
-    p01Build(s, d, production = true)
+    p01Build(s, documents(s, d), production = true)
 
-  private def p01Build(s: SparkSession, d: String,
+  /** `docs` needs (doc_id, source, text); extra columns (a shared
+    * tokenized base from [[buildAndReport]]) ride through harmlessly —
+    * the first select narrows. */
+  private def p01Build(s: SparkSession, docs: DataFrame,
       production: Boolean): (DataFrame, () => Unit) = {
     // audit mode skips persist(): a plan-inspection call must not
     // register cache entries it has no action to release
@@ -1896,7 +1933,7 @@ object TextDedupOps {
         case None => df.localCheckpoint()
       }
     val w = Window.partitionBy(md5(col("text")))
-    val survivors = documents(s, d)
+    val survivors = docs
       .withColumn("keeper", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keeper"))
       .select(col("doc_id"), col("source"), col("text"))
