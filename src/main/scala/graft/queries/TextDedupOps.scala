@@ -1075,12 +1075,16 @@ object TextDedupOps {
         var cutoff = -1L // count of the first pair NOT admitted
         var i = 0
         var stopped = false
+        var stopReason = ""
         while (i < top.length && !stopped && prefix.size < want) {
           val (l, r2, c) = top(i)
           // stop on symbol overlap OR on a merge string that aliases a
           // live symbol / an already-admitted merge (see scaladoc guard)
           if (used(l) || used(r2) || live(l + r2) || created(l + r2)) {
             cutoff = c; stopped = true
+            stopReason =
+              if (used(l) || used(r2)) "overlap"
+              else if (live(l + r2)) "alias-live" else "alias-created"
           } else {
             prefix += top(i); used += l; used += r2; created += (l + r2)
             i += 1
@@ -1095,7 +1099,8 @@ object TextDedupOps {
         val safe = prefix.takeWhile(_._3 > cutoff) // counts non-increasing
         val batch = if (safe.nonEmpty) safe.toSeq else top.take(1).toSeq
         if (sys.env.contains("GRAFT_BPE_DEBUG"))
-          System.err.println(s"[bpe] round batch=${batch.size} want=$want")
+          System.err.println(s"[bpe] round batch=${batch.size} want=$want" +
+            (if (stopReason.nonEmpty) s" stop=$stopReason" else ""))
         batch.foreach { case (l, r2, c) =>
           learned += ((0L, l, r2, c)); live += (l + r2)
         }

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.helium.SparkSuite
+
+/** Env-gated 10× scale rehearsal: forks [[ScaleRehearsal]] into its own
+  * JVM with the heap pinned to 2g and asserts the p01 build and the d24
+  * delta cycle complete over a 50k-doc corpus under that bound — the
+  * executable form of "no stage collects corpus-scale state
+  * driver-side". Wall times land in the test report (and
+  * IMPLEMENTATION.md records a reference run). */
+class ScaleRehearsalSpec extends SparkSuite {
+
+  test("10x sf0.1 corpus: p01 + d24 delta complete under a 2g heap " +
+    "(gated: GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    val work = Files.createTempDirectory("rehearsal").toString
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin, "-Xmx2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
+      addOpens ++
+      Seq("-cp", sys.props("java.class.path"), "graft.ScaleRehearsal", work)
+    val out = new StringBuilder
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val reader = new java.io.BufferedReader(
+      new java.io.InputStreamReader(proc.getInputStream))
+    var line = reader.readLine()
+    var json: Option[String] = None
+    while (line != null) {
+      if (line.startsWith("""{"metric":"scale_rehearsal"""")) json = Some(line)
+      else out.append(line).append('\n')
+      line = reader.readLine()
+    }
+    val rc = proc.waitFor()
+    assert(rc == 0, s"rehearsal JVM exited $rc:\n${out.takeRight(4000)}")
+    val j = json.getOrElse(fail(s"no rehearsal JSON:\n${out.takeRight(4000)}"))
+    def field(k: String): Double =
+      s""""$k":([0-9.Ee+-]+)""".r.findFirstMatchIn(j)
+        .getOrElse(fail(s"missing $k in $j")).group(1).toDouble
+    assert(field("docs") == 50000.0, j)
+    assert(field("heap_mb") <= 2200.0,
+      s"heap not pinned low — the bound is the point: $j")
+    assert(field("p01_rows") > 0, j)
+    assert(field("d24_rows") > 0, j)
+    assert(field("adv_rows") > 0, j)
+    info(j)
+  }
+}

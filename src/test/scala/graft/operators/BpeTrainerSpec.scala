@@ -205,6 +205,42 @@ class BpeTrainerSpec extends SparkSuite {
       s"batched chain diverged from the local trainer at $rounds merges")
   }
 
+  test("production depth: batched chain == local trainer at 30k merges " +
+    "over a realistic 26-letter vocabulary (gated: GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    // the 12-letter heavy-tail stress above is the ADVERSARIAL shape
+    // (hot symbols conflict immediately, ~2 merges/super-round); this is
+    // the realistic one — 60k distinct words over the full lowercase
+    // alphabet, Zipf counts — where symbol-disjoint admission approaches
+    // the batch cap and the slope is what a tokenizer build would see
+    val rounds = sys.env.get("GRAFT_BPE_STRESS_ROUNDS")
+      .map(_.toInt).getOrElse(30000)
+    val rnd = new scala.util.Random(4711)
+    val letters = "abcdefghijklmnopqrstuvwxyz"
+    val vocab = (0 until 60000).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      val w = (0 until len).map(_ => letters(rnd.nextInt(letters.length)))
+        .mkString
+      w -> (1L + (100000.0 / (1 + rnd.nextInt(50000))).toLong)
+    }.toMap
+    val (localMerges, _) = BpeTrainer.train(vocab.toVector, rounds)
+    assert(localMerges.size >= rounds, s"fixture exhausted at ${localMerges.size}")
+    val df = vocab.toSeq.toDF("word", "cnt").repartition(4)
+    val t0 = System.nanoTime()
+    val (mergesDf, _) =
+      graft.queries.TextDedupOps.bpeChainBatched(df, rounds)
+    val dist = mergesDf.as[(Long, String, String, Long)]
+      .collect().sortBy(_._1).toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"realistic batched chain: $rounds merges in $secs%.1f s " +
+      f"(${rounds / secs}%.0f merges/s)")
+    assert(dist == localMerges.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+      .take(dist.size),
+      s"batched chain diverged from the local trainer at $rounds merges")
+    assert(dist.size == rounds.min(localMerges.size))
+  }
+
   test("empty merge round is the identity, not annihilation: " +
     "t16-shape accounting survives a fully-merged vocabulary") {
     // 'ab' merges once ('a','b'); rounds 2..4 find no pair — the old
