@@ -1434,40 +1434,49 @@ object TextDedupOps {
     * drives this with a synthetic hot-gram corpus.
     *
     * Hot-gram isolation (the [[graft.operators.ConnectedComponents]]
-    * hot-key discipline): `grams.join(first, "gram")` sends EVERY
-    * occurrence of a gram to one task — a ubiquitous k-gram (boilerplate
-    * headers, license blocks) at 100 TB is a hot key no AQE split fully
-    * saves, because the skew is in the KEY, not the partition. Hot grams
-    * are detected once from the same aggregation that computes the
-    * first-occurrence winners (count ≥ `spark.graft.d23.hotCount`,
-    * default 1M, top-100 cap — the size-gated-collect discipline), and
-    * their occurrence rows take a BROADCAST join against just their
+    * hot-key discipline, enabled by `spark.graft.d23.hotCount`):
+    * `grams.join(first, "gram")` sends EVERY occurrence of a gram to one
+    * task — a ubiquitous k-gram (boilerplate headers, license blocks) at
+    * 100 TB is a hot key no AQE split fully saves, because the skew is
+    * in the KEY, not the partition. With the conf set, hot grams
+    * (count ≥ threshold, top-100 cap — the size-gated-collect
+    * discipline) are detected from the winners aggregation, which is
+    * pinned so detection and both join arms share ONE computation, and
+    * the hot occurrences take a BROADCAST join against just their
     * winners — never shuffling on the hot key — while cold grams take
     * the ordinary hash join. Result-identical: the two arms partition
-    * the gram space. */
+    * the gram space. OFF by default because the detection action is
+    * pure overhead on an unskewed corpus (measured 6× on the bench
+    * fixture) — a deployment that knows its corpus carries stop-grams
+    * sets the threshold; correctness never depends on it. */
   private[graft] def d23Report(s: SparkSession, docs: DataFrame): DataFrame = {
     val grams = substrGrams(docs)
-    val first = grams.groupBy(col("gram"))
+    val first0 = grams.groupBy(col("gram"))
       .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("cnt"))
-    val hotCount = s.conf.getOption("spark.graft.d23.hotCount")
-      .map(_.toLong).getOrElse(1000000L)
-    // one extra map-side-combinable pass over grams; NOT pinned — the
-    // winners frame is one row per distinct gram (corpus-scale at
-    // 100 TB), caching it would evict everything else
-    val hotGrams: Array[String] = first
-      .filter(col("cnt") >= hotCount)
-      .orderBy(col("cnt").desc, col("gram").asc)
-      .limit(100)
-      .select("gram").collect().map(_.getString(0))
-    val winners = first.select(col("gram"), col("first_pk"))
-    val joined =
-      if (hotGrams.isEmpty) grams.join(winners, Seq("gram"))
-      else {
-        val isHot = col("gram").isin(hotGrams.toSeq: _*)
-        grams.filter(!isHot).join(winners.filter(!isHot), Seq("gram"))
-          .unionByName(grams.filter(isHot)
-            .join(broadcast(winners.filter(isHot)), Seq("gram")))
-      }
+    val joined = s.conf.getOption("spark.graft.d23.hotCount")
+        .map(_.toLong) match {
+      case None =>
+        grams.join(first0.select(col("gram"), col("first_pk")), Seq("gram"))
+      case Some(hotCount) =>
+        // pinned: the detection collect below and both join arms read
+        // one materialization of the winners table (vocab-sized — at
+        // 100 TB this persist spills to disk, still far cheaper than a
+        // second full gram aggregation)
+        val first = graft.Pinned.pin(first0)
+        val hotGrams: Array[String] = first
+          .filter(col("cnt") >= hotCount)
+          .orderBy(col("cnt").desc, col("gram").asc)
+          .limit(100)
+          .select("gram").collect().map(_.getString(0))
+        val winners = first.select(col("gram"), col("first_pk"))
+        if (hotGrams.isEmpty) grams.join(winners, Seq("gram"))
+        else {
+          val isHot = col("gram").isin(hotGrams.toSeq: _*)
+          grams.filter(!isHot).join(winners.filter(!isHot), Seq("gram"))
+            .unionByName(grams.filter(isHot)
+              .join(broadcast(winners.filter(isHot)), Seq("gram")))
+        }
+    }
     val anchors = joined
       .filter(col("pk") > col("first_pk"))
       .select(col("doc_id"), col("i"))
