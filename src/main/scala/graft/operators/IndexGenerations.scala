@@ -31,24 +31,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * 100 TB: generations hold the distilled index rows (~40 B/doc — the
   * signature/fingerprint tables, never text or payloads), so a full
-  * rewrite per advance is |index| I/O, not |corpus|; when even that is
-  * too much, the layout already supports the standard LSM refinement
-  * (write the delta as its own generation and read the union of all
-  * committed generations) without changing readers' contract — max
-  * committed n stays the newest TOTAL index here precisely so that
-  * swap stays atomic. */
+  * rewrite per [[advance]] is |index| I/O, not |corpus|. When even
+  * that is too much, [[advanceDelta]] is the LSM refinement: the
+  * night's additions land as their OWN generation whose marker is
+  * tagged `delta`, and readers union the newest total generation with
+  * every committed delta above it — nightly I/O drops to |delta|.
+  * [[compact]] folds the chain back into one total generation (run it
+  * when the delta chain's file count starts to hurt scan planning —
+  * the classic LSM level-0 merge); atomicity is unchanged because each
+  * generation, total or delta, becomes visible only at its marker
+  * stamp. */
 object IndexGenerations {
 
   private val Marker = "_COMMITTED"
+  private val DeltaTag = "delta"
 
   private def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def genPath(root: String, n: Long) = new Path(root, s"gen=$n")
 
-  /** Committed generation numbers under `root`, ascending. Directories
-    * without the marker are torn writes — ignored. */
-  def committed(s: SparkSession, root: String): Seq[Long] = {
+  /** Committed generations with their marker tag ("" = total,
+    * "delta" = LSM delta), ascending by number. Directories without the
+    * marker are torn writes — ignored. */
+  private def committedTagged(s: SparkSession, root: String)
+      : Seq[(Long, String)] = {
     val fs = fsOf(s, root)
     val rp = new Path(root)
     if (!fs.exists(rp)) Seq.empty
@@ -56,26 +63,56 @@ object IndexGenerations {
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .collect { case g if g.startsWith("gen=") => g.drop(4).toLong }
-      .filter(n => fs.exists(new Path(genPath(root, n), Marker)))
       .sorted
+      .flatMap { n =>
+        val m = new Path(genPath(root, n), Marker)
+        if (!fs.exists(m)) None
+        else {
+          val in = fs.open(m)
+          val tag = try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+          Some(n -> tag)
+        }
+      }
   }
+
+  /** Committed generation numbers under `root`, ascending. */
+  def committed(s: SparkSession, root: String): Seq[Long] =
+    committedTagged(s, root).map(_._1)
 
   /** The live (max committed) generation, if any. */
   def currentGen(s: SparkSession, root: String): Option[Long] =
     committed(s, root).lastOption
 
-  /** Read the live generation. */
+  /** The generations a read must union: the newest TOTAL generation
+    * plus every committed delta above it (older totals and shadowed
+    * deltas are compaction debris — [[prune]] fodder). */
+  private def activeSet(s: SparkSession, root: String): Seq[Long] = {
+    val tagged = committedTagged(s, root)
+    tagged.filter(_._2 != DeltaTag).map(_._1).maxOption match {
+      case None => Seq.empty
+      case Some(t) =>
+        t +: tagged.collect { case (n, DeltaTag) if n > t => n }
+    }
+  }
+
+  /** Read the live index: the newest total generation unioned with its
+    * committed delta chain. One parquet relation per generation — keep
+    * the chain short with [[compact]]. */
   def readCurrent(s: SparkSession, root: String): DataFrame = {
-    val n = currentGen(s, root).getOrElse(throw new IllegalStateException(
-      s"no committed index generation under $root — build the index first"))
-    s.read.parquet(genPath(root, n).toString)
+    val active = activeSet(s, root)
+    if (active.isEmpty) throw new IllegalStateException(
+      s"no committed index generation under $root — build the index first")
+    active.map(n => s.read.parquet(genPath(root, n).toString))
+      .reduce(_ unionByName _)
   }
 
   private def write(s: SparkSession, root: String, n: Long,
-      df: DataFrame): Long = {
+      df: DataFrame, tag: String = ""): Long = {
     val dir = genPath(root, n)
     df.write.mode("overwrite").parquet(dir.toString)
-    fsOf(s, root).create(new Path(dir, Marker), true).close()
+    val out = fsOf(s, root).create(new Path(dir, Marker), true)
+    try out.write(tag.getBytes("UTF-8")) finally out.close()
     n
   }
 
@@ -91,30 +128,63 @@ object IndexGenerations {
     write(s, root, 0L, df)
   }
 
-  /** Fold `additions` into the next generation: read live generation N,
-    * union by name, write generation N+1, stamp its marker last.
-    * Generation N's files are never touched — a reader mid-advance keeps
-    * serving N, and a crash before the marker leaves N live. Returns the
-    * new generation number. */
+  /** Fold `additions` into the next generation: read the live index
+    * (total + delta chain), union by name, write generation N+1 as a
+    * new TOTAL, stamp its marker last. Earlier generations' files are
+    * never touched — a reader mid-advance keeps serving them, and a
+    * crash before the marker leaves the previous state live. Returns
+    * the new generation number. */
   def advance(s: SparkSession, root: String, additions: DataFrame): Long = {
-    val n = currentGen(s, root).getOrElse(throw new IllegalStateException(
-      s"advance needs a committed base generation under $root"))
-    val cur = s.read.parquet(genPath(root, n).toString)
-    write(s, root, n + 1, cur.unionByName(additions))
+    if (committed(s, root).isEmpty) throw new IllegalStateException(
+      s"advance needs a committed base generation under $root")
+    val n = currentGen(s, root).get
+    write(s, root, n + 1, readCurrent(s, root).unionByName(additions))
   }
 
-  /** Delete every generation directory except the live one — committed
-    * ancestors and torn leftovers alike. Run between advances (single
-    * writer), never concurrently with one. */
+  /** LSM advance: write ONLY `additions` as generation N+1, marker
+    * tagged delta — nightly I/O proportional to the delta, not the
+    * index. Readers union it with the base automatically; run
+    * [[compact]] when the chain grows long. */
+  def advanceDelta(s: SparkSession, root: String,
+      additions: DataFrame): Long = {
+    if (activeSet(s, root).isEmpty) throw new IllegalStateException(
+      s"advanceDelta needs a committed base generation under $root")
+    write(s, root, currentGen(s, root).get + 1, additions, DeltaTag)
+  }
+
+  /** [[advance]] or [[advanceDelta]] per
+    * `spark.graft.index.advanceMode` (`rewrite` (default) | `delta`) —
+    * the one switch the nightly operators (d24Advance / m12Advance)
+    * consult, so a deployment flips the whole family to LSM mode with
+    * one conf. */
+  def advanceByConf(s: SparkSession, root: String,
+      additions: DataFrame): Long =
+    if (s.conf.getOption("spark.graft.index.advanceMode").contains("delta"))
+      advanceDelta(s, root, additions)
+    else advance(s, root, additions)
+
+  /** Fold the live total + delta chain into one new TOTAL generation
+    * (the LSM level-0 merge). The superseded generations stay on disk
+    * until [[prune]] — compaction is additive-only too. */
+  def compact(s: SparkSession, root: String): Long = {
+    val active = activeSet(s, root)
+    if (active.isEmpty) throw new IllegalStateException(
+      s"compact needs a committed base generation under $root")
+    write(s, root, currentGen(s, root).get + 1, readCurrent(s, root))
+  }
+
+  /** Delete every generation directory the live read no longer depends
+    * on — superseded totals, shadowed deltas, and torn leftovers alike.
+    * Run between advances (single writer), never concurrently with
+    * one. */
   def prune(s: SparkSession, root: String): Unit = {
-    val live = currentGen(s, root)
+    val keep = activeSet(s, root).map(n => s"gen=$n").toSet
     val fs = fsOf(s, root)
     val rp = new Path(root)
     if (fs.exists(rp))
       fs.listStatus(rp)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-        .filter(st => !live.map(genPath(root, _).getName)
-          .contains(st.getPath.getName))
+        .filter(st => !keep.contains(st.getPath.getName))
         .foreach(st => fs.delete(st.getPath, true))
   }
 }

@@ -363,7 +363,7 @@ object MultimodalOps {
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("media_id"),
         Seq("media_id"))
-    graft.operators.IndexGenerations.advance(s, indexDir, uniques)
+    graft.operators.IndexGenerations.advanceByConf(s, indexDir, uniques)
     v
   }
 

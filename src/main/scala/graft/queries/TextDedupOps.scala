@@ -1576,7 +1576,7 @@ object TextDedupOps {
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("doc_id"),
         Seq("doc_id"))
-    graft.operators.IndexGenerations.advance(s, indexDir, uniques)
+    graft.operators.IndexGenerations.advanceByConf(s, indexDir, uniques)
     v
   }
 

@@ -43,6 +43,22 @@ class DeltaAdvanceSpec extends SparkSuite {
 
   test("d24: night-2 uniques enter the index, night-3 dups of them are " +
     "caught; every advance leaves earlier generations byte-identical") {
+    d24ThreeNights(advanceMode = None)
+  }
+
+  test("d24 in LSM delta mode: same three-night verdicts, but each " +
+    "advance writes only the night's uniques") {
+    d24ThreeNights(advanceMode = Some("delta"))
+  }
+
+  private def d24ThreeNights(advanceMode: Option[String]): Unit = {
+    advanceMode.foreach(m =>
+      spark.conf.set("spark.graft.index.advanceMode", m))
+    try d24ThreeNightsBody(advanceMode.contains("delta"))
+    finally spark.conf.unset("spark.graft.index.advanceMode")
+  }
+
+  private def d24ThreeNightsBody(lsm: Boolean): Unit = {
     val idx = Files.createTempDirectory("d24adv").toString
     val base = docs((0L to 9L).map(i => i -> freshText(s"b${i}w")): _*)
     TextDedupOps.d24Build(spark, idx, base)
@@ -69,6 +85,11 @@ class DeltaAdvanceSpec extends SparkSuite {
     val s1 = fileState(idx)
     assert(genFiles(s1, 0L) == genFiles(s0, 0L),
       "advance touched generation 0's files")
+    // the LSM point: a delta generation holds ONLY the night's uniques
+    // (2 rows), not the rewritten index (base 10 + 2)
+    val gen1Rows = spark.read.parquet(s"$idx/gen=1").count()
+    assert(gen1Rows == (if (lsm) 2L else 12L),
+      s"gen=1 holds $gen1Rows rows (lsm=$lsm)")
 
     // night 3: judged against the ADVANCED index — an exact copy of
     // night-2 unique 101 and a near edit of night-2 unique 103 are both
@@ -131,6 +152,36 @@ class DeltaAdvanceSpec extends SparkSuite {
       s"night-2 unique asset not caught: ${v3(202L)}")
     assert(v3(203L)._1 == "unique")
     assert(IndexGenerations.currentGen(spark, idx).contains(2L))
+  }
+
+  test("IndexGenerations LSM: delta chain reads as the union, compact " +
+    "folds it into one total, prune keeps exactly the live set") {
+    val root = Files.createTempDirectory("lsm").toString
+    import scala.jdk.CollectionConverters._
+    def gens = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
+    def state = IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    IndexGenerations.reset(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    IndexGenerations.advanceDelta(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    IndexGenerations.advanceDelta(spark, root, Seq((4L, "d")).toDF("id", "v"))
+    val full = Seq(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d")
+    assert(state == full)
+    // prune mid-chain must keep the whole active set — every delta is
+    // load-bearing until a compact supersedes it
+    IndexGenerations.prune(spark, root)
+    assert(gens == Set("gen=0", "gen=1", "gen=2"), gens)
+    assert(state == full)
+    assert(IndexGenerations.compact(spark, root) == 3L)
+    assert(state == full)
+    IndexGenerations.prune(spark, root)
+    assert(gens == Set("gen=3"), gens)
+    assert(state == full)
+    // a rewrite advance on top of a live delta chain folds the union
+    IndexGenerations.advanceDelta(spark, root, Seq((5L, "e")).toDF("id", "v"))
+    IndexGenerations.advance(spark, root, Seq((6L, "f")).toDF("id", "v"))
+    assert(state == full ++ Seq(5L -> "e", 6L -> "f"))
   }
 
   test("IndexGenerations: torn advances are invisible, prune keeps only " +
