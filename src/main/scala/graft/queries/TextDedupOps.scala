@@ -995,22 +995,47 @@ object TextDedupOps {
     *
     * Batch selection (driver-side, over the top pair stats only — a
     * bounded `limit(2·cap+1)` collect, never data-scale): walk the
-    * (count desc, lhs, rhs)-sorted pair list, admitting pairs while they
-    * are SYMBOL-DISJOINT from everything already admitted, stopping at
-    * the first conflict; then truncate the batch to counts STRICTLY
-    * above the stopping pair's count (`C`). Exactness argument: merging
-    * a batched pair leaves every symbol-disjoint pair's count unchanged,
-    * only ever DECREASES conflicting pairs' counts, and any NEWLY
-    * CREATED pair (x, m)/(m, y) inherits count ≤ the pre-merge count of
-    * its neighbour pair (x, lhs)/(rhs, y) — a pair that SHARES a symbol
-    * and therefore sorts at or below the stopping conflict, so its count
-    * is ≤ C < every batched count. Hence at each sequential step the
-    * global argmax (with the shared (count desc, lhs, rhs) tie-break) is
-    * exactly the next batched pair. When truncation empties the batch
-    * (top count == C), fall back to the top pair alone — a single merge
-    * is sequential by definition. Batched application is one fold pass
-    * per word over a broadcast pair→merged map (disjointness means no
-    * intra-batch interaction; merged symbols are new, so no cascade).
+    * (count desc, lhs, rhs)-sorted pair list, admitting pairs while
+    * they are NON-INTERACTING with everything already admitted,
+    * stopping at the first conflict; then truncate the batch to counts
+    * STRICTLY above the stopping pair's count (`C`).
+    *
+    * Non-interaction is the occurrence-level condition, not symbol
+    * disjointness: merging p = (a, b) consumes exactly the `a`s
+    * followed by `b` and the `b`s preceded by `a`, so the only existing
+    * pairs whose counts change are those CHAIN-adjacent to p — q with
+    * lhs(q) = b (an occurrence "a b y" loses its b) or rhs(q) = a (an
+    * occurrence "x a b" loses its a). Pairs sharing only a lhs or only
+    * a rhs — (e, s) vs (e, r) — are count-independent: an `e` followed
+    * by `s` is never the `e` of an occurrence of (e, r). The admission
+    * walk therefore tracks the admitted lhs- and rhs-sets and stops at
+    * the first candidate q with lhs(q) ∈ rhsSet or rhs(q) ∈ lhsSet
+    * (self-pairs (a, a) put `a` in both sets, covering the "a a a"
+    * greedy cases). This was measured to matter: under plain symbol
+    * disjointness a realistic 26-letter vocabulary admitted a mean
+    * batch of 1.3 by merge 9k (hot symbols like `e` head most top
+    * pairs), all stops overlap-typed; the chain rule re-admits every
+    * same-lhs/same-rhs cluster.
+    *
+    * Exactness argument, updated: merging a batched pair leaves every
+    * non-interacting pair's count unchanged, only ever DECREASES
+    * chain-adjacent pairs' counts, and any NEWLY CREATED pair
+    * (x, m)/(m, y) inherits count ≤ the pre-merge count of its
+    * neighbour pair (x, lhs)/(rhs, y) — a pair CHAIN-adjacent to the
+    * admitted one, which therefore sorts at or below the stopping
+    * conflict, so its count is ≤ C < every batched count. Hence at each
+    * sequential step the global argmax (with the shared (count desc,
+    * lhs, rhs) tie-break) is exactly the next batched pair. When
+    * truncation empties the batch (top count == C), fall back to the
+    * top pair alone — a single merge is sequential by definition.
+    * Batched application is one fold pass per word over a broadcast
+    * pair→merged map: the chain rule means no two patterns can overlap
+    * a position (that would need rhs of one == lhs of the other), and
+    * no fold-time cascade is possible — a pattern consuming another's
+    * OUTPUT would need that output string as its own lhs/rhs, i.e. a
+    * live-symbol alias, which the guard below stops (if the string were
+    * not live, such a candidate had count 0 and never reached the top
+    * list).
     *
     * ALIASING GUARD — the "merged symbols are new" premise is enforced,
     * not assumed: merged symbols are string concatenations, so 'a'+'bc'
@@ -1068,7 +1093,8 @@ object TextDedupOps {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (top.isEmpty) done = true
       else {
-        val used = scala.collection.mutable.HashSet.empty[String]
+        val lhsSet = scala.collection.mutable.HashSet.empty[String]
+        val rhsSet = scala.collection.mutable.HashSet.empty[String]
         val created = scala.collection.mutable.HashSet.empty[String]
         val prefix =
           scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -1078,15 +1104,17 @@ object TextDedupOps {
         var stopReason = ""
         while (i < top.length && !stopped && prefix.size < want) {
           val (l, r2, c) = top(i)
-          // stop on symbol overlap OR on a merge string that aliases a
-          // live symbol / an already-admitted merge (see scaladoc guard)
-          if (used(l) || used(r2) || live(l + r2) || created(l + r2)) {
+          // stop on chain adjacency with an admitted pair (the precise
+          // count-interaction condition — see scaladoc) OR on a merge
+          // string that aliases a live symbol / an already-admitted
+          // merge (aliasing guard)
+          if (rhsSet(l) || lhsSet(r2) || live(l + r2) || created(l + r2)) {
             cutoff = c; stopped = true
             stopReason =
-              if (used(l) || used(r2)) "overlap"
+              if (rhsSet(l) || lhsSet(r2)) "chain"
               else if (live(l + r2)) "alias-live" else "alias-created"
           } else {
-            prefix += top(i); used += l; used += r2; created += (l + r2)
+            prefix += top(i); lhsSet += l; rhsSet += r2; created += (l + r2)
             i += 1
           }
         }
