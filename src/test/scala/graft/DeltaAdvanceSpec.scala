@@ -117,6 +117,17 @@ class DeltaAdvanceSpec extends SparkSuite {
 
   test("m12: a night-3 re-upload of a night-2 unique asset is exact " +
     "against the advanced fingerprint index") {
+    m12TwoNights()
+  }
+
+  test("m12 in LSM delta mode: same verdicts through advanceByConf's " +
+    "delta path") {
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try m12TwoNights()
+    finally spark.conf.unset("spark.graft.index.advanceMode")
+  }
+
+  private def m12TwoNights(): Unit = {
     val idx = Files.createTempDirectory("m12adv").toString
     def media(rows: (Long, String)*) =
       Media.mediaFromDocuments(docs(rows: _*))
