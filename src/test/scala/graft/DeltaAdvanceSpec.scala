@@ -195,6 +195,21 @@ class DeltaAdvanceSpec extends SparkSuite {
     assert(state == full ++ Seq(5L -> "e", 6L -> "f"))
   }
 
+  test("IndexGenerations: a reader resolved before an advance keeps " +
+    "serving its generation (until prune, the documented boundary)") {
+    val root = Files.createTempDirectory("iso").toString
+    IndexGenerations.reset(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    val before = IndexGenerations.readCurrent(spark, root)
+    IndexGenerations.advance(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    // the old frame holds concrete gen=0 paths — the advance neither
+    // changes nor deletes them, so a mid-advance reader is never torn
+    assert(before.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a"))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(1L -> "a", 2L -> "b"))
+  }
+
   test("IndexGenerations: torn advances are invisible, prune keeps only " +
     "the live generation") {
     val root = Files.createTempDirectory("gens").toString
