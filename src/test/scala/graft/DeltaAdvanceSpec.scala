@@ -195,6 +195,49 @@ class DeltaAdvanceSpec extends SparkSuite {
     assert(state == full ++ Seq(5L -> "e", 6L -> "f"))
   }
 
+  test("nightly-loop invariant: after k advance nights the index holds " +
+    "exactly base + every admitted unique, in both advance modes") {
+    for (mode <- Seq(None, Some("delta"))) {
+      mode.foreach(m => spark.conf.set("spark.graft.index.advanceMode", m))
+      try {
+        val idx = Files.createTempDirectory("loop").toString
+        val rnd = new scala.util.Random(99)
+        val texts = scala.collection.mutable.Map[Long, String]()
+        (0L to 7L).foreach(i => texts(i) = freshText(s"n${i}z"))
+        TextDedupOps.d24Build(spark, idx,
+          docs(texts.toSeq.sortBy(_._1): _*))
+        val expected = scala.collection.mutable.Set[Long]() ++= texts.keys
+        var nextId = 100L
+        (1 to 4).foreach { night =>
+          // each night: one exact re-crawl of a random indexed doc +
+          // two fresh docs
+          val dup = expected.toSeq.sortBy(identity)
+            .apply(rnd.nextInt(expected.size))
+          val fresh = (0 until 2).map { j =>
+            val id = nextId; nextId += 1
+            id -> freshText(s"f${night}x${j}q")
+          }
+          val nightDocs = (nextId, texts(dup)) +: fresh
+          nextId += 1
+          val v = TextDedupOps.d24Advance(spark, idx,
+              docs(nightDocs: _*))
+            .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+          Pinned.releaseAll(spark)
+          assert(v(nightDocs.head._1) == "exact",
+            s"night $night re-crawl of $dup not caught")
+          fresh.foreach { case (id, t) =>
+            assert(v(id) == "unique"); expected += id; texts(id) = t
+          }
+          val inIndex = IndexGenerations.readCurrent(spark, idx)
+            .select("doc_id").as[Long].collect().toSet
+          assert(inIndex == expected.toSet,
+            s"night $night (mode=$mode): index ${inIndex.size} ids != " +
+              s"expected ${expected.size}")
+        }
+      } finally spark.conf.unset("spark.graft.index.advanceMode")
+    }
+  }
+
   test("IndexGenerations: a reader resolved before an advance keeps " +
     "serving its generation (until prune, the documented boundary)") {
     val root = Files.createTempDirectory("iso").toString
