@@ -1592,9 +1592,13 @@ object TextDedupOps {
     * into generation N+1 (write-new + atomic marker swap — see
     * [[graft.operators.IndexGenerations.advance]]). Night 2's uniques
     * are in night 3's index, which is the contract the read-only d24
-    * query face cannot deliver alone. Returns the verdicts frame (same
-    * schema as d24); caller releases pins via [[graft.Pinned.releaseAll]]
-    * after consuming it. */
+    * query face cannot deliver alone. Crash/replay: a crash BEFORE the
+    * marker leaves the previous generation live (rerun = clean first
+    * attempt); a crash AFTER it is content-idempotent — the rerun's
+    * docs match THEMSELVES in the advanced index, verdict exact,
+    * nothing re-folds (DeltaAdvanceSpec pins both). Returns the
+    * verdicts frame (same schema as d24); caller releases pins via
+    * [[graft.Pinned.releaseAll]] after consuming it. */
   def d24Advance(s: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame = {
     graft.functions.HashSketch.register(s)

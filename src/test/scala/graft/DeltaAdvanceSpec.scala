@@ -195,6 +195,33 @@ class DeltaAdvanceSpec extends SparkSuite {
     assert(state == full ++ Seq(5L -> "e", 6L -> "f"))
   }
 
+  test("advance rerun is content-idempotent: replaying a night after a " +
+    "post-marker crash folds nothing new") {
+    val idx = Files.createTempDirectory("replay").toString
+    TextDedupOps.d24Build(spark, idx,
+      docs((0L to 4L).map(i => i -> freshText(s"r${i}y")): _*))
+    val night = docs(50L -> freshText("ru1y"), 51L -> freshText("ru2y"))
+    TextDedupOps.d24Advance(spark, idx, night)
+    Pinned.releaseAll(spark)
+    def contents = IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id", "content_hash").as[(Long, String)]
+      .collect().sorted.toSeq
+    val after1 = contents
+    // the operator-level crash story: the generation marker is stamped
+    // last, so a crash BEFORE it makes the rerun a clean first attempt;
+    // a crash AFTER it means the rerun's docs now match THEMSELVES in
+    // the index — verdict exact, nothing admitted, contents unchanged
+    val v2 = TextDedupOps.d24Advance(spark, idx, night)
+      .select("doc_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+    Pinned.releaseAll(spark)
+    v2.foreach { case (id, verdict, winner) =>
+      assert(verdict == "exact" && winner == id,
+        s"replayed doc $id not self-exact: $verdict/$winner")
+    }
+    assert(contents == after1, "replay changed the index contents")
+  }
+
   test("nightly-loop invariant: after k advance nights the index holds " +
     "exactly base + every admitted unique, in both advance modes") {
     for (mode <- Seq(None, Some("delta"))) {
