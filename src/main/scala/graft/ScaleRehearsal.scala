@@ -34,6 +34,9 @@ object ScaleRehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same iteration knob as Bench/Verify: SPARK_GRAFT_CONF=k=v,k=v —
+    // e.g. spark.graft.index.advanceMode=delta rehearses the LSM path
+    SparkEntry.applyEnvConf(spark)
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
