@@ -8,14 +8,12 @@ import graft.helium.SparkSuite
   * JVM with the heap pinned to 2g and asserts the p01 build and the d24
   * delta cycle complete over a 50k-doc corpus under that bound — the
   * executable form of "no stage collects corpus-scale state
-  * driver-side". Wall times land in the test report (and
-  * IMPLEMENTATION.md records a reference run). */
+  * driver-side". Runs once per advance mode (rewrite and LSM delta), so
+  * both nightly paths carry the bound. Wall times land in the test
+  * report (and IMPLEMENTATION.md records a reference run). */
 class ScaleRehearsalSpec extends SparkSuite {
 
-  test("10x sf0.1 corpus: p01 + d24 delta complete under a 2g heap " +
-    "(gated: GRAFT_SLOW_SPECS=1)") {
-    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
-      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+  private def rehearse(conf: Option[String]): String = {
     val work = Files.createTempDirectory("rehearsal").toString
     val javaBin = sys.props("java.home") + "/bin/java"
     val addOpens = Seq(
@@ -31,8 +29,10 @@ class ScaleRehearsalSpec extends SparkSuite {
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC") ++
       addOpens ++
       Seq("-cp", sys.props("java.class.path"), "graft.ScaleRehearsal", work)
+    val pb = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+    conf.foreach(pb.environment().put("SPARK_GRAFT_CONF", _))
     val out = new StringBuilder
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val proc = pb.start()
     val reader = new java.io.BufferedReader(
       new java.io.InputStreamReader(proc.getInputStream))
     var line = reader.readLine()
@@ -44,7 +44,10 @@ class ScaleRehearsalSpec extends SparkSuite {
     }
     val rc = proc.waitFor()
     assert(rc == 0, s"rehearsal JVM exited $rc:\n${out.takeRight(4000)}")
-    val j = json.getOrElse(fail(s"no rehearsal JSON:\n${out.takeRight(4000)}"))
+    json.getOrElse(fail(s"no rehearsal JSON:\n${out.takeRight(4000)}"))
+  }
+
+  private def check(j: String): Unit = {
     def field(k: String): Double =
       s""""$k":([0-9.Ee+-]+)""".r.findFirstMatchIn(j)
         .getOrElse(fail(s"missing $k in $j")).group(1).toDouble
@@ -55,5 +58,19 @@ class ScaleRehearsalSpec extends SparkSuite {
     assert(field("d24_rows") > 0, j)
     assert(field("adv_rows") > 0, j)
     info(j)
+  }
+
+  test("10x sf0.1 corpus: p01 + d24 delta complete under a 2g heap " +
+    "(gated: GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    check(rehearse(None))
+  }
+
+  test("same rehearsal through the LSM delta advance " +
+    "(gated: GRAFT_SLOW_SPECS=1)") {
+    assume(sys.env.get("GRAFT_SLOW_SPECS").contains("1"),
+      "slow spec — enable with GRAFT_SLOW_SPECS=1")
+    check(rehearse(Some("spark.graft.index.advanceMode=delta")))
   }
 }
