@@ -75,7 +75,7 @@ object VectorFns {
   /** LSH signature byte: bit j set iff dot(qv, plane_j) > 0. */
   def lshSignature(qv: Column, planes: Array[Array[Int]]): Column =
     planes.zipWithIndex.map { case (plane, j) =>
-      val planeCol = array(plane.map(lit(_)): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit(_)): _*)
       val d = aggregate(zip_with(qv, planeCol, (x, p) => x * p),
         lit(0L), (acc, v) => acc + v)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))

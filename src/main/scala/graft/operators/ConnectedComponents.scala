@@ -121,13 +121,13 @@ object ConnectedComponents {
         sym.join(labels, sym("a") === labels("node"))
           .select(sym("b").as("node"), col("comp"))
       else {
-        val isHot = col("a").isin(hotKeys.map(Long.box): _*)
+        val isHot = col("a").isin(hotKeys.toIndexedSeq.map(Long.box): _*)
         val cold = sym.filter(!isHot)
           .join(labels, col("a") === labels("node"))
           .select(col("b").as("node"), col("comp"))
         val hot = sym.filter(isHot)
           .join(broadcast(labels.filter(
-              col("node").isin(hotKeys.map(Long.box): _*))),
+              col("node").isin(hotKeys.toIndexedSeq.map(Long.box): _*))),
             col("a") === labels("node"))
           .select(col("b").as("node"), col("comp"))
         cold.unionByName(hot)

@@ -1,5 +1,8 @@
 package graft.operators
 
+// parquet-mr's Statistics[_ <: Comparable[_]] is inherently existential
+import scala.language.existentials
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 

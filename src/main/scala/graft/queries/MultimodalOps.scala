@@ -92,7 +92,7 @@ object MultimodalOps {
     val banded = ph.select(col("media_id"), col("phash"),
       explode(array((0 until 5).map(b =>
         struct(lit(b).as("band"),
-          shiftRight(col("phash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
+          shiftright(col("phash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
         .as("bk"))
       .select(col("media_id"), col("phash"), col("bk.band"), col("bk.nib"))
     banded.select(col("media_id").as("a_id"), col("phash").as("a_ph"),
@@ -168,7 +168,7 @@ object MultimodalOps {
     val banded = fh.select(col("media_id"), col("frame_idx"),
       explode(array((0 until 5).map(b =>
         struct(lit(b).as("band"),
-          shiftRight(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
+          shiftright(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
         .as("bk"))
       .select(col("media_id"), col("frame_idx"), col("bk.band"), col("bk.nib"))
     val cand = banded
@@ -405,7 +405,7 @@ object MultimodalOps {
       .select(col("media_id").as(as),
         explode(array((0 until 5).map(b =>
           struct(lit(b).as("band"),
-            shiftRight(col("phash"), b * 12).bitwiseAND(lit(0xFFFL))
+            shiftright(col("phash"), b * 12).bitwiseAND(lit(0xFFFL))
               .as("nib"))): _*)).as("bk"))
       .select(col(as), col("bk.band").as("band"), col("bk.nib").as("nib"))
     val cand = bands(delta, "media_id")

@@ -377,7 +377,7 @@ object TextDedupOps {
     val banded = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
-          shiftRight(col("sh"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
+          shiftright(col("sh"), b * 12).bitwiseAND(lit(0xFFFL)).as("nib"))): _*))
         .as("bk"))
       .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.nib"))
     banded.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
@@ -641,7 +641,7 @@ object TextDedupOps {
       val bfBytes = probe
         .agg(call_function("graft_bloom_agg", col("shingle"),
           lit(nProbeShingles)).as("bf"))
-        .head.getAs[Array[Byte]]("bf")
+        .head().getAs[Array[Byte]]("bf")
       corpusAll.filter(
         call_function("graft_bloom_contains", lit(bfBytes), col("shingle")))
     } else corpusAll).distinct()

@@ -114,7 +114,7 @@ object IncrementalDedup {
             state.update(admitted)
             // must arm strictly past the current watermark or Spark throws
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
@@ -248,7 +248,7 @@ object IncrementalDedup {
               state.getOption.getOrElse(Nil), cosMilliThresh)
             state.update(admitted)
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
@@ -301,7 +301,7 @@ object IncrementalDedup {
     import spark.implicits._
     ph.select(col("media_id"), col("phash"),
         explode(array((0 until 5).map(b =>
-          (lit(b.toLong * 4096L) + shiftRight(col("phash"), b * 12)
+          (lit(b.toLong * 4096L) + shiftright(col("phash"), b * 12)
             .bitwiseAND(lit(0xFFFL))).as("bucket")): _*)).as("bucket"))
       .select(col("bucket"), col("media_id"), col("phash"))
       .as[FpBanded]
@@ -410,7 +410,7 @@ object IncrementalDedup {
     ph.withWatermark("ts", watermarkDelay)
       .select(col("media_id"), col("phash"), col("ts"),
         explode(array((0 until 5).map(b =>
-          (lit(b.toLong * 4096L) + shiftRight(col("phash"), b * 12)
+          (lit(b.toLong * 4096L) + shiftright(col("phash"), b * 12)
             .bitwiseAND(lit(0xFFFL))).as("bucket")): _*)).as("bucket"))
       .select(col("bucket"), col("media_id"), col("phash"), col("ts"))
       .as[TimedFpBanded]
@@ -441,7 +441,7 @@ object IncrementalDedup {
               state.getOption.getOrElse(Nil), maxHamming)
             state.update(admitted)
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
@@ -618,7 +618,7 @@ object IncrementalDedup {
               state.getOption)
             first.foreach(state.update)
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
@@ -655,7 +655,7 @@ object IncrementalDedup {
     fh.select(col("media_id"), col("fhash").as("phash"),
         explode(array((0 until 5).map(b =>
           (col("frame_idx").cast("long") * 20480L + lit(b.toLong * 4096L)
-            + shiftRight(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)))
+            + shiftright(col("fhash"), b * 12).bitwiseAND(lit(0xFFFL)))
             .as("bucket")): _*)).as("bucket"))
       .select(col("bucket"), col("media_id"), col("phash"))
       .as[FpBanded]
@@ -738,7 +738,7 @@ object IncrementalDedup {
               state.getOption.getOrElse(Nil), maxHamming)
             state.update(admitted)
             state.setTimeoutTimestamp(
-              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }
