@@ -195,6 +195,22 @@ class DeltaAdvanceSpec extends SparkSuite {
     assert(state == full ++ Seq(5L -> "e", 6L -> "f"))
   }
 
+  test("an empty crawl night advances cleanly: no verdicts, contents " +
+    "unchanged, generation still bumps (the audit trail of a ran night)") {
+    val idx = Files.createTempDirectory("emptynight").toString
+    TextDedupOps.d24Build(spark, idx,
+      docs((0L to 3L).map(i => i -> freshText(s"e${i}v")): _*))
+    def contents = IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val before = contents
+    val v = TextDedupOps.d24Advance(spark, idx,
+      docs().selectExpr("doc_id", "text", "source"))
+    assert(v.count() == 0L)
+    Pinned.releaseAll(spark)
+    assert(contents == before)
+    assert(IndexGenerations.currentGen(spark, idx).contains(1L))
+  }
+
   test("advance rerun is content-idempotent: replaying a night after a " +
     "post-marker crash folds nothing new") {
     val idx = Files.createTempDirectory("replay").toString
