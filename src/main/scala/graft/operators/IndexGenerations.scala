@@ -156,12 +156,23 @@ object IndexGenerations {
     * `spark.graft.index.advanceMode` (`rewrite` (default) | `delta`) —
     * the one switch the nightly operators (d24Advance / m12Advance)
     * consult, so a deployment flips the whole family to LSM mode with
-    * one conf. */
+    * one conf. In delta mode, `spark.graft.index.maxDeltaChain=N`
+    * bounds the chain: when an advance leaves more than N deltas above
+    * the newest total, a [[compact]] runs in the same night. Compaction
+    * is still additive-only (superseded generations stay until an
+    * explicit [[prune]] — the documented reader boundary), so the
+    * auto-compact never invalidates a frame a reader resolved earlier.
+    * Returns the live generation after any compaction. */
   def advanceByConf(s: SparkSession, root: String,
       additions: DataFrame): Long =
-    if (s.conf.getOption("spark.graft.index.advanceMode").contains("delta"))
-      advanceDelta(s, root, additions)
-    else advance(s, root, additions)
+    if (s.conf.getOption("spark.graft.index.advanceMode").contains("delta")) {
+      val g = advanceDelta(s, root, additions)
+      s.conf.getOption("spark.graft.index.maxDeltaChain").map(_.toInt) match {
+        case Some(max) if activeSet(s, root).size - 1 > max =>
+          compact(s, root)
+        case _ => g
+      }
+    } else advance(s, root, additions)
 
   /** Fold the live total + delta chain into one new TOTAL generation
     * (the LSM level-0 merge). The superseded generations stay on disk

@@ -281,6 +281,34 @@ class DeltaAdvanceSpec extends SparkSuite {
     }
   }
 
+  test("maxDeltaChain bounds the LSM chain with a same-night " +
+    "auto-compact; contents always equal, compaction stays additive") {
+    val root = Files.createTempDirectory("chain").toString
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    spark.conf.set("spark.graft.index.maxDeltaChain", "2")
+    try {
+      IndexGenerations.reset(spark, root, Seq((0L, "z")).toDF("id", "v"))
+      val expected = scala.collection.mutable.ArrayBuffer(0L -> "z")
+      (1 to 5).foreach { n =>
+        IndexGenerations.advanceByConf(spark, root,
+          Seq((n.toLong, s"v$n")).toDF("id", "v"))
+        expected += (n.toLong -> s"v$n")
+        val got = IndexGenerations.readCurrent(spark, root)
+          .orderBy("id").as[(Long, String)].collect().toSeq
+        assert(got == expected.toSeq, s"night $n diverged")
+      }
+      // 5 delta nights with chain cap 2: at least one auto-compact ran,
+      // so the live read unions at most 1 total + 2 deltas
+      val active = IndexGenerations.readCurrent(spark, root)
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+      assert(active.length <= 3,
+        s"chain not bounded: ${active.length} generations in the read")
+    } finally {
+      spark.conf.unset("spark.graft.index.advanceMode")
+      spark.conf.unset("spark.graft.index.maxDeltaChain")
+    }
+  }
+
   test("IndexGenerations: a reader resolved before an advance keeps " +
     "serving its generation (until prune, the documented boundary)") {
     val root = Files.createTempDirectory("iso").toString
