@@ -309,6 +309,37 @@ class DeltaAdvanceSpec extends SparkSuite {
     }
   }
 
+  test("IndexGenerations model property: any interleaving of advance / " +
+    "advanceDelta / compact / prune preserves the live contents") {
+    val rnd = new scala.util.Random(1234)
+    val root = Files.createTempDirectory("model").toString
+    var model = Vector(0L -> "seed")
+    IndexGenerations.reset(spark, root, model.toDF("id", "v"))
+    var nextId = 1L
+    def additions(): Seq[(Long, String)] = {
+      val n = 1 + rnd.nextInt(3)
+      val rows = (0 until n).map { _ =>
+        val id = nextId; nextId += 1; id -> s"v$id"
+      }
+      model ++= rows
+      rows
+    }
+    (1 to 25).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => IndexGenerations
+          .advance(spark, root, additions().toDF("id", "v"))
+        case 1 => IndexGenerations
+          .advanceDelta(spark, root, additions().toDF("id", "v"))
+        case 2 => IndexGenerations.compact(spark, root)
+        case 3 => IndexGenerations.prune(spark, root)
+      }
+      val got = IndexGenerations.readCurrent(spark, root)
+        .orderBy("id").as[(Long, String)].collect().toSeq
+      assert(got == model.sortBy(_._1),
+        s"step $step: store ${got.size} rows != model ${model.size}")
+    }
+  }
+
   test("IndexGenerations: a reader resolved before an advance keeps " +
     "serving its generation (until prune, the documented boundary)") {
     val root = Files.createTempDirectory("iso").toString
