@@ -15,15 +15,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the index is a small multiple of an id column, NOT of the vectors,
   * which is the whole point of PQ. Serving from the store is
   * spec-asserted bit-identical to serving the in-memory build
-  * (AnnRefinementSpec), in both seed and refined centroid modes. */
+  * (AnnRefinementSpec), in both seed and refined centroid modes.
+  *
+  * The four tables commit ATOMICALLY: they land in one
+  * [[IndexGenerations]] multi-table generation whose single marker
+  * stamps after all four parquet writes — a crash between table writes
+  * can never leave a reader with this retrain's centroids next to last
+  * retrain's codes (the classic torn-multi-table hole of a plain
+  * four-directory overwrite). Each retrain/append lands as a new
+  * generation; readers serve the newest committed one, and
+  * [[IndexGenerations.prune]] reclaims the superseded. */
 object AnnIndexStore {
 
   val Tables: Seq[String] = Seq("centroids", "codebook", "lists", "codes")
 
-  def write(index: Map[String, DataFrame], path: String): Unit =
-    Tables.foreach(t =>
-      index(t).write.mode("overwrite").parquet(s"$path/$t"))
+  def write(index: Map[String, DataFrame], path: String): Unit = {
+    val s = index(Tables.head).sparkSession
+    IndexGenerations.writeTables(s, path, Tables.map(t => t -> index(t)).toMap)
+  }
 
   def read(spark: SparkSession, path: String): Map[String, DataFrame] =
-    Tables.map(t => t -> spark.read.parquet(s"$path/$t")).toMap
+    IndexGenerations.readTables(spark, path, Tables)
 }

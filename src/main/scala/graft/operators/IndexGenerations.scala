@@ -184,6 +184,39 @@ object IndexGenerations {
     write(s, root, currentGen(s, root).get + 1, readCurrent(s, root))
   }
 
+  /** Multi-table TOTAL generation — for stores whose state is several
+    * tables that must commit TOGETHER (the ANN index's centroids /
+    * codebook / lists / codes, [[AnnIndexStore]]): every table lands
+    * under one `gen=N/<table>/` tree and ONE marker commits them all,
+    * so a reader can never observe table A from one write and table B
+    * from another (the torn-multi-table-write hole a four-dir
+    * overwrite store has). Total-only by design: each write is a full
+    * index state (replace semantics), so there is no delta/union
+    * variant — quantizer-frozen APPENDS happen at the DataFrame layer
+    * (SimilarityOps.appendToAnnIndex) and re-land here as a new total.
+    * A torn write leaves an unmarked dir the next write overwrites. */
+  def writeTables(s: SparkSession, root: String,
+      tables: Map[String, DataFrame]): Long = {
+    require(tables.nonEmpty, "writeTables needs at least one table")
+    val n = currentGen(s, root).map(_ + 1).getOrElse(0L)
+    val dir = genPath(root, n)
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(new Path(dir, t).toString)
+    }
+    val out = fsOf(s, root).create(new Path(dir, Marker), true)
+    try out.write("".getBytes("UTF-8")) finally out.close()
+    n
+  }
+
+  /** Read `names` from the live multi-table generation. */
+  def readTables(s: SparkSession, root: String,
+      names: Seq[String]): Map[String, DataFrame] = {
+    val n = currentGen(s, root).getOrElse(throw new IllegalStateException(
+      s"no committed index generation under $root — build the index first"))
+    names.map(t =>
+      t -> s.read.parquet(new Path(genPath(root, n), t).toString)).toMap
+  }
+
   /** Delete every generation directory the live read no longer depends
     * on — superseded totals, shadowed deltas, and torn leftovers alike.
     * Run between advances (single writer), never concurrently with

@@ -309,6 +309,32 @@ class DeltaAdvanceSpec extends SparkSuite {
     }
   }
 
+  test("multi-table generations: one marker commits all tables " +
+    "together; a torn second write is invisible and overwritten") {
+    val root = Files.createTempDirectory("mt").toString
+    IndexGenerations.writeTables(spark, root, Map(
+      "a" -> Seq((1L, "x")).toDF("id", "v"),
+      "b" -> Seq((2L, "y")).toDF("id", "v")))
+    // torn retrain: both tables land in gen=1, the marker never does
+    Seq((9L, "bad")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/gen=1/a")
+    Seq((9L, "bad")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/gen=1/b")
+    val served = IndexGenerations.readTables(spark, root, Seq("a", "b"))
+    assert(served("a").as[(Long, String)].collect().toSeq == Seq(1L -> "x"))
+    assert(served("b").as[(Long, String)].collect().toSeq == Seq(2L -> "y"))
+    // the retried retrain overwrites the torn dir and commits
+    IndexGenerations.writeTables(spark, root, Map(
+      "a" -> Seq((3L, "x2")).toDF("id", "v"),
+      "b" -> Seq((4L, "y2")).toDF("id", "v")))
+    val next = IndexGenerations.readTables(spark, root, Seq("a", "b"))
+    assert(next("a").as[(Long, String)].collect().toSeq == Seq(3L -> "x2"))
+    assert(next("b").as[(Long, String)].collect().toSeq == Seq(4L -> "y2"))
+    IndexGenerations.prune(spark, root)
+    assert(IndexGenerations.readTables(spark, root, Seq("a", "b"))("a")
+      .count() == 1L)
+  }
+
   test("IndexGenerations model property: any interleaving of advance / " +
     "advanceDelta / compact / prune preserves the live contents") {
     val rnd = new scala.util.Random(1234)
