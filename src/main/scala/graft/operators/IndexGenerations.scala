@@ -184,6 +184,14 @@ object IndexGenerations {
     write(s, root, currentGen(s, root).get + 1, readCurrent(s, root))
   }
 
+  /** Write `df` as a NEW total generation WITHOUT touching existing
+    * ones — the retrain face: readers keep serving the previous
+    * generation until the marker lands ([[reset]] wipes, so it is only
+    * for building a store from scratch; [[advance]] unions, so it is
+    * only for additive indexes). */
+  def writeTotal(s: SparkSession, root: String, df: DataFrame): Long =
+    write(s, root, currentGen(s, root).map(_ + 1).getOrElse(0L), df)
+
   /** Multi-table TOTAL generation — for stores whose state is several
     * tables that must commit TOGETHER (the ANN index's centroids /
     * codebook / lists / codes, [[AnnIndexStore]]): every table lands

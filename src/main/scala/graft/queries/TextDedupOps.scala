@@ -1708,7 +1708,11 @@ object TextDedupOps {
     val dir = s.conf.getOption("spark.graft.t23.tokenizerDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_t23_tokenizer")
     val words = graft.Pinned.pin(bpeWords(s, d))
-    bpeTrain(words, bpeRoundsConf(s)).write.mode("overwrite").parquet(dir)
+    // retrain discipline: each training run lands as a NEW total
+    // generation (atomic marker swap) — a serving fleet mid-load keeps
+    // its generation; loadMerges resolves the newest committed one
+    graft.operators.IndexGenerations.writeTotal(s, dir,
+      bpeTrain(words, bpeRoundsConf(s)))
     // the artifact is rounds-bounded: the loader's collect is a few KB
     val merges = graft.streaming.StreamTokenizer.loadMerges(s, dir)
     val bc = s.sparkContext.broadcast(merges)

@@ -31,8 +31,14 @@ object StreamTokenizer {
   def loadMerges(spark: SparkSession, dir: String)
       : IndexedSeq[(String, String)] = {
     import spark.implicits._
-    spark.read.parquet(dir)
-      .orderBy("merge_round")
+    // generation-aware: a t23 artifact is a generation store (each
+    // retrain = a new atomically-committed total), while flat parquet
+    // dirs (hand-shipped artifacts) stay readable as before
+    val src =
+      if (graft.operators.IndexGenerations.currentGen(spark, dir).isDefined)
+        graft.operators.IndexGenerations.readCurrent(spark, dir)
+      else spark.read.parquet(dir)
+    src.orderBy("merge_round")
       .select("lhs", "rhs")
       .as[(String, String)].collect().toIndexedSeq
   }

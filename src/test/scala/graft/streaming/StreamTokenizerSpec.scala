@@ -92,5 +92,16 @@ class StreamTokenizerSpec extends SparkSuite {
     // and the frozen table tokenizes identically to the live one
     assert(tokenizeWord("lowest", loaded).toSeq ==
       tokenizeWord("lowest", table).toSeq)
+    // generation-store artifacts (t23's retrain discipline) load the
+    // newest committed total; a second retrain supersedes the first
+    val gdir = java.nio.file.Files.createTempDirectory("tokgen").toString
+    def asDf(ms: Seq[graft.operators.BpeTrainer.Merge]) =
+      ms.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+        .toDF("merge_round", "lhs", "rhs", "pair_count")
+    graft.operators.IndexGenerations.writeTotal(spark, gdir,
+      asDf(merges.take(2)))
+    assert(StreamTokenizer.loadMerges(spark, gdir) == table.take(2))
+    graft.operators.IndexGenerations.writeTotal(spark, gdir, asDf(merges))
+    assert(StreamTokenizer.loadMerges(spark, gdir) == table)
   }
 }
