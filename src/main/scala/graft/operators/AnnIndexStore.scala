@@ -34,6 +34,21 @@ object AnnIndexStore {
     IndexGenerations.writeTables(s, path, Tables.map(t => t -> index(t)).toMap)
   }
 
+  /** Serve the newest committed generation; a store written in the
+    * pre-generation FLAT layout (four sibling table dirs under `path`,
+    * no `gen=N`) stays readable — the [[graft.streaming.StreamTokenizer]]
+    * `loadMerges` fallback, mirrored here so a serve-mode deployment
+    * (`buildIndex=false`, artifact shipped by an older build) survives
+    * the upgrade without a rebuild. The next [[write]] lands as
+    * generation 0 beside the flat dirs and takes over. */
   def read(spark: SparkSession, path: String): Map[String, DataFrame] =
-    IndexGenerations.readTables(spark, path, Tables)
+    if (IndexGenerations.currentGen(spark, path).isEmpty &&
+        flatLayoutExists(spark, path))
+      Tables.map(t => t -> spark.read.parquet(s"$path/$t")).toMap
+    else IndexGenerations.readTables(spark, path, Tables)
+
+  private def flatLayoutExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, Tables.head)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

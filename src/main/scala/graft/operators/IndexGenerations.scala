@@ -45,6 +45,7 @@ object IndexGenerations {
 
   private val Marker = "_COMMITTED"
   private val DeltaTag = "delta"
+  private val GenName = "gen=(\\d{1,18})".r
 
   private def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -53,7 +54,9 @@ object IndexGenerations {
 
   /** Committed generations with their marker tag ("" = total,
     * "delta" = LSM delta), ascending by number. Directories without the
-    * marker are torn writes — ignored. */
+    * marker are torn writes — ignored; so are `gen=` dirs whose suffix
+    * is not a plain number (a stray `gen=tmp` from a manual copy must
+    * not brick every read of the root). */
   private def committedTagged(s: SparkSession, root: String)
       : Seq[(Long, String)] = {
     val fs = fsOf(s, root)
@@ -62,7 +65,7 @@ object IndexGenerations {
     else fs.listStatus(rp).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
-      .collect { case g if g.startsWith("gen=") => g.drop(4).toLong }
+      .collect { case GenName(n) => n.toLong }
       .sorted
       .flatMap { n =>
         val m = new Path(genPath(root, n), Marker)
@@ -76,6 +79,22 @@ object IndexGenerations {
       }
   }
 
+  /** True iff the newest committed generation carries table
+    * SUBDIRECTORIES (the [[writeTables]] layout) rather than a flat
+    * parquet file set — the single-table APIs must refuse such roots
+    * rather than union table trees as if they were row data. */
+  private def isMultiTable(s: SparkSession, root: String): Boolean =
+    currentGen(s, root).exists { n =>
+      fsOf(s, root).listStatus(genPath(root, n)).exists(_.isDirectory)
+    }
+
+  private def requireSingleTable(s: SparkSession, root: String,
+      op: String): Unit =
+    require(!isMultiTable(s, root),
+      s"$op on $root: its generations hold table subdirectories " +
+        s"(the writeTables layout) — use writeTables/readTables, the " +
+        s"single-table advance/read APIs would corrupt reads here")
+
   /** Committed generation numbers under `root`, ascending. */
   def committed(s: SparkSession, root: String): Seq[Long] =
     committedTagged(s, root).map(_._1)
@@ -84,11 +103,13 @@ object IndexGenerations {
   def currentGen(s: SparkSession, root: String): Option[Long] =
     committed(s, root).lastOption
 
-  /** The generations a read must union: the newest TOTAL generation
-    * plus every committed delta above it (older totals and shadowed
-    * deltas are compaction debris — [[prune]] fodder). */
-  private def activeSet(s: SparkSession, root: String): Seq[Long] = {
-    val tagged = committedTagged(s, root)
+  /** The generations a read AS OF generation `upTo` must union: the
+    * newest TOTAL generation at or below `upTo` plus every committed
+    * delta between it and `upTo` (older totals and shadowed deltas are
+    * compaction debris — [[prune]] fodder). */
+  private def asOfSet(s: SparkSession, root: String,
+      upTo: Long): Seq[Long] = {
+    val tagged = committedTagged(s, root).filter(_._1 <= upTo)
     tagged.filter(_._2 != DeltaTag).map(_._1).maxOption match {
       case None => Seq.empty
       case Some(t) =>
@@ -96,36 +117,73 @@ object IndexGenerations {
     }
   }
 
+  private def activeSet(s: SparkSession, root: String): Seq[Long] =
+    asOfSet(s, root, Long.MaxValue)
+
   /** Read the live index: the newest total generation unioned with its
     * committed delta chain. One parquet relation per generation — keep
     * the chain short with [[compact]]. */
-  def readCurrent(s: SparkSession, root: String): DataFrame = {
-    val active = activeSet(s, root)
-    if (active.isEmpty) throw new IllegalStateException(
-      s"no committed index generation under $root — build the index first")
-    active.map(n => s.read.parquet(genPath(root, n).toString))
+  def readCurrent(s: SparkSession, root: String): DataFrame =
+    readSet(s, root, activeSet(s, root), "")
+
+  /** Read the index AS OF generation `gen` — the reproducible-audit
+    * face: after an [[advance]], `readAt(N-1)` serves exactly what
+    * [[readCurrent]] served before it, byte-for-byte, for as long as
+    * the superseded generations survive (i.e. until a [[prune]] that
+    * does not pin them — pin via the `pinned` argument there, or
+    * session-wide via `spark.graft.index.readGen`, which the d24/m12
+    * serve faces and [[prune]] both honor). */
+  def readAt(s: SparkSession, root: String, gen: Long): DataFrame =
+    readSet(s, root, asOfSet(s, root, gen), s" as of gen $gen")
+
+  /** [[readAt]] under `spark.graft.index.readGen` when set (the
+    * serve-mode pin for reproducible audits), else [[readCurrent]]. */
+  def readByConf(s: SparkSession, root: String): DataFrame =
+    s.conf.getOption("spark.graft.index.readGen").map(_.toLong) match {
+      case Some(g) => readAt(s, root, g)
+      case None    => readCurrent(s, root)
+    }
+
+  private def readSet(s: SparkSession, root: String, set: Seq[Long],
+      what: String): DataFrame = {
+    if (set.isEmpty) throw new IllegalStateException(
+      s"no committed index generation under $root$what — build the index first")
+    set.map(n => s.read.parquet(genPath(root, n).toString))
       .reduce(_ unionByName _)
   }
 
+  /** `record`, when present, lands INSIDE the generation directory
+    * before the marker stamp, so it commits atomically with the
+    * generation — the application-level commit evidence the streaming
+    * fold's exactly-once discipline needs ([[records]]). */
   private def write(s: SparkSession, root: String, n: Long,
-      df: DataFrame, tag: String = ""): Long = {
+      df: DataFrame, tag: String = "",
+      record: Option[(String, String)] = None): Long = {
     val dir = genPath(root, n)
     df.write.mode("overwrite").parquet(dir.toString)
+    record.foreach { case (name, value) =>
+      val out = fsOf(s, root).create(new Path(dir, "_" + name), true)
+      try out.write(value.getBytes("UTF-8")) finally out.close()
+    }
     val out = fsOf(s, root).create(new Path(dir, Marker), true)
     try out.write(tag.getBytes("UTF-8")) finally out.close()
     n
   }
 
-  /** (Re)initialize: wipe every existing generation and write `df` as
-    * generation 0 — the build-mode face, idempotent across reruns. */
+  /** (Re)initialize from scratch — the build-mode face, idempotent
+    * across reruns. Write-new-then-clean like every other mutation: the
+    * rebuilt index lands as a NEW total generation (marker last), and
+    * only then are the superseded generations dropped via [[prune]] —
+    * a reader resolving mid-reset always finds a committed generation.
+    * [[prune]]'s boundary applies to the cleanup half: a reader frame
+    * that resolved concrete files of a PRE-reset generation loses them
+    * when the prune lands (pin via `spark.graft.index.readGen` /
+    * [[prune]]'s `pinned` to audit across a reset). On a virgin root
+    * this writes generation 0. */
   def reset(s: SparkSession, root: String, df: DataFrame): Long = {
-    val fs = fsOf(s, root)
-    val rp = new Path(root)
-    if (fs.exists(rp))
-      fs.listStatus(rp)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
-        .foreach(st => fs.delete(st.getPath, true))
-    write(s, root, 0L, df)
+    val n = write(s, root, nextGen(s, root), df)
+    prune(s, root)
+    n
   }
 
   /** Fold `additions` into the next generation: read the live index
@@ -134,22 +192,35 @@ object IndexGenerations {
     * never touched — a reader mid-advance keeps serving them, and a
     * crash before the marker leaves the previous state live. Returns
     * the new generation number. */
-  def advance(s: SparkSession, root: String, additions: DataFrame): Long = {
+  def advance(s: SparkSession, root: String, additions: DataFrame): Long =
+    advanceRecorded(s, root, additions, None)
+
+  private def advanceRecorded(s: SparkSession, root: String,
+      additions: DataFrame, record: Option[(String, String)]): Long = {
     if (committed(s, root).isEmpty) throw new IllegalStateException(
       s"advance needs a committed base generation under $root")
+    requireSingleTable(s, root, "advance")
     val n = currentGen(s, root).get
-    write(s, root, n + 1, readCurrent(s, root).unionByName(additions))
+    write(s, root, n + 1, readCurrent(s, root).unionByName(additions),
+      record = record)
   }
 
   /** LSM advance: write ONLY `additions` as generation N+1, marker
     * tagged delta — nightly I/O proportional to the delta, not the
     * index. Readers union it with the base automatically; run
-    * [[compact]] when the chain grows long. */
+    * [[compact]] when the chain grows long. Refuses a multi-table root
+    * ([[writeTables]] layout): a delta generation there would be
+    * resolved by table readers that expect table subdirs it lacks. */
   def advanceDelta(s: SparkSession, root: String,
-      additions: DataFrame): Long = {
+      additions: DataFrame): Long =
+    advanceDeltaRecorded(s, root, additions, None)
+
+  private def advanceDeltaRecorded(s: SparkSession, root: String,
+      additions: DataFrame, record: Option[(String, String)]): Long = {
     if (activeSet(s, root).isEmpty) throw new IllegalStateException(
       s"advanceDelta needs a committed base generation under $root")
-    write(s, root, currentGen(s, root).get + 1, additions, DeltaTag)
+    requireSingleTable(s, root, "advanceDelta")
+    write(s, root, currentGen(s, root).get + 1, additions, DeltaTag, record)
   }
 
   /** [[advance]] or [[advanceDelta]] per
@@ -165,14 +236,44 @@ object IndexGenerations {
     * Returns the live generation after any compaction. */
   def advanceByConf(s: SparkSession, root: String,
       additions: DataFrame): Long =
+    advanceByConfRecorded(s, root, additions, None)
+
+  /** [[advanceByConf]] with an application-level commit record stamped
+    * inside the generation that CARRIES the additions, before its
+    * marker — so the record commits atomically with the fold (crash
+    * before the marker: neither is visible; after: both are). The
+    * streaming fold keys its exactly-once skip on these
+    * ([[records]]). An auto-compact generation carries no record (it
+    * adds no rows); the recorded delta stays committed-and-readable
+    * until an explicit [[prune]]. */
+  def advanceByConfRecorded(s: SparkSession, root: String,
+      additions: DataFrame, record: Option[(String, String)]): Long =
     if (s.conf.getOption("spark.graft.index.advanceMode").contains("delta")) {
-      val g = advanceDelta(s, root, additions)
+      val g = advanceDeltaRecorded(s, root, additions, record)
       s.conf.getOption("spark.graft.index.maxDeltaChain").map(_.toInt) match {
         case Some(max) if activeSet(s, root).size - 1 > max =>
           compact(s, root)
         case _ => g
       }
-    } else advance(s, root, additions)
+    } else advanceRecorded(s, root, additions, record)
+
+  /** Every committed generation's value for record file `_<name>`,
+    * ascending by generation — the replay-detection read for
+    * [[advanceByConfRecorded]]'s exactly-once discipline. Only
+    * COMMITTED generations count (a record in an unmarked dir is a
+    * torn write's debris, invisible like the data). */
+  def records(s: SparkSession, root: String, name: String): Seq[String] = {
+    val fs = fsOf(s, root)
+    committed(s, root).flatMap { n =>
+      val p = new Path(genPath(root, n), "_" + name)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      }
+    }
+  }
 
   /** Fold the live total + delta chain into one new TOTAL generation
     * (the LSM level-0 merge). The superseded generations stay on disk
@@ -181,8 +282,17 @@ object IndexGenerations {
     val active = activeSet(s, root)
     if (active.isEmpty) throw new IllegalStateException(
       s"compact needs a committed base generation under $root")
+    requireSingleTable(s, root, "compact")
     write(s, root, currentGen(s, root).get + 1, readCurrent(s, root))
   }
+
+  /** The generation number the next committed write will claim —
+    * exposed so a writer can stamp the number INTO its rows (the
+    * tokenizer artifact's provenance column) before handing them to
+    * [[writeTotal]]/[[writeTables]]; sound because the store is
+    * single-writer by contract. */
+  def nextGen(s: SparkSession, root: String): Long =
+    currentGen(s, root).map(_ + 1).getOrElse(0L)
 
   /** Write `df` as a NEW total generation WITHOUT touching existing
     * ones — the retrain face: readers keep serving the previous
@@ -190,7 +300,7 @@ object IndexGenerations {
     * for building a store from scratch; [[advance]] unions, so it is
     * only for additive indexes). */
   def writeTotal(s: SparkSession, root: String, df: DataFrame): Long =
-    write(s, root, currentGen(s, root).map(_ + 1).getOrElse(0L), df)
+    write(s, root, nextGen(s, root), df)
 
   /** Multi-table TOTAL generation — for stores whose state is several
     * tables that must commit TOGETHER (the ANN index's centroids /
@@ -206,7 +316,7 @@ object IndexGenerations {
   def writeTables(s: SparkSession, root: String,
       tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "writeTables needs at least one table")
-    val n = currentGen(s, root).map(_ + 1).getOrElse(0L)
+    val n = nextGen(s, root)
     val dir = genPath(root, n)
     tables.foreach { case (t, df) =>
       df.write.mode("overwrite").parquet(new Path(dir, t).toString)
@@ -216,21 +326,35 @@ object IndexGenerations {
     n
   }
 
-  /** Read `names` from the live multi-table generation. */
+  /** Read `names` from the live multi-table generation. Resolves the
+    * newest TOTAL-tagged committed generation, like [[activeSet]] —
+    * never a delta-tagged one (a delta accidentally written into a
+    * multi-table root lacks the table subdirs entirely; the single-
+    * table APIs refuse such roots, and this read stays correct even if
+    * one slipped in before the refusal existed). */
   def readTables(s: SparkSession, root: String,
       names: Seq[String]): Map[String, DataFrame] = {
-    val n = currentGen(s, root).getOrElse(throw new IllegalStateException(
-      s"no committed index generation under $root — build the index first"))
+    val n = committedTagged(s, root).filter(_._2 != DeltaTag).map(_._1)
+      .maxOption.getOrElse(throw new IllegalStateException(
+        s"no committed index generation under $root — build the index first"))
     names.map(t =>
       t -> s.read.parquet(new Path(genPath(root, n), t).toString)).toMap
   }
 
-  /** Delete every generation directory the live read no longer depends
-    * on — superseded totals, shadowed deltas, and torn leftovers alike.
-    * Run between advances (single writer), never concurrently with
-    * one. */
-  def prune(s: SparkSession, root: String): Unit = {
-    val keep = activeSet(s, root).map(n => s"gen=$n").toSet
+  /** Delete every generation directory no surviving read depends on —
+    * superseded totals, shadowed deltas, and torn leftovers alike. A
+    * read survives pruning when it is the LIVE set, the as-of set of a
+    * generation in `pinned`, or the as-of set of
+    * `spark.graft.index.readGen` when that conf is set (so a session
+    * serving a pinned audit generation never prunes it away
+    * underneath itself). Run between advances (single writer), never
+    * concurrently with one. */
+  def prune(s: SparkSession, root: String,
+      pinned: Seq[Long] = Seq.empty): Unit = {
+    val pins = pinned ++
+      s.conf.getOption("spark.graft.index.readGen").map(_.toLong)
+    val keep = (activeSet(s, root) ++ pins.flatMap(asOfSet(s, root, _)))
+      .map(n => s"gen=$n").toSet
     val fs = fsOf(s, root)
     val rp = new Path(root)
     if (fs.exists(rp))

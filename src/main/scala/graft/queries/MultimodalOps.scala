@@ -363,8 +363,44 @@ object MultimodalOps {
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("media_id"),
         Seq("media_id"))
-    graft.operators.IndexGenerations.advanceByConf(s, indexDir, uniques)
+    graft.operators.IndexGenerations.advanceByConf(s, indexDir,
+      intraUniqueFps(uniques))
     v
+  }
+
+  /** [[graft.queries.TextDedupOps.intraUniqueSigs]]' media twin: dedup
+    * a night's admitted uniques against each other before the index
+    * fold — keep an asset iff no SMALLER-id unique in the same delta
+    * is an exact (kind + checksum) or perceptual (pigeonhole-banded,
+    * hamming ≤ 4) duplicate of it. Verdicts unaffected; this dedups
+    * the WRITE, so a crawl batch of internal re-encodes contributes
+    * one fingerprint. */
+  private[graft] def intraUniqueFps(u: DataFrame): DataFrame = {
+    val exactDrop = u.select(col("media_id"), col("kind"), col("checksum"))
+      .join(u.groupBy(col("kind"), col("checksum"))
+        .agg(min(col("media_id")).as("keep_id")), Seq("kind", "checksum"))
+      .filter(col("media_id") =!= col("keep_id"))
+      .select("media_id")
+    def bands(df: DataFrame, as: String) = df
+      .select(col("media_id").as(as),
+        explode(array((0 until 5).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("phash"), b * 12).bitwiseAND(lit(0xFFFL))
+              .as("nib"))): _*)).as("bk"))
+      .select(col(as), col("bk.band").as("band"), col("bk.nib").as("nib"))
+    val nearDrop = bands(u, "media_id")
+      .join(bands(u, "base_id"), Seq("band", "nib"))
+      .filter(col("base_id") < col("media_id"))
+      .select("media_id", "base_id")
+      .dropDuplicates("media_id", "base_id")
+      .join(u.select(col("media_id"), col("phash").as("d_ph")),
+        Seq("media_id"))
+      .join(u.select(col("media_id").as("base_id"),
+        col("phash").as("b_ph")), Seq("base_id"))
+      .filter(bit_count(col("d_ph").bitwiseXOR(col("b_ph"))) <= 4)
+      .select("media_id").distinct()
+    u.join(exactDrop.unionByName(nearDrop).distinct(),
+      Seq("media_id"), "left_anti")
   }
 
   private def m12(s: SparkSession, d: String): DataFrame = {
@@ -384,7 +420,9 @@ object MultimodalOps {
     if (s.conf.getOption("spark.graft.m12.buildIndex").forall(_.toBoolean))
       graft.operators.IndexGenerations.reset(s, indexDir,
         m12Fingerprints(media.toDF().filter(!isDelta).as[Media.MediaRecord]))
-    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    // serve face honors the reproducible-audit pin (readGen → readAt);
+    // pair with buildIndex=false — a rebuild prunes unpinned history
+    val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
     val delta = graft.Pinned.pin(
       m12Fingerprints(media.toDF().filter(isDelta).as[Media.MediaRecord]))
     mediaDeltaVerdicts(index, delta)

@@ -26,10 +26,12 @@ import graft.functions.TextFns._
   */
 object TextDedupOps {
 
-  private val K = 3            // shingle width (tokens)
-  private val MINHASH_K = 12   // signature length
-  private val BANDS = 4        // 4 bands × 3 rows: catches jaccard ≳ 0.63
-  private val ROWS = MINHASH_K / BANDS
+  // private[graft]: graft.streaming.StoreDedup bands with the SAME
+  // parameters so stream state buckets and d24's band joins agree
+  private[graft] val K = 3          // shingle width (tokens)
+  private[graft] val MINHASH_K = 12 // signature length
+  private[graft] val BANDS = 4      // 4 bands × 3 rows: jaccard ≳ 0.63
+  private[graft] val ROWS = MINHASH_K / BANDS
 
   /** Tokenized view of any (…, text) frame — the one tokenization
     * definition every stage shares, parameterized over the input so the
@@ -1440,6 +1442,13 @@ object TextDedupOps {
     * same winner, two-column state). */
   private[graft] val SubstrK = 8
 
+  /** Default hot-gram isolation threshold for d23 (occurrences at which
+    * a gram routes through the broadcast arm). Conservative: a gram at
+    * 100+ occurrences is boilerplate on any real corpus slice, and a
+    * false positive only moves a gram to the (equally correct)
+    * broadcast arm. */
+  private[graft] val D23HotDefault = 100L
+
   /** The `(doc_id, source, i, gram, pk)` anchor-candidate frame: one row
     * per token position that starts a full k-gram. Recomputed (not
     * persisted) by design — at 100 TB this frame is the corpus ×k and
@@ -1473,16 +1482,19 @@ object TextDedupOps {
     * the hot occurrences take a BROADCAST join against just their
     * winners — never shuffling on the hot key — while cold grams take
     * the ordinary hash join. Result-identical: the two arms partition
-    * the gram space. OFF by default because the detection action is
-    * pure overhead on an unskewed corpus (measured 6× on the bench
-    * fixture) — a deployment that knows its corpus carries stop-grams
-    * sets the threshold; correctness never depends on it. */
+    * the gram space. ON by default at threshold [[D23HotDefault]]:
+    * detection reads the pinned winners table the join needs anyway
+    * (an early design paid a second full gram aggregation — measured
+    * 6× on the unskewed bench — which is why the gate once defaulted
+    * off), so on an unskewed corpus the only cost is the winners pin +
+    * a vocab-sized filter scan, within bench noise. `hotCount=0`
+    * disables; correctness never depends on the setting. */
   private[graft] def d23Report(s: SparkSession, docs: DataFrame): DataFrame = {
     val grams = substrGrams(docs)
     val first0 = grams.groupBy(col("gram"))
       .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("cnt"))
     val joined = s.conf.getOption("spark.graft.d23.hotCount")
-        .map(_.toLong) match {
+        .map(_.toLong).orElse(Some(D23HotDefault)).filter(_ > 0) match {
       case None =>
         grams.join(first0.select(col("gram"), col("first_pk")), Seq("gram"))
       case Some(hotCount) =>
@@ -1596,9 +1608,11 @@ object TextDedupOps {
     * marker leaves the previous generation live (rerun = clean first
     * attempt); a crash AFTER it is content-idempotent — the rerun's
     * docs match THEMSELVES in the advanced index, verdict exact,
-    * nothing re-folds (DeltaAdvanceSpec pins both). Returns the
-    * verdicts frame (same schema as d24); caller releases pins via
-    * [[graft.Pinned.releaseAll]] after consuming it. */
+    * nothing re-folds (DeltaAdvanceSpec pins both). The fold is
+    * intra-night-deduped first ([[intraUniqueSigs]]) — a delta full of
+    * internal copies contributes one signature per distinct content.
+    * Returns the verdicts frame (same schema as d24); caller releases
+    * pins via [[graft.Pinned.releaseAll]] after consuming it. */
   def d24Advance(s: SparkSession, indexDir: String,
       deltaDocs: DataFrame): DataFrame = {
     graft.functions.HashSketch.register(s)
@@ -1608,8 +1622,52 @@ object TextDedupOps {
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("doc_id"),
         Seq("doc_id"))
-    graft.operators.IndexGenerations.advanceByConf(s, indexDir, uniques)
+    graft.operators.IndexGenerations.advanceByConf(s, indexDir,
+      intraUniqueSigs(uniques))
     v
+  }
+
+  /** Dedup a night's admitted uniques AGAINST EACH OTHER before they
+    * fold into the index: a crawl batch with many internal copies must
+    * contribute ONE signature per distinct content, or the index
+    * accumulates duplicate rows forever and under-reports dups (every
+    * later copy "matches" a doc that was itself a copy). Rule — keep a
+    * doc iff no SMALLER-id doc in the same delta is an exact
+    * (content-hash) or near (band-candidate, est ≥ 500‰) duplicate of
+    * it: the min-id winner discipline of d02/d03, non-transitive like
+    * [[deltaVerdicts]]' near arm, and never able to drop all copies
+    * (the min id has no smaller comparand). Verdicts are NOT affected —
+    * the returned frame still judges every delta doc against the index
+    * only (intra-delta verdicts stay d02/d03's job); this dedups the
+    * WRITE. Same shapes as [[deltaVerdicts]]: hash-group for exact,
+    * id-only band self-join for near. */
+  private[graft] def intraUniqueSigs(u: DataFrame): DataFrame = {
+    val exactDrop = u.select(col("doc_id"), col("content_hash"))
+      .join(u.groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keep_id")), Seq("content_hash"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    def bands(df: DataFrame, as: String) = df
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id").as(as),
+        explode(array((0 until BANDS).map(b =>
+          bandKey(col("sig"), b, ROWS)): _*)).as("band_key"))
+    val nearDrop = bands(u, "doc_id")
+      .join(bands(u, "base_id"), Seq("band_key"))
+      .filter(col("base_id") < col("doc_id"))
+      .select("doc_id", "base_id")
+      .dropDuplicates("doc_id", "base_id")
+      .join(u.select(col("doc_id"), col("sig").as("d_sig")), Seq("doc_id"))
+      .join(u.select(col("doc_id").as("base_id"), col("sig").as("b_sig")),
+        Seq("base_id"))
+      .withColumn("est_pm", expr(
+        s"""(1000L * size(filter(zip_with(d_sig, b_sig, (x, y) -> x = y),
+           |  v -> v))) DIV $MINHASH_K"""
+          .stripMargin.replaceAll("\n", " ")))
+      .filter(col("est_pm") >= 500)
+      .select("doc_id").distinct()
+    u.join(exactDrop.unionByName(nearDrop).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   private def d24(s: SparkSession, d: String): DataFrame = {
@@ -1630,7 +1688,10 @@ object TextDedupOps {
     if (s.conf.getOption("spark.graft.d24.buildIndex").forall(_.toBoolean))
       graft.operators.IndexGenerations.reset(s, indexDir,
         d24Sig(docs.filter(!isDelta)))
-    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    // serve face honors the reproducible-audit pin
+    // (spark.graft.index.readGen → readAt) — pair it with
+    // buildIndex=false, since a rebuild would prune unpinned history
+    val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
     val delta = graft.Pinned.pin(d24Sig(docs.filter(isDelta)))
     deltaVerdicts(index, delta)
   }
