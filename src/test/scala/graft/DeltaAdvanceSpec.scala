@@ -366,6 +366,208 @@ class DeltaAdvanceSpec extends SparkSuite {
     }
   }
 
+  test("intra-night duplicates fold ONCE: a delta full of internal " +
+    "copies contributes one signature per distinct content, and later " +
+    "nights resolve against the min-id survivor") {
+    val idx = Files.createTempDirectory("intranight").toString
+    TextDedupOps.d24Build(spark, idx,
+      docs((0L to 3L).map(i => i -> freshText(s"in${i}p")): _*))
+    val u1 = freshText("iw1p")
+    val u1near = u1.split(" ").updated(9, "EDITED").mkString(" ")
+    // night: three internal copies of one new content (10 exact-dups 12,
+    // 11 is a 1-token edit of both) — ALL judged unique vs the index
+    // (intra-delta verdicts stay d02/d03's job), but only min-id 10
+    // may fold
+    val v = TextDedupOps.d24Advance(spark, idx,
+        docs(10L -> u1, 11L -> u1near, 12L -> u1))
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    Pinned.releaseAll(spark)
+    assert(v == Map(10L -> "unique", 11L -> "unique", 12L -> "unique"), v)
+    val folded = IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(folded == Set(0L, 1L, 2L, 3L, 10L),
+      s"intra-night dups leaked into the index: $folded")
+    // next night: copies of the kept AND the dropped variants both
+    // resolve against the one surviving signature
+    val v2 = TextDedupOps.d24Advance(spark, idx,
+        docs(20L -> u1, 21L -> u1near))
+      .select("doc_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v2(20L) == (("exact", 10L)), v2(20L))
+    assert(v2(21L) == (("near", 10L)), v2(21L))
+  }
+
+  test("m12 intra-night duplicates: a delta with an internal payload " +
+    "copy folds one fingerprint, and a later re-upload hits the min-id " +
+    "survivor") {
+    val idx = Files.createTempDirectory("m12intra").toString
+    def media(rows: (Long, String)*) =
+      Media.mediaFromDocuments(docs(rows: _*))
+    MultimodalOps.m12Build(spark, idx,
+      media((0L to 5L).map(i => i -> freshText(s"mi${i}w")): _*))
+    // ids congruent mod 3 share the media kind, so 100 and 103 carry the
+    // SAME payload under the same kind — an intra-night exact pair
+    val t = freshText("miu1w")
+    val v = MultimodalOps.m12Advance(spark, idx,
+        media(100L -> t, 103L -> t))
+      .select("media_id", "verdict").as[(Long, String)].collect().toMap
+    Pinned.releaseAll(spark)
+    assert(v == Map(100L -> "unique", 103L -> "unique"), v)
+    val folded = IndexGenerations.readCurrent(spark, idx)
+      .select("media_id").as[Long].collect().toSet
+    assert(folded == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L),
+      s"m12 intra-night dup leaked into the index: $folded")
+    val v2 = MultimodalOps.m12Advance(spark, idx, media(106L -> t))
+      .select("media_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v2(106L) == (("exact", 100L)), v2(106L))
+  }
+
+  test("readAt serves the as-of set: after an advance, readAt(N-1) " +
+    "reproduces the prior night byte-for-byte; prune honors pins") {
+    val root = Files.createTempDirectory("readat").toString
+    IndexGenerations.reset(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val night1 = IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val night1Files = IndexGenerations.readCurrent(spark, root)
+      .inputFiles.sorted.toSeq
+    IndexGenerations.advance(spark, root, Seq((3L, "c")).toDF("id", "v"))
+    // the audit read: same rows, same concrete FILES as the live read
+    // served before the advance
+    val asOf = IndexGenerations.readAt(spark, root, 0L)
+    assert(asOf.orderBy("id").as[(Long, String)].collect().toSeq == night1)
+    assert(asOf.inputFiles.sorted.toSeq == night1Files,
+      "readAt resolved different files than the pre-advance live read")
+    // readByConf: unset → live; pinned via conf → the as-of read
+    assert(IndexGenerations.readByConf(spark, root).count() == 3L)
+    spark.conf.set("spark.graft.index.readGen", "0")
+    try {
+      assert(IndexGenerations.readByConf(spark, root).count() == 2L)
+      // prune with the conf pin set must keep gen 0 alive
+      IndexGenerations.prune(spark, root)
+      assert(IndexGenerations.readAt(spark, root, 0L)
+        .orderBy("id").as[(Long, String)].collect().toSeq == night1)
+    } finally spark.conf.unset("spark.graft.index.readGen")
+    // explicit pin argument, conf unset: same protection
+    IndexGenerations.prune(spark, root, pinned = Seq(0L))
+    assert(IndexGenerations.readAt(spark, root, 0L)
+      .orderBy("id").as[(Long, String)].collect().toSeq == night1)
+    // unpinned prune drops the superseded generation; the as-of read
+    // then fails loudly (the documented boundary), the live one serves
+    IndexGenerations.prune(spark, root)
+    intercept[IllegalStateException] {
+      IndexGenerations.readAt(spark, root, 0L)
+    }
+    assert(IndexGenerations.readCurrent(spark, root).count() == 3L)
+  }
+
+  test("a stray non-numeric gen= directory neither bricks reads nor " +
+    "survives a prune") {
+    val root = Files.createTempDirectory("stray").toString
+    IndexGenerations.reset(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    // a manual copy beside the store — must be ignored by every read
+    Seq((9L, "junk")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$root/gen=tmp")
+    assert(IndexGenerations.currentGen(spark, root).contains(0L))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq == Seq(1L -> "a"))
+    IndexGenerations.advance(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    assert(IndexGenerations.readCurrent(spark, root).count() == 2L)
+    IndexGenerations.prune(spark, root)
+    import scala.jdk.CollectionConverters._
+    val left = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
+    assert(left == Set("gen=1"), s"stray dir survived the prune: $left")
+  }
+
+  test("reset is write-new-then-clean: on a live store it lands as a " +
+    "NEW committed generation before the old ones are dropped") {
+    val root = Files.createTempDirectory("resetlive").toString
+    IndexGenerations.reset(spark, root, Seq((1L, "a")).toDF("id", "v"))
+    IndexGenerations.advance(spark, root, Seq((2L, "b")).toDF("id", "v"))
+    // a rebuild from scratch: generation numbering CONTINUES (never
+    // reuses a number a reader may have resolved), contents replaced
+    val g = IndexGenerations.reset(spark, root,
+      Seq((7L, "rebuilt")).toDF("id", "v"))
+    assert(g == 2L, s"reset reused a generation number: $g")
+    assert(IndexGenerations.currentGen(spark, root).contains(2L))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq(7L -> "rebuilt"))
+    import scala.jdk.CollectionConverters._
+    val left = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("gen=")).toSet
+    assert(left == Set("gen=2"), s"reset left superseded generations: $left")
+  }
+
+  test("multi-table model property: interleaved writeTables / prune " +
+    "serve the newest total; single-table advances REFUSE the root " +
+    "and leave it untouched") {
+    val rnd = new scala.util.Random(4321)
+    val root = Files.createTempDirectory("mtmodel").toString
+    var model: (Seq[(Long, String)], Seq[(Long, String)]) =
+      (Seq(1L -> "a0"), Seq(2L -> "b0"))
+    IndexGenerations.writeTables(spark, root, Map(
+      "a" -> model._1.toDF("id", "v"), "b" -> model._2.toDF("id", "v")))
+    var nextId = 10L
+    (1 to 25).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 => // retrain: a fresh total for both tables
+          val a = Seq(nextId -> s"a$step"); nextId += 1
+          val b = Seq(nextId -> s"b$step"); nextId += 1
+          model = (a, b)
+          IndexGenerations.writeTables(spark, root, Map(
+            "a" -> a.toDF("id", "v"), "b" -> b.toDF("id", "v")))
+        case 1 => IndexGenerations.prune(spark, root)
+        case 2 => // the API-mixing hazard: must throw, not write
+          intercept[IllegalArgumentException] {
+            IndexGenerations.advanceDelta(spark, root,
+              Seq((999L, "x")).toDF("id", "v"))
+          }
+        case 3 =>
+          intercept[IllegalArgumentException] {
+            IndexGenerations.advance(spark, root,
+              Seq((999L, "x")).toDF("id", "v"))
+          }
+      }
+      val served = IndexGenerations.readTables(spark, root, Seq("a", "b"))
+      assert(served("a").as[(Long, String)].collect().toSeq == model._1,
+        s"step $step: table a diverged")
+      assert(served("b").as[(Long, String)].collect().toSeq == model._2,
+        s"step $step: table b diverged")
+    }
+  }
+
+  test("AnnIndexStore: a pre-generation FLAT store stays readable, and " +
+    "the first generation write takes over") {
+    val root = Files.createTempDirectory("annflat").toString
+    val flat = graft.operators.AnnIndexStore.Tables.zipWithIndex.map {
+      case (t, i) => t -> Seq((i.toLong, s"flat_$t")).toDF("id", "v")
+    }.toMap
+    // an older build shipped four sibling dirs, no gen=N
+    flat.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$t") }
+    val served = graft.operators.AnnIndexStore.read(spark, root)
+    graft.operators.AnnIndexStore.Tables.foreach { t =>
+      assert(served(t).as[(Long, String)].collect().toSeq ==
+        flat(t).as[(Long, String)].collect().toSeq, s"flat table $t")
+    }
+    // the upgrade path: the next write lands as generation 0 and wins
+    val gen = graft.operators.AnnIndexStore.Tables.map(t =>
+      t -> Seq((100L, s"gen_$t")).toDF("id", "v")).toMap
+    graft.operators.AnnIndexStore.write(gen, root)
+    val now = graft.operators.AnnIndexStore.read(spark, root)
+    graft.operators.AnnIndexStore.Tables.foreach { t =>
+      assert(now(t).as[(Long, String)].collect().toSeq ==
+        Seq(100L -> s"gen_$t"), s"generation table $t")
+    }
+  }
+
   test("IndexGenerations: a reader resolved before an advance keeps " +
     "serving its generation (until prune, the documented boundary)") {
     val root = Files.createTempDirectory("iso").toString
