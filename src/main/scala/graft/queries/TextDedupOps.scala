@@ -1582,14 +1582,20 @@ object TextDedupOps {
     * |base text|. */
   /** d24's index row for any (doc_id, source, text) frame: content md5 +
     * MinHash signature — ~40 B/doc, the text never leaves this select. */
-  private[graft] def d24Sig(df: DataFrame): DataFrame = df
+  private[graft] def d24Sig(df: DataFrame): DataFrame =
+    d24SigCols(df)
+      .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
+
+  /** [[d24Sig]]'s computation with the input's other columns still
+    * attached — the streaming bridge selects its event-time column
+    * through. */
+  private[graft] def d24SigCols(df: DataFrame): DataFrame = df
     .withColumn("content_hash", md5(col("text")))
     .withColumn("th", tokenHashSeq(col("text")))
     .withColumn("hs",
       array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
     .withColumn("sig", when(size(col("hs")) > 0,
       graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K)))
-    .select(col("doc_id"), col("source"), col("content_hash"), col("sig"))
 
   /** Build (or rebuild from scratch) the d24 signature index from a base
     * corpus — generation 0 of the

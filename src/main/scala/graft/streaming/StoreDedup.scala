@@ -1,0 +1,311 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, KeyValueGroupedDataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+import graft.functions.{MinHashAgg, TextFns}
+import graft.operators.IndexGenerations
+import graft.queries.TextDedupOps
+
+/** Store-backed streaming dedup — the junction between the always-on
+  * ingest stream ([[IncrementalDedup]]) and the nightly batch loop
+  * (`TextDedupOps.d24Advance` over the
+  * [[graft.operators.IndexGenerations]] generation store). Without it
+  * the two worlds contradict each other's admission decisions: the
+  * stream admits against TTL-bounded in-memory state, the nightly
+  * delta admits against the index, and neither sees the other's
+  * uniques. Here the store is the shared ledger:
+  *
+  *  1. BOOTSTRAP — a newly-deployed stream (fresh checkpoint) seeds
+  *     its band-bucket state from `IndexGenerations.readCurrent`, so a
+  *     copy of anything the nightly loop ever indexed is flagged from
+  *     the first micro-batch. (A RESTART with an existing checkpoint
+  *     keeps its checkpointed state — Spark applies the initial state
+  *     only on first start — which is exactly right: the checkpoint is
+  *     newer than the bootstrap.)
+  *  2. FOLD — each micro-batch's doc-level admitted uniques advance
+  *     the store inside the same `foreachBatch` unit, under the
+  *     ExactlyOnceSink discipline: the batch's commit record lands
+  *     INSIDE the new generation directory before its marker
+  *     ([[graft.operators.IndexGenerations.advanceByConfRecorded]]),
+  *     so a crash anywhere leaves either no trace (replay refolds
+  *     cleanly) or a committed record (replay SKIPS — exactly once).
+  *     The next nightly `d24Advance` then judges a copy of any
+  *     stream-admitted doc `exact` — the contract StoreDedupSpec pins.
+  *
+  * Signature math, banding parameters, and the exact/near thresholds
+  * are `TextDedupOps.d24Sig` / d24's band constants — one definition,
+  * so stream state buckets and the nightly band joins agree by
+  * construction.
+  *
+  * Scale: state per bucket is the admitted (id, hash, signature)
+  * entries — ~40 B/doc like the index itself, never text; the TTL
+  * face bounds it to one event-time horizon exactly as
+  * [[IncrementalDedup.detectWithTtl]]. The per-batch fold writes
+  * |batch uniques| rows (LSM delta mode) or |index| (rewrite mode —
+  * prefer `spark.graft.index.advanceMode=delta` with a `maxDeltaChain`
+  * for stream cadence, and let the nightly compact fold the chain).
+  * A TTL-evicted doc re-arriving is re-admitted by the STATE (the
+  * documented TTL trade) and re-folds as a duplicate index row —
+  * verdict-idempotent (the exact arm's `min(base_id)` ignores the
+  * extra row); set `spark.graft.stream.indexCheck=true` to spend one
+  * index anti-join per batch suppressing even those rows. */
+object StoreDedup {
+
+  case class IngestDoc(doc_id: Long, source: String, text: String)
+  case class TimedIngestDoc(doc_id: Long, source: String, text: String,
+      ts: java.sql.Timestamp)
+  case class Entry(doc_id: Long, content_hash: String, sig: Seq[Long])
+  case class BandedDoc(bucket: String, doc_id: Long, source: String,
+      content_hash: String, sig: Seq[Long])
+  case class TimedBandedDoc(bucket: String, doc_id: Long, source: String,
+      content_hash: String, sig: Seq[Long], ts: java.sql.Timestamp)
+
+  /** Per-bucket admission outcome; a doc emits one row per bucket it
+    * lands in ([[IncrementalDedup]]'s per-bucket Verdict contract).
+    * Doc-level uniqueness = no non-`unique` row for the doc_id — the
+    * rule [[foldBatch]] applies. */
+  case class Admission(doc_id: Long, source: String, content_hash: String,
+      sig: Seq[Long], bucket: String, verdict: String, winner: Long)
+
+  private[streaming] val RecordName = "stream_batch"
+
+  /** d24's signature + banding over an ingest frame: one row per (LSH
+    * band, doc) for signature-bearing docs, plus one EXACT-arm row per
+    * doc bucketed on the content hash itself (prefix `h:` — disjoint
+    * from band keys), so byte-identical docs collide even when too
+    * short to shingle (d24's exact arm needs no signature). */
+  def bandDocs(docs: Dataset[IngestDoc]): Dataset[BandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandSigs(sigsOf(docs.toDF())).as[BandedDoc]
+  }
+
+  /** [[bandDocs]] with the event timestamp carried through and a
+    * watermark armed, feeding [[admitAllWithTtl]]. */
+  def bandDocsTimed(docs: Dataset[TimedIngestDoc],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedBandedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.HashSketch.register(spark)
+    bandSigs(TextDedupOps
+        .d24SigCols(docs.toDF().withWatermark("ts", watermarkDelay))
+        .select("doc_id", "source", "content_hash", "sig", "ts"),
+      Seq("ts"))
+      .as[TimedBandedDoc]
+  }
+
+  private def sigsOf(docs: DataFrame): DataFrame = {
+    graft.functions.HashSketch.register(docs.sparkSession)
+    TextDedupOps.d24Sig(docs)
+  }
+
+  private def bandSigs(sigs: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val cols = Seq("doc_id", "source", "content_hash", "sig") ++ extra
+    val lsh = sigs.filter(col("sig").isNotNull)
+      .select(explode(array((0 until TextDedupOps.BANDS).map(b =>
+        TextFns.bandKey(col("sig"), b, TextDedupOps.ROWS)): _*)).as("bucket")
+        +: cols.map(col): _*)
+    val hashArm = sigs
+      .select(concat(lit("h:"), col("content_hash")).as("bucket")
+        +: cols.map(col): _*)
+    lsh.unionByName(hashArm)
+  }
+
+  /** Band the LIVE index into the initial state a first-start stream
+    * bootstraps from — one `List[Entry]` per bucket, the same shape
+    * the detector maintains. */
+  def initialStateFrom(spark: SparkSession, indexDir: String)
+      : KeyValueGroupedDataset[String, List[Entry]] = {
+    import spark.implicits._
+    val banded = bandSigs(IndexGenerations.readCurrent(spark, indexDir))
+    banded
+      .groupBy(col("bucket"))
+      .agg(collect_list(
+        struct(col("doc_id"), col("content_hash"), col("sig"))).as("entries"))
+      .select(col("bucket").as("_1"), col("entries").as("_2"))
+      .as[(String, List[Entry])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+  }
+
+  /** One micro-batch of admissions against a bucket's entries — the one
+    * decision body the timed and untimed detectors share. Exact first
+    * (content hash), then near (signature agreement ≥ 500‰, d24's
+    * threshold); winners are the min-id match, d24's discipline. */
+  private def step(rows: Seq[BandedDoc], admitted0: List[Entry])
+      : (List[Entry], List[Admission]) = {
+    var admitted = admitted0
+    val out = scala.collection.mutable.ListBuffer.empty[Admission]
+    rows.sortBy(_.doc_id).foreach { r =>
+      def emit(verdict: String, winner: Long): Unit =
+        out += Admission(r.doc_id, r.source, r.content_hash, r.sig,
+          r.bucket, verdict, winner)
+      val exact = admitted.iterator
+        .filter(_.content_hash == r.content_hash).map(_.doc_id)
+        .minOption
+      lazy val near = admitted.iterator
+        .filter(e => r.sig != null && e.sig != null && e.sig.nonEmpty &&
+          MinHashAgg.estimateJaccardPm(e.sig, r.sig) >= 500)
+        .map(_.doc_id).minOption
+      exact match {
+        case Some(w) => emit("exact", w)
+        case None => near match {
+          case Some(w) => emit("near", w)
+          case None =>
+            admitted = Entry(r.doc_id, r.content_hash, r.sig) :: admitted
+            emit("unique", -1L)
+        }
+      }
+    }
+    (admitted, out.toList)
+  }
+
+  /** The store-bootstrapped detector: every doc emits its per-bucket
+    * admissions (uniques too — [[foldBatch]] needs them), against state
+    * seeded from `initial` on first start. State lives forever; use
+    * [[admitAllWithTtl]] on an unbounded stream. */
+  def admitAll(banded: Dataset[BandedDoc],
+      initial: KeyValueGroupedDataset[String, List[Entry]])
+      : Dataset[Admission] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Entry], Admission](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout(), initial) {
+        (_: String, rows: Iterator[BandedDoc],
+         state: GroupState[List[Entry]]) =>
+          val (admitted, out) = step(rows.toSeq,
+            state.getOption.getOrElse(Nil))
+          state.update(admitted)
+          out.iterator
+      }
+  }
+
+  /** [[admitAll]] with [[IncrementalDedup.detectWithTtl]]'s
+    * bounded-state contract: a bucket idle past `ttlMs` of event time
+    * drops its entries. The store is what makes the TTL trade safe
+    * here: eviction forgets IN-STREAM state only — a restart
+    * re-bootstraps from the index, which never forgets a folded
+    * unique (StoreDedupSpec's restart case). */
+  def admitAllWithTtl(banded: Dataset[TimedBandedDoc], ttlMs: Long,
+      initial: KeyValueGroupedDataset[String, List[Entry]])
+      : Dataset[Admission] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Entry], Admission](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(), initial) {
+        (_: String, rows: Iterator[TimedBandedDoc],
+         state: GroupState[List[Entry]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!rows.hasNext) {
+            // first-batch visit of a bootstrap-only bucket (Spark calls
+            // the function for every initial-state key): no admissions
+            // to judge — just arm the TTL so an idle bootstrap bucket
+            // evicts like any other
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + ttlMs + 1)
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (admitted, out) = step(
+              rs.map(r => BandedDoc(r.bucket, r.doc_id, r.source,
+                r.content_hash, r.sig)),
+              state.getOption.getOrElse(Nil))
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
+  /** Fold one micro-batch's doc-level uniques into the store — the
+    * `foreachBatch` body. Exactly-once: the batch's
+    * `(streamId, batchId)` record commits atomically with the
+    * generation (inside the gen dir, before the marker), and a replayed
+    * batch whose record is already committed is skipped. Returns true
+    * iff this call advanced the store.
+    *
+    * `streamId` scopes the records: a fresh deployment (new checkpoint
+    * → new streamId) must not be fooled by another stream's batch
+    * numbers. The caller-facing [[ingest]] derives it from the
+    * checkpoint dir — the id that is stable exactly as long as the
+    * batch numbering is.
+    *
+    * The fold is intra-batch-deduped (`TextDedupOps.intraUniqueSigs` —
+    * the same rule the nightly advance applies), and with
+    * `spark.graft.stream.indexCheck=true` also anti-joined against the
+    * live index's content hashes, suppressing the re-fold of a
+    * TTL-evicted re-arrival at the cost of an index scan per batch. */
+  def foldBatch(s: SparkSession, indexDir: String, admissions: DataFrame,
+      streamId: String, batchId: Long): Boolean = {
+    val prefix = streamId + ":"
+    val done = IndexGenerations.records(s, indexDir, RecordName)
+      .collect { case r if r.startsWith(prefix) =>
+        r.stripPrefix(prefix).toLong }
+    if (done.nonEmpty && done.max >= batchId) false
+    else {
+      val dupIds = admissions.filter(col("verdict") =!= "unique")
+        .select("doc_id").distinct()
+      val uniques0 = admissions
+        .dropDuplicates("doc_id")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .select("doc_id", "source", "content_hash", "sig")
+      val uniques =
+        if (s.conf.getOption("spark.graft.stream.indexCheck")
+            .exists(_.toBoolean))
+          uniques0.join(IndexGenerations.readCurrent(s, indexDir)
+            .select("content_hash"), Seq("content_hash"), "left_anti")
+            .select("doc_id", "source", "content_hash", "sig")
+        else uniques0
+      IndexGenerations.advanceByConfRecorded(s, indexDir,
+        TextDedupOps.intraUniqueSigs(uniques),
+        Some(RecordName -> (prefix + batchId)))
+      true
+    }
+  }
+
+  /** Assemble and start the full store-backed ingest: band → bootstrap
+    * state from the index → admit → fold each batch's uniques back.
+    * `ttlMs = 0` keeps state forever; positive arms the event-time TTL
+    * (requires `TimedIngestDoc`s via [[ingestTimed]]). The index must
+    * have a committed base generation (build it with
+    * `TextDedupOps.d24Build` first) — an advance on a virgin store
+    * throws by design. */
+  def ingest(docs: Dataset[IngestDoc], indexDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val spark = docs.sparkSession
+    startFold(admitAll(bandDocs(docs),
+      initialStateFrom(spark, indexDir)), indexDir, checkpointDir)
+  }
+
+  /** [[ingest]] with the event-time TTL state bound. */
+  def ingestTimed(docs: Dataset[TimedIngestDoc], indexDir: String,
+      checkpointDir: String, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
+    val spark = docs.sparkSession
+    startFold(admitAllWithTtl(bandDocsTimed(docs, watermarkDelay), ttlMs,
+      initialStateFrom(spark, indexDir)), indexDir, checkpointDir)
+  }
+
+  private def startFold(admissions: Dataset[Admission], indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    admissions.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Admission], batchId: Long) =>
+        foldBatch(batch.sparkSession, indexDir, batch.toDF(),
+          checkpointDir, batchId)
+        ()
+      }
+      .start()
+}

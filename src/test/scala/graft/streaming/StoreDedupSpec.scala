@@ -1,0 +1,184 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.Pinned
+import graft.helium.SparkSuite
+import graft.operators.IndexGenerations
+import graft.queries.TextDedupOps
+import StoreDedup._
+
+/** The stream↔store junction contract: the always-on ingest and the
+  * nightly d24 loop share one admission ledger. Uses the
+  * DedupInvariantSpec fixture discipline (distinct token families, so
+  * the only matches are the planted ones). */
+class StoreDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshText(p: String): String =
+    (0 until 40).map(i => s"$p$i").mkString(" ")
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def indexIds(idx: String): Set[Long] =
+    IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("stream-admitted uniques reach the index, and the next nightly " +
+    "d24Advance judges their copies exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sd_idx").toString
+    val ckpt = Files.createTempDirectory("sd_ckpt").toString
+    TextDedupOps.d24Build(spark, idx,
+      docsDf((0L to 4L).map(i => i -> freshText(s"sb${i}w")): _*))
+
+    val input = MemoryStream[IngestDoc]
+    val q = ingest(input.toDS(), idx, ckpt)
+    try {
+      // batch 1: a copy of indexed doc 2 (bootstrap catch — fresh
+      // checkpoint, state seeded from the store) + two fresh docs
+      val u1 = freshText("su1w")
+      input.addData(IngestDoc(100L, "s", freshText("sb2w")),
+        IngestDoc(101L, "s", u1), IngestDoc(102L, "s", freshText("su2w")))
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 1L, 2L, 3L, 4L, 101L, 102L),
+        "batch-1 uniques (and only them) should have folded")
+
+      // batch 2: a copy of the batch-1 STREAM unique — caught by state,
+      // folds nothing new
+      input.addData(IngestDoc(200L, "s", u1))
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 1L, 2L, 3L, 4L, 101L, 102L),
+        "a within-stream dup must not fold")
+    } finally q.stop()
+
+    // the junction contract: tonight's batch loop judges a copy of the
+    // stream-admitted doc EXACT against the advanced store
+    val v = TextDedupOps.d24Advance(spark, idx,
+        docsDf(300L -> freshText("su1w"), 301L -> freshText("su3w")))
+      .select("doc_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v(300L) == (("exact", 101L)),
+      s"nightly advance missed the stream-admitted unique: ${v(300L)}")
+    assert(v(301L) == (("unique", -1L)))
+  }
+
+  test("a redeployed stream (fresh checkpoint) re-catches a doc the " +
+    "previous deployment admitted, via the store bootstrap") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sd2_idx").toString
+    TextDedupOps.d24Build(spark, idx,
+      docsDf((0L to 2L).map(i => i -> freshText(s"rb${i}q")): _*))
+    val uX = freshText("ruXq")
+
+    val in1 = MemoryStream[IngestDoc]
+    val q1 = ingest(in1.toDS(), idx,
+      Files.createTempDirectory("sd2_c1").toString)
+    try {
+      in1.addData(IngestDoc(10L, "s", uX))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(indexIds(idx) == Set(0L, 1L, 2L, 10L))
+
+    // deployment 2: brand-new checkpoint — in-stream state starts
+    // empty, but the bootstrap reads the advanced store, so the copy
+    // (and a near edit of it) are flagged, and nothing re-folds
+    val in2 = MemoryStream[IngestDoc]
+    val q2 = ingest(in2.toDS(), idx,
+      Files.createTempDirectory("sd2_c2").toString)
+    try {
+      in2.addData(IngestDoc(20L, "s", uX),
+        IngestDoc(21L, "s",
+          uX.split(" ").updated(9, "EDITED").mkString(" ")))
+      q2.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 1L, 2L, 10L),
+        "the redeployed stream re-folded an already-indexed doc")
+    } finally q2.stop()
+  }
+
+  test("TTL eviction forgets in-stream state only: with indexCheck on, " +
+    "a post-horizon re-arrival folds no duplicate index row") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sd3_idx").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("tb0j")))
+    spark.conf.set("spark.graft.stream.indexCheck", "true")
+    val in = MemoryStream[TimedIngestDoc]
+    val q = ingestTimed(in.toDS(), idx,
+      Files.createTempDirectory("sd3_c").toString, ttlMs = 1000L)
+    try {
+      val uY = freshText("tuYj")
+      // keep event times well above epoch 0: the initial watermark IS 0,
+      // and a first-batch row at exactly the watermark is dropped late
+      def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+      in.addData(TimedIngestDoc(10L, "s", uY, ts(0)))
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 10L))
+      // push the watermark far past the TTL…
+      in.addData(TimedIngestDoc(11L, "s", freshText("tuZj"), ts(600)))
+      q.processAllAvailable()
+      // …and let a dataless trigger fire the timeout for uY's buckets
+      // (a group WITH data in a trigger is served, not timed out)
+      in.addData(TimedIngestDoc(12L, "s", freshText("tuWj"), ts(601)))
+      q.processAllAvailable()
+      // the re-arrival: state has forgotten uY, so it is re-admitted
+      // (the TTL trade) — but the index check suppresses the duplicate
+      // fold, so the store stays canonical
+      in.addData(TimedIngestDoc(13L, "s", uY, ts(602)))
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 10L, 11L, 12L),
+        "TTL re-arrival re-folded an already-indexed content")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.stream.indexCheck")
+    }
+  }
+
+  test("foldBatch is exactly-once: a replayed (streamId, batchId) is " +
+    "skipped; a new deployment's batch 0 is not fooled by old records") {
+    val idx = Files.createTempDirectory("sd4_idx").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("xb0k")))
+    def admissionsOf(id: Long, p: String) =
+      bandDocs(Seq(IngestDoc(id, "s", freshText(p))).toDS()).toDF()
+        .withColumn("verdict", org.apache.spark.sql.functions.lit("unique"))
+        .withColumn("winner", org.apache.spark.sql.functions.lit(-1L))
+    assert(foldBatch(spark, idx, admissionsOf(10L, "xu1k"), "ckA", 7L))
+    val after = indexIds(idx)
+    assert(after == Set(0L, 10L))
+    val gensAfter = IndexGenerations.committed(spark, idx)
+    // the crash-replay: same stream, same batch — skipped entirely
+    assert(!foldBatch(spark, idx, admissionsOf(10L, "xu1k"), "ckA", 7L))
+    assert(IndexGenerations.committed(spark, idx) == gensAfter)
+    // an EARLIER batch id of the same stream replayed late: skipped too
+    assert(!foldBatch(spark, idx, admissionsOf(11L, "xu2k"), "ckA", 3L))
+    // a different deployment's batch numbering starts fresh — folds
+    assert(foldBatch(spark, idx, admissionsOf(12L, "xu3k"), "ckB", 0L))
+    assert(indexIds(idx) == Set(0L, 10L, 12L))
+  }
+
+  test("a micro-batch full of internal copies folds one signature — " +
+    "the nightly intra-delta rule applied at stream cadence") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sd5_idx").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("ib0m")))
+    val in = MemoryStream[IngestDoc]
+    val q = ingest(in.toDS(), idx,
+      Files.createTempDirectory("sd5_c").toString)
+    try {
+      val t = freshText("iu1m")
+      // 30 and 32 are byte-identical; 31 is a near edit — the state
+      // step flags the later copies within the batch, and min-id 30 is
+      // the one signature that folds
+      in.addData(IngestDoc(30L, "s", t), IngestDoc(32L, "s", t),
+        IngestDoc(31L, "s", t.split(" ").updated(5, "EDITED").mkString(" ")))
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 30L),
+        "intra-batch copies leaked into the index")
+    } finally q.stop()
+  }
+}
