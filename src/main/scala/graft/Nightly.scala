@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.IndexGenerations
+
+/** The nightly index-lifecycle driver — the runnable face of the
+  * delta-dedup write path, beside [[graft.helium.Main]] (the reference
+  * ships its lifecycle as CLI subcommands, src/main.rs:19-42; the
+  * dedup index deserves the same). Until now build → advance →
+  * auto-compact → prune was reachable only as library calls driven by
+  * specs and ScaleRehearsal; this wires it into the entry point a
+  * production scheduler invokes:
+  *
+  * {{{
+  * graft.Nightly <text|media> build   <indexDir> <docsParquet>
+  * graft.Nightly <text|media> advance <indexDir> <deltaParquet>
+  *                                    [--verdicts <dir>] [--prune]
+  * graft.Nightly <text|media> compact <indexDir>
+  * graft.Nightly <text|media> prune   <indexDir>
+  * }}}
+  *
+  * `build` distills a base corpus into generation 0
+  * (`TextDedupOps.d24Build` / `MultimodalOps.m12Build`); `advance`
+  * runs one crawl night — verdicts for the delta against the live
+  * index, admitted uniques folded into generation N+1 (rewrite or LSM
+  * per `spark.graft.index.advanceMode`, chain bounded by
+  * `maxDeltaChain`'s same-night auto-compact), verdicts optionally
+  * written as the night's artifact, superseded generations optionally
+  * pruned. Confs arrive via `SPARK_GRAFT_CONF=k=v,k=v`
+  * ([[SparkEntry.applyEnvConf]], the Bench/Verify knob). Media nights
+  * read the same documents-shaped parquet and derive their payloads
+  * through [[graft.multimodal.Media.mediaFromDocuments]], matching the
+  * m12 query face.
+  *
+  * Prints ONE JSON line per command (generation, verdict breakdown) —
+  * the driver-parseable shape Bench established. */
+object Nightly {
+
+  private val Usage =
+    "usage: graft.Nightly <text|media> <build|advance|compact|prune> " +
+      "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune]"
+
+  /** Execute one command; returns the JSON summary line (also the
+    * spec-assertable result). */
+  def run(s: SparkSession, args: Seq[String]): String = {
+    require(args.length >= 3, Usage)
+    val Seq(axis, cmd, indexDir) = args.take(3)
+    require(Set("text", "media")(axis), Usage)
+    val rest = args.drop(3)
+    def docsAt(path: String): DataFrame = s.read.parquet(path)
+    def mediaAt(path: String) =
+      graft.multimodal.Media.mediaFromDocuments(docsAt(path))
+    def line(fields: (String, String)*): String =
+      fields.map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    def genField = "gen" ->
+      IndexGenerations.currentGen(s, indexDir).getOrElse(-1L).toString
+    cmd match {
+      case "build" =>
+        val path = rest.headOption.getOrElse(sys.error(Usage))
+        axis match {
+          case "text"  => queries.TextDedupOps.d24Build(s, indexDir,
+            docsAt(path))
+          case "media" => queries.MultimodalOps.m12Build(s, indexDir,
+            mediaAt(path))
+        }
+        val n = IndexGenerations.readCurrent(s, indexDir).count()
+        line("metric" -> "\"nightly_build\"", "axis" -> s""""$axis"""",
+          genField, "index_rows" -> n.toString)
+
+      case "advance" =>
+        val path = rest.headOption.getOrElse(sys.error(Usage))
+        val flags = rest.tail
+        val v = axis match {
+          case "text"  => queries.TextDedupOps.d24Advance(s, indexDir,
+            docsAt(path).select("doc_id", "source", "text"))
+          case "media" => queries.MultimodalOps.m12Advance(s, indexDir,
+            mediaAt(path))
+        }
+        val counts = v.groupBy("verdict").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        flags.sliding(2).collectFirst { case Seq("--verdicts", d) => d }
+          .foreach(d => v.write.mode("overwrite").parquet(d))
+        Pinned.releaseAll(s)
+        if (flags.contains("--prune")) IndexGenerations.prune(s, indexDir)
+        val vs = Seq("exact", "near", "unique")
+          .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
+          .mkString("{", ",", "}")
+        line("metric" -> "\"nightly_advance\"", "axis" -> s""""$axis"""",
+          genField, "verdicts" -> vs,
+          "pruned" -> flags.contains("--prune").toString)
+
+      case "compact" =>
+        IndexGenerations.compact(s, indexDir)
+        line("metric" -> "\"nightly_compact\"", "axis" -> s""""$axis"""",
+          genField)
+
+      case "prune" =>
+        IndexGenerations.prune(s, indexDir)
+        line("metric" -> "\"nightly_prune\"", "axis" -> s""""$axis"""",
+          genField, "kept" ->
+            IndexGenerations.committed(s, indexDir).size.toString)
+
+      case other => sys.error(s"unknown command '$other'\n$Usage")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-nightly")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.applyEnvConf(spark)
+    try println(run(spark, args.toIndexedSeq))
+    finally spark.stop()
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.helium.SparkSuite
+import graft.operators.IndexGenerations
+
+/** End-to-end contract of the `graft.Nightly` CLI driver: two simulated
+  * crawl nights over documents-shaped fixture parquet — build, then an
+  * advance whose uniques the second night's delta must hit, with the
+  * lifecycle flags (auto-compact conf, --prune, --verdicts) exercised
+  * the way a scheduler would. */
+class NightlySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshText(p: String): String =
+    (0 until 40).map(i => s"$p$i").mkString(" ")
+
+  private def writeDocs(rows: (Long, String)*): String = {
+    val dir = Files.createTempDirectory("nightly_docs").toString
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def gens(idx: String): Seq[Long] =
+    IndexGenerations.committed(spark, idx)
+
+  test("text axis, rewrite mode: two nights end to end — the night-2 " +
+    "delta hits night-1's admitted unique; --prune leaves the live set") {
+    val idx = Files.createTempDirectory("nl_idx").toString
+    val base = writeDocs((0L to 4L).map(i => i -> freshText(s"nb${i}w")): _*)
+    val out1 = Nightly.run(spark,
+      Seq("text", "build", idx, base))
+    assert(out1.contains("\"gen\":0") && out1.contains("\"index_rows\":5"),
+      out1)
+
+    val u1 = freshText("nu1w")
+    val night1 = writeDocs(100L -> u1, 101L -> freshText("nu2w"))
+    val v1dir = Files.createTempDirectory("nl_v1").toString
+    val out2 = Nightly.run(spark,
+      Seq("text", "advance", idx, night1, "--verdicts", v1dir))
+    assert(out2.contains("\"unique\":2") && out2.contains("\"gen\":1"), out2)
+    assert(spark.read.parquet(v1dir).count() == 2L,
+      "night-1 verdicts artifact missing rows")
+
+    // night 2: an exact re-crawl of the night-1 unique + one fresh doc,
+    // pruned on the way out
+    val night2 = writeDocs(200L -> u1, 201L -> freshText("nu3w"))
+    val out3 = Nightly.run(spark,
+      Seq("text", "advance", idx, night2, "--prune"))
+    assert(out3.contains("\"exact\":1") && out3.contains("\"unique\":1"),
+      s"night-2 delta missed night-1's admitted unique: $out3")
+    assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+    assert(IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L, 4L, 100L, 101L, 201L))
+  }
+
+  test("text axis, LSM mode with chain cap: nightly advances stay " +
+    "delta-sized, the cap auto-compacts, and the final prune leaves " +
+    "one total") {
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    spark.conf.set("spark.graft.index.maxDeltaChain", "1")
+    try {
+      val idx = Files.createTempDirectory("nl_lsm").toString
+      Nightly.run(spark, Seq("text", "build", idx,
+        writeDocs((0L to 2L).map(i => i -> freshText(s"lb${i}h")): _*)))
+      val uA = freshText("lu1h")
+      Nightly.run(spark, Seq("text", "advance", idx,
+        writeDocs(10L -> uA)))
+      Nightly.run(spark, Seq("text", "advance", idx,
+        writeDocs(11L -> freshText("lu2h"))))
+      // cap 1: the second delta night must have auto-compacted —
+      // the live read unions at most 1 total + 1 delta
+      val active = IndexGenerations.readCurrent(spark, idx)
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+      assert(active.length <= 2, s"chain not bounded: ${active.length}")
+      val out = Nightly.run(spark, Seq("text", "advance", idx,
+        writeDocs(20L -> uA), "--prune"))
+      assert(out.contains("\"exact\":1"),
+        s"LSM night-3 missed the night-1 unique: $out")
+      assert(IndexGenerations.readCurrent(spark, idx)
+        .select("doc_id").as[Long].collect().toSet ==
+        Set(0L, 1L, 2L, 10L, 11L))
+    } finally {
+      spark.conf.unset("spark.graft.index.advanceMode")
+      spark.conf.unset("spark.graft.index.maxDeltaChain")
+    }
+  }
+
+  test("media axis: build + a night whose delta re-uploads a night-1 " +
+    "unique asset — caught exact through the CLI path") {
+    val idx = Files.createTempDirectory("nl_m").toString
+    Nightly.run(spark, Seq("media", "build", idx,
+      writeDocs((0L to 5L).map(i => i -> freshText(s"mb${i}v")): _*)))
+    // perceptually distinct from the base family, not just textually
+    // (same-shape token families render to near-identical rasters —
+    // the DeltaAdvanceSpec m12 fixture discipline)
+    val t = (0 until 9).map(i => s"WWWWWWW$i KK").mkString(" | ")
+    val out1 = Nightly.run(spark, Seq("media", "advance", idx,
+      writeDocs(100L -> t)))
+    assert(out1.contains("\"unique\":1"), out1)
+    // same payload, same kind (ids congruent mod 3 share the kind)
+    val out2 = Nightly.run(spark, Seq("media", "advance", idx,
+      writeDocs(103L -> t), "--prune"))
+    assert(out2.contains("\"exact\":1"),
+      s"media night-2 missed the re-upload: $out2")
+    assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+  }
+
+  test("compact and prune commands fold a delta chain into one served " +
+    "total; bad arguments fail loudly") {
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try {
+      val idx = Files.createTempDirectory("nl_cp").toString
+      Nightly.run(spark, Seq("text", "build", idx,
+        writeDocs(0L -> freshText("cb0g"))))
+      Nightly.run(spark, Seq("text", "advance", idx,
+        writeDocs(10L -> freshText("cu1g"))))
+      val outC = Nightly.run(spark, Seq("text", "compact", idx))
+      assert(outC.contains("\"gen\":2"), outC)
+      val outP = Nightly.run(spark, Seq("text", "prune", idx))
+      assert(outP.contains("\"kept\":1"), outP)
+      assert(IndexGenerations.readCurrent(spark, idx).count() == 2L)
+    } finally spark.conf.unset("spark.graft.index.advanceMode")
+    intercept[IllegalArgumentException] {
+      Nightly.run(spark, Seq("text", "build"))
+    }
+    intercept[IllegalArgumentException] {
+      Nightly.run(spark, Seq("video", "build", "/tmp/x", "/tmp/y"))
+    }
+    intercept[RuntimeException] {
+      Nightly.run(spark, Seq("text", "frobnicate", "/tmp/x"))
+    }
+  }
+}
