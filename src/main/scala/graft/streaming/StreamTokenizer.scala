@@ -29,22 +29,41 @@ object StreamTokenizer {
     * streaming fleet starts from the files the training job shipped,
     * never from a retrain. Rounds-bounded, so the collect is a few KB. */
   def loadMerges(spark: SparkSession, dir: String)
-      : IndexedSeq[(String, String)] = {
+      : IndexedSeq[(String, String)] =
+    loadMergesWithGen(spark, dir)._2
+
+  /** [[loadMerges]] plus the PROVENANCE of what was loaded: the
+    * generation number the table came from (−1 for a flat pre-store
+    * artifact). A fleet resolves the live generation ONCE at startup
+    * and stamps it into every row it accounts
+    * ([[tokenizeWithGen]]) — so when a t23 retrain lands mid-stream,
+    * the in-flight stream's output still RECORDS which table produced
+    * it, instead of silently continuing on the old table with no
+    * trace (the audit gap this closes). */
+  def loadMergesWithGen(spark: SparkSession, dir: String)
+      : (Long, IndexedSeq[(String, String)]) = {
     import spark.implicits._
     // generation-aware: a t23 artifact is a generation store (each
     // retrain = a new atomically-committed total), while flat parquet
     // dirs (hand-shipped artifacts) stay readable as before
-    val src =
-      if (graft.operators.IndexGenerations.currentGen(spark, dir).isDefined)
-        graft.operators.IndexGenerations.readCurrent(spark, dir)
-      else spark.read.parquet(dir)
-    src.orderBy("merge_round")
-      .select("lhs", "rhs")
-      .as[(String, String)].collect().toIndexedSeq
+    val gen = graft.operators.IndexGenerations.currentGen(spark, dir)
+    val src = gen match {
+      case Some(_) => graft.operators.IndexGenerations.readCurrent(spark, dir)
+      case None    => spark.read.parquet(dir)
+    }
+    (gen.getOrElse(-1L),
+      src.orderBy("merge_round")
+        .select("lhs", "rhs")
+        .as[(String, String)].collect().toIndexedSeq)
   }
 
   case class Tokenized(doc_id: Long, n_words: Long, n_chars: Long,
       n_tokens: Long)
+
+  /** [[Tokenized]] with the tokenizer-generation stamp: every row names
+    * the artifact generation whose table produced its counts. */
+  case class TokenizedG(doc_id: Long, n_words: Long, n_chars: Long,
+      n_tokens: Long, tok_gen: Long)
 
   /** One word through the learned merges, sequentially in learned order
     * with the chain's greedy-leftmost scan per rule (append, or replace
@@ -93,5 +112,20 @@ object StreamTokenizer {
         Tokenized(d.doc_id, nW, nCh, nTok)
       }
     }
+  }
+
+  /** [[tokenize]] with the generation stamp carried into every output
+    * row. The table (and its stamp) are FROZEN at query build: a t23
+    * retrain landing mid-stream neither changes in-flight accounting
+    * (the broadcast table is immutable) nor goes unrecorded (every row
+    * names the generation that produced it); a restarted or new stream
+    * re-resolves via [[loadMergesWithGen]] and stamps the new number —
+    * StreamTokenizerSpec pins all three properties. */
+  def tokenizeWithGen(docs: Dataset[Doc],
+      merges: Seq[(String, String)], gen: Long): Dataset[TokenizedG] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenize(docs, merges).map(t =>
+      TokenizedG(t.doc_id, t.n_words, t.n_chars, t.n_tokens, gen))
   }
 }

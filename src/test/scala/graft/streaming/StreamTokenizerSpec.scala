@@ -104,4 +104,81 @@ class StreamTokenizerSpec extends SparkSuite {
     graft.operators.IndexGenerations.writeTotal(spark, gdir, asDf(merges))
     assert(StreamTokenizer.loadMerges(spark, gdir) == table)
   }
+
+  test("a mid-stream retrain neither changes in-flight accounting nor " +
+    "goes unrecorded: rows carry the generation that produced them") {
+    implicit val sqlCtx = spark.sqlContext
+    val vocab = Vector(("lower", 3L), ("lowest", 2L), ("newest", 5L),
+      ("widest", 4L))
+    def asDf(ms: Seq[graft.operators.BpeTrainer.Merge]) =
+      ms.map(m => (m.round, m.lhs, m.rhs, m.pairCount))
+        .toDF("merge_round", "lhs", "rhs", "pair_count")
+    val (merges, _) = graft.operators.BpeTrainer.train(vocab, 5)
+    val gdir = java.nio.file.Files.createTempDirectory("tokretrain").toString
+    graft.operators.IndexGenerations.writeTotal(spark, gdir,
+      asDf(merges.take(1)))
+
+    // the fleet resolves the table ONCE at startup, stamp included
+    val (gen0, table0) = StreamTokenizer.loadMergesWithGen(spark, gdir)
+    assert(gen0 == 0L && table0 == merges.take(1).map(m => (m.lhs, m.rhs)))
+    val input = MemoryStream[Doc]
+    val q = StreamTokenizer.tokenizeWithGen(input.toDS(), table0, gen0)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("tok_gen_out").start()
+    try {
+      input.addData(Doc(1L, "lowest newest"))
+      q.processAllAvailable()
+      // RETRAIN lands mid-stream: a new committed total generation
+      graft.operators.IndexGenerations.writeTotal(spark, gdir, asDf(merges))
+      input.addData(Doc(2L, "lowest newest"))
+      q.processAllAvailable()
+      val rows = spark.table("tok_gen_out")
+        .select("doc_id", "n_tokens", "tok_gen")
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // in-flight accounting is FROZEN on the gen-0 table (identical
+      // counts before and after the retrain)…
+      assert(rows.length == 2 && rows(0)._2 == rows(1)._2,
+        s"mid-stream retrain changed in-flight accounting: $rows")
+      // …and every row RECORDS the table that produced it
+      assert(rows.forall(_._3 == 0L), s"rows lost their stamp: $rows")
+    } finally q.stop()
+    // a restarted/new fleet resolves the retrained generation — and its
+    // per-word counts can legitimately differ, the recorded stamp is
+    // what makes the mixed accounting auditable
+    val (gen1, table1) = StreamTokenizer.loadMergesWithGen(spark, gdir)
+    assert(gen1 == 1L && table1 == merges.map(m => (m.lhs, m.rhs)))
+    // flat artifacts carry the -1 sentinel stamp
+    val flat = java.nio.file.Files.createTempDirectory("tokflat").toString
+    asDf(merges).write.mode("overwrite").parquet(flat)
+    assert(StreamTokenizer.loadMergesWithGen(spark, flat)._1 == -1L)
+  }
+
+  test("the t23 artifact rows carry their generation number, advancing " +
+    "per retrain") {
+    val dir = java.nio.file.Files.createTempDirectory("t23gen").toString
+    spark.conf.set("spark.graft.t23.tokenizerDir", dir)
+    try {
+      val corp = java.nio.file.Files.createTempDirectory("t23corp").toString
+      val rnd = new scala.util.Random(7)
+      val vocabWords = Seq("alpha", "beta", "gamma", "delta", "alphabet")
+      (0 until 8).map { i =>
+        (i.toLong,
+          Seq.fill(15)(vocabWords(rnd.nextInt(vocabWords.size)))
+            .mkString(" "),
+          "en", s"src${i % 2}", 0L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$corp/documents.parquet")
+      graft.SparkEntry.queries("t23_tokenizer_store")(spark, corp).count()
+      graft.Pinned.releaseAll(spark)
+      val g0 = spark.read.parquet(s"$dir/gen=0")
+        .select("artifact_gen").distinct().as[Long].collect().toSeq
+      assert(g0 == Seq(0L), s"gen-0 artifact stamped $g0")
+      // the retrain: a second t23 run lands as generation 1, stamped 1
+      graft.SparkEntry.queries("t23_tokenizer_store")(spark, corp).count()
+      graft.Pinned.releaseAll(spark)
+      val g1 = spark.read.parquet(s"$dir/gen=1")
+        .select("artifact_gen").distinct().as[Long].collect().toSeq
+      assert(g1 == Seq(1L), s"gen-1 artifact stamped $g1")
+    } finally spark.conf.unset("spark.graft.t23.tokenizerDir")
+  }
 }
