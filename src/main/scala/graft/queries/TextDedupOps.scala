@@ -1777,9 +1777,13 @@ object TextDedupOps {
     val words = graft.Pinned.pin(bpeWords(s, d))
     // retrain discipline: each training run lands as a NEW total
     // generation (atomic marker swap) — a serving fleet mid-load keeps
-    // its generation; loadMerges resolves the newest committed one
+    // its generation; loadMerges resolves the newest committed one.
+    // Rows carry their own generation number (single-writer store, so
+    // nextGen is the number this write will claim): the provenance a
+    // fleet stamps into its tokenized output (tokenizeWithGen).
+    val g = graft.operators.IndexGenerations.nextGen(s, dir)
     graft.operators.IndexGenerations.writeTotal(s, dir,
-      bpeTrain(words, bpeRoundsConf(s)))
+      bpeTrain(words, bpeRoundsConf(s)).withColumn("artifact_gen", lit(g)))
     // the artifact is rounds-bounded: the loader's collect is a few KB
     val merges = graft.streaming.StreamTokenizer.loadMerges(s, dir)
     val bc = s.sparkContext.broadcast(merges)
@@ -2289,7 +2293,16 @@ object TextDedupOps {
     "t23_tokenizer_store" -> t23 _,
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
+    "p03_build_and_report" -> p03 _,
   )
+
+  /** p03 — [[buildAndReport]] as a query-surface entry: the composed
+    * p01 shard build (write included) + p02 report over ONE documents
+    * scan. Returns the report, so p02's oracle hash-verifies the
+    * composition; Bench times it beside p01 + p02 standalone, making
+    * the one-scan saving a MEASURED number instead of a plan pin. */
+  private def p03(s: SparkSession, d: String): DataFrame =
+    buildAndReport(s, d)._2
 
   // ---- DuckDB oracles ----
 
@@ -2528,7 +2541,15 @@ object TextDedupOps {
   /** SQL twin of [[leakagePairs]] — the d16/d18/d19 pair source. */
   private def leakagePairsSql: String = leakagePairsSqlFrom("documents")
 
-  def oracle: ListMap[String, String] = ListMap(
+  def oracle: ListMap[String, String] = {
+    val m = oracle0
+    // p03 is the COMPOSED buildAndReport pair returning p02's report —
+    // p02's oracle verifies it verbatim: a hash match proves the
+    // one-scan composition changed nothing semantically
+    m + ("p03_build_and_report" -> m("p02_corpus_report"))
+  }
+
+  private def oracle0: ListMap[String, String] = ListMap(
     "t01_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(len($toksSql))::BIGINT AS sum_words,
