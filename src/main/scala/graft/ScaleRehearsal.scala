@@ -7,13 +7,19 @@ import org.apache.spark.sql.functions._
   * run at the next order of magnitude": generates a synthetic corpus 10×
   * the sf0.1 documents table (50k docs, distinct ids, per-copy token
   * variation so exact dedup keeps a realistic survivor ratio), then runs
-  * the two production lifecycles end to end —
+  * the production lifecycles end to end —
   *
   *  1. the composed p01 corpus build (exact dedup → span dedup →
-  *     decontamination → quality gates → packing → shard write), and
+  *     decontamination → quality gates → packing → shard write),
   *  2. the d24 delta-dedup cycle against its generation-store index
   *     (build + serve + one [[graft.queries.TextDedupOps.d24Advance]]
   *     night),
+  *  3. the m12 media cycle on the same corpus (decode + fingerprint
+  *     build, serve, one [[graft.queries.MultimodalOps.m12Advance]]
+  *     night), and
+  *  4. the IVF-PQ lifecycle over a 10× embeddings table (offline build
+  *     → atomic multi-table store write → serve → frozen-quantizer
+  *     append → serve),
   *
   * and prints ONE JSON line with row counts and wall times. The caller
   * (ScaleRehearsalSpec, env-gated) forks this main into its own JVM
@@ -89,12 +95,73 @@ object ScaleRehearsal {
       r
     }
 
+    // --- m12 media cycle on the same 10× corpus: build + serve, then
+    // one advance night (the d24 lifecycle on the media axis — decode,
+    // fingerprints, and the fold all stay executor-side) ---
+    spark.conf.set("spark.graft.m12.indexDir", s"$work/m12_index")
+    val (m12Rows, m12Secs) = timed {
+      val r = SparkEntry.queries("m12_media_delta")(spark, dir).count()
+      Pinned.releaseAll(spark)
+      r
+    }
+    val (mAdvRows, mAdvSecs) = timed {
+      val delta = graft.multimodal.Media.mediaFromDocuments(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 89 === 0)
+          .select((col("doc_id") + lit(20L * n)).as("doc_id"),
+            concat(lit("medianight "), col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars")))
+      val r = graft.queries.MultimodalOps
+        .m12Advance(spark, s"$work/m12_index", delta).count()
+      Pinned.releaseAll(spark)
+      r
+    }
+
+    // --- IVF-PQ lifecycle at 10×: union ten re-keyed copies of the
+    // sf0.1 embeddings (20k vectors), offline build → atomic store
+    // write → serve from the store → frozen-quantizer append of a new
+    // slice → serve again. Everything but the broadcast-sized
+    // centroids/codebook stays distributed. ---
+    val sfEmb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val ne = sfEmb.count()
+    (0 until 10).map { c =>
+      sfEmb.select((col("vec_id") + lit(c * ne)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val annDir = s"$work/ann_index"
+    val emb = graft.queries.SimilarityOps.annEmb(spark, dir)
+    val (annServeRows, annBuildSecs) = timed {
+      graft.operators.AnnIndexStore.write(
+        graft.queries.SimilarityOps.buildAnnIndex(emb), annDir)
+      graft.queries.SimilarityOps.serveAnnIndex(emb,
+        graft.operators.AnnIndexStore.read(spark, annDir)).count()
+    }
+    val (annServe2Rows, annAppendSecs) = timed {
+      // the daily delta: a re-keyed slice encoded under the FROZEN
+      // quantizer, landed as a new atomic generation
+      val fresh = emb.filter(col("vec_id") % 101 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(10L * ne))
+      graft.operators.AnnIndexStore.write(
+        graft.queries.SimilarityOps.appendToAnnIndex(
+          graft.operators.AnnIndexStore.read(spark, annDir), fresh),
+        annDir)
+      graft.queries.SimilarityOps.serveAnnIndex(emb,
+        graft.operators.AnnIndexStore.read(spark, annDir)).count()
+    }
+
     val mx = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"""{"metric":"scale_rehearsal","docs":${10 * n},""" +
       s""""heap_mb":$mx,"gen_secs":$genSecs,""" +
       s""""p01_rows":$p01Rows,"p01_secs":$p01Secs,""" +
       s""""d24_rows":$d24Rows,"d24_secs":$d24Secs,""" +
-      s""""adv_rows":$advRows,"adv_secs":$advSecs}""")
+      s""""adv_rows":$advRows,"adv_secs":$advSecs,""" +
+      s""""m12_rows":$m12Rows,"m12_secs":$m12Secs,""" +
+      s""""m12_adv_rows":$mAdvRows,"m12_adv_secs":$mAdvSecs,""" +
+      s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +
+      s""""ann_serve_rows":$annServeRows,""" +
+      s""""ann_append_secs":$annAppendSecs,""" +
+      s""""ann_serve2_rows":$annServe2Rows}""")
     spark.stop()
   }
 }

@@ -57,6 +57,12 @@ class ScaleRehearsalSpec extends SparkSuite {
     assert(field("p01_rows") > 0, j)
     assert(field("d24_rows") > 0, j)
     assert(field("adv_rows") > 0, j)
+    assert(field("m12_rows") > 0, j)
+    assert(field("m12_adv_rows") > 0, j)
+    assert(field("ann_vecs") == 20000.0, j)
+    assert(field("ann_serve_rows") > 0, j)
+    assert(field("ann_serve2_rows") >= field("ann_serve_rows"),
+      s"post-append serve lost results: $j")
     info(j)
   }
 
