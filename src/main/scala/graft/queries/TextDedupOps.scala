@@ -1442,12 +1442,6 @@ object TextDedupOps {
     * same winner, two-column state). */
   private[graft] val SubstrK = 8
 
-  /** Default hot-gram isolation threshold for d23 (occurrences at which
-    * a gram routes through the broadcast arm). Conservative: a gram at
-    * 100+ occurrences is boilerplate on any real corpus slice, and a
-    * false positive only moves a gram to the (equally correct)
-    * broadcast arm. */
-  private[graft] val D23HotDefault = 100L
 
   /** The `(doc_id, source, i, gram, pk)` anchor-candidate frame: one row
     * per token position that starts a full k-gram. Recomputed (not
@@ -1482,19 +1476,26 @@ object TextDedupOps {
     * the hot occurrences take a BROADCAST join against just their
     * winners — never shuffling on the hot key — while cold grams take
     * the ordinary hash join. Result-identical: the two arms partition
-    * the gram space. ON by default at threshold [[D23HotDefault]]:
-    * detection reads the pinned winners table the join needs anyway
-    * (an early design paid a second full gram aggregation — measured
-    * 6× on the unskewed bench — which is why the gate once defaulted
-    * off), so on an unskewed corpus the only cost is the winners pin +
-    * a vocab-sized filter scan, within bench noise. `hotCount=0`
-    * disables; correctness never depends on the setting. */
+    * the gram space. OFF by default, and MEASURED to stay so: even
+    * with detection sharing the pinned winners table the join needs
+    * (the cheapest driver-side detection possible — the earlier
+    * second-full-aggregation design was 6×), forcing the pin
+    * materialization + collect + two-arm plan cost 9.4× on the
+    * unskewed sf0.1 bench (0.143 → 1.34 s, round 12), because the
+    * default single-plan path never materializes the winners at all.
+    * The default path's 100 TB skew cover is AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin`, on in the bench/production conf):
+    * the winners join is a shuffled join AQE can split, replicating
+    * the one-row winner side per chunk. The explicit threshold remains
+    * the belt-and-braces for deployments whose stop-gram skew
+    * concentrates below AQE's partition thresholds; correctness never
+    * depends on the setting (`hotCount=0` ≡ unset). */
   private[graft] def d23Report(s: SparkSession, docs: DataFrame): DataFrame = {
     val grams = substrGrams(docs)
     val first0 = grams.groupBy(col("gram"))
       .agg(min(col("pk")).as("first_pk"), count(lit(1)).as("cnt"))
     val joined = s.conf.getOption("spark.graft.d23.hotCount")
-        .map(_.toLong).orElse(Some(D23HotDefault)).filter(_ > 0) match {
+        .map(_.toLong).filter(_ > 0) match {
       case None =>
         grams.join(first0.select(col("gram"), col("first_pk")), Seq("gram"))
       case Some(hotCount) =>

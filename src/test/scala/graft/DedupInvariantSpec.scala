@@ -325,21 +325,24 @@ class DedupInvariantSpec extends SparkSuite {
       val tail = (0 until 5).map(j => s"u${i}x$j").mkString(" ")
       (i.toLong, s"$hot $tail", "en", s"src${i % 2}", 0L)
     }.toDF("doc_id", "text", "lang", "source", "n_chars")
-    // hotCount=0 is the explicit opt-out — the shuffle-only baseline
-    spark.conf.set("spark.graft.d23.hotCount", "0")
-    val cold = try graft.queries.TextDedupOps.d23Report(spark, docs)
+    val cold = graft.queries.TextDedupOps.d23Report(spark, docs)
       .orderBy("doc_id").collect().toSeq
+    // hotCount=0 must behave exactly like unset (the explicit opt-out)
+    spark.conf.set("spark.graft.d23.hotCount", "0")
+    try assert(graft.queries.TextDedupOps.d23Report(spark, docs)
+      .orderBy("doc_id").collect().toSeq == cold)
     finally spark.conf.unset("spark.graft.d23.hotCount")
-    // isolation is DEFAULT-ON (threshold 100; the planted gram sits at
-    // 200 occurrences) — no conf set for the hot run
-    val run = graft.queries.TextDedupOps.d23Report(spark, docs)
-    val p = run.queryExecution.executedPlan.toString
-    assert(p.contains("Union"),
-      s"hot-gram isolation lost its two-arm union:\n$p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"hot arm should broadcast the winners, not shuffle the grams:\n$p")
-    assert(run.orderBy("doc_id").collect().toSeq == cold,
-      "hot-gram isolation changed the verdicts")
+    spark.conf.set("spark.graft.d23.hotCount", "100")
+    try {
+      val run = graft.queries.TextDedupOps.d23Report(spark, docs)
+      val p = run.queryExecution.executedPlan.toString
+      assert(p.contains("Union"),
+        s"hot-gram isolation lost its two-arm union:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"hot arm should broadcast the winners, not shuffle the grams:\n$p")
+      assert(run.orderBy("doc_id").collect().toSeq == cold,
+        "hot-gram isolation changed the verdicts")
+    } finally spark.conf.unset("spark.graft.d23.hotCount")
   }
 
   test("t21 overlap chunks: ceil(n/S) windows per doc, hand-checked " +
