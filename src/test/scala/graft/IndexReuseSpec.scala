@@ -59,4 +59,53 @@ class IndexReuseSpec extends SparkSuite {
     roundTrip("m12_media_delta",
       "spark.graft.m12.indexDir", "spark.graft.m12.buildIndex")
   }
+
+  test("d24 serve mode honors the readGen pin: after an advance, " +
+    "readGen=N-1 reproduces the pre-advance verdicts exactly") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("reuse_pin").toString
+    spark.conf.set("spark.graft.d24.indexDir", idx)
+    try {
+      // build + serve once (generation 0), then advance the store with
+      // a night containing an exact copy of a delta doc that was
+      // previously UNIQUE — the advanced index will catch it, the
+      // pinned read must not
+      val before = SparkEntry.queries("d24_delta_dedup")(spark, sf)
+        .orderBy("doc_id").collect().toSeq
+      Pinned.releaseAll(spark)
+      val victimId = before
+        .filter(_.getAs[String]("verdict") == "unique")
+        .map(_.getAs[Long]("doc_id")).min
+      val victimText = spark.read.parquet(s"$sf/documents.parquet")
+        .filter(org.apache.spark.sql.functions.col("doc_id") === victimId)
+        .select("text").as[String].head()
+      val night = Seq((900000L, victimText, "src0"))
+        .toDF("doc_id", "text", "source")
+      graft.queries.TextDedupOps.d24Advance(spark, idx, night)
+      Pinned.releaseAll(spark)
+      spark.conf.set("spark.graft.d24.buildIndex", "false")
+      // the pinned serve reproduces the pre-advance world verbatim…
+      spark.conf.set("spark.graft.index.readGen", "0")
+      val pinnedRun = SparkEntry.queries("d24_delta_dedup")(spark, sf)
+        .orderBy("doc_id").collect().toSeq
+      Pinned.releaseAll(spark)
+      assert(pinnedRun == before,
+        "readGen-pinned serve diverged from the pre-advance verdicts")
+      // …while the live serve sees the folded night: the victim flips
+      // unique → exact against the night doc
+      spark.conf.unset("spark.graft.index.readGen")
+      val live = SparkEntry.queries("d24_delta_dedup")(spark, sf)
+        .orderBy("doc_id").collect().toSeq
+      Pinned.releaseAll(spark)
+      val victimLive = live.find(_.getAs[Long]("doc_id") == victimId).get
+      assert(victimLive.getAs[String]("verdict") == "exact" &&
+        victimLive.getAs[Long]("winner") == 900000L,
+        s"live serve missed the folded night doc: $victimLive")
+      assert(live != before, "serve faces resolved the same generation")
+    } finally {
+      spark.conf.unset("spark.graft.d24.indexDir")
+      spark.conf.unset("spark.graft.d24.buildIndex")
+      spark.conf.unset("spark.graft.index.readGen")
+    }
+  }
 }

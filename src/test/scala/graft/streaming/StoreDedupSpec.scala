@@ -161,6 +161,36 @@ class StoreDedupSpec extends SparkSuite {
     assert(indexIds(idx) == Set(0L, 10L, 12L))
   }
 
+  test("stream-cadence folds in LSM mode stay bounded: one delta per " +
+    "batch, the chain capped by maxDeltaChain's same-night compact") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    spark.conf.set("spark.graft.index.maxDeltaChain", "2")
+    try {
+      val idx = Files.createTempDirectory("sd6_idx").toString
+      TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("lb0n")))
+      val in = MemoryStream[IngestDoc]
+      val q = ingest(in.toDS(), idx,
+        Files.createTempDirectory("sd6_c").toString)
+      try {
+        (1 to 5).foreach { b =>
+          in.addData(IngestDoc(10L + b, "s", freshText(s"lu${b}n")))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // every batch folded, yet the live read unions at most
+      // 1 total + 2 deltas — the stream cannot grow an unbounded chain
+      val active = IndexGenerations.readCurrent(spark, idx)
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+      assert(active.length <= 3,
+        s"stream folds grew an unbounded chain: ${active.length}")
+      assert(indexIds(idx) == Set(0L, 11L, 12L, 13L, 14L, 15L))
+    } finally {
+      spark.conf.unset("spark.graft.index.advanceMode")
+      spark.conf.unset("spark.graft.index.maxDeltaChain")
+    }
+  }
+
   test("a micro-batch full of internal copies folds one signature — " +
     "the nightly intra-delta rule applied at stream cadence") {
     implicit val sqlCtx = spark.sqlContext
