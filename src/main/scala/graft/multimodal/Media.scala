@@ -265,15 +265,20 @@ object Media {
         .orElse(realWav.map(_._2)).orElse(realVid.map(_._2))
         .getOrElse(((n * 7) % 480).toInt),
       n_frames = realWav.map(_._3).orElse(realVid.map(_._3)).getOrElse(1),
-      // md5 over the UPPERCASE-HEX encoding of the payload bytes (not the
-      // raw bytes): DuckDB 1.0's md5() only accepts VARCHAR, so hashing the
-      // hex string is the only oracle-expressible checksum with BYTE
-      // semantics — a byte-truncated payload is a substr() of its hex.
-      checksum = {
-        val hexStr = r.payload.map("%02X".format(_)).mkString
-        java.security.MessageDigest.getInstance("MD5")
-          .digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      })
+      checksum = checksumOf(r.payload))
+  }
+
+  /** Byte checksum of a payload: md5 over the UPPERCASE-HEX encoding of
+    * the bytes (not the raw bytes) — DuckDB 1.0's md5() only accepts
+    * VARCHAR, so hashing the hex string is the only oracle-expressible
+    * checksum with BYTE semantics (a byte-truncated payload is a
+    * substr() of its hex). Factored so the streaming ingest
+    * ([[graft.streaming.StoreMediaDedup]]) fingerprints through the
+    * identical formula as batch m06/m12 — no batch/stream drift. */
+  def checksumOf(payload: Array[Byte]): String = {
+    val hexStr = payload.map("%02X".format(_)).mkString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
   /** Batched partition-parallel decode: iterator-in/iterator-out, one codec
@@ -844,11 +849,16 @@ object Media {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { r =>
-        if (r.payload.length <= maxBytes) r
-        else r.copy(payload = resizeImage(r.payload, maxBytes)
-          .getOrElse(r.payload.take(maxBytes)))
-      }
+      it.map(r => r.copy(payload = resizePayload(r.payload, maxBytes)))
     }
   }
+
+  /** The per-payload resize [[resize]] maps — factored so the streaming
+    * ingest ([[graft.streaming.StoreMediaDedup]]) derives the SAME
+    * thumbnail-checksum the m12 index stores (m12Fingerprints checksums
+    * the 64-byte resize, not the raw payload — one formula, no
+    * batch/stream drift). */
+  def resizePayload(p: Array[Byte], maxBytes: Int): Array[Byte] =
+    if (p.length <= maxBytes) p
+    else resizeImage(p, maxBytes).getOrElse(p.take(maxBytes))
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.Pinned
+import graft.helium.SparkSuite
+import graft.multimodal.Media
+import graft.operators.IndexGenerations
+import graft.queries.MultimodalOps
+
+/** The media stream↔store junction ([[StoreMediaDedup]]): ingest-time
+  * admissions against the m12 fingerprint index, stream uniques folded
+  * so the nightly m12Advance catches their re-uploads. Fixtures follow
+  * the m12 perceptual-distinctness discipline: visually distinct
+  * payload families (different letters, lengths, shapes), because
+  * same-shape token families render within the phash near threshold. */
+class StoreMediaDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshText(p: String): String =
+    (0 until 40).map(i => s"$p$i").mkString(" ")
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", s"src${id % 2}", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private def mediaOf(rows: (Long, String)*) =
+    Media.mediaFromDocuments(docsDf(rows: _*))
+
+  private def indexIds(idx: String): Set[Long] =
+    IndexGenerations.readCurrent(spark, idx)
+      .select("media_id").as[Long].collect().toSet
+
+  test("stream-admitted media uniques reach the m12 index; the next " +
+    "nightly advance judges a re-upload exact; index dups fold nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("smd_idx").toString
+    MultimodalOps.m12Build(spark, idx,
+      mediaOf((0L to 5L).map(i => i -> freshText(s"smb${i}w")): _*))
+
+    val uniquePayload = (0 until 9).map(i => s"QQQQQQQ$i RR").mkString(" | ")
+    val in = MemoryStream[Media.MediaRecord]
+    val q = StoreMediaDedup.ingest(in.toDS(), idx,
+      Files.createTempDirectory("smd_c").toString)
+    try {
+      // batch 1: a byte-identical re-upload of indexed asset 2 (id 200
+      // shares its kind — ids congruent mod 3) + one genuinely new
+      // asset; only the new one folds
+      val copyOfBase = mediaOf(200L -> freshText("smb2w")).collect().head
+      val fresh = mediaOf(100L -> uniquePayload).collect().head
+      in.addData(copyOfBase, fresh)
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L),
+        "batch-1 fold should admit exactly the new asset")
+
+      // batch 2: a re-upload of the batch-1 STREAM unique — state
+      // catches it, nothing new folds
+      in.addData(mediaOf(103L -> uniquePayload).collect().head)
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L),
+        "a within-stream media dup must not fold")
+    } finally q.stop()
+
+    // tonight's batch loop: a re-upload of the stream-admitted asset is
+    // exact against the advanced store
+    val v = MultimodalOps.m12Advance(spark, idx,
+        mediaOf(106L -> uniquePayload))
+      .select("media_id", "verdict", "winner")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    Pinned.releaseAll(spark)
+    assert(v(106L) == (("exact", 100L)),
+      s"nightly m12 advance missed the stream-admitted asset: ${v(106L)}")
+  }
+
+  test("a media micro-batch with an internal payload copy folds one " +
+    "fingerprint; replayed batches are skipped") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("smd2_idx").toString
+    MultimodalOps.m12Build(spark, idx,
+      mediaOf(0L -> freshText("smc0k")))
+    val t = (0 until 11).map(i => s"TTTTTTT$i SS").mkString(" | ")
+    val in = MemoryStream[Media.MediaRecord]
+    val q = StoreMediaDedup.ingest(in.toDS(), idx,
+      Files.createTempDirectory("smd2_c").toString)
+    try {
+      // 310 and 313 share kind (mod 3) and payload — intra-batch pair
+      in.addData(mediaOf(310L -> t, 313L -> t).collect(): _*)
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 310L),
+        "intra-batch media copies leaked into the index")
+    } finally q.stop()
+    // replay protection at the foldBatch level
+    val gens = IndexGenerations.committed(spark, idx)
+    val admissions = StoreMediaDedup.bandFps(StoreMediaDedup.fingerprints(
+        mediaOf(400L -> (0 until 8).map(i => s"VVVVVVV$i ZZ")
+          .mkString(" | ")))).toDF()
+      .withColumn("verdict", org.apache.spark.sql.functions.lit("unique"))
+      .withColumn("winner", org.apache.spark.sql.functions.lit(-1L))
+    assert(StoreMediaDedup.foldBatch(spark, idx, admissions, "mck", 4L))
+    assert(!StoreMediaDedup.foldBatch(spark, idx, admissions, "mck", 4L))
+    assert(IndexGenerations.committed(spark, idx).size == gens.size + 1)
+  }
+}
