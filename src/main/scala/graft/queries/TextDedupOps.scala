@@ -2295,6 +2295,7 @@ object TextDedupOps {
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
+    "p04_incremental_shards" -> p04 _,
   )
 
   /** p03 — [[buildAndReport]] as a query-surface entry: the composed
@@ -2304,6 +2305,78 @@ object TextDedupOps {
     * the one-scan saving a MEASURED number instead of a plan pin. */
   private def p03(s: SparkSession, d: String): DataFrame =
     buildAndReport(s, d)._2
+
+  /** p04 — the INCREMENTAL nightly corpus build: p01 is the full
+    * rebuild a corpus runs once; this is the job that runs every night
+    * after — dedup tonight's crawl against the d24 signature index
+    * (never against the base text), gate and pack the admitted docs,
+    * and write them as tonight's shard increment. Stages, each an
+    * already-oracled formula:
+    *
+    *   delta verdicts vs the index ([[deltaVerdicts]], d24's rule) →
+    *   admitted uniques intra-deduped ([[intraUniqueSigs]], the
+    *   advance-fold rule) → t14's per-source p10 quality floor
+    *   computed over the admitted set → t12's running-token packing
+    *   ([[graft.operators.PrefixSum]], per-source bins) →
+    *   [[graft.operators.ShardWriter]] hash shards.
+    *
+    * Returns the per-shard receipt (p01's shape) computed from the
+    * files just written. The oracle recomputes the whole chain
+    * relationally — d24's verdict CTEs + the intra-dedup + the p01
+    * oracle's scored/threshold/packing/receipt fragments — so a hash
+    * match proves the incremental night equals the declarative spec
+    * end to end.
+    *
+    * Scale: the night's cost is |delta| + |index| (id-only band joins,
+    * ~40 B/doc index rows) — never |base text|, which is the entire
+    * point of running incrementally; packing and sharding touch only
+    * the admitted docs. Confs: `spark.graft.p04.outDir`,
+    * `spark.graft.p04.indexDir`, `spark.graft.p04.buildIndex=false`
+    * to serve a pre-built index (the nightly posture — pair with
+    * [[d24Advance]] / the `graft.Nightly` CLI owning the advance). */
+  private[graft] def p04(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    val outDir = s.conf.getOption("spark.graft.p04.outDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p04_shards")
+    val indexDir = s.conf.getOption("spark.graft.p04.indexDir")
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft_p04_index")
+    val docs = documents(s, d)
+    val isDelta =
+      pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
+        424), lit(5L)) === 0L
+    if (s.conf.getOption("spark.graft.p04.buildIndex").forall(_.toBoolean))
+      graft.operators.IndexGenerations.reset(s, indexDir,
+        d24Sig(docs.filter(!isDelta)))
+    val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
+    val deltaDocs = docs.filter(isDelta)
+      .select(col("doc_id"), col("source"), col("text"))
+    val delta = graft.Pinned.pin(d24Sig(deltaDocs))
+    val v = deltaVerdicts(index, delta)
+    val admittedIds = intraUniqueSigs(
+      delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
+        Seq("doc_id")))
+      .select("doc_id")
+    val scored = graft.Pinned.pin(
+      scoredOf(deltaDocs.join(admittedIds, Seq("doc_id")))
+        .select(col("doc_id"), col("source"), col("score_pm"),
+          col("n_words").cast("long").as("n_toks")))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+        .cast("long").as("p10"))
+    val kept = scored
+      .join(broadcast(thr), Seq("source"))
+      .filter(col("score_pm") >= col("p10"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+    val packed = graft.operators.PrefixSum
+      .exclusive(kept, "source", "doc_id", "n_toks", "cum_before",
+        packBuckets(s))
+      .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
+    val corpus = packed
+      .join(deltaDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    shardReceipt(
+      graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
+  }
 
   // ---- DuckDB oracles ----
 
@@ -3362,6 +3435,98 @@ object TextDedupOps {
          |  LEFT JOIN lmthr lt ON lt.source = s.source
          |  WHERE s.score_pm >= t.p10
          |    AND (lm.lm_pm IS NULL OR lm.lm_pm <= lt.p90)),
+         |packed AS (
+         |  SELECT doc_id, source, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      // $PackBudget AS bin
+         |  FROM kept)
+         |SELECT (${sqlHash60("doc_id::VARCHAR", graft.operators.ShardWriter.Seed)} % $NShards) AS shard,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  SUM(bin)::BIGINT AS sum_bin,
+         |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
+         |FROM packed GROUP BY 1""".stripMargin,
+    // SQL twin of p04 — the incremental night: d24's verdict CTEs, the
+    // intra-unique dedup (min-id per content hash, then drop docs near
+    // any SMALLER admitted doc — the advance-fold rule), then the p01
+    // oracle's scored/threshold/packing/receipt fragments over the
+    // admitted set only.
+    "p04_incremental_shards" ->
+      s"""WITH thm AS (
+         |  SELECT doc_id, source, text,
+         |    list_transform($toksSql,
+         |      t -> ${sqlHash60("t", 0)} % ${graft.functions.TextFns.ShingleMod}) AS th
+         |  FROM documents),
+         |hsx AS (
+         |  SELECT doc_id, source, text,
+         |    list_distinct(list_transform(range(1, greatest(len(th) - $K + 2, 1)),
+         |      i -> (${(0 until K).map(j =>
+                  s"th[i+$j] * ${graft.functions.TextFns.ShingleCoef(j)}")
+                  .mkString(" + ")}) % ${graft.functions.TextFns.ShingleMod})) AS ss
+         |  FROM thm),
+         |sigd AS (
+         |  SELECT doc_id, source,
+         |    (${sqlHash60("doc_id::VARCHAR", 424)} % 5 = 0) AS is_delta,
+         |    md5(text) AS content_hash,
+         |    CASE WHEN len(ss) > 0 THEN ${minhashSql("ss")} END AS sig
+         |  FROM hsx),
+         |base AS (SELECT * FROM sigd WHERE NOT is_delta),
+         |delta AS (SELECT * FROM sigd WHERE is_delta),
+         |exact AS (
+         |  SELECT d.doc_id FROM delta d
+         |  JOIN base b USING (content_hash) GROUP BY 1),
+         |db AS (SELECT doc_id, UNNEST(${bandKeySql("sig")}) AS band_key
+         |       FROM delta WHERE sig IS NOT NULL),
+         |bb AS (SELECT doc_id AS base_id, UNNEST(${bandKeySql("sig")}) AS band_key
+         |       FROM base WHERE sig IS NOT NULL),
+         |cand AS (
+         |  SELECT DISTINCT db.doc_id, bb.base_id
+         |  FROM db JOIN bb USING (band_key)),
+         |near AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM cand c
+         |  JOIN delta d ON d.doc_id = c.doc_id
+         |  JOIN base b ON b.doc_id = c.base_id
+         |  WHERE (1000 * len(list_filter(range(1, ${MINHASH_K + 1}),
+         |          i -> d.sig[i] = b.sig[i]))) // $MINHASH_K >= 500),
+         |au AS (
+         |  SELECT d.* FROM delta d
+         |  ANTI JOIN exact e ON e.doc_id = d.doc_id
+         |  ANTI JOIN near n ON n.doc_id = d.doc_id),
+         |akeep AS (
+         |  SELECT content_hash, MIN(doc_id) AS keep_id FROM au GROUP BY 1),
+         |adb AS (SELECT doc_id, UNNEST(${bandKeySql("sig")}) AS band_key
+         |        FROM au WHERE sig IS NOT NULL),
+         |adrop AS (
+         |  SELECT DISTINCT x.doc_id
+         |  FROM (SELECT DISTINCT a.doc_id, b.doc_id AS base_id
+         |        FROM adb a JOIN adb b USING (band_key)
+         |        WHERE b.doc_id < a.doc_id) p
+         |  JOIN au x ON x.doc_id = p.doc_id
+         |  JOIN au y ON y.doc_id = p.base_id
+         |  WHERE (1000 * len(list_filter(range(1, ${MINHASH_K + 1}),
+         |          i -> x.sig[i] = y.sig[i]))) // $MINHASH_K >= 500),
+         |admitted AS (
+         |  SELECT a.doc_id FROM au a
+         |  JOIN akeep k
+         |    ON k.content_hash = a.content_hash AND k.keep_id = a.doc_id
+         |  ANTI JOIN adrop dr ON dr.doc_id = a.doc_id),
+         |adocs AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN admitted a ON a.doc_id = d.doc_id),
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    (1000 * ($stopSql + $alphaSql)) // len($toksSql) AS score_pm,
+         |    len($toksSql)::BIGINT AS n_toks
+         |  FROM adocs WHERE len($toksSql) > 0),
+         |thr AS (
+         |  SELECT source, quantile_disc(score_pm, 0.1)::BIGINT AS p10
+         |  FROM scored GROUP BY 1),
+         |kept AS (
+         |  SELECT s.doc_id, s.source, s.n_toks
+         |  FROM scored s JOIN thr t USING (source)
+         |  WHERE s.score_pm >= t.p10),
          |packed AS (
          |  SELECT doc_id, source, n_toks,
          |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id

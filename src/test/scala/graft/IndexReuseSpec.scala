@@ -60,6 +60,29 @@ class IndexReuseSpec extends SparkSuite {
       "spark.graft.m12.indexDir", "spark.graft.m12.buildIndex")
   }
 
+  test("p04 buildIndex=false runs the incremental night from the " +
+    "frozen index: identical shard receipt, index files untouched") {
+    val idx = Files.createTempDirectory("reuse_p04").toString
+    spark.conf.set("spark.graft.p04.indexDir", idx)
+    try {
+      val built = SparkEntry.queries("p04_incremental_shards")(spark, sf)
+        .orderBy("shard").collect().toSeq
+      Pinned.releaseAll(spark)
+      val frozen = fileState(idx)
+      assert(frozen.nonEmpty, "p04 wrote no index files")
+      spark.conf.set("spark.graft.p04.buildIndex", "false")
+      val served = SparkEntry.queries("p04_incremental_shards")(spark, sf)
+        .orderBy("shard").collect().toSeq
+      Pinned.releaseAll(spark)
+      assert(served == built,
+        "p04 serve-mode receipt diverges from build-mode")
+      assert(fileState(idx) == frozen, "p04 serve mode rewrote the index")
+    } finally {
+      spark.conf.unset("spark.graft.p04.indexDir")
+      spark.conf.unset("spark.graft.p04.buildIndex")
+    }
+  }
+
   test("d24 serve mode honors the readGen pin: after an advance, " +
     "readGen=N-1 reproduces the pre-advance verdicts exactly") {
     import spark.implicits._
