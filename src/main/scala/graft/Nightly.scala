@@ -38,8 +38,9 @@ import graft.operators.IndexGenerations
 object Nightly {
 
   private val Usage =
-    "usage: graft.Nightly <text|media> <build|advance|compact|prune> " +
-      "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune]"
+    "usage: graft.Nightly <text|media> <build|advance|night|compact|prune> " +
+      "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
+      "[--id <nightId> --shards <dir>]"
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -90,6 +91,41 @@ object Nightly {
         line("metric" -> "\"nightly_advance\"", "axis" -> s""""$axis"""",
           genField, "verdicts" -> vs,
           "pruned" -> flags.contains("--prune").toString)
+
+      case "night" =>
+        // the COMPLETE text-axis production night: shard increment +
+        // index fold from one delta scan, exactly-once per --id
+        require(axis == "text",
+          "night is the text-axis command (a media night is `advance`)")
+        val path = rest.headOption.getOrElse(sys.error(Usage))
+        val flags = rest.tail
+        def flag(name: String): Option[String] =
+          flags.sliding(2).collectFirst { case Seq(`name`, v) => v }
+        val nightId = flag("--id").getOrElse(
+          sys.error("night requires --id <nightId>\n" + Usage))
+        val shardsDir = flag("--shards").getOrElse(
+          sys.error("night requires --shards <dir>\n" + Usage))
+        queries.TextDedupOps.p04Night(s, indexDir,
+          docsAt(path).select("doc_id", "source", "text"),
+          shardsDir, nightId) match {
+          case None =>
+            line("metric" -> "\"nightly_night\"", genField,
+              "id" -> s""""$nightId"""", "skipped" -> "true")
+          case Some((receipt, v)) =>
+            val counts = v.groupBy("verdict").count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            val shards = receipt.count()
+            Pinned.releaseAll(s)
+            if (flags.contains("--prune"))
+              IndexGenerations.prune(s, indexDir)
+            val vs = Seq("exact", "near", "unique")
+              .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
+              .mkString("{", ",", "}")
+            line("metric" -> "\"nightly_night\"", genField,
+              "id" -> s""""$nightId"""", "skipped" -> "false",
+              "verdicts" -> vs, "shards" -> shards.toString,
+              "pruned" -> flags.contains("--prune").toString)
+        }
 
       case "compact" =>
         IndexGenerations.compact(s, indexDir)

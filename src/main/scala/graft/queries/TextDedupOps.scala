@@ -2378,6 +2378,71 @@ object TextDedupOps {
       graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
   }
 
+  /** Record name under which [[p04Night]] stamps its night id into the
+    * generation it advances. */
+  private[graft] val NightRecord = "night"
+
+  /** The COMPLETE production night over one delta scan — p04's shard
+    * increment AND [[d24Advance]]'s index fold in a single call
+    * sharing the signature/verdict pins: verdicts vs the live index,
+    * admitted uniques ([[intraUniqueSigs]]) folded into generation
+    * N+1, the same admitted set gated, packed, and written as
+    * tonight's shards. The two halves CANNOT disagree on admission —
+    * one `admitted` frame feeds both — which is the property running
+    * p04 and d24Advance separately would have to re-derive.
+    *
+    * Exactly-once per `nightId` (the [[graft.streaming.StoreDedup]]
+    * fold discipline): the shard write runs FIRST, then the advance
+    * commits with `nightId` recorded inside the new generation before
+    * its marker — so a crash anywhere before the marker leaves the
+    * night uncommitted (the rerun redoes shards + fold from the same
+    * still-live index generation), and a rerun of a COMMITTED night
+    * returns None without touching the shards (re-running it blind
+    * would re-judge every doc exact-against-itself and overwrite the
+    * night's shards with nothing — the hole the record closes).
+    *
+    * Returns Some((shard receipt, verdicts)) for a run night, None for
+    * an already-committed one; caller releases pins via
+    * [[graft.Pinned.releaseAll]] after consuming the frames. */
+  def p04Night(s: SparkSession, indexDir: String, deltaDocs: DataFrame,
+      outDir: String, nightId: String)
+      : Option[(DataFrame, DataFrame)] = {
+    if (graft.operators.IndexGenerations
+        .records(s, indexDir, NightRecord).contains(nightId))
+      return None
+    graft.functions.HashSketch.register(s)
+    val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
+    val delta = graft.Pinned.pin(d24Sig(deltaDocs))
+    val v = graft.Pinned.pin(deltaVerdicts(index, delta))
+    val admittedSigs = graft.Pinned.pin(intraUniqueSigs(
+      delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
+        Seq("doc_id"))))
+    val admittedIds = admittedSigs.select("doc_id")
+    val scored = graft.Pinned.pin(
+      scoredOf(deltaDocs.join(admittedIds, Seq("doc_id")))
+        .select(col("doc_id"), col("source"), col("score_pm"),
+          col("n_words").cast("long").as("n_toks")))
+    val thr = scored.groupBy(col("source"))
+      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+        .cast("long").as("p10"))
+    val kept = scored
+      .join(broadcast(thr), Seq("source"))
+      .filter(col("score_pm") >= col("p10"))
+      .select(col("doc_id"), col("source"), col("n_toks"))
+    val packed = graft.operators.PrefixSum
+      .exclusive(kept, "source", "doc_id", "n_toks", "cum_before",
+        packBuckets(s))
+      .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
+    val corpus = packed
+      .join(deltaDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val receipt = shardReceipt(
+      graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
+    graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
+      admittedSigs, Some(NightRecord -> nightId))
+    Some((receipt, v))
+  }
+
   // ---- DuckDB oracles ----
 
   private val toksSql =

@@ -110,6 +110,50 @@ class NightlySpec extends SparkSuite {
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
+  test("the night command runs the full production night exactly once: " +
+    "shard increment + index fold from one delta, reruns skipped, " +
+    "night-2 excludes night-1's admissions from its shards") {
+    val idx = Files.createTempDirectory("nl_night_idx").toString
+    Nightly.run(spark, Seq("text", "build", idx,
+      writeDocs((0L to 4L).map(i => i -> freshText(s"gn${i}w")): _*)))
+    val u1 = freshText("gu1w")
+    val night1 = writeDocs(100L -> u1, 101L -> freshText("gu2w"))
+    val shards1 = Files.createTempDirectory("nl_sh1").toString
+    val out1 = Nightly.run(spark,
+      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards1))
+    assert(out1.contains("\"skipped\":false") &&
+      out1.contains("\"unique\":2") && out1.contains("\"gen\":1"), out1)
+    val docs1 = spark.read.parquet(shards1)
+    assert(docs1.count() == 2L, "night-1 shards should hold both uniques")
+    // rerun of a committed night: skipped, shards byte-untouched
+    import scala.jdk.CollectionConverters._
+    def state(dir: String) = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    val frozen = state(shards1)
+    val rerun = Nightly.run(spark,
+      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards1))
+    assert(rerun.contains("\"skipped\":true"), rerun)
+    assert(state(shards1) == frozen, "a skipped night touched the shards")
+    // night 2: a re-crawl of night-1's admitted unique + one fresh doc —
+    // the copy is caught by the advanced index and kept OUT of the
+    // night-2 shard increment
+    val shards2 = Files.createTempDirectory("nl_sh2").toString
+    val out2 = Nightly.run(spark,
+      Seq("text", "night", idx,
+        writeDocs(200L -> u1, 201L -> freshText("gu3w")),
+        "--id", "n2", "--shards", shards2, "--prune"))
+    assert(out2.contains("\"exact\":1") && out2.contains("\"unique\":1"),
+      out2)
+    val docs2 = spark.read.parquet(shards2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docs2 == Set(201L),
+      s"night-2 shards should hold exactly the fresh doc: $docs2")
+    assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+  }
+
   test("compact and prune commands fold a delta chain into one served " +
     "total; bad arguments fail loudly") {
     spark.conf.set("spark.graft.index.advanceMode", "delta")
