@@ -2335,9 +2335,20 @@ object TextDedupOps {
     * to serve a pre-built index (the nightly posture — pair with
     * [[d24Advance]] / the `graft.Nightly` CLI owning the advance). */
   private[graft] def p04(s: SparkSession, d: String): DataFrame = {
-    graft.functions.HashSketch.register(s)
     val outDir = s.conf.getOption("spark.graft.p04.outDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_p04_shards")
+    shardReceipt(graft.operators.ShardWriter
+      .writeDocs(p04Corpus(s, d, production = true), NShards, outDir))
+  }
+
+  /** p04's pre-write corpus frame. `production = false` skips the pins
+    * so PlanAuditSpec can inspect the fully-declarative composition
+    * (the [[p01Corpus]] discipline). */
+  private[graft] def p04Corpus(s: SparkSession, d: String,
+      production: Boolean): DataFrame = {
+    graft.functions.HashSketch.register(s)
+    def pin(df: DataFrame): DataFrame =
+      if (production) graft.Pinned.pin(df) else df
     val indexDir = s.conf.getOption("spark.graft.p04.indexDir")
       .getOrElse(sys.props("java.io.tmpdir") + "/graft_p04_index")
     val docs = documents(s, d)
@@ -2350,13 +2361,13 @@ object TextDedupOps {
     val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
     val deltaDocs = docs.filter(isDelta)
       .select(col("doc_id"), col("source"), col("text"))
-    val delta = graft.Pinned.pin(d24Sig(deltaDocs))
+    val delta = pin(d24Sig(deltaDocs))
     val v = deltaVerdicts(index, delta)
     val admittedIds = intraUniqueSigs(
       delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
         Seq("doc_id")))
       .select("doc_id")
-    val scored = graft.Pinned.pin(
+    val scored = pin(
       scoredOf(deltaDocs.join(admittedIds, Seq("doc_id")))
         .select(col("doc_id"), col("source"), col("score_pm"),
           col("n_words").cast("long").as("n_toks")))
@@ -2372,10 +2383,7 @@ object TextDedupOps {
         packBuckets(s))
       .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
       .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
-    val corpus = packed
-      .join(deltaDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
-    shardReceipt(
-      graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
+    packed.join(deltaDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
   }
 
   /** Record name under which [[p04Night]] stamps its night id into the

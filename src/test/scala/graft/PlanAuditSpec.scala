@@ -418,6 +418,23 @@ class PlanAuditSpec extends SparkSuite {
       s"p01 lost its threshold broadcasts:\n$p")
   }
 
+  test("p04 incremental night: id-only banded verdict joins, threshold " +
+    "broadcast, no cartesian — |delta| + |index| cost shape") {
+    val p = graft.queries.TextDedupOps.p04Corpus(spark, sf,
+        production = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"p04 degenerated to all-pairs:\n$p")
+    // the per-source p10 threshold table broadcasts back
+    assert(p.contains("BroadcastHashJoin"),
+      s"p04 lost its threshold broadcast:\n$p")
+    // packing stays the bucketed two-pass prefix sum, never a
+    // per-source-only ordered window (the p01 discipline)
+    assert(!"Window.*partitionBy.*\\[source".r.findFirstIn(p).isDefined,
+      s"p04 packing regressed to the per-source ordered window:\n$p")
+  }
+
   test("s19 cluster recall report: truth labeling is hash joins; the " +
     "only non-equi shapes are the two declared audit scans") {
     val p = plan("s19_cluster_recall_report")
