@@ -95,6 +95,17 @@ object ScaleRehearsal {
       r
     }
 
+    // --- p04 incremental night on the 10× corpus: the
+    // incremental-vs-full evidence — p01 rebuilds everything, p04's
+    // cost is |delta| + |index|, so the gap must WIDEN with scale ---
+    spark.conf.set("spark.graft.p04.indexDir", s"$work/p04_index")
+    spark.conf.set("spark.graft.p04.outDir", s"$work/p04_shards")
+    val (p04Rows, p04Secs) = timed {
+      val r = SparkEntry.queries("p04_incremental_shards")(spark, dir).count()
+      Pinned.releaseAll(spark)
+      r
+    }
+
     // --- m12 media cycle on the same 10× corpus: build + serve, then
     // one advance night (the d24 lifecycle on the media axis — decode,
     // fingerprints, and the fold all stay executor-side) ---
@@ -156,6 +167,7 @@ object ScaleRehearsal {
       s""""p01_rows":$p01Rows,"p01_secs":$p01Secs,""" +
       s""""d24_rows":$d24Rows,"d24_secs":$d24Secs,""" +
       s""""adv_rows":$advRows,"adv_secs":$advSecs,""" +
+      s""""p04_rows":$p04Rows,"p04_secs":$p04Secs,""" +
       s""""m12_rows":$m12Rows,"m12_secs":$m12Secs,""" +
       s""""m12_adv_rows":$mAdvRows,"m12_adv_secs":$mAdvSecs,""" +
       s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +

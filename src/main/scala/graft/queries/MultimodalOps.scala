@@ -375,7 +375,10 @@ object MultimodalOps {
     * hamming ≤ 4) duplicate of it. Verdicts unaffected; this dedups
     * the WRITE, so a crawl batch of internal re-encodes contributes
     * one fingerprint. */
-  private[graft] def intraUniqueFps(u: DataFrame): DataFrame = {
+  private[graft] def intraUniqueFps(u0: DataFrame): DataFrame = {
+    // six references below — pin like intraUniqueSigs, or each one
+    // re-executes the verdict-join subtree
+    val u = graft.Pinned.pin(u0)
     val exactDrop = u.select(col("media_id"), col("kind"), col("checksum"))
       .join(u.groupBy(col("kind"), col("checksum"))
         .agg(min(col("media_id")).as("keep_id")), Seq("kind", "checksum"))

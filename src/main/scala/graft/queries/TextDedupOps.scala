@@ -1648,7 +1648,13 @@ object TextDedupOps {
     * only (intra-delta verdicts stay d02/d03's job); this dedups the
     * WRITE. Same shapes as [[deltaVerdicts]]: hash-group for exact,
     * id-only band self-join for near. */
-  private[graft] def intraUniqueSigs(u: DataFrame): DataFrame = {
+  private[graft] def intraUniqueSigs(u0: DataFrame): DataFrame = {
+    // the uniques frame is referenced six times below (exact grouping,
+    // two band arms, two sig rejoins, the final anti-join) — without a
+    // pin each reference re-executes the whole verdict-join subtree
+    // (measured: the p04 admission decision cost 3.2 s of its 5.4 s
+    // night at sf0.1 before this pin, ~0.5 s after)
+    val u = graft.Pinned.pin(u0)
     val exactDrop = u.select(col("doc_id"), col("content_hash"))
       .join(u.groupBy(col("content_hash"))
         .agg(min(col("doc_id")).as("keep_id")), Seq("content_hash"))
@@ -2342,8 +2348,8 @@ object TextDedupOps {
   }
 
   /** p04's pre-write corpus frame. `production = false` skips the pins
-    * so PlanAuditSpec can inspect the fully-declarative composition
-    * (the [[p01Corpus]] discipline). */
+    * and lineage cuts so PlanAuditSpec can inspect the fully-
+    * declarative composition (the [[p01Corpus]] discipline). */
   private[graft] def p04Corpus(s: SparkSession, d: String,
       production: Boolean): DataFrame = {
     graft.functions.HashSketch.register(s)
@@ -2367,17 +2373,45 @@ object TextDedupOps {
       delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
         Seq("doc_id")))
       .select("doc_id")
+    gateAndPack(s, deltaDocs, admittedIds, production)
+  }
+
+  /** The admitted-delta gate + pack + text-rejoin stages shared by
+    * [[p04Corpus]] and [[p04Night]]: t14's per-source p10 floor, t12's
+    * bucketed prefix-sum packing, the narrow (doc_id, text) join
+    * feeding the shard writer. Production mode pins the scored
+    * projection (threshold agg + gate both scan it) and CUTS lineage
+    * before the prefix sum — PrefixSum embeds its input subtree three
+    * times in one plan, and without the cut p04's wall time at sf0.1
+    * measured 8.1 s vs ~its d24-shaped floor (the p01Build lesson,
+    * re-learned and re-measured here). */
+  private def gateAndPack(s: SparkSession, deltaDocs: DataFrame,
+      admittedIds: DataFrame, production: Boolean): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (production) graft.Pinned.pin(df) else df
+    def cut(df: DataFrame): DataFrame =
+      if (!production) df
+      else s.conf.getOption("spark.graft.checkpointDir") match {
+        case Some(dir) =>
+          s.sparkContext.setCheckpointDir(dir); df.checkpoint()
+        case None => df.localCheckpoint()
+      }
+    // cap the verdict stack's lineage at the admission decision: the id
+    // frame is tiny, and every downstream stage (scored pin, threshold
+    // agg, gate, prefix sum, text rejoin, shard write) would otherwise
+    // re-pay Catalyst analysis of the banded-join stack per action
+    val ids = cut(admittedIds)
     val scored = pin(
-      scoredOf(deltaDocs.join(admittedIds, Seq("doc_id")))
+      scoredOf(deltaDocs.join(ids, Seq("doc_id")))
         .select(col("doc_id"), col("source"), col("score_pm"),
           col("n_words").cast("long").as("n_toks")))
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
-    val kept = scored
+    val kept = cut(scored
       .join(broadcast(thr), Seq("source"))
       .filter(col("score_pm") >= col("p10"))
-      .select(col("doc_id"), col("source"), col("n_toks"))
+      .select(col("doc_id"), col("source"), col("n_toks")))
     val packed = graft.operators.PrefixSum
       .exclusive(kept, "source", "doc_id", "n_toks", "cum_before",
         packBuckets(s))
@@ -2425,25 +2459,8 @@ object TextDedupOps {
     val admittedSigs = graft.Pinned.pin(intraUniqueSigs(
       delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
         Seq("doc_id"))))
-    val admittedIds = admittedSigs.select("doc_id")
-    val scored = graft.Pinned.pin(
-      scoredOf(deltaDocs.join(admittedIds, Seq("doc_id")))
-        .select(col("doc_id"), col("source"), col("score_pm"),
-          col("n_words").cast("long").as("n_toks")))
-    val thr = scored.groupBy(col("source"))
-      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
-        .cast("long").as("p10"))
-    val kept = scored
-      .join(broadcast(thr), Seq("source"))
-      .filter(col("score_pm") >= col("p10"))
-      .select(col("doc_id"), col("source"), col("n_toks"))
-    val packed = graft.operators.PrefixSum
-      .exclusive(kept, "source", "doc_id", "n_toks", "cum_before",
-        packBuckets(s))
-      .withColumn("bin", expr(s"cum_before DIV $PackBudget"))
-      .select(col("doc_id"), col("source"), col("n_toks"), col("bin"))
-    val corpus = packed
-      .join(deltaDocs.select(col("doc_id"), col("text")), Seq("doc_id"))
+    val corpus = gateAndPack(s, deltaDocs,
+      admittedSigs.select("doc_id"), production = true)
     val receipt = shardReceipt(
       graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
     graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,

@@ -50,7 +50,19 @@ import graft.queries.TextDedupOps
   * documented TTL trade) and re-folds as a duplicate index row —
   * verdict-idempotent (the exact arm's `min(base_id)` ignores the
   * extra row); set `spark.graft.stream.indexCheck=true` to spend one
-  * index anti-join per batch suppressing even those rows. */
+  * index anti-join per batch suppressing even those rows.
+  *
+  * Single-writer contract: the store admits ONE writer at a time
+  * ([[graft.operators.IndexGenerations]]), and a folding stream IS a
+  * writer. A deployment running this ingest does not also run
+  * `d24Advance`/`p04Night` against the same root concurrently — either
+  * the stream owns the root (the nightly loop reads it, e.g. p04 in
+  * `buildIndex=false` serve mode against `readCurrent`, advancing a
+  * DIFFERENT root or none), or the stream is paused for the nightly
+  * window (stop → nightly advance/compact/prune → restart; the restart
+  * keeps its checkpoint state, which is newer than the bootstrap, and
+  * the nightly's uniques are caught by the next micro-batches only
+  * after a fresh-checkpoint redeploy or via `indexCheck`). */
 object StoreDedup {
 
   case class IngestDoc(doc_id: Long, source: String, text: String)

@@ -57,6 +57,9 @@ class ScaleRehearsalSpec extends SparkSuite {
     assert(field("p01_rows") > 0, j)
     assert(field("d24_rows") > 0, j)
     assert(field("adv_rows") > 0, j)
+    assert(field("p04_rows") > 0, j)
+    assert(field("p04_secs") < field("p01_secs"),
+      s"the incremental night should beat the full rebuild at 10x: $j")
     assert(field("m12_rows") > 0, j)
     assert(field("m12_adv_rows") > 0, j)
     assert(field("ann_vecs") == 20000.0, j)
