@@ -1483,12 +1483,16 @@ object TextDedupOps {
     * materialization + collect + two-arm plan cost 9.4× on the
     * unskewed sf0.1 bench (0.143 → 1.34 s, round 12), because the
     * default single-plan path never materializes the winners at all.
-    * The default path's 100 TB skew cover is AQE's skew-join split
-    * (`spark.sql.adaptive.skewJoin`, on in the bench/production conf):
-    * the winners join is a shuffled join AQE can split, replicating
-    * the one-row winner side per chunk. The explicit threshold remains
-    * the belt-and-braces for deployments whose stop-gram skew
-    * concentrates below AQE's partition thresholds; correctness never
+    * Important negative result (DedupInvariantSpec pins it with a
+    * control): AQE's skew-join split does NOT cover the default path —
+    * the winners side of the join is aggregate-fed (Sort ←
+    * HashAggregate ← shuffle, riding the join's own gram partitioning),
+    * and OptimizeSkewedJoin only splits joins whose children are bare
+    * sort-over-shuffle stages. So on a corpus with true stop-grams the
+    * explicit threshold IS the cover: set `hotCount` there (the skew
+    * spec's planted-hot fixture shows the broadcast arm engaging,
+    * result-identical); on corpora without them the default path's
+    * single plan is the cheapest correct shape. Correctness never
     * depends on the setting (`hotCount=0` ≡ unset). */
   private[graft] def d23Report(s: SparkSession, docs: DataFrame): DataFrame = {
     val grams = substrGrams(docs)

@@ -345,6 +345,75 @@ class DedupInvariantSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.d23.hotCount")
   }
 
+  test("d23 default path vs AQE skew-join: the agg-fed winners join " +
+    "CANNOT be runtime-split (measured), so the explicit hotCount " +
+    "threshold — not AQE — is the stop-gram skew cover") {
+    // Hypothesis tested and falsified this round: "AQE's skew-join
+    // split covers the default path's hot keys". It does not, for a
+    // structural reason this test pins: OptimizeSkewedJoin only matches
+    // joins whose children are bare sort-over-shuffle stages, and the
+    // winners side of d23's join is Sort <- HashAggregate <- shuffle —
+    // the aggregate rides the same gram partitioning the join uses, so
+    // there is no splittable shuffle boundary on that side. The CONTROL
+    // below proves the thresholds used here DO fire on the same data
+    // when both sides are bare shuffles — the blocker is the plan
+    // shape, not the sizing.
+    val hot = (0 until 8).map(i => s"k$i").mkString(" ")
+    val docs = (0 until 800).map { i =>
+      (i.toLong, s"$hot w${i}y0 w${i}y1", "en", s"src${i % 2}", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val baseline = graft.queries.TextDedupOps.d23Report(spark, docs)
+      .orderBy("doc_id").collect().toSeq
+    val confs = Seq(
+      // force the production join shape: a vocab-sized winners table
+      // is not broadcastable at 100 TB
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      // thresholds far below the fixture's partition sizes
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256b",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "128b",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // CONTROL: the same skewed key over two BARE shuffle sides —
+      // the skew rule fires under these thresholds
+      val left = (0 until 2400).map(i =>
+        (if (i % 3 == 0) "hotkey" else s"cold$i", i.toLong))
+        .toDF("k", "v")
+      val right = ("hotkey" +: (0 until 2400 by 3).map(i => s"cold$i"))
+        .map((_, 1L)).toDF("k", "w")
+      val ctl = left.join(right, Seq("k")).orderBy("v")
+      ctl.collect()
+      val ctlPlan = ctl.queryExecution.executedPlan.toString
+      assert(ctlPlan.contains("skew=true"),
+        s"control join not skew-split — thresholds insufficient:\n$ctlPlan")
+      // SUBJECT: d23's winners join under identical thresholds — the
+      // aggregate-fed side blocks the split. If a Spark upgrade makes
+      // this assertion fail, AQE learned to split agg-fed joins:
+      // revisit the hotCount default (the 9.4x detection cost argument
+      // still stands, but the skew story would gain a free cover).
+      val run = graft.queries.TextDedupOps.d23Report(spark, docs)
+        .orderBy("doc_id")
+      val got = run.collect().toSeq
+      val p = run.queryExecution.executedPlan.toString
+      assert(!p.contains("skew=true"),
+        s"AQE now splits the agg-fed winners join — revisit d23 docs:\n$p")
+      assert(got == baseline, "conf changes altered the verdicts")
+      // and the REAL cover: the explicit threshold reroutes the hot key
+      // through the broadcast arm under the same session confs
+      spark.conf.set("spark.graft.d23.hotCount", "100")
+      val iso = try graft.queries.TextDedupOps.d23Report(spark, docs)
+        .orderBy("doc_id").collect().toSeq
+      finally spark.conf.unset("spark.graft.d23.hotCount")
+      assert(iso == baseline, "hot-gram isolation changed the verdicts")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
   test("t21 overlap chunks: ceil(n/S) windows per doc, hand-checked " +
     "offsets, short tails, and digests") {
     val rows = SparkEntry.queries("t21_overlap_chunks")(spark, substrDir)
