@@ -16,9 +16,20 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media> build   <indexDir> <docsParquet>
   * graft.Nightly <text|media> advance <indexDir> <deltaParquet>
   *                                    [--verdicts <dir>] [--prune]
+  * graft.Nightly <text|media> night   <indexDir> <deltaParquet>
+  *                                    --id <nightId> [--shards <root>]
+  *                                    [--prune]
   * graft.Nightly <text|media> compact <indexDir>
   * graft.Nightly <text|media> prune   <indexDir>
   * }}}
+  *
+  * `night` is the exactly-once production night: on text it writes the
+  * shard increment under `<shards root>/night=<nightId>` AND folds the
+  * index from one delta scan (`TextDedupOps.p04Night` — pass the SAME
+  * `--shards` root every night; each night is its own partition and a
+  * rerun of a committed id is a recorded no-op); on media it is the
+  * recorded advance alone (`MultimodalOps.m12Night` — no shard half,
+  * same night-id ledger).
   *
   * `build` distills a base corpus into generation 0
   * (`TextDedupOps.d24Build` / `MultimodalOps.m12Build`); `advance`
@@ -93,38 +104,58 @@ object Nightly {
           "pruned" -> flags.contains("--prune").toString)
 
       case "night" =>
-        // the COMPLETE text-axis production night: shard increment +
-        // index fold from one delta scan, exactly-once per --id
-        require(axis == "text",
-          "night is the text-axis command (a media night is `advance`)")
+        // the COMPLETE production night, exactly-once per --id: on
+        // text, shard increment (under <shards>/night=<id>) + index
+        // fold from one delta scan; on media the night is the recorded
+        // advance alone (the m12 index has no shard half)
         val path = rest.headOption.getOrElse(sys.error(Usage))
         val flags = rest.tail
         def flag(name: String): Option[String] =
           flags.sliding(2).collectFirst { case Seq(`name`, v) => v }
         val nightId = flag("--id").getOrElse(
           sys.error("night requires --id <nightId>\n" + Usage))
-        val shardsDir = flag("--shards").getOrElse(
-          sys.error("night requires --shards <dir>\n" + Usage))
-        queries.TextDedupOps.p04Night(s, indexDir,
-          docsAt(path).select("doc_id", "source", "text"),
-          shardsDir, nightId) match {
+        def verdictField(v: DataFrame): (String, String) = {
+          val counts = v.groupBy("verdict").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          "verdicts" -> Seq("exact", "near", "unique")
+            .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
+            .mkString("{", ",", "}")
+        }
+        def pruneField: (String, String) = {
+          if (flags.contains("--prune"))
+            IndexGenerations.prune(s, indexDir)
+          "pruned" -> flags.contains("--prune").toString
+        }
+        val run: Option[Seq[(String, String)]] = axis match {
+          case "text" =>
+            val shardsDir = flag("--shards").getOrElse(
+              sys.error("a text night requires --shards <dir>\n" + Usage))
+            queries.TextDedupOps.p04Night(s, indexDir,
+              docsAt(path).select("doc_id", "source", "text"),
+              shardsDir, nightId).map { case (receipt, v) =>
+              val vf = verdictField(v)
+              val shards = receipt.count()
+              Pinned.releaseAll(s)
+              Seq(vf, "shards" -> shards.toString, pruneField)
+            }
+          case "media" =>
+            queries.MultimodalOps.m12Night(s, indexDir, mediaAt(path),
+              nightId).map { v =>
+              val vf = verdictField(v)
+              Pinned.releaseAll(s)
+              Seq(vf, pruneField)
+            }
+        }
+        run match {
           case None =>
-            line("metric" -> "\"nightly_night\"", genField,
+            line("metric" -> "\"nightly_night\"",
+              "axis" -> s""""$axis"""", genField,
               "id" -> s""""$nightId"""", "skipped" -> "true")
-          case Some((receipt, v)) =>
-            val counts = v.groupBy("verdict").count()
-              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-            val shards = receipt.count()
-            Pinned.releaseAll(s)
-            if (flags.contains("--prune"))
-              IndexGenerations.prune(s, indexDir)
-            val vs = Seq("exact", "near", "unique")
-              .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
-              .mkString("{", ",", "}")
-            line("metric" -> "\"nightly_night\"", genField,
-              "id" -> s""""$nightId"""", "skipped" -> "false",
-              "verdicts" -> vs, "shards" -> shards.toString,
-              "pruned" -> flags.contains("--prune").toString)
+          case Some(fields) =>
+            line(Seq("metric" -> "\"nightly_night\"",
+              "axis" -> s""""$axis"""", genField,
+              "id" -> s""""$nightId"""", "skipped" -> "false") ++
+              fields: _*)
         }
 
       case "compact" =>

@@ -27,7 +27,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * build/advance at a time per root; concurrent readers are always
   * safe. [[prune]] is the separate compaction face — advances stay
   * additive-only so the "old generations untouched" invariant is
-  * auditable.
+  * auditable. The contract is ENFORCED, not just documented: every
+  * mutation (generation write, multi-table write, prune) runs under a
+  * create-exclusive `_WRITER_LEASE` file at the root — a second writer
+  * arriving while one holds the lease fails with a clear error instead
+  * of interleaving parquet + marker writes into the same `gen=` dir
+  * (the silent-corruption race a folding stream plus a cron'd nightly
+  * advance would otherwise hit). A crashed writer's stale lease is
+  * taken over after `spark.graft.index.leaseTimeoutMs` (default 1 h —
+  * bound it below your scheduler's retry gap). Belt-and-braces, a
+  * write also refuses a target generation that ALREADY carries a
+  * commit marker: a writer that lost the race after computing N+1 from
+  * a stale listing errors instead of overwriting the winner's
+  * committed generation.
   *
   * 100 TB: generations hold the distilled index rows (~40 B/doc — the
   * signature/fingerprint tables, never text or payloads), so a full
@@ -46,6 +58,64 @@ object IndexGenerations {
   private val Marker = "_COMMITTED"
   private val DeltaTag = "delta"
   private val GenName = "gen=(\\d{1,18})".r
+  private val Lease = "_WRITER_LEASE"
+
+  /** Run `body` holding the root's create-exclusive writer lease —
+    * the single-writer fence. Acquisition is `fs.create(path,
+    * overwrite=false)`, which fails if the file exists; a lease older
+    * than `spark.graft.index.leaseTimeoutMs` (default 1 h) is presumed
+    * a crashed writer's and taken over once. The lease is released on
+    * ALL exits (a failed write leaves a torn, unmarked dir that the
+    * retry overwrites — the lease guards concurrency, not retries). */
+  private def withLease[A](s: SparkSession, root: String)(body: => A): A = {
+    val fs = fsOf(s, root)
+    val rp = new Path(root)
+    if (!fs.exists(rp)) fs.mkdirs(rp)
+    val lp = new Path(rp, Lease)
+    val timeoutMs = s.conf
+      .getOption("spark.graft.index.leaseTimeoutMs")
+      .map(_.toLong).getOrElse(3600000L)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lp, false)
+        try out.write(
+          System.currentTimeMillis().toString.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    val acquired = tryAcquire() || {
+      // stale-lease takeover: one delete + one retry, bounded
+      val stale =
+        try {
+          val st = fs.getFileStatus(lp)
+          val in = fs.open(lp)
+          val stamp = try new String(in.readAllBytes(), "UTF-8").trim
+          finally in.close()
+          val t = stamp.toLongOption.getOrElse(st.getModificationTime)
+          System.currentTimeMillis() - t > timeoutMs
+        } catch { case _: java.io.IOException => true } // vanished: retry
+      if (stale) fs.delete(lp, false)
+      stale && tryAcquire()
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"another writer holds the lease on $root ($Lease present and " +
+        s"fresh) — the store is single-writer; stop the other " +
+        s"build/advance/prune first, or wait out the " +
+        s"${timeoutMs / 1000}s stale-lease bound if it crashed")
+    try body finally fs.delete(lp, false)
+  }
+
+  /** The lost-race backstop inside the lease: refuse to touch a
+    * generation that is already committed (a stale-listing writer must
+    * error, never overwrite the winner). */
+  private def requireUncommitted(s: SparkSession, root: String,
+      n: Long): Unit = {
+    val m = new Path(genPath(root, n), Marker)
+    if (fsOf(s, root).exists(m)) throw new IllegalStateException(
+      s"gen=$n under $root is already committed — a concurrent writer " +
+        s"advanced this store after this write computed its target " +
+        s"generation; re-read the store and retry")
+  }
 
   private def fsOf(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -152,23 +222,30 @@ object IndexGenerations {
       .reduce(_ unionByName _)
   }
 
-  /** `record`, when present, lands INSIDE the generation directory
-    * before the marker stamp, so it commits atomically with the
+  /** `records`, when present, land INSIDE the generation directory
+    * before the marker stamp, so they commit atomically with the
     * generation — the application-level commit evidence the streaming
-    * fold's exactly-once discipline needs ([[records]]). */
-  private def write(s: SparkSession, root: String, n: Long,
+    * fold's exactly-once discipline needs ([[records]]). Each record
+    * file `_<name>` holds one value per line ([[compact]] carries the
+    * whole history of a record name forward as the merged line set).
+    * The whole mutation runs under the writer lease, and refuses a
+    * target generation that is already committed. */
+  private[operators] def write(s: SparkSession, root: String, n: Long,
       df: DataFrame, tag: String = "",
-      record: Option[(String, String)] = None): Long = {
-    val dir = genPath(root, n)
-    df.write.mode("overwrite").parquet(dir.toString)
-    record.foreach { case (name, value) =>
-      val out = fsOf(s, root).create(new Path(dir, "_" + name), true)
-      try out.write(value.getBytes("UTF-8")) finally out.close()
+      records: Map[String, Seq[String]] = Map.empty): Long =
+    withLease(s, root) {
+      requireUncommitted(s, root, n)
+      val dir = genPath(root, n)
+      df.write.mode("overwrite").parquet(dir.toString)
+      records.foreach { case (name, values) =>
+        val out = fsOf(s, root).create(new Path(dir, "_" + name), true)
+        try out.write(values.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+      }
+      val out = fsOf(s, root).create(new Path(dir, Marker), true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+      n
     }
-    val out = fsOf(s, root).create(new Path(dir, Marker), true)
-    try out.write(tag.getBytes("UTF-8")) finally out.close()
-    n
-  }
 
   /** (Re)initialize from scratch — the build-mode face, idempotent
     * across reruns. Write-new-then-clean like every other mutation: the
@@ -201,8 +278,12 @@ object IndexGenerations {
       s"advance needs a committed base generation under $root")
     requireSingleTable(s, root, "advance")
     val n = currentGen(s, root).get
+    // a rewrite advance REPLACES the chain it read, so it must carry
+    // every superseded generation's records forward like compact does —
+    // the replay evidence must never ride only on prune-able dirs
     write(s, root, n + 1, readCurrent(s, root).unionByName(additions),
-      record = record)
+      records = mergeRecords(recordsOf(s, root, activeSet(s, root)),
+        record.map { case (k, v) => k -> Seq(v) }.toMap))
   }
 
   /** LSM advance: write ONLY `additions` as generation N+1, marker
@@ -220,7 +301,8 @@ object IndexGenerations {
     if (activeSet(s, root).isEmpty) throw new IllegalStateException(
       s"advanceDelta needs a committed base generation under $root")
     requireSingleTable(s, root, "advanceDelta")
-    write(s, root, currentGen(s, root).get + 1, additions, DeltaTag, record)
+    write(s, root, currentGen(s, root).get + 1, additions, DeltaTag,
+      record.map { case (k, v) => k -> Seq(v) }.toMap)
   }
 
   /** [[advance]] or [[advanceDelta]] per
@@ -257,33 +339,75 @@ object IndexGenerations {
       }
     } else advanceRecorded(s, root, additions, record)
 
-  /** Every committed generation's value for record file `_<name>`,
-    * ascending by generation — the replay-detection read for
-    * [[advanceByConfRecorded]]'s exactly-once discipline. Only
-    * COMMITTED generations count (a record in an unmarked dir is a
-    * torn write's debris, invisible like the data). */
+  /** Every committed generation's values for record file `_<name>`
+    * (one per line), ascending by generation — the replay-detection
+    * read for [[advanceByConfRecorded]]'s exactly-once discipline.
+    * Only COMMITTED generations count (a record in an unmarked dir is
+    * a torn write's debris, invisible like the data). Values can
+    * repeat across generations ([[compact]] and rewrite advances carry
+    * record history forward so a later [[prune]] cannot erase replay
+    * evidence); consumers treat the result as a set. */
   def records(s: SparkSession, root: String, name: String): Seq[String] = {
     val fs = fsOf(s, root)
     committed(s, root).flatMap { n =>
       val p = new Path(genPath(root, n), "_" + name)
-      if (!fs.exists(p)) None
+      if (!fs.exists(p)) Seq.empty
       else {
         val in = fs.open(p)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        val body = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
+        body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
       }
     }
   }
 
+  /** All record files of `gens`, merged: name → the distinct values
+    * seen across the set, in first-seen order. `_COMMITTED` and
+    * parquet's `_SUCCESS` are layout files, not records. */
+  private def recordsOf(s: SparkSession, root: String,
+      gens: Seq[Long]): Map[String, Seq[String]] = {
+    val fs = fsOf(s, root)
+    val pairs = gens.flatMap { n =>
+      fs.listStatus(genPath(root, n)).toSeq
+        .filter(_.isFile)
+        .map(_.getPath)
+        .filter { p =>
+          val nm = p.getName
+          nm.startsWith("_") && nm != Marker && nm != "_SUCCESS"
+        }
+        .flatMap { p =>
+          val in = fs.open(p)
+          val body = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+          body.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+            .map(v => p.getName.stripPrefix("_") -> v)
+        }
+    }
+    pairs.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct).toMap
+  }
+
+  private def mergeRecords(a: Map[String, Seq[String]],
+      b: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    (a.keySet ++ b.keySet).map { k =>
+      k -> (a.getOrElse(k, Seq.empty) ++ b.getOrElse(k, Seq.empty)).distinct
+    }.toMap
+
   /** Fold the live total + delta chain into one new TOTAL generation
     * (the LSM level-0 merge). The superseded generations stay on disk
-    * until [[prune]] — compaction is additive-only too. */
+    * until [[prune]] — compaction is additive-only too. The chain's
+    * commit records ride along into the compacted total (merged line
+    * sets per record name), so the exactly-once replay evidence of
+    * [[advanceByConfRecorded]] survives compact + prune — without
+    * this, a checkpoint replay of the last pre-compact batch after a
+    * prune would find no record and re-fold. */
   def compact(s: SparkSession, root: String): Long = {
     val active = activeSet(s, root)
     if (active.isEmpty) throw new IllegalStateException(
       s"compact needs a committed base generation under $root")
     requireSingleTable(s, root, "compact")
-    write(s, root, currentGen(s, root).get + 1, readCurrent(s, root))
+    write(s, root, currentGen(s, root).get + 1, readCurrent(s, root),
+      records = recordsOf(s, root, active))
   }
 
   /** The generation number the next committed write will claim —
@@ -316,14 +440,17 @@ object IndexGenerations {
   def writeTables(s: SparkSession, root: String,
       tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "writeTables needs at least one table")
-    val n = nextGen(s, root)
-    val dir = genPath(root, n)
-    tables.foreach { case (t, df) =>
-      df.write.mode("overwrite").parquet(new Path(dir, t).toString)
+    withLease(s, root) {
+      val n = nextGen(s, root)
+      requireUncommitted(s, root, n)
+      val dir = genPath(root, n)
+      tables.foreach { case (t, df) =>
+        df.write.mode("overwrite").parquet(new Path(dir, t).toString)
+      }
+      val out = fsOf(s, root).create(new Path(dir, Marker), true)
+      try out.write("".getBytes("UTF-8")) finally out.close()
+      n
     }
-    val out = fsOf(s, root).create(new Path(dir, Marker), true)
-    try out.write("".getBytes("UTF-8")) finally out.close()
-    n
   }
 
   /** Read `names` from the live multi-table generation. Resolves the
@@ -347,10 +474,11 @@ object IndexGenerations {
     * generation in `pinned`, or the as-of set of
     * `spark.graft.index.readGen` when that conf is set (so a session
     * serving a pinned audit generation never prunes it away
-    * underneath itself). Run between advances (single writer), never
-    * concurrently with one. */
+    * underneath itself). Runs under the writer lease like every other
+    * mutation — a prune racing an advance on one root fails cleanly
+    * instead of deleting the advance's in-flight dir as "torn". */
   def prune(s: SparkSession, root: String,
-      pinned: Seq[Long] = Seq.empty): Unit = {
+      pinned: Seq[Long] = Seq.empty): Unit = withLease(s, root) {
     val pins = pinned ++
       s.conf.getOption("spark.graft.index.readGen").map(_.toLong)
     val keep = (activeSet(s, root) ++ pins.flatMap(asOfSet(s, root, _)))

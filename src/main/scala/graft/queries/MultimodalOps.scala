@@ -356,16 +356,44 @@ object MultimodalOps {
     * releases pins via [[graft.Pinned.releaseAll]]. */
   def m12Advance(s: SparkSession, indexDir: String,
       deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord])
-      : DataFrame = {
+      : DataFrame =
+    m12AdvanceRecorded(s, indexDir, deltaMedia, None)
+
+  private def m12AdvanceRecorded(s: SparkSession, indexDir: String,
+      deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
+      record: Option[(String, String)]): DataFrame = {
     val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(m12Fingerprints(deltaMedia))
     val v = graft.Pinned.pin(mediaDeltaVerdicts(index, delta))
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("media_id"),
         Seq("media_id"))
-    graft.operators.IndexGenerations.advanceByConf(s, indexDir,
-      intraUniqueFps(uniques))
+    graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
+      intraUniqueFps(uniques), record)
     v
+  }
+
+  /** The media-axis production night —
+    * [[graft.queries.TextDedupOps.p04Night]] minus the shard half
+    * (the m12 index has no training-corpus output; its artifact IS the
+    * advanced generation): one recorded, exactly-once-per-`nightId`
+    * advance. A rerun of a committed night returns None without
+    * touching the store — re-running blind would re-judge every asset
+    * exact-against-itself and fold nothing, silently consuming the
+    * night id a scheduler believes is still pending. Returns Some
+    * (verdicts) for a run night; caller releases pins via
+    * [[graft.Pinned.releaseAll]]. */
+  def m12Night(s: SparkSession, indexDir: String,
+      deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
+      nightId: String): Option[DataFrame] = {
+    require(nightId.matches("[A-Za-z0-9._-]+"),
+      s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
+        "night ids are one namespace across both axes")
+    if (graft.operators.IndexGenerations
+        .records(s, indexDir, graft.queries.TextDedupOps.NightRecord)
+        .contains(nightId)) None
+    else Some(m12AdvanceRecorded(s, indexDir, deltaMedia,
+      Some(graft.queries.TextDedupOps.NightRecord -> nightId)))
   }
 
   /** [[graft.queries.TextDedupOps.intraUniqueSigs]]' media twin: dedup

@@ -2447,12 +2447,26 @@ object TextDedupOps {
     * would re-judge every doc exact-against-itself and overwrite the
     * night's shards with nothing — the hole the record closes).
     *
+    * Shards land under `outDir/night=<nightId>` — each night is its
+    * OWN partition of the corpus root, so a scheduler passing one
+    * constant `--shards` root every night ACCUMULATES increments
+    * instead of night N overwriting night N−1 (the overwrite inside
+    * [[graft.operators.ShardWriter.writeDocs]] is scoped to this
+    * night's dir, which a rerun of THIS night may legitimately
+    * replace). `spark.read.parquet(outDir)` serves the whole corpus
+    * with `night` as a partition column; a committed night also
+    * carries a `_NIGHT_COMMITTED` file so shard-only consumers can
+    * skip a crashed night's partial dir without consulting the index.
+    *
     * Returns Some((shard receipt, verdicts)) for a run night, None for
     * an already-committed one; caller releases pins via
     * [[graft.Pinned.releaseAll]] after consuming the frames. */
   def p04Night(s: SparkSession, indexDir: String, deltaDocs: DataFrame,
       outDir: String, nightId: String)
       : Option[(DataFrame, DataFrame)] = {
+    require(nightId.matches("[A-Za-z0-9._-]+"),
+      s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
+        "it names the night's shard partition under the corpus root")
     if (graft.operators.IndexGenerations
         .records(s, indexDir, NightRecord).contains(nightId))
       return None
@@ -2465,10 +2479,16 @@ object TextDedupOps {
         Seq("doc_id"))))
     val corpus = gateAndPack(s, deltaDocs,
       admittedSigs.select("doc_id"), production = true)
+    val nightDir = s"$outDir/night=$nightId"
     val receipt = shardReceipt(
-      graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir))
+      graft.operators.ShardWriter.writeDocs(corpus, NShards, nightDir))
     graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
       admittedSigs, Some(NightRecord -> nightId))
+    val fs = new org.apache.hadoop.fs.Path(nightDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(nightDir,
+      "_NIGHT_COMMITTED"), true)
+    try out.write(nightId.getBytes("UTF-8")) finally out.close()
     Some((receipt, v))
   }
 

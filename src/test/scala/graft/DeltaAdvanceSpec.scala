@@ -336,7 +336,9 @@ class DeltaAdvanceSpec extends SparkSuite {
   }
 
   test("IndexGenerations model property: any interleaving of advance / " +
-    "advanceDelta / compact / prune preserves the live contents") {
+    "advanceDelta / compact / prune — with a second writer's lease " +
+    "interleaved — preserves the live contents; the fenced advance " +
+    "fails cleanly") {
     val rnd = new scala.util.Random(1234)
     val root = Files.createTempDirectory("model").toString
     var model = Vector(0L -> "seed")
@@ -351,13 +353,26 @@ class DeltaAdvanceSpec extends SparkSuite {
       rows
     }
     (1 to 25).foreach { step =>
-      rnd.nextInt(4) match {
+      rnd.nextInt(5) match {
         case 0 => IndexGenerations
           .advance(spark, root, additions().toDF("id", "v"))
         case 1 => IndexGenerations
           .advanceDelta(spark, root, additions().toDF("id", "v"))
         case 2 => IndexGenerations.compact(spark, root)
         case 3 => IndexGenerations.prune(spark, root)
+        case 4 =>
+          // a concurrent writer holds the lease mid-mutation: this
+          // writer's advance must fail cleanly and mutate nothing
+          // (the model intentionally does NOT change)
+          val lease = Paths.get(root, "_WRITER_LEASE")
+          Files.write(lease,
+            System.currentTimeMillis().toString.getBytes)
+          val e = intercept[IllegalStateException] {
+            IndexGenerations.advance(spark, root,
+              Seq((888L, "fenced")).toDF("id", "v"))
+          }
+          assert(e.getMessage.contains("lease"), s"step $step: $e")
+          Files.delete(lease)
       }
       val got = IndexGenerations.readCurrent(spark, root)
         .orderBy("id").as[(Long, String)].collect().toSeq

@@ -110,47 +110,83 @@ class NightlySpec extends SparkSuite {
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
-  test("the night command runs the full production night exactly once: " +
-    "shard increment + index fold from one delta, reruns skipped, " +
-    "night-2 excludes night-1's admissions from its shards") {
+  test("the night command runs the full production night exactly once " +
+    "into ONE shards root: per-night partitions accumulate (night 2 " +
+    "cannot wipe night 1), reruns skipped and byte-frozen, night-2 " +
+    "excludes night-1's admissions from its increment") {
     val idx = Files.createTempDirectory("nl_night_idx").toString
     Nightly.run(spark, Seq("text", "build", idx,
       writeDocs((0L to 4L).map(i => i -> freshText(s"gn${i}w")): _*)))
     val u1 = freshText("gu1w")
     val night1 = writeDocs(100L -> u1, 101L -> freshText("gu2w"))
-    val shards1 = Files.createTempDirectory("nl_sh1").toString
+    // the scheduler posture the layout must survive: one CONSTANT
+    // shards root for every night
+    val shards = Files.createTempDirectory("nl_sh").toString
     val out1 = Nightly.run(spark,
-      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards1))
+      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards))
     assert(out1.contains("\"skipped\":false") &&
       out1.contains("\"unique\":2") && out1.contains("\"gen\":1"), out1)
-    val docs1 = spark.read.parquet(shards1)
-    assert(docs1.count() == 2L, "night-1 shards should hold both uniques")
-    // rerun of a committed night: skipped, shards byte-untouched
+    assert(spark.read.parquet(shards).count() == 2L,
+      "night-1 shards should hold both uniques")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(shards, "night=n1", "_NIGHT_COMMITTED")),
+      "a committed night must carry its shard-side marker")
+    // rerun of a committed night: skipped, the WHOLE root byte-untouched
     import scala.jdk.CollectionConverters._
     def state(dir: String) = java.nio.file.Files
       .walk(java.nio.file.Paths.get(dir))
       .iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p))
       .map(p => p.toString ->
         java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
-    val frozen = state(shards1)
+    val frozen = state(shards)
     val rerun = Nightly.run(spark,
-      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards1))
+      Seq("text", "night", idx, night1, "--id", "n1", "--shards", shards))
     assert(rerun.contains("\"skipped\":true"), rerun)
-    assert(state(shards1) == frozen, "a skipped night touched the shards")
-    // night 2: a re-crawl of night-1's admitted unique + one fresh doc —
-    // the copy is caught by the advanced index and kept OUT of the
-    // night-2 shard increment
-    val shards2 = Files.createTempDirectory("nl_sh2").toString
+    assert(state(shards) == frozen, "a skipped night touched the shards")
+    // night 2 into the SAME root: a re-crawl of night-1's admitted
+    // unique + one fresh doc — the copy is caught by the advanced index
+    // and kept OUT of the increment, and night 1's files survive intact
     val out2 = Nightly.run(spark,
       Seq("text", "night", idx,
         writeDocs(200L -> u1, 201L -> freshText("gu3w")),
-        "--id", "n2", "--shards", shards2, "--prune"))
+        "--id", "n2", "--shards", shards, "--prune"))
     assert(out2.contains("\"exact\":1") && out2.contains("\"unique\":1"),
       out2)
-    val docs2 = spark.read.parquet(shards2)
-      .select("doc_id").as[Long].collect().toSet
-    assert(docs2 == Set(201L),
-      s"night-2 shards should hold exactly the fresh doc: $docs2")
+    val byNight = spark.read.parquet(shards)
+      .select("night", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byNight == Map("n1" -> Set(100L, 101L), "n2" -> Set(201L)),
+      s"the corpus root should serve BOTH increments by night: $byNight")
+    val frozen1 = frozen.filter(_._1.contains("night=n1"))
+    assert(state(shards).filter(_._1.contains("night=n1")) == frozen1,
+      "night 2 modified night 1's increment")
+    assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+  }
+
+  test("media night: the recorded advance is exactly-once per id — " +
+    "rerun of a committed night is a no-op, and a later night still " +
+    "catches the re-upload") {
+    val idx = Files.createTempDirectory("nl_mnight").toString
+    Nightly.run(spark, Seq("media", "build", idx,
+      writeDocs((0L to 5L).map(i => i -> freshText(s"mn${i}v")): _*)))
+    val t = (0 until 9).map(i => s"QQQQQQQ$i QZ").mkString(" | ")
+    val delta1 = writeDocs(100L -> t)
+    val out1 = Nightly.run(spark,
+      Seq("media", "night", idx, delta1, "--id", "m1"))
+    assert(out1.contains("\"skipped\":false") &&
+      out1.contains("\"unique\":1") && out1.contains("\"gen\":1"), out1)
+    val rowsAfter = IndexGenerations.readCurrent(spark, idx).count()
+    val rerun = Nightly.run(spark,
+      Seq("media", "night", idx, delta1, "--id", "m1"))
+    assert(rerun.contains("\"skipped\":true"), rerun)
+    assert(gens(idx) == Seq(0L, 1L) &&
+      IndexGenerations.readCurrent(spark, idx).count() == rowsAfter,
+      "a skipped media night touched the store")
+    // night m2: same payload, same kind (ids congruent mod 3) — exact
+    val out2 = Nightly.run(spark,
+      Seq("media", "night", idx, writeDocs(103L -> t),
+        "--id", "m2", "--prune"))
+    assert(out2.contains("\"exact\":1"), out2)
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 

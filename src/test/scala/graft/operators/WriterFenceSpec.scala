@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import graft.helium.SparkSuite
+
+/** The single-writer ENFORCEMENT contract of [[IndexGenerations]] —
+  * round 12 documented the contract; this pins the fence that makes a
+  * violation an error instead of silent corruption:
+  *
+  *  1. every mutation (advance / compact / prune / writeTables) takes a
+  *     create-exclusive `_WRITER_LEASE` at the root — a second writer
+  *     arriving mid-mutation fails cleanly and touches nothing;
+  *  2. a crashed writer's stale lease is taken over after the
+  *     `spark.graft.index.leaseTimeoutMs` bound;
+  *  3. the lost-race backstop: a writer that computed its target
+  *     generation from a stale listing (the race where both writers
+  *     read `currentGen=N` before either committed) refuses to
+  *     overwrite the winner's COMMITTED `gen=N+1`.
+  *
+  * Also pins the record lifecycle under compaction: commit records
+  * (the exactly-once replay evidence of `advanceByConfRecorded`) ride
+  * into compacted totals and rewrite advances as merged line sets, so
+  * a prune can never erase them. */
+class WriterFenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def seed(root: String): Unit =
+    IndexGenerations.reset(spark, root, Seq(0L -> "seed").toDF("id", "v"))
+
+  private def contents(root: String): Set[(Long, String)] =
+    IndexGenerations.readCurrent(spark, root)
+      .as[(Long, String)].collect().toSet
+
+  test("a held lease makes every mutation fail cleanly and leave the " +
+    "store untouched; release unblocks") {
+    val root = Files.createTempDirectory("fence").toString
+    seed(root)
+    val lease = Paths.get(root, "_WRITER_LEASE")
+    Files.write(lease, System.currentTimeMillis().toString.getBytes)
+    val e = intercept[IllegalStateException] {
+      IndexGenerations.advance(spark, root, Seq(1L -> "x").toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("lease"), e.getMessage)
+    intercept[IllegalStateException] {
+      IndexGenerations.advanceDelta(spark, root,
+        Seq(1L -> "x").toDF("id", "v"))
+    }
+    intercept[IllegalStateException] { IndexGenerations.compact(spark, root) }
+    intercept[IllegalStateException] { IndexGenerations.prune(spark, root) }
+    assert(contents(root) == Set(0L -> "seed"),
+      "a fenced-out writer modified the store")
+    assert(IndexGenerations.committed(spark, root) == Seq(0L))
+    // the holder's lease survives the failed attempts (a loser must
+    // not release a lease it never held)…
+    assert(Files.exists(lease), "a fenced-out writer deleted the lease")
+    // …and an orderly release unblocks the next writer
+    Files.delete(lease)
+    IndexGenerations.advance(spark, root, Seq(1L -> "x").toDF("id", "v"))
+    assert(contents(root) == Set(0L -> "seed", 1L -> "x"))
+    assert(!Files.exists(lease), "a completed write must release")
+  }
+
+  test("a stale lease (crashed writer) is taken over after the " +
+    "configured bound") {
+    val root = Files.createTempDirectory("fence_stale").toString
+    seed(root)
+    spark.conf.set("spark.graft.index.leaseTimeoutMs", "50")
+    try {
+      Files.write(Paths.get(root, "_WRITER_LEASE"),
+        (System.currentTimeMillis() - 10000L).toString.getBytes)
+      IndexGenerations.advance(spark, root, Seq(2L -> "y").toDF("id", "v"))
+      assert(contents(root) == Set(0L -> "seed", 2L -> "y"))
+      assert(!Files.exists(Paths.get(root, "_WRITER_LEASE")))
+    } finally spark.conf.unset("spark.graft.index.leaseTimeoutMs")
+  }
+
+  test("lost-race backstop: a write targeting an ALREADY-COMMITTED " +
+    "generation errors instead of overwriting the winner") {
+    val root = Files.createTempDirectory("fence_race").toString
+    seed(root)
+    // writer A wins: commits gen=1
+    IndexGenerations.advance(spark, root, Seq(1L -> "A").toDF("id", "v"))
+    // writer B raced: it listed the root while gen=0 was newest, so its
+    // computed target is gen=1 too — the write must refuse
+    val e = intercept[IllegalStateException] {
+      IndexGenerations.write(spark, root, 1L,
+        Seq(9L -> "B").toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("already committed"), e.getMessage)
+    assert(contents(root) == Set(0L -> "seed", 1L -> "A"),
+      "the loser overwrote the winner's committed generation")
+  }
+
+  test("commit records survive compact + prune as merged line sets, on " +
+    "both advance modes") {
+    val root = Files.createTempDirectory("fence_rec").toString
+    seed(root)
+    // two recorded LSM folds, then the level-0 merge and a prune
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try {
+      IndexGenerations.advanceByConfRecorded(spark, root,
+        Seq(1L -> "a").toDF("id", "v"), Some("stream_batch" -> "ck:0"))
+      IndexGenerations.advanceByConfRecorded(spark, root,
+        Seq(2L -> "b").toDF("id", "v"), Some("stream_batch" -> "ck:1"))
+      IndexGenerations.compact(spark, root)
+      IndexGenerations.prune(spark, root)
+      assert(IndexGenerations.committed(spark, root).size == 1,
+        "prune should leave only the compacted total")
+      assert(IndexGenerations.records(spark, root, "stream_batch").toSet ==
+        Set("ck:0", "ck:1"),
+        "compact dropped the replay evidence of the pruned deltas")
+    } finally spark.conf.unset("spark.graft.index.advanceMode")
+    // a rewrite advance replaces the chain it read, so it must carry
+    // the records of everything it supersedes
+    IndexGenerations.advanceByConfRecorded(spark, root,
+      Seq(3L -> "c").toDF("id", "v"), Some("night" -> "n7"))
+    IndexGenerations.advanceByConfRecorded(spark, root,
+      Seq(4L -> "d").toDF("id", "v"), Some("night" -> "n8"))
+    IndexGenerations.prune(spark, root)
+    assert(IndexGenerations.committed(spark, root).size == 1)
+    assert(IndexGenerations.records(spark, root, "stream_batch").toSet ==
+      Set("ck:0", "ck:1"), "rewrite advance dropped older records")
+    assert(IndexGenerations.records(spark, root, "night").toSet ==
+      Set("n7", "n8"))
+    assert(contents(root) == Set(0L -> "seed", 1L -> "a", 2L -> "b",
+      3L -> "c", 4L -> "d"))
+  }
+}

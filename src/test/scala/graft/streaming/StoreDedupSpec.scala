@@ -161,6 +161,39 @@ class StoreDedupSpec extends SparkSuite {
     assert(indexIds(idx) == Set(0L, 10L, 12L))
   }
 
+  test("the fold's exactly-once survives compact + prune: a checkpoint " +
+    "replay of the last pre-compact batch finds its record in the " +
+    "compacted total and skips") {
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try {
+      val idx = Files.createTempDirectory("sd7_idx").toString
+      TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("cb0r")))
+      def admissionsOf(id: Long, p: String) =
+        bandDocs(Seq(IngestDoc(id, "s", freshText(p))).toDS()).toDF()
+          .withColumn("verdict", org.apache.spark.sql.functions.lit("unique"))
+          .withColumn("winner", org.apache.spark.sql.functions.lit(-1L))
+      (0L to 2L).foreach { b =>
+        assert(foldBatch(spark, idx, admissionsOf(10L + b, s"cu${b}r"),
+          "ckC", b))
+      }
+      // the nightly window: level-0 merge, then drop the recorded deltas
+      IndexGenerations.compact(spark, idx)
+      IndexGenerations.prune(spark, idx)
+      assert(IndexGenerations.committed(spark, idx).size == 1,
+        "prune should leave only the compacted total")
+      val rows = indexIds(idx)
+      assert(rows == Set(0L, 10L, 11L, 12L))
+      // crash-replay of batch 2 from the checkpoint AFTER the deltas
+      // that carried its record are gone: the compacted total carries
+      // it forward, so the replay is skipped — not re-folded
+      assert(!foldBatch(spark, idx, admissionsOf(12L, "cu2r"), "ckC", 2L),
+        "replay after compact+prune re-folded a committed batch")
+      assert(indexIds(idx) == rows &&
+        IndexGenerations.committed(spark, idx).size == 1,
+        "the skipped replay mutated the store")
+    } finally spark.conf.unset("spark.graft.index.advanceMode")
+  }
+
   test("stream-cadence folds in LSM mode stay bounded: one delta per " +
     "batch, the chain capped by maxDeltaChain's same-night compact") {
     implicit val sqlCtx = spark.sqlContext
