@@ -95,6 +95,89 @@ object ScaleRehearsal {
       r
     }
 
+    // --- store-backed stream bridge at 10×: first-start bootstrap
+    // hydration is O(|banded index|) — the one axis the batch
+    // rehearsals don't touch — then ~1000 docs folded over three
+    // micro-batches at LSM cadence (the documented stream posture;
+    // the mode is forced locally and restored, so both rehearsal
+    // variants carry the same leg). Feed: exact re-crawls of indexed
+    // docs (must not fold) + genuinely fresh docs (tagged, token-
+    // reversed, so their shingles share nothing with the originals).
+    // Then the bootstrap-free posture (empty state + per-batch full
+    // verdict join, spark.graft.stream.bootstrap=false) folds a fresh
+    // slice with an O(1) start — the hydration-vs-per-batch-join trade
+    // measured side by side. The ~500-row collect is harness-plane
+    // (MemoryStream feeding), not operator state. ---
+    val savedMode = spark.conf.getOption("spark.graft.index.advanceMode")
+    val savedChain = spark.conf.getOption("spark.graft.index.maxDeltaChain")
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    spark.conf.set("spark.graft.index.maxDeltaChain", "4")
+    val streamIdx = s"$work/d24_index"
+    val (bootSecs, stateRows, foldSecs, streamFolded, bfSecs, bfFolded) = {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      import graft.streaming.StoreDedup.IngestDoc
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 97 === 0)
+        .select("doc_id", "source", "text").collect()
+      // two genuinely fresh derivations that share no shingles with
+      // the originals OR each other (reversal vs per-token prefix —
+      // a tag prefix alone is NOT fresh: the shingle stream past the
+      // tag is identical, so the second feed would be judged near-dup
+      // of the first feed's folds, which an early rehearsal confirmed)
+      def freshRev(keyShift: Long) = base.map(r =>
+        IngestDoc(r.getLong(0) + keyShift * n, r.getString(1),
+          s"sv${r.getLong(0)} " +
+            r.getString(2).split(" ").reverse.mkString(" ")))
+      def freshPfx(keyShift: Long) = base.map(r =>
+        IngestDoc(r.getLong(0) + keyShift * n, r.getString(1),
+          r.getString(2).split(" ").map(t => s"b$t").mkString(" ")))
+      val copies = base.map(r => IngestDoc(r.getLong(0) + 40L * n,
+        r.getString(1), r.getString(2)))
+      def liveRows() = graft.operators.IndexGenerations
+        .readCurrent(spark, streamIdx).count()
+      val pre = liveRows()
+      val in = MemoryStream[IngestDoc]
+      val q = graft.streaming.StoreDedup.ingest(in.toDS(), streamIdx,
+        s"$work/stream_ckpt")
+      val feed = (copies ++ freshRev(30L)).sortBy(_.doc_id)
+      val third = (feed.length + 2) / 3
+      val (_, boot) = timed {
+        in.addData(feed.take(third).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      val sr = Option(q.lastProgress)
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+        .getOrElse(-1L)
+      val (_, fold) = timed {
+        in.addData(feed.slice(third, 2 * third).toIndexedSeq: _*)
+        q.processAllAvailable()
+        in.addData(feed.drop(2 * third).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val folded = liveRows() - pre
+      // bootstrap-free twin: same shape of work, O(1) start
+      spark.conf.set("spark.graft.stream.bootstrap", "false")
+      val in2 = MemoryStream[IngestDoc]
+      val q2 = graft.streaming.StoreDedup.ingest(in2.toDS(), streamIdx,
+        s"$work/stream_ckpt_bf")
+      val pre2 = liveRows()
+      val (_, bf) = timed {
+        in2.addData((copies.map(d => d.copy(doc_id = d.doc_id + 10L * n))
+          ++ freshPfx(60L)).toIndexedSeq: _*)
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      spark.conf.unset("spark.graft.stream.bootstrap")
+      (boot, sr, fold, folded, bf, liveRows() - pre2)
+    }
+    savedMode.fold(spark.conf.unset("spark.graft.index.advanceMode"))(
+      spark.conf.set("spark.graft.index.advanceMode", _))
+    savedChain.fold(spark.conf.unset("spark.graft.index.maxDeltaChain"))(
+      spark.conf.set("spark.graft.index.maxDeltaChain", _))
+
     // --- p04 incremental night on the 10× corpus: the
     // incremental-vs-full evidence — p01 rebuilds everything, p04's
     // cost is |delta| + |index|, so the gap must WIDEN with scale ---
@@ -170,6 +253,9 @@ object ScaleRehearsal {
       s""""p04_rows":$p04Rows,"p04_secs":$p04Secs,""" +
       s""""m12_rows":$m12Rows,"m12_secs":$m12Secs,""" +
       s""""m12_adv_rows":$mAdvRows,"m12_adv_secs":$mAdvSecs,""" +
+      s""""stream_boot_secs":$bootSecs,"stream_state_rows":$stateRows,""" +
+      s""""stream_fold_secs":$foldSecs,"stream_folded":$streamFolded,""" +
+      s""""stream_bf_secs":$bfSecs,"stream_bf_folded":$bfFolded,""" +
       s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +
       s""""ann_serve_rows":$annServeRows,""" +
       s""""ann_append_secs":$annAppendSecs,""" +

@@ -50,6 +50,34 @@ object Tables {
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 
+  /** Id shift for [[documentsWithProbe]]: a multiple of 3, so the media
+    * kind derived from `doc_id % 3` is preserved for the planted rows,
+    * and large enough that planted ids can never collide with corpus
+    * ids at any test scale factor. */
+  val ProbeShift = 999999999L
+
+  /** `documents` plus three PLANTED exact copies (ids shifted by
+    * [[ProbeShift]]) — the input of the dup-group queries (d01, m11;
+    * t05 plants a case-mangled variant on top). The testdata corpus is
+    * exact-dup-clean by construction, so those queries' honest answer
+    * on the raw table is EMPTY — a 0-row result that hash-matches a
+    * 0-row oracle proves only the absence of dups. Planting three
+    * deterministic copies (expressed identically in the DuckDB oracle
+    * as a UNION ALL) makes the comparison prove the POSITIVE path:
+    * group formation, dup counting, min-id canonicalization. */
+  def documentsWithProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.unionByName(docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + lit(ProbeShift)))
+  }
+
+  /** The oracle-side twin of [[documentsWithProbe]] as a CTE body. */
+  val probeDocsSql: String =
+    s"""SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ProbeShift AS doc_id, text, lang, source,
+       |    n_chars FROM documents WHERE doc_id < 3""".stripMargin
+
   /** Cast a double column to an exact decimal before aggregation.
     *
     * Double-sum results depend on accumulation order, which differs between

@@ -298,10 +298,15 @@ object MultimodalOps {
     * touching lossy JPEG pixels. Near-dup-but-not-equal candidates are
     * the recall surface the verify step filters; they are spec-covered
     * with re-encoded fixtures (MediaSpec), the same split as m09's
-    * oracle-vs-spec coverage. Like d01, legitimately EMPTY on a
-    * clean corpus. */
+    * oracle-vs-spec coverage. Like d01, legitimately EMPTY on a clean
+    * corpus — so like d01 it runs over
+    * [[graft.Tables.documentsWithProbe]] (the id shift is ≡ 0 mod 3,
+    * so the planted copy of doc 2 is still a VIDEO): the oracle
+    * comparison proves the demux → frame-hash → band → exact-verify
+    * chain actually confirms a payload-equal pair, not just that a
+    * clean corpus has none. */
   private def m11(s: SparkSession, d: String): DataFrame = {
-    val media = Media.mediaFromDocuments(documents(s, d))
+    val media = Media.mediaFromDocuments(graft.Tables.documentsWithProbe(s, d))
     val fh = graft.Pinned.pin(Media.mjpegFrameHashes(media, stride = 4).toDF())
     val sums = media.toDF()
       .filter(col("kind") === "video" && length(col("payload")) > 0)
@@ -681,14 +686,16 @@ object MultimodalOps {
     // payloads can never escape the banded candidate stage, and the
     // exact-verify join filters everything else)
     "m11_mjpeg_copies" ->
-      """WITH px AS (
-        |  SELECT doc_id, hex(encode(text)) AS hx,
-        |    octet_length(encode(text)) AS n
-        |  FROM documents
-        |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  (a.n % 24 + 1)::BIGINT AS n_frames
-        |FROM px a JOIN px b ON a.doc_id < b.doc_id AND a.hx = b.hx""".stripMargin,
+      s"""WITH probe AS (
+         |  ${graft.Tables.probeDocsSql}),
+         |px AS (
+         |  SELECT doc_id, hex(encode(text)) AS hx,
+         |    octet_length(encode(text)) AS n
+         |  FROM probe
+         |  WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |  (a.n % 24 + 1)::BIGINT AS n_frames
+         |FROM px a JOIN px b ON a.doc_id < b.doc_id AND a.hx = b.hx""".stripMargin,
     "m04_crossmodal_join" ->
       s"""WITH feats AS (
          |  SELECT doc_id AS media_id,

@@ -128,12 +128,21 @@ object TextDedupOps {
         sum(alphaTokenCount(col("text"))).as("alpha_tokens"),
         sum(length(col("text"))).as("n_bytes"))
 
-  /** Normalized fingerprint dup groups (case/punct-insensitive). */
-  private def t05(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+  /** Normalized fingerprint dup groups (case/punct-insensitive). Runs
+    * over the corpus plus three planted CASE-MANGLED copies
+    * (upper-cased text under [[graft.Tables.ProbeShift]]-ed ids), so
+    * the oracle comparison proves the normalization actually unifies
+    * case variants — the clean corpus alone returns 0 groups, which
+    * proves nothing about the positive path. */
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.unionByName(docs.filter(col("doc_id") < 3)
+        .withColumn("doc_id", col("doc_id") + lit(graft.Tables.ProbeShift))
+        .withColumn("text", upper(col("text"))))
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_dups") > 1)
+  }
 
   /** Winnowing (rolling-hash) fingerprint overlap — MOSS-style document
     * fingerprinting: per doc, the distinct minima of sliding windows
@@ -206,9 +215,13 @@ object TextDedupOps {
 
   // ---- dedup ----
 
-  /** Exact dedup groups by content hash. */
+  /** Exact dedup groups by content hash. Runs over
+    * [[graft.Tables.documentsWithProbe]] — the corpus plus three
+    * planted exact copies — so the oracle comparison proves group
+    * formation and min-id canonicalization, not just that a clean
+    * corpus has no dups. */
   private def d01(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    graft.Tables.documentsWithProbe(s, d)
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_dups") > 1)
@@ -3013,9 +3026,14 @@ object TextDedupOps {
          |  SUM(LENGTH(text))::BIGINT AS n_bytes
          |FROM documents GROUP BY source""".stripMargin,
     "t05_fingerprint_dups" ->
-      s"""SELECT $fpSql AS fp, COUNT(*) AS n_dups,
+      s"""WITH probe AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${graft.Tables.ProbeShift} AS doc_id,
+         |    UPPER(text) AS text FROM documents WHERE doc_id < 3)
+         |SELECT $fpSql AS fp, COUNT(*) AS n_dups,
          |  MIN(doc_id) AS canonical_id
-         |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+         |FROM probe GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "t06_winnowing_overlap" ->
       s"""WITH thm AS (
          |  SELECT doc_id,
@@ -3057,9 +3075,11 @@ object TextDedupOps {
          |  FROM tf JOIN dfreq ON tf.token = dfreq.token)
          |WHERE rk <= 3""".stripMargin,
     "d01_exact_dup_groups" ->
-      """SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
-        |  MIN(doc_id) AS canonical_id
-        |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
+      s"""WITH probe AS (
+         |  ${graft.Tables.probeDocsSql})
+         |SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
+         |  MIN(doc_id) AS canonical_id
+         |FROM probe GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin,
     "d02_exact_dedup_survivors" ->
       """SELECT source, COUNT(*) AS n_docs_after FROM (
         |  SELECT source, doc_id,

@@ -143,6 +143,38 @@ object StoreDedup {
       .mapValues(_._2)
   }
 
+  /** Empty initial state — the bootstrap-free start
+    * ([[bootstrapEnabled]]). */
+  private def emptyInitialState(spark: SparkSession)
+      : KeyValueGroupedDataset[String, List[Entry]] = {
+    import spark.implicits._
+    spark.emptyDataset[(String, List[Entry])].groupByKey(_._1)
+      .mapValues(_._2)
+  }
+
+  /** `spark.graft.stream.bootstrap` (default true) picks the first-
+    * start posture. TRUE: hydrate streaming state from the banded live
+    * index ([[initialStateFrom]]) — every indexed doc is flagged from
+    * the first micro-batch, but first start pays O(|banded index|)
+    * state hydration (~(BANDS+1)·|index| rows held by the state
+    * store). FALSE: start with empty state — O(1) first start at any
+    * index size — and [[foldBatch]] compensates by judging each
+    * batch's would-be uniques against the live index with the FULL
+    * nightly verdict core (exact + near band join,
+    * `TextDedupOps.deltaVerdicts`) before folding, so the two modes
+    * admit the same store content (StoreDedupSpec pins the
+    * equivalence). The trade: bootstrap-free catches index dups at
+    * fold time, not admission time — per-bucket `Admission` verdicts
+    * name in-stream winners only, and each batch pays one banded
+    * index join instead of the one-time hydration. */
+  private[streaming] def bootstrapEnabled(s: SparkSession): Boolean =
+    s.conf.getOption("spark.graft.stream.bootstrap").forall(_.toBoolean)
+
+  private def initialByConf(spark: SparkSession, indexDir: String)
+      : KeyValueGroupedDataset[String, List[Entry]] =
+    if (bootstrapEnabled(spark)) initialStateFrom(spark, indexDir)
+    else emptyInitialState(spark)
+
   /** One micro-batch of admissions against a bucket's entries — the one
     * decision body the timed and untimed detectors share. Exact first
     * (content hash), then near (signature agreement ≥ 500‰, d24's
@@ -257,7 +289,21 @@ object StoreDedup {
     * the same rule the nightly advance applies), and with
     * `spark.graft.stream.indexCheck=true` also anti-joined against the
     * live index's content hashes, suppressing the re-fold of a
-    * TTL-evicted re-arrival at the cost of an index scan per batch. */
+    * TTL-evicted re-arrival at the cost of an index scan per batch. In
+    * bootstrap-free mode ([[bootstrapEnabled]] false) the check is the
+    * FULL verdict core instead — exact AND near against the live index
+    * — because empty initial state means index dups arrive here marked
+    * `unique`; the hash-only check would let a near-dup-of-index fold.
+    *
+    * The fold releases its session's [[graft.Pinned]] scope on exit:
+    * the verdict/intra-dedup internals pin narrow frames the advance
+    * write fully consumes, and an always-on stream has no later
+    * "caller releases" point — without this every micro-batch leaks
+    * one pinned frame into the storage-memory LRU. (The stream's
+    * session is the fold's pin scope; a session concurrently running
+    * pinned BATCH queries mid-consumption would lose those caches —
+    * correctness-safe, Spark recomputes — so give an embedded ingest
+    * its own session if that matters.) */
   def foldBatch(s: SparkSession, indexDir: String, admissions: DataFrame,
       streamId: String, batchId: Long): Boolean = {
     val prefix = streamId + ":"
@@ -265,7 +311,7 @@ object StoreDedup {
       .collect { case r if r.startsWith(prefix) =>
         r.stripPrefix(prefix).toLong }
     if (done.nonEmpty && done.max >= batchId) false
-    else {
+    else try {
       val dupIds = admissions.filter(col("verdict") =!= "unique")
         .select("doc_id").distinct()
       val uniques0 = admissions
@@ -273,7 +319,14 @@ object StoreDedup {
         .join(dupIds, Seq("doc_id"), "left_anti")
         .select("doc_id", "source", "content_hash", "sig")
       val uniques =
-        if (s.conf.getOption("spark.graft.stream.indexCheck")
+        if (!bootstrapEnabled(s)) {
+          val sigd = graft.Pinned.pin(uniques0)
+          val keep = TextDedupOps
+            .deltaVerdicts(IndexGenerations.readCurrent(s, indexDir), sigd)
+            .filter(col("verdict") === "unique").select("doc_id")
+          sigd.join(keep, Seq("doc_id"))
+            .select("doc_id", "source", "content_hash", "sig")
+        } else if (s.conf.getOption("spark.graft.stream.indexCheck")
             .exists(_.toBoolean))
           uniques0.join(IndexGenerations.readCurrent(s, indexDir)
             .select("content_hash"), Seq("content_hash"), "left_anti")
@@ -283,7 +336,7 @@ object StoreDedup {
         TextDedupOps.intraUniqueSigs(uniques),
         Some(RecordName -> (prefix + batchId)))
       true
-    }
+    } finally graft.Pinned.releaseAll(s)
   }
 
   /** Assemble and start the full store-backed ingest: band → bootstrap
@@ -297,7 +350,7 @@ object StoreDedup {
       checkpointDir: String): StreamingQuery = {
     val spark = docs.sparkSession
     startFold(admitAll(bandDocs(docs),
-      initialStateFrom(spark, indexDir)), indexDir, checkpointDir)
+      initialByConf(spark, indexDir)), indexDir, checkpointDir)
   }
 
   /** [[ingest]] with the event-time TTL state bound. */
@@ -306,7 +359,7 @@ object StoreDedup {
       watermarkDelay: String = "0 seconds"): StreamingQuery = {
     val spark = docs.sparkSession
     startFold(admitAllWithTtl(bandDocsTimed(docs, watermarkDelay), ttlMs,
-      initialStateFrom(spark, indexDir)), indexDir, checkpointDir)
+      initialByConf(spark, indexDir)), indexDir, checkpointDir)
   }
 
   private def startFold(admissions: Dataset[Admission], indexDir: String,

@@ -26,14 +26,24 @@ import graft.operators.IndexGenerations
   * shuffle. Banding: m07's 5×12 pigeonhole buckets over the phash
   * (exact for hamming ≤ 4) plus an exact-arm bucket on
   * `(kind, checksum)`, mirroring [[StoreDedup]]'s `h:` arm. The
-  * event-time TTL face composes exactly as [[StoreDedup.ingestTimed]]
-  * (same step body, same eviction contract) for crawls that need a
-  * bounded horizon. */
+  * event-time TTL face ([[admitAllWithTtl]] / [[ingestTimed]]) is
+  * [[StoreDedup]]'s bounded-state contract on this axis: a bucket idle
+  * past the TTL of event time drops its entries, and the store is what
+  * makes that trade safe — eviction forgets IN-STREAM state only; a
+  * restart re-bootstraps from the index, which never forgets a folded
+  * unique, and `spark.graft.stream.indexCheck=true` suppresses even
+  * the duplicate re-fold of a TTL-evicted re-upload. */
 object StoreMediaDedup {
 
+  case class TimedMediaRecord(media_id: Long, kind: String,
+      payload: Array[Byte], source: String, ts: java.sql.Timestamp)
   case class Fp(media_id: Long, kind: String, checksum: String, phash: Long)
+  case class TimedFp(media_id: Long, kind: String, checksum: String,
+      phash: Long, ts: java.sql.Timestamp)
   case class BandedFp(bucket: String, media_id: Long, kind: String,
       checksum: String, phash: Long)
+  case class TimedBandedFp(bucket: String, media_id: Long, kind: String,
+      checksum: String, phash: Long, ts: java.sql.Timestamp)
   case class Entry(media_id: Long, kind: String, checksum: String,
       phash: Long)
 
@@ -57,6 +67,17 @@ object StoreMediaDedup {
         Media.imagePHashOf(r.payload))))
   }
 
+  /** [[fingerprints]] with the event timestamp carried through the
+    * decode pass, feeding [[bandFpsTimed]]. */
+  def fingerprintsTimed(media: Dataset[TimedMediaRecord]): Dataset[TimedFp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(it => it.map(r =>
+      TimedFp(r.media_id, r.kind,
+        Media.checksumOf(Media.resizePayload(r.payload, 64)),
+        Media.imagePHashOf(r.payload), r.ts)))
+  }
+
   /** m07's 5×12 pigeonhole banding (`p:<band·4096+nib>`) plus the
     * exact-arm bucket (`x:<kind>:<checksum>`) — disjoint prefixes, so
     * a byte-identical re-upload collides even when its perceptual
@@ -67,8 +88,20 @@ object StoreMediaDedup {
     bandFpsDf(fps.toDF()).as[BandedFp]
   }
 
-  private def bandFpsDf(fps: DataFrame): DataFrame = {
-    val cols = Seq("media_id", "kind", "checksum", "phash").map(col)
+  /** [[bandFps]] with the event timestamp carried through and a
+    * watermark armed, feeding [[admitAllWithTtl]]. */
+  def bandFpsTimed(fps: Dataset[TimedFp],
+      watermarkDelay: String = "0 seconds"): Dataset[TimedBandedFp] = {
+    val spark = fps.sparkSession
+    import spark.implicits._
+    bandFpsDf(fps.toDF().withWatermark("ts", watermarkDelay), Seq("ts"))
+      .as[TimedBandedFp]
+  }
+
+  private def bandFpsDf(fps: DataFrame,
+      extra: Seq[String] = Seq.empty): DataFrame = {
+    val cols = (Seq("media_id", "kind", "checksum", "phash") ++ extra)
+      .map(col)
     val pigeon = fps.select(
       explode(array((0 until 5).map(b =>
         concat(lit("p:"), (lit(b.toLong * 4096L) +
@@ -93,6 +126,21 @@ object StoreMediaDedup {
       .groupByKey(_._1)
       .mapValues(_._2)
   }
+
+  /** `spark.graft.stream.bootstrap` on the media axis
+    * ([[StoreDedup.bootstrapEnabled]], one conf for both): FALSE
+    * starts with empty state (O(1) at any index size) and
+    * [[foldBatch]] judges each batch's would-be uniques against the
+    * live index with the full m12 verdict core before folding. */
+  private def initialByConf(spark: SparkSession, indexDir: String)
+      : KeyValueGroupedDataset[String, List[Entry]] =
+    if (StoreDedup.bootstrapEnabled(spark))
+      initialStateFrom(spark, indexDir)
+    else {
+      import spark.implicits._
+      spark.emptyDataset[(String, List[Entry])].groupByKey(_._1)
+        .mapValues(_._2)
+    }
 
   /** Exact first (kind + checksum), then perceptual (hamming ≤ 4);
     * min-id winners — m12's verdict discipline at ingest cadence. */
@@ -145,6 +193,45 @@ object StoreMediaDedup {
       }
   }
 
+  /** [[admitAll]] with the event-time TTL state bound
+    * ([[StoreDedup.admitAllWithTtl]]'s twin, same eviction contract):
+    * a bucket idle past `ttlMs` of event time drops its entries,
+    * including bootstrap-only buckets that never see stream data. */
+  def admitAllWithTtl(banded: Dataset[TimedBandedFp], ttlMs: Long,
+      initial: KeyValueGroupedDataset[String, List[Entry]])
+      : Dataset[FpAdmission] = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    banded
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[List[Entry], FpAdmission](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout(), initial) {
+        (_: String, rows: Iterator[TimedBandedFp],
+         state: GroupState[List[Entry]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (!rows.hasNext) {
+            // first-batch visit of a bootstrap-only bucket: arm the TTL
+            // so an idle bootstrap bucket evicts like any other
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + ttlMs + 1)
+            Iterator.empty
+          } else {
+            val rs = rows.toSeq
+            val maxTs = rs.iterator.map(_.ts.getTime).max
+            val (admitted, out) = step(
+              rs.map(r => BandedFp(r.bucket, r.media_id, r.kind,
+                r.checksum, r.phash)),
+              state.getOption.getOrElse(Nil))
+            state.update(admitted)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Fold one micro-batch's asset-level uniques into the m12 store —
     * [[StoreDedup.foldBatch]]'s discipline (recorded advance, replay
     * skip, intra-batch dedup via `MultimodalOps.intraUniqueFps`, the
@@ -156,7 +243,7 @@ object StoreMediaDedup {
       .collect { case r if r.startsWith(prefix) =>
         r.stripPrefix(prefix).toLong }
     if (done.nonEmpty && done.max >= batchId) false
-    else {
+    else try {
       val dupIds = admissions.filter(col("verdict") =!= "unique")
         .select("media_id").distinct()
       val uniques0 = admissions
@@ -164,7 +251,17 @@ object StoreMediaDedup {
         .join(dupIds, Seq("media_id"), "left_anti")
         .select("media_id", "kind", "checksum", "phash")
       val uniques =
-        if (s.conf.getOption("spark.graft.stream.indexCheck")
+        if (!StoreDedup.bootstrapEnabled(s)) {
+          // bootstrap-free: index dups arrive marked unique — judge
+          // them with the full m12 verdict core (exact + perceptual)
+          val fpd = graft.Pinned.pin(uniques0)
+          val keep = graft.queries.MultimodalOps
+            .mediaDeltaVerdicts(
+              IndexGenerations.readCurrent(s, indexDir), fpd)
+            .filter(col("verdict") === "unique").select("media_id")
+          fpd.join(keep, Seq("media_id"))
+            .select("media_id", "kind", "checksum", "phash")
+        } else if (s.conf.getOption("spark.graft.stream.indexCheck")
             .exists(_.toBoolean))
           uniques0.join(IndexGenerations.readCurrent(s, indexDir)
             .select("kind", "checksum"), Seq("kind", "checksum"),
@@ -175,7 +272,7 @@ object StoreMediaDedup {
         graft.queries.MultimodalOps.intraUniqueFps(uniques),
         Some(StoreDedup.RecordName -> (prefix + batchId)))
       true
-    }
+    } finally graft.Pinned.releaseAll(s)
   }
 
   /** Assemble and start the store-backed media ingest: decode → band →
@@ -185,9 +282,25 @@ object StoreMediaDedup {
   def ingest(media: Dataset[Media.MediaRecord], indexDir: String,
       checkpointDir: String): StreamingQuery = {
     val spark = media.sparkSession
-    admitAll(bandFps(fingerprints(media)),
-      initialStateFrom(spark, indexDir))
-      .writeStream
+    startFold(admitAll(bandFps(fingerprints(media)),
+      initialByConf(spark, indexDir)), indexDir, checkpointDir)
+  }
+
+  /** [[ingest]] with the event-time TTL state bound — the unbounded-
+    * crawl posture: state holds one event-time horizon, the index
+    * holds forever. */
+  def ingestTimed(media: Dataset[TimedMediaRecord], indexDir: String,
+      checkpointDir: String, ttlMs: Long,
+      watermarkDelay: String = "0 seconds"): StreamingQuery = {
+    val spark = media.sparkSession
+    startFold(admitAllWithTtl(
+      bandFpsTimed(fingerprintsTimed(media), watermarkDelay), ttlMs,
+      initialByConf(spark, indexDir)), indexDir, checkpointDir)
+  }
+
+  private def startFold(admissions: Dataset[FpAdmission], indexDir: String,
+      checkpointDir: String): StreamingQuery =
+    admissions.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[FpAdmission], batchId: Long) =>
@@ -196,5 +309,4 @@ object StoreMediaDedup {
         ()
       }
       .start()
-  }
 }

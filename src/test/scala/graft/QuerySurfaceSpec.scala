@@ -42,12 +42,15 @@ class QuerySurfaceSpec extends SparkSuite {
     }
   }
 
-  test("every declared query returns rows at sf0.01 except dup-hunters on clean data") {
-    val mayBeEmpty = Set("d01_exact_dup_groups", "t05_fingerprint_dups",
-      "m11_mjpeg_copies") // exact-copy hunter — empty on a clean corpus
+  test("every declared query returns rows at sf0.01 — the dup-hunters " +
+    "included, via their planted probe copies") {
+    // d01/t05/m11 hunt exact copies, which the clean testdata corpus
+    // has none of — they run over Tables.documentsWithProbe (three
+    // planted copies) precisely so their oracle comparison, and this
+    // check, exercise the dup-POSITIVE path
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0 || mayBeEmpty.contains(name), s"$name returned 0 rows")
+      assert(n > 0, s"$name returned 0 rows")
     }
   }
 

@@ -62,6 +62,17 @@ class ScaleRehearsalSpec extends SparkSuite {
       s"the incremental night should beat the full rebuild at 10x: $j")
     assert(field("m12_rows") > 0, j)
     assert(field("m12_adv_rows") > 0, j)
+    // the stream bridge leg: hydration completed under the bound and
+    // actually materialized banded-index-scale state; both postures
+    // folded fresh docs (exact re-crawls suppressed in both)
+    assert(field("stream_state_rows") > 100000,
+      s"bootstrap hydration did not materialize banded state: $j")
+    assert(field("stream_folded") > 0 && field("stream_folded") <= 600,
+      s"stream fold admitted outside the ~516-doc fresh slice: $j")
+    assert(field("stream_bf_folded") > 100 &&
+      field("stream_bf_folded") <= 600,
+      s"bootstrap-free fold: expected ~516 fresh admits with the exact " +
+        s"re-crawls suppressed by the per-batch verdict join: $j")
     assert(field("ann_vecs") == 20000.0, j)
     assert(field("ann_serve_rows") > 0, j)
     assert(field("ann_serve2_rows") >= field("ann_serve_rows"),

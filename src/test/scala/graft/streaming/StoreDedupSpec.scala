@@ -224,6 +224,52 @@ class StoreDedupSpec extends SparkSuite {
     }
   }
 
+  test("bootstrap-free mode (spark.graft.stream.bootstrap=false) admits " +
+    "the same store content as the hydrated bootstrap: exact AND near " +
+    "index dups are dropped at fold time by the full verdict core, and " +
+    "the per-batch verdict join leaks no pins") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sd8_idx").toString
+    TextDedupOps.d24Build(spark, idx,
+      docsDf((0L to 2L).map(i => i -> freshText(s"bf${i}w")): _*))
+    val uX = freshText("bfuXw")
+    // a hydrated deployment folds uX, establishing the reference state
+    val in1 = MemoryStream[IngestDoc]
+    val q1 = ingest(in1.toDS(), idx,
+      Files.createTempDirectory("sd8_c1").toString)
+    try {
+      in1.addData(IngestDoc(10L, "s", uX))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(indexIds(idx) == Set(0L, 1L, 2L, 10L))
+    // redeploy BOOTSTRAP-FREE: in-stream state starts empty, so index
+    // dups arrive at the fold marked unique — the fold's verdict core
+    // must drop them (exact arm: 23 copies indexed base doc 1; near
+    // arm: 21 is a one-token edit of the indexed uX, sent in its own
+    // batch so nothing in-stream matches it first)
+    spark.conf.set("spark.graft.stream.bootstrap", "false")
+    try {
+      val in2 = MemoryStream[IngestDoc]
+      val q2 = ingest(in2.toDS(), idx,
+        Files.createTempDirectory("sd8_c2").toString)
+      try {
+        in2.addData(IngestDoc(22L, "s", freshText("bfuYw")),
+          IngestDoc(23L, "s", freshText("bf1w")))
+        q2.processAllAvailable()
+        assert(indexIds(idx) == Set(0L, 1L, 2L, 10L, 22L),
+          "bootstrap-free fold let an exact index dup through")
+        in2.addData(IngestDoc(21L, "s",
+          uX.split(" ").updated(9, "EDITED").mkString(" ")))
+        q2.processAllAvailable()
+        assert(indexIds(idx) == Set(0L, 1L, 2L, 10L, 22L),
+          "bootstrap-free fold let a NEAR index dup through — the " +
+            "hash-only check is not enough without the bootstrap")
+      } finally q2.stop()
+      assert(Pinned.outstanding(spark) == 0,
+        "the stream fold leaked pinned frames")
+    } finally spark.conf.unset("spark.graft.stream.bootstrap")
+  }
+
   test("a micro-batch full of internal copies folds one signature — " +
     "the nightly intra-delta rule applied at stream cadence") {
     implicit val sqlCtx = spark.sqlContext

@@ -103,4 +103,52 @@ class StoreMediaDedupSpec extends SparkSuite {
     assert(!StoreMediaDedup.foldBatch(spark, idx, admissions, "mck", 4L))
     assert(IndexGenerations.committed(spark, idx).size == gens.size + 1)
   }
+
+  test("media TTL eviction forgets in-stream state only: with " +
+    "indexCheck on, a post-horizon re-upload folds no duplicate " +
+    "fingerprint row") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("smd3_idx").toString
+    MultimodalOps.m12Build(spark, idx, mediaOf(0L -> freshText("smt0j")))
+    spark.conf.set("spark.graft.stream.indexCheck", "true")
+    // keep event times well above epoch 0: the initial watermark IS 0,
+    // and a first-batch row at exactly the watermark is dropped late
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    def timed(sec: Long, rows: (Long, String)*) =
+      mediaOf(rows: _*).collect().map(r =>
+        StoreMediaDedup.TimedMediaRecord(r.media_id, r.kind, r.payload,
+          r.source, ts(sec)))
+    val in = MemoryStream[StoreMediaDedup.TimedMediaRecord]
+    val q = StoreMediaDedup.ingestTimed(in.toDS(), idx,
+      Files.createTempDirectory("smd3_c").toString, ttlMs = 1000L)
+    try {
+      // distinct payload families so the only matches are planted ones
+      val uY = (0 until 9).map(i => s"GGGGGGG$i HY").mkString(" | ")
+      in.addData(timed(0, 10L -> uY): _*)
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 10L))
+      // push the watermark far past the TTL… (families measured
+      // pairwise-distinct: hamming ≥ 26, 0 shared pigeonhole bands —
+      // same-SHAPE "X×7 i YZ" families land within the near threshold
+      // across kinds and would both misjudge and keep refreshing uY's
+      // buckets)
+      in.addData(timed(600,
+        11L -> (0 until 25).map(i => s"m$i xylophone$i").mkString(" ")): _*)
+      q.processAllAvailable()
+      // …and let a dataless trigger fire the timeout for uY's buckets
+      in.addData(timed(601,
+        12L -> (0 until 60).map(i => s"wqz${i}abcdefgh").mkString(",")): _*)
+      q.processAllAvailable()
+      // the re-upload (13 ≡ 10 mod 3 shares the kind): state has
+      // forgotten it, so it is re-admitted (the TTL trade) — but the
+      // index check suppresses the duplicate fold
+      in.addData(timed(602, 13L -> uY): _*)
+      q.processAllAvailable()
+      assert(indexIds(idx) == Set(0L, 10L, 11L, 12L),
+        "TTL re-upload re-folded an already-indexed asset")
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.graft.stream.indexCheck")
+    }
+  }
 }
