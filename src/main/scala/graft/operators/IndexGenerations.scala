@@ -315,6 +315,16 @@ object IndexGenerations {
     * is still additive-only (superseded generations stay until an
     * explicit [[prune]] — the documented reader boundary), so the
     * auto-compact never invalidates a frame a reader resolved earlier.
+    * For deployments with no natural prune point — an always-on
+    * stream fold, where every committed generation dir adds to the
+    * per-batch `records()`/listing cost forever —
+    * `spark.graft.index.autoPrune=true` runs [[prune]] right after
+    * each auto-compact: total directory count stays bounded by the
+    * chain cap, and nothing is lost because compaction carries both
+    * the rows AND the commit records of the chain it folds (pins via
+    * `spark.graft.index.readGen` are honored as always — but note the
+    * reader boundary now arrives at auto-compact cadence, so leave
+    * autoPrune off where unpinned as-of audits matter).
     * Returns the live generation after any compaction. */
   def advanceByConf(s: SparkSession, root: String,
       additions: DataFrame): Long =
@@ -334,7 +344,10 @@ object IndexGenerations {
       val g = advanceDeltaRecorded(s, root, additions, record)
       s.conf.getOption("spark.graft.index.maxDeltaChain").map(_.toInt) match {
         case Some(max) if activeSet(s, root).size - 1 > max =>
-          compact(s, root)
+          val c = compact(s, root)
+          if (s.conf.getOption("spark.graft.index.autoPrune")
+              .exists(_.toBoolean)) prune(s, root)
+          c
         case _ => g
       }
     } else advanceRecorded(s, root, additions, record)

@@ -166,7 +166,15 @@ object StoreDedup {
     * equivalence). The trade: bootstrap-free catches index dups at
     * fold time, not admission time — per-bucket `Admission` verdicts
     * name in-stream winners only, and each batch pays one banded
-    * index join instead of the one-time hydration. */
+    * index join instead of the one-time hydration.
+    *
+    * Hydrated at 10⁹-doc index scale, prefer Spark's RocksDB state
+    * store (`spark.sql.streaming.stateStore.providerClass` →
+    * `...state.RocksDBStateStoreProvider`): the default HDFS-backed
+    * provider holds every partition's state map ON-HEAP, so
+    * (BANDS+1)·|index| entries eventually outgrow executor heaps,
+    * while RocksDB keeps them off-heap/on-disk with the same
+    * semantics (the bridge is provider-agnostic — spec-pinned). */
   private[streaming] def bootstrapEnabled(s: SparkSession): Boolean =
     s.conf.getOption("spark.graft.stream.bootstrap").forall(_.toBoolean)
 

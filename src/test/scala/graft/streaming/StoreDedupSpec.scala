@@ -224,6 +224,76 @@ class StoreDedupSpec extends SparkSuite {
     }
   }
 
+  test("the bridge is state-store-provider-agnostic: bootstrap, " +
+    "in-stream catch, and fold behave identically on RocksDB — the " +
+    "at-scale hydration posture") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val idx = Files.createTempDirectory("sdr_idx").toString
+      TextDedupOps.d24Build(spark, idx,
+        docsDf((0L to 2L).map(i => i -> freshText(s"rk${i}t")): _*))
+      val uR = freshText("rkuRt")
+      val in = MemoryStream[IngestDoc]
+      val q = ingest(in.toDS(), idx,
+        Files.createTempDirectory("sdr_c").toString)
+      try {
+        // bootstrap catch (copy of indexed doc 1) + a fresh admit
+        in.addData(IngestDoc(10L, "s", freshText("rk1t")),
+          IngestDoc(11L, "s", uR))
+        q.processAllAvailable()
+        assert(indexIds(idx) == Set(0L, 1L, 2L, 11L))
+        // in-stream catch across batches via RocksDB-held state
+        in.addData(IngestDoc(12L, "s", uR))
+        q.processAllAvailable()
+        assert(indexIds(idx) == Set(0L, 1L, 2L, 11L))
+      } finally q.stop()
+    } finally spark.conf
+      .unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("autoPrune keeps an always-on stream's generation count bounded " +
+    "by the chain cap — and loses no replay evidence, because compact " +
+    "carries the records of what prune deletes") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    spark.conf.set("spark.graft.index.maxDeltaChain", "2")
+    spark.conf.set("spark.graft.index.autoPrune", "true")
+    try {
+      val idx = Files.createTempDirectory("sd9_idx").toString
+      val ckpt = Files.createTempDirectory("sd9_c").toString
+      TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("ab0s")))
+      val in = MemoryStream[IngestDoc]
+      val q = ingest(in.toDS(), idx, ckpt)
+      try {
+        (1 to 8).foreach { b =>
+          in.addData(IngestDoc(10L + b, "s", freshText(s"au${b}s")))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // without autoPrune 8 folds leave ~11 dirs; the cap (1 total +
+      // 2 deltas + the advance in flight) bounds it
+      assert(IndexGenerations.committed(spark, idx).size <= 4,
+        s"autoPrune left ${IndexGenerations.committed(spark, idx)}")
+      assert(indexIds(idx) == (Set(0L) ++ (1 to 8).map(10L + _)),
+        "autoPrune lost folded rows")
+      // a crash-replay of an early batch whose delta dir is long gone:
+      // its record rode compact → compact → … and still skips
+      val replay = bandDocs(Seq(IngestDoc(11L, "s", freshText("au1s")))
+          .toDS()).toDF()
+        .withColumn("verdict", org.apache.spark.sql.functions.lit("unique"))
+        .withColumn("winner", org.apache.spark.sql.functions.lit(-1L))
+      assert(!foldBatch(spark, idx, replay, ckpt, 0L),
+        "replay evidence lost to autoPrune")
+    } finally {
+      spark.conf.unset("spark.graft.index.advanceMode")
+      spark.conf.unset("spark.graft.index.maxDeltaChain")
+      spark.conf.unset("spark.graft.index.autoPrune")
+    }
+  }
+
   test("bootstrap-free mode (spark.graft.stream.bootstrap=false) admits " +
     "the same store content as the hydrated bootstrap: exact AND near " +
     "index dups are dropped at fold time by the full verdict core, and " +
