@@ -13,23 +13,25 @@ import graft.operators.IndexGenerations
   * production scheduler invokes:
   *
   * {{{
-  * graft.Nightly <text|media> build   <indexDir> <docsParquet>
-  * graft.Nightly <text|media> advance <indexDir> <deltaParquet>
-  *                                    [--verdicts <dir>] [--prune]
-  * graft.Nightly <text|media> night   <indexDir> <deltaParquet>
-  *                                    --id <nightId> [--shards <root>]
-  *                                    [--prune]
-  * graft.Nightly <text|media> compact <indexDir>
-  * graft.Nightly <text|media> prune   <indexDir>
+  * graft.Nightly <text|media|vec> build   <indexDir> <docsParquet>
+  * graft.Nightly <text|media|vec> advance <indexDir> <deltaParquet>
+  *                                        [--verdicts <dir>] [--prune]
+  * graft.Nightly <text|media|vec> night   <indexDir> <deltaParquet>
+  *                                        --id <nightId>
+  *                                        [--shards <root>] [--prune]
+  * graft.Nightly <text|media|vec> compact <indexDir>
+  * graft.Nightly <text|media|vec> prune   <indexDir>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
   * shard increment under `<shards root>/night=<nightId>` AND folds the
   * index from one delta scan (`TextDedupOps.p04Night` — pass the SAME
   * `--shards` root every night; each night is its own partition and a
-  * rerun of a committed id is a recorded no-op); on media it is the
-  * recorded advance alone (`MultimodalOps.m12Night` — no shard half,
-  * same night-id ledger).
+  * rerun of a committed id is a recorded no-op); on media and vec it
+  * is the recorded advance alone (`MultimodalOps.m12Night` /
+  * `SimilarityOps.s24Night` — no shard half, same night-id ledger).
+  * The vec axis reads embeddings-shaped parquet (vec_id, embedding,
+  * label) where text/media read documents-shaped.
   *
   * `build` distills a base corpus into generation 0
   * (`TextDedupOps.d24Build` / `MultimodalOps.m12Build`); `advance`
@@ -49,7 +51,8 @@ import graft.operators.IndexGenerations
 object Nightly {
 
   private val Usage =
-    "usage: graft.Nightly <text|media> <build|advance|night|compact|prune> " +
+    "usage: graft.Nightly <text|media|vec> " +
+      "<build|advance|night|compact|prune> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>]"
 
@@ -58,7 +61,7 @@ object Nightly {
   def run(s: SparkSession, args: Seq[String]): String = {
     require(args.length >= 3, Usage)
     val Seq(axis, cmd, indexDir) = args.take(3)
-    require(Set("text", "media")(axis), Usage)
+    require(Set("text", "media", "vec")(axis), Usage)
     val rest = args.drop(3)
     def docsAt(path: String): DataFrame = s.read.parquet(path)
     def mediaAt(path: String) =
@@ -76,6 +79,8 @@ object Nightly {
             docsAt(path))
           case "media" => queries.MultimodalOps.m12Build(s, indexDir,
             mediaAt(path))
+          case "vec"   => queries.SimilarityOps.s24Build(s, indexDir,
+            docsAt(path))
         }
         val n = IndexGenerations.readCurrent(s, indexDir).count()
         line("metric" -> "\"nightly_build\"", "axis" -> s""""$axis"""",
@@ -89,6 +94,8 @@ object Nightly {
             docsAt(path).select("doc_id", "source", "text"))
           case "media" => queries.MultimodalOps.m12Advance(s, indexDir,
             mediaAt(path))
+          case "vec"   => queries.SimilarityOps.s24Advance(s, indexDir,
+            docsAt(path))
         }
         val counts = v.groupBy("verdict").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -140,6 +147,13 @@ object Nightly {
             }
           case "media" =>
             queries.MultimodalOps.m12Night(s, indexDir, mediaAt(path),
+              nightId).map { v =>
+              val vf = verdictField(v)
+              Pinned.releaseAll(s)
+              Seq(vf, pruneField)
+            }
+          case "vec" =>
+            queries.SimilarityOps.s24Night(s, indexDir, docsAt(path),
               nightId).map { v =>
               val vf = verdictField(v)
               Pinned.releaseAll(s)

@@ -2480,9 +2480,27 @@ object TextDedupOps {
     require(nightId.matches("[A-Za-z0-9._-]+"),
       s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
         "it names the night's shard partition under the corpus root")
+    val nightDir = s"$outDir/night=$nightId"
+    def stampNightMarker(onlyIfMissing: Boolean): Unit = {
+      val fs = new org.apache.hadoop.fs.Path(nightDir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(nightDir, "_NIGHT_COMMITTED")
+      if (!(onlyIfMissing && fs.exists(p))) {
+        val out = fs.create(p, true)
+        try out.write(nightId.getBytes("UTF-8")) finally out.close()
+      }
+    }
     if (graft.operators.IndexGenerations
-        .records(s, indexDir, NightRecord).contains(nightId))
+        .records(s, indexDir, NightRecord).contains(nightId)) {
+      // skipped rerun of a committed night — but repair the shard-side
+      // marker if it is missing: a crash in the window between the
+      // index advance (the night's commit point) and the marker stamp
+      // would otherwise leave a committed night that shard-only
+      // consumers skip forever. onlyIfMissing keeps a healthy rerun
+      // byte-frozen (NightlySpec pins that).
+      stampNightMarker(onlyIfMissing = true)
       return None
+    }
     graft.functions.HashSketch.register(s)
     val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(d24Sig(deltaDocs))
@@ -2492,16 +2510,11 @@ object TextDedupOps {
         Seq("doc_id"))))
     val corpus = gateAndPack(s, deltaDocs,
       admittedSigs.select("doc_id"), production = true)
-    val nightDir = s"$outDir/night=$nightId"
     val receipt = shardReceipt(
       graft.operators.ShardWriter.writeDocs(corpus, NShards, nightDir))
     graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
       admittedSigs, Some(NightRecord -> nightId))
-    val fs = new org.apache.hadoop.fs.Path(nightDir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(new org.apache.hadoop.fs.Path(nightDir,
-      "_NIGHT_COMMITTED"), true)
-    try out.write(nightId.getBytes("UTF-8")) finally out.close()
+    stampNightMarker(onlyIfMissing = false)
     Some((receipt, v))
   }
 

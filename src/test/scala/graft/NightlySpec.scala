@@ -163,6 +163,59 @@ class NightlySpec extends SparkSuite {
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
+  test("night crash windows: a torn night (shards written, advance " +
+    "missing) is healed by the rerun; a missing shard-side marker on a " +
+    "COMMITTED night is repaired by the skipped rerun") {
+    import java.nio.file.{Files => JFiles, Paths}
+    val idx = Files.createTempDirectory("nl_crash_idx").toString
+    Nightly.run(spark, Seq("text", "build", idx,
+      writeDocs((0L to 2L).map(i => i -> freshText(s"cr${i}w")): _*)))
+    val delta = writeDocs(100L -> freshText("cru1w"),
+      101L -> freshText("cru2w"))
+    val shards = Files.createTempDirectory("nl_crash_sh").toString
+    val deltaDf = spark.read.parquet(delta)
+      .select("doc_id", "source", "text")
+
+    // crash A: the shard write landed, the advance did not — the night
+    // is UNcommitted (no record), so the rerun must run fully and
+    // replace the torn partition
+    import org.apache.spark.sql.functions.col
+    graft.operators.ShardWriter.writeDocs(
+      deltaDf.filter(col("doc_id") === 100L), 16, s"$shards/night=c1")
+    assert(!JFiles.exists(
+      Paths.get(shards, "night=c1", "_NIGHT_COMMITTED")),
+      "a torn night must not look committed")
+    val healed = graft.queries.TextDedupOps.p04Night(spark, idx, deltaDf,
+      shards, "c1")
+    assert(healed.isDefined, "rerun of an UNcommitted night must run")
+    healed.foreach { case (receipt, _) => receipt.count() }
+    Pinned.releaseAll(spark)
+    assert(spark.read.parquet(s"$shards/night=c1")
+      .select("doc_id").as[Long].collect().toSet == Set(100L, 101L),
+      "the healing rerun should replace the torn partition completely")
+    assert(JFiles.exists(
+      Paths.get(shards, "night=c1", "_NIGHT_COMMITTED")))
+
+    // crash B: advance committed (record present) but the JVM died
+    // before the shard-side marker stamp — the skipped rerun repairs
+    // the marker without touching anything else
+    JFiles.delete(Paths.get(shards, "night=c1", "_NIGHT_COMMITTED"))
+    import scala.jdk.CollectionConverters._
+    def state(dir: String) = JFiles.walk(Paths.get(dir))
+      .iterator().asScala.filter(p => JFiles.isRegularFile(p))
+      .filterNot(_.toString.contains("_NIGHT_COMMITTED"))
+      .map(p => p.toString -> JFiles.getLastModifiedTime(p).toMillis)
+      .toMap
+    val frozen = state(shards)
+    assert(graft.queries.TextDedupOps.p04Night(spark, idx, deltaDf,
+      shards, "c1").isEmpty, "a committed night must skip")
+    assert(JFiles.exists(
+      Paths.get(shards, "night=c1", "_NIGHT_COMMITTED")),
+      "the skipped rerun must repair the missing marker")
+    assert(state(shards) == frozen,
+      "the marker repair touched shard data")
+  }
+
   test("media night: the recorded advance is exactly-once per id — " +
     "rerun of a committed night is a no-op, and a later night still " +
     "catches the re-upload") {
@@ -187,6 +240,37 @@ class NightlySpec extends SparkSuite {
       Seq("media", "night", idx, writeDocs(103L -> t),
         "--id", "m2", "--prune"))
     assert(out2.contains("\"exact\":1"), out2)
+    assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+  }
+
+  test("vec axis through the CLI: build, a night that folds one new " +
+    "direction exactly once, and a later advance that catches its " +
+    "re-embedding") {
+    val idx = Files.createTempDirectory("nl_vec").toString
+    def embDir(rows: (Long, Int)*): String = {
+      val dir = Files.createTempDirectory("nl_vec_emb").toString
+      rows.map { case (id, hot) =>
+        (id, (0 until 64).map(i => if (i == hot) 1f else 0f), id % 7)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val out0 = Nightly.run(spark, Seq("vec", "build", idx,
+      embDir((0L to 3L).map(i => i -> i.toInt): _*)))
+    assert(out0.contains("\"index_rows\":4") && out0.contains("\"gen\":0"),
+      out0)
+    val delta = embDir(10L -> 2, 11L -> 30) // a copy of base dir 2 + new
+    val out1 = Nightly.run(spark,
+      Seq("vec", "night", idx, delta, "--id", "vn1"))
+    assert(out1.contains("\"skipped\":false") &&
+      out1.contains("\"near\":1") && out1.contains("\"unique\":1"), out1)
+    val rerun = Nightly.run(spark,
+      Seq("vec", "night", idx, delta, "--id", "vn1"))
+    assert(rerun.contains("\"skipped\":true"), rerun)
+    val out2 = Nightly.run(spark, Seq("vec", "advance", idx,
+      embDir(20L -> 30), "--prune"))
+    assert(out2.contains("\"near\":1"),
+      s"vec night-2 missed night-1's admitted direction: $out2")
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
