@@ -244,6 +244,26 @@ object ScaleRehearsal {
         graft.operators.AnnIndexStore.read(spark, annDir)).count()
     }
 
+    // --- s24 vector delta-dedup cycle at 10×: the third axis of the
+    // index-lifecycle triad — build the quantized-vector index from the
+    // 20k-vector table, then one advance night over a re-keyed slice
+    // (byte-identical embeddings under new ids → near, winner = the
+    // original; nothing folds for them). ---
+    val s24Dir = s"$work/s24_index"
+    val emb10 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val (s24Rows, s24BuildSecs) = timed {
+      graft.queries.SimilarityOps.s24Build(spark, s24Dir, emb10)
+      graft.operators.IndexGenerations.readCurrent(spark, s24Dir).count()
+    }
+    val (s24AdvRows, s24AdvSecs) = timed {
+      val delta = emb10.filter(col("vec_id") % 103 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(100L * ne))
+      val r = graft.queries.SimilarityOps
+        .s24Advance(spark, s24Dir, delta).count()
+      Pinned.releaseAll(spark)
+      r
+    }
+
     val mx = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"""{"metric":"scale_rehearsal","docs":${10 * n},""" +
       s""""heap_mb":$mx,"gen_secs":$genSecs,""" +
@@ -259,7 +279,9 @@ object ScaleRehearsal {
       s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +
       s""""ann_serve_rows":$annServeRows,""" +
       s""""ann_append_secs":$annAppendSecs,""" +
-      s""""ann_serve2_rows":$annServe2Rows}""")
+      s""""ann_serve2_rows":$annServe2Rows,""" +
+      s""""s24_rows":$s24Rows,"s24_build_secs":$s24BuildSecs,""" +
+      s""""s24_adv_rows":$s24AdvRows,"s24_adv_secs":$s24AdvSecs}""")
     spark.stop()
   }
 }

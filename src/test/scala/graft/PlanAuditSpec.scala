@@ -570,4 +570,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(!p.contains("Join"), p)
     assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
   }
+
+  test("s24 vec delta dedup: the candidate stage is an id-only LSH " +
+    "band equi-join — no cartesian, no vectors in the band shuffle") {
+    val p = plan("s24_vec_delta_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"s24 degenerated to all-pairs:\n$p")
+    // the band join's exchanges carry (id, tab, sig) — the quantized
+    // vectors rejoin only for verified candidates, so no exchange on
+    // the band key may materialize a qv column
+    val bandExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning") &&
+        (l.contains("tab#") || l.contains("sig#")))
+    bandExchanges.foreach(l =>
+      assert(!l.contains("qv#"), s"vectors entered the band shuffle:\n$l"))
+  }
 }

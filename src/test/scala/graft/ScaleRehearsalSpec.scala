@@ -77,6 +77,8 @@ class ScaleRehearsalSpec extends SparkSuite {
     assert(field("ann_serve_rows") > 0, j)
     assert(field("ann_serve2_rows") >= field("ann_serve_rows"),
       s"post-append serve lost results: $j")
+    assert(field("s24_rows") == 20000.0, j)
+    assert(field("s24_adv_rows") > 0, j)
     info(j)
   }
 
