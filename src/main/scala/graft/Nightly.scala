@@ -21,6 +21,7 @@ import graft.operators.IndexGenerations
   *                                        [--shards <root>] [--prune]
   * graft.Nightly <text|media|vec> compact <indexDir>
   * graft.Nightly <text|media|vec> prune   <indexDir>
+  * graft.Nightly <text|media|vec> status  <indexDir>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -52,7 +53,7 @@ object Nightly {
 
   private val Usage =
     "usage: graft.Nightly <text|media|vec> " +
-      "<build|advance|night|compact|prune> " +
+      "<build|advance|night|compact|prune|status> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>]"
 
@@ -171,6 +172,32 @@ object Nightly {
               "id" -> s""""$nightId"""", "skipped" -> "false") ++
               fields: _*)
         }
+
+      case "status" =>
+        // read-only store inspection — what an operator checks before
+        // touching a root blind: committed generations + tags, the
+        // live set a read unions, the night/stream ledgers, whether a
+        // writer currently holds (or abandoned) the lease, and the
+        // live row count. Works on any axis (the store is untyped).
+        val gens = IndexGenerations.generations(s, indexDir)
+          .map { case (n, tag) => s"""{"gen":$n,"tag":"$tag"}""" }
+          .mkString("[", ",", "]")
+        val active = IndexGenerations.activeGenerations(s, indexDir)
+          .mkString("[", ",", "]")
+        val recs = IndexGenerations.recordSummary(s, indexDir).toSeq
+          .sortBy(_._1)
+          .map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")
+        val lease = IndexGenerations.leaseStamp(s, indexDir)
+          .map(t => s"""{"held":true,"age_ms":${
+            System.currentTimeMillis() - t}}""")
+          .getOrElse("""{"held":false}""")
+        val rows =
+          if (IndexGenerations.committed(s, indexDir).isEmpty) -1L
+          else IndexGenerations.readCurrent(s, indexDir).count()
+        line("metric" -> "\"nightly_status\"", "axis" -> s""""$axis"""",
+          genField, "generations" -> gens, "active" -> active,
+          "records" -> recs, "lease" -> lease,
+          "index_rows" -> rows.toString)
 
       case "compact" =>
         IndexGenerations.compact(s, indexDir)

@@ -169,6 +169,38 @@ object IndexGenerations {
   def committed(s: SparkSession, root: String): Seq[Long] =
     committedTagged(s, root).map(_._1)
 
+  /** Committed generations with their marker tags ("" total,
+    * "delta") — the inspection face ([[graft.Nightly]] `status`). */
+  def generations(s: SparkSession, root: String): Seq[(Long, String)] =
+    committedTagged(s, root)
+
+  /** The generation set a live read unions (newest total + its delta
+    * chain) — everything else under the root is prune fodder. */
+  def activeGenerations(s: SparkSession, root: String): Seq[Long] =
+    activeSet(s, root)
+
+  /** The writer lease's timestamp if one is currently held (stale or
+    * not — the holder may have crashed; compare against
+    * `spark.graft.index.leaseTimeoutMs`). */
+  def leaseStamp(s: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(s, root)
+    val lp = new Path(root, Lease)
+    if (!fs.exists(lp)) None
+    else {
+      val in = fs.open(lp)
+      val body = try new String(in.readAllBytes(), "UTF-8").trim
+      finally in.close()
+      Some(body.toLongOption
+        .getOrElse(fs.getFileStatus(lp).getModificationTime))
+    }
+  }
+
+  /** Every record name present across committed generations with its
+    * distinct value count — the ledger summary for `status`. */
+  def recordSummary(s: SparkSession, root: String): Map[String, Int] =
+    recordsOf(s, root, committed(s, root)).view
+      .mapValues(_.size).toMap
+
   /** The live (max committed) generation, if any. */
   def currentGen(s: SparkSession, root: String): Option[Long] =
     committed(s, root).lastOption

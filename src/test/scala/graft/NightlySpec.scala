@@ -274,6 +274,37 @@ class NightlySpec extends SparkSuite {
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
+  test("status reports generations, tags, the live set, the night " +
+    "ledger, and the lease — before and after a night, and mid-crash") {
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try {
+      val idx = Files.createTempDirectory("nl_status").toString
+      Nightly.run(spark, Seq("text", "build", idx,
+        writeDocs(0L -> freshText("st0q"))))
+      val s0 = Nightly.run(spark, Seq("text", "status", idx))
+      assert(s0.contains(""""generations":[{"gen":0,"tag":""}]""") &&
+        s0.contains(""""active":[0]""") &&
+        s0.contains(""""lease":{"held":false}""") &&
+        s0.contains(""""index_rows":1"""), s0)
+      val shards = Files.createTempDirectory("nl_status_sh").toString
+      Nightly.run(spark, Seq("text", "night", idx,
+        writeDocs(10L -> freshText("st1q")), "--id", "sn1",
+        "--shards", shards))
+      val s1 = Nightly.run(spark, Seq("text", "status", idx))
+      assert(s1.contains(""""gen":1,"tag":"delta"""") &&
+        s1.contains(""""records":{"night":1}""") &&
+        s1.contains(""""index_rows":2"""), s1)
+      // a crashed writer's abandoned lease shows up with its age
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(idx, "_WRITER_LEASE"),
+        (System.currentTimeMillis() - 5000L).toString.getBytes)
+      val s2 = Nightly.run(spark, Seq("text", "status", idx))
+      assert(s2.contains(""""lease":{"held":true,"age_ms":"""), s2)
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(idx, "_WRITER_LEASE"))
+    } finally spark.conf.unset("spark.graft.index.advanceMode")
+  }
+
   test("compact and prune commands fold a delta chain into one served " +
     "total; bad arguments fail loudly") {
     spark.conf.set("spark.graft.index.advanceMode", "delta")
