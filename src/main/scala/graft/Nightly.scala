@@ -125,6 +125,15 @@ object Nightly {
         def verdictField(v: DataFrame): (String, String) = {
           val counts = v.groupBy("verdict").count()
             .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          // the night's verdict artifact, like advance's. Best-effort
+          // relative to the night's commit point (the index advance):
+          // a crash in the window after the commit loses only this
+          // artifact — the skipped rerun cannot regenerate it, because
+          // re-judging against the ADVANCED index would call every doc
+          // exact-against-itself. The verdict counts survive in the
+          // night's JSON line either way.
+          flag("--verdicts").foreach(d =>
+            v.write.mode("overwrite").parquet(d))
           "verdicts" -> Seq("exact", "near", "unique")
             .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
             .mkString("{", ",", "}")

@@ -260,10 +260,13 @@ class NightlySpec extends SparkSuite {
     assert(out0.contains("\"index_rows\":4") && out0.contains("\"gen\":0"),
       out0)
     val delta = embDir(10L -> 2, 11L -> 30) // a copy of base dir 2 + new
+    val vdir = Files.createTempDirectory("nl_vec_v").toString
     val out1 = Nightly.run(spark,
-      Seq("vec", "night", idx, delta, "--id", "vn1"))
+      Seq("vec", "night", idx, delta, "--id", "vn1", "--verdicts", vdir))
     assert(out1.contains("\"skipped\":false") &&
       out1.contains("\"near\":1") && out1.contains("\"unique\":1"), out1)
+    assert(spark.read.parquet(vdir).count() == 2L,
+      "the night's --verdicts artifact is missing rows")
     val rerun = Nightly.run(spark,
       Seq("vec", "night", idx, delta, "--id", "vn1"))
     assert(rerun.contains("\"skipped\":true"), rerun)
