@@ -134,23 +134,45 @@ object Bench {
   /** The one JSON line the driver parses — kept under its 2000-char tail
     * capture (BENCH_r02 was truncated mid-line at ~2.4KB and failed to
     * parse): short query ids (the prefix before the first '_' is unique
-    * across the surface), 3-decimal values, basename-only sf. */
+    * across the surface), basename-only sf, and ADAPTIVE per-query
+    * precision. 141 queries at 3 decimals is 1805 chars — still inside
+    * the budget but with <~8 queries of headroom — so when the
+    * 3-decimal render would cross [[LineBudget]] the per-query values
+    * degrade to 2 decimals (then 1) and the line says so via
+    * `"prec":N`; the 2-decimal tier alone re-opens ~20 queries of
+    * room. Headline
+    * `value`/`cal` keep 3 decimals at every precision tier: they are
+    * the cross-round comparables, and two fixed fields cost no
+    * meaningful budget. Graceful degradation beats a mid-line cut: a
+    * truncated line is unparseable, a 2-decimal line loses nothing the
+    * min-of-2-reps protocol can resolve anyway (sub-10ms deltas on
+    * sub-second queries are host noise, see [[CalSteadySec]]). */
+  private[graft] val LineBudget = 1900
+
   private[graft] def jsonLine(results: Seq[(String, Double)], failures: Int,
       sfName: String, calSec: Double): String = {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    // "reps":2 documents the measurement policy in the artifact itself:
-    // every per-query number is the MIN of two measured passes (after an
-    // uncounted warmup), the jitter-kill for sub-second queries
-    val line =
+    def render(prec: Int): String = {
+      def fq(v: Double): String =
+        s"%.${prec}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + fq(v)
+      }.mkString("{", ",", "}")
+      // "reps":2 documents the measurement policy in the artifact itself:
+      // every per-query number is the MIN of two measured passes (after
+      // an uncounted warmup), the jitter-kill for sub-second queries
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failures":$failures,""" +
         s""""cal":${fmt(calSec)},"hot":${if (calHot(calSec)) 1 else 0},"reps":2,""" +
+        (if (prec < 3) s""""prec":$prec,""" else "") +
         s""""queries":$qs,"sf":"$sfName"}"""
-    if (line.length > 1800)
+    }
+    val line = (3 to 1 by -1).iterator.map(render)
+      .find(_.length <= LineBudget)
+      .getOrElse(render(1))
+    if (line.length > LineBudget)
       System.err.println(s"[bench] WARNING: json line ${line.length} chars — " +
-        "driver tail captures 2000; shorten keys before this truncates")
+        "driver tail captures 2000; even 1-decimal render exceeds budget")
     line
   }
 }

@@ -38,4 +38,27 @@ class BenchSentinelSpec extends AnyFunSuite {
     // the rep policy rides in the artifact (min of 2 measured passes)
     assert(cold.contains("\"reps\":2"))
   }
+
+  test("per-query precision degrades before the line can cross the " +
+    "driver's tail-capture budget, and says so via prec") {
+    // small surface: 3-decimal render fits, no prec field
+    val small = Bench.jsonLine(Seq("q01_a" -> 0.123456), 0, "sf0.1", 0.18)
+    assert(small.contains("\"q01\":0.123") && !small.contains("\"prec\""))
+    // a surface wide enough that 3 decimals would blow the budget:
+    // 160 entries x ~13 chars + ~100 prefix ≈ 2180 > 1900, 2 decimals
+    // ≈ 2020 > 1900, 1 decimal ≈ 1860 fits
+    val wide = (1 to 160).map(i => f"w$i%03d_q" -> 0.123456)
+    val line = Bench.jsonLine(wide, 0, "sf0.1", 0.18)
+    assert(line.length <= Bench.LineBudget, s"line ${line.length} chars")
+    assert(line.contains("\"prec\":1"), line.take(120))
+    assert(line.contains("\"w001\":0.1"))
+    // headline value/cal keep 3 decimals at every tier
+    assert(line.contains("\"cal\":0.180"))
+    assert(line.contains(s""""value":${"%.3f".format(0.123456 * 160)}"""))
+    // the current real surface still renders at full precision
+    val real = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 0.123456)
+    val realLine = Bench.jsonLine(real, 0, "sf0.1", 0.18)
+    assert(realLine.length <= Bench.LineBudget)
+    assert(realLine.contains(":0.123"), "real surface should render 3-decimal")
+  }
 }
