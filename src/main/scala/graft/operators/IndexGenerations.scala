@@ -60,6 +60,35 @@ object IndexGenerations {
   private val GenName = "gen=(\\d{1,18})".r
   private val Lease = "_WRITER_LEASE"
 
+  /** Record names ending in this suffix are HIGH-WATER-MARK ledgers:
+    * each value is `key:number` (split at the LAST ':'), the consumer's
+    * replay skip is "number ≤ max recorded for key" (the monotonic
+    * batch-id discipline of [[graft.streaming.StoreDedup.foldBatch]]),
+    * so a carry keeps only the max number per key instead of the full
+    * value history. Without this an always-on stream fold's ledger
+    * grows one line per micro-batch FOREVER — compact and rewrite
+    * advances carry the whole set forward, and every batch's replay
+    * check re-reads it: O(batches²) ledger I/O over the stream's life.
+    * With it the ledger is O(#streams) lines at any age. Membership
+    * ledgers (e.g. the night-id record — skip is `contains`, ids are
+    * unordered) must NOT use the suffix: they keep full history. */
+  private[graft] val HwmSuffix = "_hwm"
+
+  /** Keep the max number per key among `key:number` values; a value
+    * with no numeric tail keeps membership semantics (never dropped —
+    * a malformed line must not erase replay evidence). */
+  private def hwmCompact(values: Seq[String]): Seq[String] = {
+    val (keyed, raw) = values.distinct.partitionMap { v =>
+      val i = v.lastIndexOf(':')
+      (if (i < 0) None else v.substring(i + 1).toLongOption) match {
+        case Some(num) => Left(v.substring(0, i) -> num)
+        case None      => Right(v)
+      }
+    }
+    raw ++ keyed.groupMapReduce(_._1)(_._2)(math.max)
+      .toSeq.sortBy(_._1).map { case (k, n) => s"$k:$n" }
+  }
+
   /** Run `body` holding the root's create-exclusive writer lease —
     * the single-writer fence. Acquisition is `fs.create(path,
     * overwrite=false)`, which fails if the file exists; a lease older
@@ -259,7 +288,9 @@ object IndexGenerations {
     * generation — the application-level commit evidence the streaming
     * fold's exactly-once discipline needs ([[records]]). Each record
     * file `_<name>` holds one value per line ([[compact]] carries the
-    * whole history of a record name forward as the merged line set).
+    * whole history of a record name forward as the merged line set;
+    * [[HwmSuffix]] ledgers compact to the max number per key at every
+    * write).
     * The whole mutation runs under the writer lease, and refuses a
     * target generation that is already committed. */
   private[operators] def write(s: SparkSession, root: String, n: Long,
@@ -270,8 +301,10 @@ object IndexGenerations {
       val dir = genPath(root, n)
       df.write.mode("overwrite").parquet(dir.toString)
       records.foreach { case (name, values) =>
+        val kept =
+          if (name.endsWith(HwmSuffix)) hwmCompact(values) else values
         val out = fsOf(s, root).create(new Path(dir, "_" + name), true)
-        try out.write(values.mkString("\n").getBytes("UTF-8"))
+        try out.write(kept.mkString("\n").getBytes("UTF-8"))
         finally out.close()
       }
       val out = fsOf(s, root).create(new Path(dir, Marker), true)

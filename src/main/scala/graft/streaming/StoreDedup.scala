@@ -81,7 +81,13 @@ object StoreDedup {
   case class Admission(doc_id: Long, source: String, content_hash: String,
       sig: Seq[Long], bucket: String, verdict: String, winner: Long)
 
-  private[streaming] val RecordName = "stream_batch"
+  /** The fold ledger — `_hwm`-suffixed, so the generation store carries
+    * only the max batch id per stream across compact/rewrite (the skip
+    * below is monotonic: `done.max >= batchId`); the ledger stays
+    * O(#streams) lines over an always-on stream's life instead of one
+    * line per micro-batch forever
+    * ([[graft.operators.IndexGenerations.HwmSuffix]]). */
+  private[streaming] val RecordName = "stream_batch_hwm"
 
   /** d24's signature + banding over an ingest frame: one row per (LSH
     * band, doc) for signature-bearing docs, plus one EXACT-arm row per

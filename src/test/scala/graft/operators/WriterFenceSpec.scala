@@ -96,7 +96,9 @@ class WriterFenceSpec extends SparkSuite {
     "both advance modes") {
     val root = Files.createTempDirectory("fence_rec").toString
     seed(root)
-    // two recorded LSM folds, then the level-0 merge and a prune
+    // two recorded LSM folds, then the level-0 merge and a prune.
+    // "stream_batch" here is a MEMBERSHIP ledger (no _hwm suffix): the
+    // full value history must ride into the compacted total
     spark.conf.set("spark.graft.index.advanceMode", "delta")
     try {
       IndexGenerations.advanceByConfRecorded(spark, root,
@@ -125,5 +127,44 @@ class WriterFenceSpec extends SparkSuite {
       Set("n7", "n8"))
     assert(contents(root) == Set(0L -> "seed", 1L -> "a", 2L -> "b",
       3L -> "c", 4L -> "d"))
+  }
+
+  test("_hwm ledgers compact to the max number per key on every carry " +
+    "— the always-on fold's O(#streams) bound — while replay skips " +
+    "still hold and malformed lines survive as membership") {
+    val root = Files.createTempDirectory("fence_hwm").toString
+    seed(root)
+    // three recorded LSM folds from stream ckA, one from ckB, plus a
+    // line with no numeric tail (malformed — must never be dropped)
+    spark.conf.set("spark.graft.index.advanceMode", "delta")
+    try {
+      Seq("ckA:0", "ckA:1", "ckB:0", "not-a-hwm-line", "ckA:2")
+        .zipWithIndex.foreach { case (rec, i) =>
+          IndexGenerations.advanceByConfRecorded(spark, root,
+            Seq((10L + i) -> s"r$i").toDF("id", "v"),
+            Some("fold_hwm" -> rec))
+        }
+      IndexGenerations.compact(spark, root)
+      IndexGenerations.prune(spark, root)
+      assert(IndexGenerations.committed(spark, root).size == 1)
+      // the compacted total's ledger holds ONE line per stream (the
+      // max), not the five-line history — plus the malformed line
+      assert(IndexGenerations.records(spark, root, "fold_hwm").toSet ==
+        Set("ckA:2", "ckB:0", "not-a-hwm-line"))
+      // a second compact round keeps it stable (idempotent compaction)
+      IndexGenerations.advanceByConfRecorded(spark, root,
+        Seq(20L -> "r5").toDF("id", "v"), Some("fold_hwm" -> "ckA:3"))
+      IndexGenerations.compact(spark, root)
+      IndexGenerations.prune(spark, root)
+      assert(IndexGenerations.records(spark, root, "fold_hwm").toSet ==
+        Set("ckA:3", "ckB:0", "not-a-hwm-line"))
+    } finally spark.conf.unset("spark.graft.index.advanceMode")
+    // the monotonic skip every _hwm consumer applies still answers
+    // "seen" for every superseded batch id
+    val done = IndexGenerations.records(spark, root, "fold_hwm")
+      .collect { case r if r.startsWith("ckA:") =>
+        r.stripPrefix("ckA:").toLong }
+    assert(done.nonEmpty && done.max >= 2L,
+      "hwm compaction erased the replay evidence of an old batch")
   }
 }
