@@ -22,6 +22,9 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> compact <indexDir>
   * graft.Nightly <text|media|vec> prune   <indexDir>
   * graft.Nightly <text|media|vec> status  <indexDir>
+  * graft.Nightly text compact-shards <shardsRoot> --into <nightId>
+  * graft.Nightly text prune-shards   <shardsRoot>
+  * graft.Nightly text shards-status  <shardsRoot>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -55,7 +58,9 @@ object Nightly {
     "usage: graft.Nightly <text|media|vec> " +
       "<build|advance|night|compact|prune|status> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
-      "[--id <nightId> --shards <dir>]"
+      "[--id <nightId> --shards <dir>] | graft.Nightly text " +
+      "<compact-shards|prune-shards|shards-status> <shardsRoot> " +
+      "[--into <nightId>]"
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -218,6 +223,44 @@ object Nightly {
         line("metric" -> "\"nightly_prune\"", "axis" -> s""""$axis"""",
           genField, "kept" ->
             IndexGenerations.committed(s, indexDir).size.toString)
+
+      // the corpus-root lifecycle (graft.operators.Corpus) — here the
+      // third positional is the SHARDS root, not an index dir. Text
+      // only: shards are the text night's output.
+      case "compact-shards" =>
+        require(axis == "text", "shards exist only on the text axis")
+        val into = rest.sliding(2)
+          .collectFirst { case Seq("--into", v) => v }
+          .getOrElse(sys.error(
+            "compact-shards requires --into <nightId>\n" + Usage))
+        val ran = operators.Corpus.compactNights(s, indexDir, into)
+        line("metric" -> "\"shards_compact\"",
+          "into" -> s""""$into"""", "skipped" -> (!ran).toString,
+          "live" -> operators.Corpus.liveNights(s, indexDir)
+            .map(id => s""""$id"""").mkString("[", ",", "]"))
+
+      case "prune-shards" =>
+        require(axis == "text", "shards exist only on the text axis")
+        val deleted = operators.Corpus.pruneNights(s, indexDir)
+        line("metric" -> "\"shards_prune\"",
+          "deleted" -> deleted.map(id => s""""$id"""")
+            .mkString("[", ",", "]"),
+          "live" -> operators.Corpus.liveNights(s, indexDir)
+            .map(id => s""""$id"""").mkString("[", ",", "]"))
+
+      case "shards-status" =>
+        require(axis == "text", "shards exist only on the text axis")
+        val committed = operators.Corpus.committedNights(s, indexDir)
+        val live = operators.Corpus.liveNights(s, indexDir)
+        val rows =
+          if (live.isEmpty) -1L
+          else operators.Corpus.readCommitted(s, indexDir).count()
+        line("metric" -> "\"shards_status\"",
+          "committed" -> committed.map { case (id, _) => s""""$id"""" }
+            .mkString("[", ",", "]"),
+          "live" -> live.map(id => s""""$id"""")
+            .mkString("[", ",", "]"),
+          "rows" -> rows.toString)
 
       case other => sys.error(s"unknown command '$other'\n$Usage")
     }

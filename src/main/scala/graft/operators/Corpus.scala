@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The corpus root's night-partition lifecycle — the read/compact/prune
+  * half of the nightly shard increments
+  * ([[graft.queries.TextDedupOps.p04Night]] writes one
+  * `night=<nightId>` partition per committed night, marker-stamped).
+  * This is the consumer-facing contract the reference's follower keeps
+  * on its own output tables (only committed blocks are visible,
+  * src/follower.rs:100-112): a training job reads EXACTLY the committed
+  * increments, never a crashed night's partial files, no matter when it
+  * looks.
+  *
+  *  - [[readCommitted]] serves the union of committed nights — a
+  *    `night=*` dir without its `_NIGHT_COMMITTED` marker (crashed
+  *    mid-write, or mid-compaction) is invisible.
+  *  - [[compactNights]] answers the small-files problem the night
+  *    layout creates at scale: an always-on ingest lands one night per
+  *    micro-batch, and a year of nights × shards is tens of thousands
+  *    of files. Compaction rewrites today's live set as ONE merged
+  *    night whose marker RECORDS the nights it absorbed (the
+  *    generation-store total-tag pattern,
+  *    [[IndexGenerations]]): the marker create is the commit point, so
+  *    a crash before it leaves the merge invisible and the sources
+  *    live, while after it the sources are excluded from every read
+  *    even though their dirs still exist.
+  *  - [[pruneNights]] deletes absorbed dirs lazily, exactly like the
+  *    generation store's prune.
+  *
+  * Compact and prune run under the same create-exclusive writer lease
+  * as the index store (one `_WRITER_LEASE` at the corpus root) — two
+  * racing compactions would otherwise both absorb the same nights and
+  * serve every row twice. Night WRITES need no lease: each night id is
+  * its own directory and the index-side night ledger already makes a
+  * given id exactly-once.
+  *
+  * Scale shape: list-status of the root (O(#live nights) after
+  * pruning), one marker read per night; [[readCommitted]] plans a
+  * plain multi-dir parquet scan with `night`/`shard` as partition
+  * columns, so partition pruning on either survives. Compaction is one
+  * |live corpus| rewrite — opt-in, scheduled, never on the write path.
+  */
+object Corpus {
+
+  /** A committed night's marker file: first line the night id, then
+    * one [[AbsorbsTag]] line per night a compaction absorbed. */
+  private[graft] val Marker = "_NIGHT_COMMITTED"
+  private val NightPrefix = "night="
+  private val AbsorbsTag = "absorbs:"
+
+  private def fsOf(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Stamp `nightDir`'s committed marker (lines = `content`). With
+    * `onlyIfMissing` an existing marker stays byte-frozen — the
+    * rerun-repair face ([[graft.queries.TextDedupOps.p04Night]]). */
+  private[graft] def stampCommitted(s: SparkSession, nightDir: String,
+      content: Seq[String], onlyIfMissing: Boolean): Unit = {
+    val fs = fsOf(s, nightDir)
+    val p = new Path(nightDir, Marker)
+    if (!(onlyIfMissing && fs.exists(p))) {
+      val out = fs.create(p, true)
+      try out.write(content.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** All committed nights under `root`: (nightId, marker lines),
+    * sorted by id. Uncommitted (marker-less) dirs are not listed. */
+  def committedNights(s: SparkSession, root: String)
+      : Seq[(String, Seq[String])] = {
+    val fs = fsOf(s, root)
+    val rp = new Path(root)
+    if (!fs.exists(rp)) Seq.empty
+    else fs.listStatus(rp).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(NightPrefix))
+      .flatMap { st =>
+        val mp = new Path(st.getPath, Marker)
+        if (!fs.exists(mp)) None
+        else {
+          val in = fs.open(mp)
+          val lines =
+            try new String(in.readAllBytes(), "UTF-8")
+              .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+            finally in.close()
+          Some(st.getPath.getName.stripPrefix(NightPrefix) -> lines)
+        }
+      }
+      .sortBy(_._1)
+  }
+
+  private def absorbedOf(committed: Seq[(String, Seq[String])])
+      : Set[String] =
+    committed.flatMap(_._2.collect {
+      case l if l.startsWith(AbsorbsTag) => l.stripPrefix(AbsorbsTag)
+    }).toSet
+
+  /** The night ids a read serves: committed minus absorbed-by-a-
+    * committed-compaction (absorption chains resolve because every
+    * absorbed id appears in SOME committed marker). */
+  def liveNights(s: SparkSession, root: String): Seq[String] = {
+    val committed = committedNights(s, root)
+    val absorbed = absorbedOf(committed)
+    committed.map(_._1).filterNot(absorbed)
+  }
+
+  /** The committed corpus as one DataFrame — `night` (string) and
+    * `shard` ride along as partition columns, so a reader filtering on
+    * either prunes directories, not rows. `schema` (sans the partition
+    * columns) makes an all-empty corpus read as an empty frame instead
+    * of failing inference. Throws if no night is committed and no
+    * schema is given. */
+  def readCommitted(s: SparkSession, root: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val live = liveNights(s, root)
+    if (live.isEmpty && schema.isEmpty)
+      throw new IllegalStateException(
+        s"no committed nights under $root (and no explicit schema)")
+    if (live.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.get)
+    else s.read.option("basePath", root)
+      .parquet(live.map(id => s"$root/$NightPrefix$id"): _*)
+      .withColumn("night", col("night").cast("string"))
+  }
+
+  /** Rewrite the live night set as ONE merged night `into` (fresh id,
+    * directory-safe), its marker recording what it absorbed. Returns
+    * false (a recorded no-op) if `into` is already committed — the
+    * rerun discipline of the night itself. Runs under the root's
+    * writer lease. */
+  def compactNights(s: SparkSession, root: String, into: String,
+      nShards: Int = 16): Boolean = {
+    require(into.matches("[A-Za-z0-9._-]+"),
+      s"night id '$into' must be directory-safe ([A-Za-z0-9._-]+)")
+    IndexGenerations.withLease(s, root) {
+      val committed = committedNights(s, root)
+      if (committed.exists(_._1 == into)) false
+      else {
+        val absorbed = absorbedOf(committed)
+        val live = committed.map(_._1).filterNot(absorbed)
+        if (live.isEmpty) throw new IllegalStateException(
+          s"nothing to compact under $root — no committed nights")
+        val docs = readCommitted(s, root).drop("night", "shard")
+        // writeDocs re-derives shard from doc_id — the same
+        // deterministic assignment every night used, so the merged
+        // layout is what the per-night layouts already were
+        ShardWriter.writeDocs(docs, nShards,
+          s"$root/$NightPrefix$into")
+        stampCommitted(s, s"$root/$NightPrefix$into",
+          into +: live.map(AbsorbsTag + _), onlyIfMissing = false)
+        true
+      }
+    }
+  }
+
+  /** Delete the dirs of absorbed nights (their rows live on in a
+    * committed compaction). Never touches an uncommitted dir — that is
+    * an in-flight writer's, not garbage. Returns the deleted ids. */
+  def pruneNights(s: SparkSession, root: String): Seq[String] =
+    IndexGenerations.withLease(s, root) {
+      val committed = committedNights(s, root)
+      val dead = absorbedOf(committed)
+        .intersect(committed.map(_._1).toSet).toSeq.sorted
+      val fs = fsOf(s, root)
+      dead.foreach(id =>
+        fs.delete(new Path(s"$root/$NightPrefix$id"), true))
+      dead
+    }
+}

@@ -96,7 +96,8 @@ object IndexGenerations {
     * a crashed writer's and taken over once. The lease is released on
     * ALL exits (a failed write leaves a torn, unmarked dir that the
     * retry overwrites — the lease guards concurrency, not retries). */
-  private def withLease[A](s: SparkSession, root: String)(body: => A): A = {
+  private[operators] def withLease[A](s: SparkSession, root: String)(
+      body: => A): A = {
     val fs = fsOf(s, root)
     val rp = new Path(root)
     if (!fs.exists(rp)) fs.mkdirs(rp)

@@ -2476,29 +2476,40 @@ object TextDedupOps {
     * [[graft.Pinned.releaseAll]] after consuming the frames. */
   def p04Night(s: SparkSession, indexDir: String, deltaDocs: DataFrame,
       outDir: String, nightId: String)
+      : Option[(DataFrame, DataFrame)] =
+    p04NightRecorded(s, indexDir, deltaDocs, outDir, nightId,
+      NightRecord, nightId,
+      alreadyDone = graft.operators.IndexGenerations
+        .records(s, indexDir, NightRecord).contains(nightId))
+
+  /** [[p04Night]] with the commit record under the caller's control —
+    * the streaming micro-night face
+    * ([[graft.streaming.StoreDedup.nightBatch]]) records
+    * `streamId:batchId` lines into an `_hwm` ledger (O(#streams) lines
+    * over an always-on stream's life) instead of one membership line
+    * per night, and its replay check is the monotonic max-batch rule
+    * rather than `contains` — so `alreadyDone` is computed by the
+    * caller over its own ledger. Everything else — the one-delta-scan
+    * composition, the shard-partition layout, the write order (shards,
+    * then the recorded advance as the commit point, then the marker),
+    * the marker repair on a skipped rerun — is p04Night verbatim. */
+  private[graft] def p04NightRecorded(s: SparkSession, indexDir: String,
+      deltaDocs: DataFrame, outDir: String, nightId: String,
+      recordName: String, recordValue: String, alreadyDone: Boolean)
       : Option[(DataFrame, DataFrame)] = {
     require(nightId.matches("[A-Za-z0-9._-]+"),
       s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
         "it names the night's shard partition under the corpus root")
     val nightDir = s"$outDir/night=$nightId"
-    def stampNightMarker(onlyIfMissing: Boolean): Unit = {
-      val fs = new org.apache.hadoop.fs.Path(nightDir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val p = new org.apache.hadoop.fs.Path(nightDir, "_NIGHT_COMMITTED")
-      if (!(onlyIfMissing && fs.exists(p))) {
-        val out = fs.create(p, true)
-        try out.write(nightId.getBytes("UTF-8")) finally out.close()
-      }
-    }
-    if (graft.operators.IndexGenerations
-        .records(s, indexDir, NightRecord).contains(nightId)) {
+    if (alreadyDone) {
       // skipped rerun of a committed night — but repair the shard-side
       // marker if it is missing: a crash in the window between the
       // index advance (the night's commit point) and the marker stamp
       // would otherwise leave a committed night that shard-only
       // consumers skip forever. onlyIfMissing keeps a healthy rerun
       // byte-frozen (NightlySpec pins that).
-      stampNightMarker(onlyIfMissing = true)
+      graft.operators.Corpus.stampCommitted(s, nightDir, Seq(nightId),
+        onlyIfMissing = true)
       return None
     }
     graft.functions.HashSketch.register(s)
@@ -2513,8 +2524,9 @@ object TextDedupOps {
     val receipt = shardReceipt(
       graft.operators.ShardWriter.writeDocs(corpus, NShards, nightDir))
     graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
-      admittedSigs, Some(NightRecord -> nightId))
-    stampNightMarker(onlyIfMissing = false)
+      admittedSigs, Some(recordName -> recordValue))
+    graft.operators.Corpus.stampCommitted(s, nightDir, Seq(nightId),
+      onlyIfMissing = false)
     Some((receipt, v))
   }
 

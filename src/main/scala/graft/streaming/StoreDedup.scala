@@ -89,6 +89,12 @@ object StoreDedup {
     * ([[graft.operators.IndexGenerations.HwmSuffix]]). */
   private[streaming] val RecordName = "stream_batch_hwm"
 
+  /** The micro-night ledger ([[nightBatch]]) — `_hwm`-suffixed like
+    * [[RecordName]] and for the same reason: an always-on corpus-
+    * writing ingest commits one night per micro-batch forever, and a
+    * membership ledger would grow a line per batch. */
+  private[streaming] val NightRecordName = "stream_night_hwm"
+
   /** d24's signature + banding over an ingest frame: one row per (LSH
     * band, doc) for signature-bearing docs, plus one EXACT-arm row per
     * doc bucketed on the content hash itself (prefix `h:` — disjoint
@@ -375,6 +381,64 @@ object StoreDedup {
     startFold(admitAllWithTtl(bandDocsTimed(docs, watermarkDelay), ttlMs,
       initialByConf(spark, indexDir)), indexDir, checkpointDir)
   }
+
+  /** One micro-batch as a FULL production night — the corpus-writing
+    * face of the always-on ingest. [[foldBatch]] maintains the index
+    * alone; a deployment whose stream IS the corpus source also needs
+    * each batch's admitted docs written as training shards, and that
+    * is exactly [[graft.queries.TextDedupOps.p04Night]]: verdicts vs
+    * the live index, intra-batch dedup, quality gate, packing, a
+    * `night=<streamId>.<batchId>` shard partition under `corpusRoot`,
+    * and the index fold — one delta scan, exactly-once per batch. The
+    * ledger is `_hwm`-compacted (`streamId:batchId`, monotonic-skip),
+    * so it stays O(#streams) lines over the stream's life; the skip of
+    * a replayed batch repairs a missing night marker exactly like a
+    * rerun night. Consumers read the accumulating corpus with
+    * [[graft.operators.Corpus.readCommitted]] and bound the file count
+    * with its `compactNights`.
+    *
+    * The trade vs [[foldBatch]]: no in-stream state — every batch pays
+    * the full verdict core against the live index (|delta| + |index|,
+    * the bootstrap-free posture), plus the shard write. Right for a
+    * corpus ingest on a long trigger interval; wrong for a
+    * high-frequency admission filter (use [[ingest]] there). Empty
+    * batches are skipped unrecorded — the hwm of a later batch covers
+    * them, and an unrecorded empty replay just re-skips. */
+  def nightBatch(s: SparkSession, indexDir: String, corpusRoot: String,
+      docs: DataFrame, streamId: String, batchId: Long): Boolean = {
+    require(streamId.matches("[A-Za-z0-9._-]+"),
+      s"streamId '$streamId' must be directory-safe ([A-Za-z0-9._-]+) " +
+        "— it prefixes the night partitions this stream writes")
+    val prefix = streamId + ":"
+    val done = IndexGenerations.records(s, indexDir, NightRecordName)
+      .collect { case r if r.startsWith(prefix) =>
+        r.stripPrefix(prefix).toLong }
+    val replay = done.nonEmpty && done.max >= batchId
+    if (!replay && docs.isEmpty) false
+    else try {
+      TextDedupOps.p04NightRecorded(s, indexDir, docs, corpusRoot,
+        s"$streamId.$batchId", NightRecordName, prefix + batchId,
+        alreadyDone = replay).isDefined
+    } finally graft.Pinned.releaseAll(s)
+  }
+
+  /** Assemble and start the corpus-writing ingest: each micro-batch
+    * runs as one [[nightBatch]] production night against `indexDir`,
+    * its admitted docs landing under `corpusRoot/night=<streamId>.<n>`.
+    * The index must have a committed base generation
+    * (`TextDedupOps.d24Build`). */
+  def ingestNights(docs: Dataset[IngestDoc], indexDir: String,
+      corpusRoot: String, checkpointDir: String, streamId: String)
+      : StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[IngestDoc], batchId: Long) =>
+        nightBatch(batch.sparkSession, indexDir, corpusRoot,
+          batch.toDF(), streamId, batchId)
+        ()
+      }
+      .start()
 
   private def startFold(admissions: Dataset[Admission], indexDir: String,
       checkpointDir: String): StreamingQuery =

@@ -161,6 +161,21 @@ class NightlySpec extends SparkSuite {
     assert(state(shards).filter(_._1.contains("night=n1")) == frozen1,
       "night 2 modified night 1's increment")
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
+    // the corpus lifecycle through the CLI: compact both nights into
+    // one merged partition, prune the absorbed dirs, reads unchanged
+    val c1 = Nightly.run(spark,
+      Seq("text", "compact-shards", shards, "--into", "c1"))
+    assert(c1.contains("\"skipped\":false") &&
+      c1.contains("\"live\":[\"c1\"]"), c1)
+    val pr = Nightly.run(spark, Seq("text", "prune-shards", shards))
+    assert(pr.contains("\"deleted\":[\"n1\",\"n2\"]"), pr)
+    val st = Nightly.run(spark, Seq("text", "shards-status", shards))
+    assert(st.contains("\"live\":[\"c1\"]") && st.contains("\"rows\":3"),
+      st)
+    assert(graft.operators.Corpus.readCommitted(spark, shards)
+      .select("doc_id").as[Long].collect().toSet ==
+      Set(100L, 101L, 201L),
+      "the compacted corpus lost an increment")
   }
 
   test("night crash windows: a torn night (shards written, advance " +

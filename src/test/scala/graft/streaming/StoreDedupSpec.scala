@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.Files
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.Pinned
 import graft.helium.SparkSuite
@@ -359,5 +360,73 @@ class StoreDedupSpec extends SparkSuite {
       assert(indexIds(idx) == Set(0L, 30L),
         "intra-batch copies leaked into the index")
     } finally q.stop()
+  }
+
+  test("ingestNights: each micro-batch lands as a committed corpus " +
+    "night AND an index fold; replays skip byte-frozen; empty batches " +
+    "leave nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("sn_idx").toString
+    val corpus = Files.createTempDirectory("sn_corpus").toString
+    TextDedupOps.d24Build(spark, idx,
+      docsDf((0L to 2L).map(i => i -> freshText(s"nb${i}v")): _*))
+
+    val in = MemoryStream[IngestDoc]
+    val q = ingestNights(in.toDS(), idx, corpus,
+      Files.createTempDirectory("sn_c").toString, "crawlA")
+    try {
+      val u1 = freshText("nu1v")
+      // batch 0: an exact copy of indexed doc 1 + two fresh docs
+      in.addData(IngestDoc(100L, "sa", freshText("nb1v")),
+        IngestDoc(101L, "sa", u1), IngestDoc(102L, "sa", freshText("nu2v")))
+      q.processAllAvailable()
+      // batch 1: a copy of batch 0's admitted unique + one fresh doc
+      in.addData(IngestDoc(200L, "sa", u1),
+        IngestDoc(201L, "sa", freshText("nu3v")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(indexIds(idx) == Set(0L, 1L, 2L, 101L, 102L, 201L),
+      "the micro-nights folded the wrong admitted set")
+    assert(graft.operators.Corpus.liveNights(spark, corpus) ==
+      Seq("crawlA.0", "crawlA.1"))
+    val served = graft.operators.Corpus.readCommitted(spark, corpus)
+    assert(served.select("doc_id").as[Long].collect().toSet ==
+      Set(101L, 102L, 201L),
+      "the corpus increments disagree with the index folds")
+    assert(served.filter(col("night") === "crawlA.1")
+      .select("doc_id").as[Long].collect().toSet == Set(201L))
+
+    // the ledger answers with the stream's high-water mark; each
+    // generation FILE holds at most one line per stream (the union
+    // across still-committed generations collapses at compact+prune —
+    // WriterFenceSpec pins that O(#streams) bound)
+    def ledger = IndexGenerations.records(spark, idx, NightRecordName)
+    assert(ledger.collect { case r if r.startsWith("crawlA:") =>
+      r.stripPrefix("crawlA:").toLong }.max == 1L)
+    val ledgerBefore = ledger
+
+    // a checkpoint replay of batch 1: skipped via the hwm rule, the
+    // whole corpus root byte-frozen
+    def state(dir: String) = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(dir)).iterator()
+    import scala.jdk.CollectionConverters._
+    def files(dir: String) = state(dir).asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString -> java.nio.file.Files.size(p))
+      .toSeq.sortBy(_._1)
+    val frozen = files(corpus)
+    assert(!nightBatch(spark, idx, corpus,
+      docsDf(201L -> freshText("nu3v")).toDF(), "crawlA", 1L))
+    assert(files(corpus) == frozen, "a replayed micro-night wrote")
+
+    // an empty batch: skipped unrecorded, no dir, no ledger growth
+    assert(!nightBatch(spark, idx, corpus,
+      docsDf().toDF(), "crawlA", 2L))
+    assert(files(corpus) == frozen)
+    assert(ledger == ledgerBefore,
+      "an empty batch grew the night ledger")
+    assert(Pinned.outstanding(spark) == 0,
+      "the micro-night fold leaked pinned frames")
   }
 }
