@@ -25,6 +25,7 @@ import graft.operators.IndexGenerations
   * graft.Nightly text compact-shards <shardsRoot> --into <nightId>
   * graft.Nightly text prune-shards   <shardsRoot>
   * graft.Nightly text shards-status  <shardsRoot>
+  * graft.Nightly text audit-shards   <shardsRoot>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -59,8 +60,8 @@ object Nightly {
       "<build|advance|night|compact|prune|status> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly text " +
-      "<compact-shards|prune-shards|shards-status> <shardsRoot> " +
-      "[--into <nightId>]"
+      "<compact-shards|prune-shards|shards-status|audit-shards> " +
+      "<shardsRoot> [--into <nightId>]"
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -252,6 +253,13 @@ object Nightly {
         require(axis == "text", "shards exist only on the text axis")
         val committed = operators.Corpus.committedNights(s, indexDir)
         val live = operators.Corpus.liveNights(s, indexDir)
+        val nights =
+          if (live.isEmpty) "{}"
+          else operators.Corpus.nightStats(s, indexDir)
+            .collect().sortBy(_.getString(0))
+            .map(r => s""""${r.getString(0)}":{"n_docs":${r.getLong(1)},""" +
+              s""""n_toks":${r.getLong(2)}}""")
+            .mkString("{", ",", "}")
         val rows =
           if (live.isEmpty) -1L
           else operators.Corpus.readCommitted(s, indexDir).count()
@@ -260,7 +268,18 @@ object Nightly {
             .mkString("[", ",", "]"),
           "live" -> live.map(id => s""""$id"""")
             .mkString("[", ",", "]"),
-          "rows" -> rows.toString)
+          "rows" -> rows.toString, "nights" -> nights)
+
+      case "audit-shards" =>
+        // the self-consistency check an operator runs on a root of
+        // unknown provenance: any cross-night exact dup means the
+        // increments did NOT all flow through one index lineage
+        require(axis == "text", "shards exist only on the text axis")
+        val dups = operators.Corpus.exactDupGroups(s, indexDir)
+        val groups = dups.count()
+        line("metric" -> "\"shards_audit\"",
+          "dup_groups" -> groups.toString,
+          "clean" -> (groups == 0L).toString)
 
       case other => sys.error(s"unknown command '$other'\n$Usage")
     }

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   *     night), and
   *  4. the IVF-PQ lifecycle over a 10× embeddings table (offline build
   *     → atomic multi-table store write → serve → frozen-quantizer
-  *     append → serve),
+  *     append → serve), plus the store-backed stream bridge (bootstrap
+  *     hydration + LSM folds, and the bootstrap-free twin), the s24
+  *     vector cycle, and the corpus micro-night loop
+  *     ([[graft.streaming.StoreDedup.nightBatch]] ×3 into one root,
+  *     then [[graft.operators.Corpus.compactNights]] + prune),
   *
   * and prints ONE JSON line with row counts and wall times. The caller
   * (ScaleRehearsalSpec, env-gated) forks this main into its own JVM
@@ -178,6 +182,63 @@ object ScaleRehearsal {
     savedChain.fold(spark.conf.unset("spark.graft.index.maxDeltaChain"))(
       spark.conf.set("spark.graft.index.maxDeltaChain", _))
 
+    // --- corpus micro-nights + compaction at 10×: the stream-as-corpus
+    // posture — each micro-batch a FULL p04 night into ONE corpus root
+    // (verdicts vs the live 10× index, gate, pack, night partition,
+    // index fold), then the small-files answer: compactNights merges
+    // the per-batch partitions into one and pruneNights deletes the
+    // absorbed dirs, served rows unchanged. LSM + autoPrune (the
+    // always-on store posture) forced locally and restored. ---
+    val corpusConfs = Seq("spark.graft.index.advanceMode" -> "delta",
+      "spark.graft.index.maxDeltaChain" -> "4",
+      "spark.graft.index.autoPrune" -> "true")
+    val savedCorpus = corpusConfs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    corpusConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val corpusRoot = s"$work/corpus"
+    val (nightSecs, corpusRows, filesBefore, filesAfter, compactSecs) = {
+      // a third fresh token derivation ("c" per-token prefix — shares
+      // no shingles with the originals, the reversal feed, or the "b"
+      // prefix feed)
+      val feed = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + lit(80L * n)).as("doc_id"),
+          col("source"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit("c"), t))).as("text"))
+      val (_, ns) = timed {
+        (0 until 3).foreach { i =>
+          graft.streaming.StoreDedup.nightBatch(spark, streamIdx,
+            corpusRoot, feed.filter(col("doc_id") % 3 === i), "reh",
+            i.toLong)
+        }
+      }
+      def parquetFiles: Long = {
+        val st = java.nio.file.Files
+          .walk(java.nio.file.Paths.get(corpusRoot))
+        try {
+          val it = st.iterator(); var c = 0L
+          while (it.hasNext)
+            if (it.next().toString.endsWith(".parquet")) c += 1
+          c
+        } finally st.close()
+      }
+      val before = parquetFiles
+      val rows0 = graft.operators.Corpus
+        .readCommitted(spark, corpusRoot).count()
+      val (_, cs) = timed {
+        graft.operators.Corpus.compactNights(spark, corpusRoot, "base0")
+        graft.operators.Corpus.pruneNights(spark, corpusRoot)
+      }
+      val rows1 = graft.operators.Corpus
+        .readCommitted(spark, corpusRoot).count()
+      require(rows1 == rows0,
+        s"compaction changed the served corpus: $rows0 -> $rows1")
+      (ns, rows1, before, parquetFiles, cs)
+    }
+    savedCorpus.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+
     // --- p04 incremental night on the 10× corpus: the
     // incremental-vs-full evidence — p01 rebuilds everything, p04's
     // cost is |delta| + |index|, so the gap must WIDEN with scale ---
@@ -276,6 +337,10 @@ object ScaleRehearsal {
       s""""stream_boot_secs":$bootSecs,"stream_state_rows":$stateRows,""" +
       s""""stream_fold_secs":$foldSecs,"stream_folded":$streamFolded,""" +
       s""""stream_bf_secs":$bfSecs,"stream_bf_folded":$bfFolded,""" +
+      s""""corpus_night_secs":$nightSecs,"corpus_rows":$corpusRows,""" +
+      s""""corpus_files_before":$filesBefore,""" +
+      s""""corpus_files_after":$filesAfter,""" +
+      s""""corpus_compact_secs":$compactSecs,""" +
       s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +
       s""""ann_serve_rows":$annServeRows,""" +
       s""""ann_append_secs":$annAppendSecs,""" +

@@ -122,11 +122,26 @@ object Corpus {
       throw new IllegalStateException(
         s"no committed nights under $root (and no explicit schema)")
     if (live.isEmpty)
-      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.get)
-    else s.read.option("basePath", root)
-      .parquet(live.map(id => s"$root/$NightPrefix$id"): _*)
-      .withColumn("night", col("night").cast("string"))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
+    // partition-type inference would make a digit-only night id an INT
+    // column, and a cast back to string sits between a reader's
+    // `night = '20260815'` filter and the partition pruner. Inference
+    // is decided when read() builds the file index, so pin it off for
+    // this read: both partition columns arrive as strings, `night`
+    // filters prune directories for any id shape, and `shard` gets its
+    // numeric type back explicitly.
+    val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf, "false")
+    val df =
+      try s.read.option("basePath", root)
+        .parquet(live.map(id => s"$root/$NightPrefix$id"): _*)
+      finally prev match {
+        case Some(v) => s.conf.set(conf, v)
+        case None    => s.conf.unset(conf)
+      }
+    df.withColumn("shard", col("shard").cast("long"))
   }
 
   /** Rewrite the live night set as ONE merged night `into` (fresh id,
@@ -148,16 +163,44 @@ object Corpus {
           s"nothing to compact under $root — no committed nights")
         val docs = readCommitted(s, root).drop("night", "shard")
         // writeDocs re-derives shard from doc_id — the same
-        // deterministic assignment every night used, so the merged
-        // layout is what the per-night layouts already were
+        // deterministic assignment every night used — and the
+        // compaction posture pays one shuffle on the shard key so the
+        // merged night holds ONE file per shard (the default
+        // stream-through write leaves tasks × shards files, which is
+        // the problem compaction exists to fix)
         ShardWriter.writeDocs(docs, nShards,
-          s"$root/$NightPrefix$into")
+          s"$root/$NightPrefix$into", onePassPerShard = true)
         stampCommitted(s, s"$root/$NightPrefix$into",
           into +: live.map(AbsorbsTag + _), onlyIfMissing = false)
         true
       }
     }
   }
+
+  /** Cross-night exact-duplicate audit — the invariant checker for
+    * "every night was admitted through ONE index lineage". The nightly
+    * and stream writers cannot create a cross-night exact dup (the
+    * index verdict excludes re-crawls), so any group this returns is
+    * operational damage: two roots merged by hand, a night replayed
+    * against a RESET index, a partition copied in. One hash-groupBy
+    * over the committed corpus (map-side combinable, no text in the
+    * shuffle beyond the hash), `nights` bounded by the night count.
+    * Empty result = the artifact is self-consistent. */
+  def exactDupGroups(s: SparkSession, root: String): DataFrame =
+    readCommitted(s, root)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("min_doc_id"),
+        sort_array(collect_set(col("night"))).as("nights"))
+      .filter(col("n_copies") > 1)
+
+  /** Per-night accounting of the committed corpus: (night, n_docs,
+    * n_toks) — the shard-root face of the night's JSON line, readable
+    * long after the line scrolled away. */
+  def nightStats(s: SparkSession, root: String): DataFrame =
+    readCommitted(s, root)
+      .groupBy(col("night"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
 
   /** Delete the dirs of absorbed nights (their rows live on in a
     * committed compaction). Never touches an uncommitted dir — that is

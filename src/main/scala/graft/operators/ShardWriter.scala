@@ -41,9 +41,28 @@ object ShardWriter {
     * read-back frame itself (`shard` recovered as a partition column) —
     * the p01 pipeline computes its receipt from the files just written,
     * so the receipt proves the on-disk layout rather than the pre-write
-    * plan. */
-  def writeDocs(docs: DataFrame, nShards: Int, path: String): DataFrame = {
-    val sharded = docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+    * plan.
+    *
+    * File-count trade: by default each task streams its rows straight
+    * into its shards' dirs — no shuffle, but (tasks × shards) files.
+    * Right for the nightly hot path (bounded task counts, and
+    * [[Corpus.compactNights]] exists downstream). `onePassPerShard`
+    * pays ONE shuffle on the shard key so each shard dir holds a
+    * single file — the compaction posture, where the file bound IS the
+    * point. A 100 TB FULL build (p01) has the same blow-up — ten
+    * thousand tasks × a thousand shards is ten million files — so
+    * `spark.graft.shards.onePassPerShard=true` arms the shuffle for
+    * every write without touching call sites; at that scale one extra
+    * shuffle of the final gated corpus is far cheaper than the
+    * metadata storm. */
+  def writeDocs(docs: DataFrame, nShards: Int, path: String,
+      onePassPerShard: Boolean = false): DataFrame = {
+    val onePass = onePassPerShard || docs.sparkSession.conf
+      .getOption("spark.graft.shards.onePassPerShard")
+      .exists(_.toBoolean)
+    val sharded0 = docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+    val sharded =
+      if (onePass) sharded0.repartition(col("shard")) else sharded0
     sharded
       .write.mode("overwrite")
       .partitionBy("shard")

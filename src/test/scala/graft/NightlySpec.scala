@@ -170,8 +170,11 @@ class NightlySpec extends SparkSuite {
     val pr = Nightly.run(spark, Seq("text", "prune-shards", shards))
     assert(pr.contains("\"deleted\":[\"n1\",\"n2\"]"), pr)
     val st = Nightly.run(spark, Seq("text", "shards-status", shards))
-    assert(st.contains("\"live\":[\"c1\"]") && st.contains("\"rows\":3"),
-      st)
+    assert(st.contains("\"live\":[\"c1\"]") && st.contains("\"rows\":3")
+      && st.contains("\"c1\":{\"n_docs\":3"), st)
+    val audit = Nightly.run(spark, Seq("text", "audit-shards", shards))
+    assert(audit.contains("\"dup_groups\":0") &&
+      audit.contains("\"clean\":true"), audit)
     assert(graft.operators.Corpus.readCommitted(spark, shards)
       .select("doc_id").as[Long].collect().toSet ==
       Set(100L, 101L, 201L),

@@ -73,6 +73,15 @@ class ScaleRehearsalSpec extends SparkSuite {
       field("stream_bf_folded") <= 600,
       s"bootstrap-free fold: expected ~516 fresh admits with the exact " +
         s"re-crawls suppressed by the per-batch verdict join: $j")
+    // the corpus micro-night leg: three stream batches landed as
+    // committed night partitions, and compaction shrank the file
+    // count without changing the served rows (row preservation is
+    // require()d inside the rehearsal itself)
+    assert(field("corpus_rows") > 0, j)
+    assert(field("corpus_files_after") < field("corpus_files_before"),
+      s"night compaction did not shrink the corpus file count: $j")
+    assert(field("corpus_files_after") <= 16.0,
+      s"the compacted night must hold ~one file per shard: $j")
     assert(field("ann_vecs") == 20000.0, j)
     assert(field("ann_serve_rows") > 0, j)
     assert(field("ann_serve2_rows") >= field("ann_serve_rows"),

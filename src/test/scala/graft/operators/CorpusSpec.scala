@@ -121,8 +121,121 @@ class CorpusSpec extends SparkSuite {
     assert(parquetFiles < before,
       s"compaction did not shrink the file count ($before -> " +
         s"$parquetFiles)")
+    assert(parquetFiles <= 16,
+      s"the merged night must hold ~one file per shard, got " +
+        s"$parquetFiles")
     assert(servedIds(root) == served,
       "compaction changed the served corpus")
+  }
+
+  test("a night filter prunes partitions at the scan — even for " +
+    "digit-only night ids, where type inference would break pruning") {
+    val idx = Files.createTempDirectory("cp_idx").toString
+    val root = Files.createTempDirectory("cp_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("pb0w")))
+    // the scheduler's natural ids are dates — all digits
+    night(idx, root, "20260814", 10L -> freshText("pu1w"))
+    night(idx, root, "20260815", 20L -> freshText("pu2w"))
+
+    val one = Corpus.readCommitted(spark, root)
+      .filter(org.apache.spark.sql.functions.col("night") === "20260815")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ")
+        .matches("(?s).*PartitionFilters: \\[[^\\]]*night[^\\]]*\\].*"),
+      s"the night filter did not reach the partition pruner:\n$plan")
+    // behavioral proof: the scan touches only the filtered night's files
+    val touched = one
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().as[String].collect()
+    assert(touched.nonEmpty && touched.forall(_.contains("night=20260815")),
+      s"the scan read outside its night: ${touched.mkString(",")}")
+    assert(one.select("doc_id").as[Long].collect().toSet == Set(20L))
+    // and shard keeps its numeric face despite the string-typed read
+    assert(Corpus.readCommitted(spark, root).schema("shard").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("corpus model property: any interleaving of nights / compacts / " +
+    "prunes / crashed partials / committed-night reruns serves exactly " +
+    "the model's rows") {
+    val rnd = new scala.util.Random(4242)
+    val idx = Files.createTempDirectory("cmp_idx").toString
+    val root = Files.createTempDirectory("cmp_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("qb0w")))
+    // model: the live night ids and the doc ids each contributes
+    var model = Map.empty[String, Set[Long]]
+    var nextId = 100L
+    def freshRows(k: Int): Seq[(Long, String)] =
+      (0 until k).map { _ =>
+        val id = nextId; nextId += 1
+        id -> freshText(s"qq${id}z")
+      }
+    (1 to 16).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 | 1 =>
+          val rows = freshRows(1 + rnd.nextInt(2))
+          night(idx, root, s"n$step", rows: _*)
+          model += (s"n$step" -> rows.map(_._1).toSet)
+        case 2 =>
+          if (model.isEmpty)
+            intercept[IllegalStateException] {
+              Corpus.compactNights(spark, root, s"c$step")
+            }
+          else {
+            assert(Corpus.compactNights(spark, root, s"c$step"))
+            model = Map(s"c$step" -> model.values.flatten.toSet)
+          }
+        case 3 =>
+          Corpus.pruneNights(spark, root) // never changes the served set
+        case 4 =>
+          // a writer crashed mid-night: real files, no marker
+          Seq((888L + step, "sx", "junk " * 5))
+            .toDF("doc_id", "source", "text")
+            .write.parquet(s"$root/night=crash$step")
+        case 5 =>
+          // rerun of a random committed night: recorded no-op
+          model.keys.toSeq.sorted.headOption.filter(_.startsWith("n"))
+            .foreach { id =>
+              assert(TextDedupOps.p04Night(spark, idx,
+                docsDf(freshRows(1): _*), root, id).isEmpty,
+                s"step $step: a committed night re-ran")
+            }
+      }
+      val served =
+        if (model.isEmpty) Set.empty[Long] else servedIds(root)
+      assert(served == model.values.flatten.toSet,
+        s"step $step: served $served != model")
+      assert(Corpus.liveNights(spark, root).toSet == model.keySet,
+        s"step $step: live nights disagree with the model")
+    }
+  }
+
+  test("exactDupGroups flags a hand-planted cross-night copy — the " +
+    "self-consistency audit for a root of unknown provenance") {
+    val idx = Files.createTempDirectory("ca_idx").toString
+    val root = Files.createTempDirectory("ca_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("ab0w")))
+    val t = freshText("au1w")
+    night(idx, root, "n1", 10L -> t, 11L -> freshText("au2w"))
+    assert(Corpus.exactDupGroups(spark, root).count() == 0L,
+      "a healthy root must audit clean")
+    // the damage the writers cannot produce: a foreign partition with
+    // a byte-identical text, marker stamped by hand (through
+    // ShardWriter so the night=/shard= layout stays consistent)
+    ShardWriter.writeDocs(
+      Corpus.readCommitted(spark, root)
+        .filter(org.apache.spark.sql.functions.col("doc_id") === 10L)
+        .drop("night", "shard")
+        .withColumn("doc_id", org.apache.spark.sql.functions.lit(500L)),
+      16, s"$root/night=foreign")
+    Corpus.stampCommitted(spark, s"$root/night=foreign",
+      Seq("foreign"), onlyIfMissing = false)
+    val dups = Corpus.exactDupGroups(spark, root).collect()
+    assert(dups.length == 1 && dups(0).getAs[Long]("n_copies") == 2L &&
+      dups(0).getAs[Long]("min_doc_id") == 10L, dups.mkString(";"))
+    assert(dups(0).getAs[scala.collection.Seq[String]]("nights")
+      .toSeq == Seq("foreign", "n1"))
   }
 
   test("an empty root: readCommitted throws without a schema, reads as " +

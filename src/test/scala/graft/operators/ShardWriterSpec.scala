@@ -56,4 +56,37 @@ class ShardWriterSpec extends SparkSuite {
         s"shard $shard: audit says $nDocs docs, writer landed ${written(shard)}")
     }
   }
+
+  test("onePassPerShard (param or conf) bounds each shard dir to one " +
+    "file, same rows, same assignment") {
+    val docs = graft.Tables.documents(spark, sf).repartition(8)
+    def filesPerShard(out: String): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      try st.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .view.mapValues(_.size).toMap
+      finally st.close()
+    }
+    val plain = tmpDir("sw_plain")
+    ShardWriter.writeDocs(docs, 4, plain)
+    // 8 input tasks × 4 shards: the stream-through write leaves
+    // several files per shard dir (this is WHY the one-pass mode and
+    // compactNights exist)
+    assert(filesPerShard(plain).values.max > 1,
+      "fixture too small to demonstrate the multi-file layout")
+    val onePass = tmpDir("sw_onepass")
+    spark.conf.set("spark.graft.shards.onePassPerShard", "true")
+    try ShardWriter.writeDocs(docs, 4, onePass)
+    finally spark.conf.unset("spark.graft.shards.onePassPerShard")
+    assert(filesPerShard(onePass).values.max == 1,
+      s"one-pass write left multiple files: ${filesPerShard(onePass)}")
+    // identical contents and assignment either way
+    val a = spark.read.parquet(plain).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    val b = spark.read.parquet(onePass).select("doc_id", "shard")
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "the one-pass layout changed the shard assignment")
+  }
 }
