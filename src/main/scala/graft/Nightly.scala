@@ -26,6 +26,7 @@ import graft.operators.IndexGenerations
   * graft.Nightly text prune-shards   <shardsRoot>
   * graft.Nightly text shards-status  <shardsRoot>
   * graft.Nightly text audit-shards   <shardsRoot>
+  * graft.Nightly text delete-docs    <shardsRoot> --ids <id,id,...>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -60,8 +61,8 @@ object Nightly {
       "<build|advance|night|compact|prune|status> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly text " +
-      "<compact-shards|prune-shards|shards-status|audit-shards> " +
-      "<shardsRoot> [--into <nightId>]"
+      "<compact-shards|prune-shards|shards-status|audit-shards|" +
+      "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>]"
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -269,6 +270,23 @@ object Nightly {
           "live" -> live.map(id => s""""$id"""")
             .mkString("[", ",", "]"),
           "rows" -> rows.toString, "nights" -> nights)
+
+      case "delete-docs" =>
+        // the retention face: rewrite only the affected nights minus
+        // the requested ids (absorption commit point, crash-safe);
+        // bytes leave disk at the NEXT prune-shards
+        require(axis == "text", "shards exist only on the text axis")
+        val ids = rest.sliding(2)
+          .collectFirst { case Seq("--ids", v) => v }
+          .getOrElse(sys.error(
+            "delete-docs requires --ids <id,id,...>\n" + Usage))
+          .split(",").map(_.trim.toLong).toSeq
+        val replaced = operators.Corpus.deleteDocs(s, indexDir, ids)
+        line("metric" -> "\"shards_delete\"",
+          "requested" -> ids.length.toString,
+          "replaced" -> replaced.toSeq.sorted
+            .map { case (o, nw) => s""""$o":"$nw"""" }
+            .mkString("{", ",", "}"))
 
       case "audit-shards" =>
         // the self-consistency check an operator runs on a root of

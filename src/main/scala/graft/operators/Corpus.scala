@@ -94,6 +94,12 @@ object Corpus {
       .sortBy(_._1)
   }
 
+  /** Whether a night dir holds any data (shard subdirs), as opposed to
+    * a marker-only dir left by an all-deleted replacement. */
+  private def hasData(s: SparkSession, root: String, id: String): Boolean =
+    fsOf(s, root).listStatus(new Path(s"$root/$NightPrefix$id"))
+      .exists(_.isDirectory)
+
   private def absorbedOf(committed: Seq[(String, Seq[String])])
       : Set[String] =
     committed.flatMap(_._2.collect {
@@ -117,10 +123,13 @@ object Corpus {
     * schema is given. */
   def readCommitted(s: SparkSession, root: String,
       schema: Option[StructType] = None): DataFrame = {
-    val live = liveNights(s, root)
+    // marker-only dirs (an all-deleted replacement night, or an
+    // all-empty compaction) carry no data and would break schema
+    // inference — serve the dirs that have any
+    val live = liveNights(s, root).filter(hasData(s, root, _))
     if (live.isEmpty && schema.isEmpty)
       throw new IllegalStateException(
-        s"no committed nights under $root (and no explicit schema)")
+        s"no committed corpus data under $root (and no explicit schema)")
     if (live.isEmpty)
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
@@ -161,15 +170,19 @@ object Corpus {
         val live = committed.map(_._1).filterNot(absorbed)
         if (live.isEmpty) throw new IllegalStateException(
           s"nothing to compact under $root — no committed nights")
-        val docs = readCommitted(s, root).drop("night", "shard")
-        // writeDocs re-derives shard from doc_id — the same
-        // deterministic assignment every night used — and the
-        // compaction posture pays one shuffle on the shard key so the
-        // merged night holds ONE file per shard (the default
-        // stream-through write leaves tasks × shards files, which is
-        // the problem compaction exists to fix)
-        ShardWriter.writeDocs(docs, nShards,
-          s"$root/$NightPrefix$into", onePassPerShard = true)
+        if (live.exists(hasData(s, root, _))) {
+          val docs = readCommitted(s, root).drop("night", "shard")
+          // writeDocs re-derives shard from doc_id — the same
+          // deterministic assignment every night used — and the
+          // compaction posture pays one shuffle on the shard key so
+          // the merged night holds ONE file per shard (the default
+          // stream-through write leaves tasks × shards files, which
+          // is the problem compaction exists to fix)
+          ShardWriter.writeDocs(docs, nShards,
+            s"$root/$NightPrefix$into", onePassPerShard = true)
+        }
+        // an all-empty live set still merges: N marker-only nights
+        // collapse to one
         stampCommitted(s, s"$root/$NightPrefix$into",
           into +: live.map(AbsorbsTag + _), onlyIfMissing = false)
         true
@@ -201,6 +214,60 @@ object Corpus {
     readCommitted(s, root)
       .groupBy(col("night"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+
+  /** Targeted document deletion — the retention face (takedowns,
+    * right-to-be-forgotten). Rewrites ONLY the nights that contain a
+    * requested id: each affected night is re-written minus the doc as
+    * a NEW night whose marker absorbs the old one — the same commit
+    * point as [[compactNights]], so a crash anywhere leaves either the
+    * old night fully served or the new one, never a half-deleted
+    * partition, and a rerun of the same request is idempotent (the
+    * replacement id is derived from the sorted id list, so the retry
+    * overwrites its own debris). Cost is |affected nights|, not
+    * |corpus| — at yearly-night scale a deletion touches days, not the
+    * 100 TB archive. Run [[pruneNights]] afterwards to reclaim the
+    * absorbed dirs (that is also when the deleted bytes leave disk —
+    * retention holds only after the prune).
+    *
+    * The dedup INDEX deliberately keeps the deleted docs' signatures:
+    * a re-crawl of removed content must NOT re-enter the corpus
+    * through the nightly loop. (Index verdicts may therefore name a
+    * deleted doc_id as winner — the ledger of what was seen, not of
+    * what is served.) Returns (oldNightId → replacementId). */
+  def deleteDocs(s: SparkSession, root: String, ids: Seq[Long])
+      : Map[String, String] = {
+    require(ids.nonEmpty, "empty deletion request")
+    IndexGenerations.withLease(s, root) {
+      val committed = committedNights(s, root)
+      val absorbed = absorbedOf(committed)
+      val live = committed.map(_._1).filterNot(absorbed)
+      // deterministic, dir-safe replacement suffix for this request
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(ids.sorted.mkString(",").getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      live.flatMap { nid =>
+        val dir = s"$root/$NightPrefix$nid"
+        // an all-deleted replacement night is a marker-only dir —
+        // nothing to scan (and schema inference would fail on it)
+        lazy val night = s.read.option("basePath", root).parquet(dir)
+        val hits =
+          if (!hasData(s, root, nid)) 0L
+          else night.filter(col("doc_id").isin(ids: _*))
+            .select("doc_id").limit(1).count()
+        if (hits == 0L) None
+        else {
+          val newId = s"$nid-d$tag"
+          val kept = night.drop("night", "shard")
+            .filter(!col("doc_id").isin(ids: _*))
+          ShardWriter.writeDocs(kept, 16,
+            s"$root/$NightPrefix$newId", onePassPerShard = true)
+          stampCommitted(s, s"$root/$NightPrefix$newId",
+            Seq(newId, AbsorbsTag + nid), onlyIfMissing = false)
+          Some(nid -> newId)
+        }
+      }.toMap
+    }
+  }
 
   /** Delete the dirs of absorbed nights (their rows live on in a
     * committed compaction). Never touches an uncommitted dir — that is

@@ -175,10 +175,15 @@ class NightlySpec extends SparkSuite {
     val audit = Nightly.run(spark, Seq("text", "audit-shards", shards))
     assert(audit.contains("\"dup_groups\":0") &&
       audit.contains("\"clean\":true"), audit)
+    // the retention face through the CLI: one takedown, then prune
+    val del = Nightly.run(spark,
+      Seq("text", "delete-docs", shards, "--ids", "100,424242"))
+    assert(del.contains("\"requested\":2") && del.contains("\"c1\":\"c1-d"),
+      del)
+    Nightly.run(spark, Seq("text", "prune-shards", shards))
     assert(graft.operators.Corpus.readCommitted(spark, shards)
-      .select("doc_id").as[Long].collect().toSet ==
-      Set(100L, 101L, 201L),
-      "the compacted corpus lost an increment")
+      .select("doc_id").as[Long].collect().toSet == Set(101L, 201L),
+      "the CLI takedown did not remove exactly the requested doc")
   }
 
   test("night crash windows: a torn night (shards written, advance " +

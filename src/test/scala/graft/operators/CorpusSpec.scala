@@ -172,7 +172,7 @@ class CorpusSpec extends SparkSuite {
         id -> freshText(s"qq${id}z")
       }
     (1 to 16).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 =>
           val rows = freshRows(1 + rnd.nextInt(2))
           night(idx, root, s"n$step", rows: _*)
@@ -201,14 +201,80 @@ class CorpusSpec extends SparkSuite {
                 docsDf(freshRows(1): _*), root, id).isEmpty,
                 s"step $step: a committed night re-ran")
             }
+        case 6 =>
+          // targeted deletion of a random served doc (plus one id
+          // that exists nowhere); the model predicts the replacement
+          // id from the documented tag rule — no peeking at the store
+          val all = model.values.flatten.toSeq.sorted
+          if (all.nonEmpty) {
+            val victim = all(rnd.nextInt(all.length))
+            val req = Seq(victim, 999999999L)
+            Corpus.deleteDocs(spark, root, req)
+            val tag = java.security.MessageDigest.getInstance("MD5")
+              .digest(req.sorted.mkString(",").getBytes("UTF-8"))
+              .take(6).map("%02x".format(_)).mkString
+            model = model.map { case (k, v) =>
+              if (v.contains(victim)) s"$k-d$tag" -> (v - victim)
+              else k -> v
+            }
+          }
       }
       val served =
-        if (model.isEmpty) Set.empty[Long] else servedIds(root)
+        if (model.values.flatten.isEmpty) Set.empty[Long]
+        else servedIds(root)
       assert(served == model.values.flatten.toSet,
         s"step $step: served $served != model")
       assert(Corpus.liveNights(spark, root).toSet == model.keySet,
         s"step $step: live nights disagree with the model")
     }
+  }
+
+  test("deleteDocs rewrites only the affected nights, absorption-" +
+    "committed: untouched nights stay byte-frozen, reruns are no-ops, " +
+    "a torn delete (no marker) serves the OLD night intact") {
+    val idx = Files.createTempDirectory("cd_idx").toString
+    val root = Files.createTempDirectory("cd_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("db0w")))
+    night(idx, root, "n1",
+      10L -> freshText("du1w"), 11L -> freshText("du2w"))
+    night(idx, root, "n2", 20L -> freshText("du3w"))
+
+    val frozen2 = walk(root).filter(_._1.contains("night=n2"))
+    val replaced = Corpus.deleteDocs(spark, root, Seq(10L, 999L))
+    assert(replaced.keySet == Set("n1") &&
+      replaced("n1").startsWith("n1-d"), replaced)
+    assert(servedIds(root) == Set(11L, 20L),
+      "the takedown did not remove exactly the requested doc")
+    assert(walk(root).filter(_._1.contains("night=n2")) == frozen2,
+      "a night without hits was rewritten")
+    // the old night is absorbed, its bytes leave at prune
+    assert(Files.exists(Paths.get(s"$root/night=n1")))
+    assert(Corpus.pruneNights(spark, root) == Seq("n1"))
+    assert(servedIds(root) == Set(11L, 20L))
+    // rerun of the same request: nothing left to do, nothing touched
+    val frozenAll = walk(root)
+    assert(Corpus.deleteDocs(spark, root, Seq(10L, 999L)).isEmpty)
+    assert(walk(root) == frozenAll, "an idempotent rerun wrote")
+    // the index keeps the signature: a re-crawl of the deleted content
+    // is still judged a dup and cannot re-enter the corpus
+    val v = TextDedupOps.d24Advance(spark, idx,
+        docsDf(500L -> freshText("du1w")))
+      .select("verdict").as[String].collect().toSeq
+    graft.Pinned.releaseAll(spark)
+    assert(v == Seq("exact"),
+      s"deleted content re-entered through the nightly loop: $v")
+
+    // torn delete: replacement written but marker never stamped — the
+    // old night still serves, and the retry overwrites the debris
+    night(idx, root, "n3", 30L -> freshText("du4w"),
+      31L -> freshText("du5w"))
+    val rep3 = Corpus.deleteDocs(spark, root, Seq(30L))("n3")
+    // simulate the crash by un-stamping the replacement and re-listing
+    Files.delete(Paths.get(s"$root/night=$rep3/_NIGHT_COMMITTED"))
+    assert(servedIds(root).contains(30L),
+      "a torn delete must leave the old night fully served")
+    assert(Corpus.deleteDocs(spark, root, Seq(30L)) == Map("n3" -> rep3))
+    assert(servedIds(root) == Set(11L, 20L, 31L))
   }
 
   test("exactDupGroups flags a hand-planted cross-night copy — the " +
