@@ -22,6 +22,7 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> compact <indexDir>
   * graft.Nightly <text|media|vec> prune   <indexDir>
   * graft.Nightly <text|media|vec> status  <indexDir>
+  * graft.Nightly <text|media|vec> retract <indexDir> --ids <id,...>
   * graft.Nightly text compact-shards <shardsRoot> --into <nightId>
   * graft.Nightly text prune-shards   <shardsRoot>
   * graft.Nightly text shards-status  <shardsRoot>
@@ -58,7 +59,7 @@ object Nightly {
 
   private val Usage =
     "usage: graft.Nightly <text|media|vec> " +
-      "<build|advance|night|compact|prune|status> " +
+      "<build|advance|night|compact|prune|status|retract> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly text " +
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
@@ -219,6 +220,29 @@ object Nightly {
         IndexGenerations.compact(s, indexDir)
         line("metric" -> "\"nightly_compact\"", "axis" -> s""""$axis"""",
           genField)
+
+      case "retract" =>
+        // un-ingest: remove mistakenly admitted ids from the live
+        // index so their content becomes RE-ADMITTABLE (the opposite
+        // policy of delete-docs, which keeps content banned; a full
+        // un-ingest runs both). One new total generation, replay
+        // records carried.
+        val ids = rest.sliding(2)
+          .collectFirst { case Seq("--ids", v) => v }
+          .getOrElse(sys.error("retract requires --ids <id,...>\n" + Usage))
+          .split(",").map(_.trim.toLong).toSeq
+        val idCol = axis match {
+          case "text" => "doc_id"; case "media" => "media_id"
+          case "vec" => "vec_id"
+        }
+        val before = IndexGenerations.readCurrent(s, indexDir).count()
+        IndexGenerations.rewrite(s, indexDir,
+          _.filter(!org.apache.spark.sql.functions.col(idCol)
+            .isin(ids: _*)))
+        val after = IndexGenerations.readCurrent(s, indexDir).count()
+        line("metric" -> "\"nightly_retract\"", "axis" -> s""""$axis"""",
+          genField, "removed" -> (before - after).toString,
+          "index_rows" -> after.toString)
 
       case "prune" =>
         IndexGenerations.prune(s, indexDir)

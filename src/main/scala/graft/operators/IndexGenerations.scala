@@ -489,6 +489,31 @@ object IndexGenerations {
       records = recordsOf(s, root, active))
   }
 
+  /** Rewrite the live total through `f` as a new TOTAL generation —
+    * the RETRACTION face (un-ingest): an additive index can only ever
+    * grow through [[advance]], so removing rows admitted by mistake (a
+    * poisoned crawl night, a takedown that must become re-admittable)
+    * needs a transform of the whole live state. Same commit shape as
+    * [[compact]]: one new total, the chain's commit records carried
+    * forward (stream replay evidence MUST survive a retraction — a
+    * checkpoint replay after one still skips), readers serve the old
+    * chain until the marker lands, pinned [[readAt]] generations keep
+    * serving history until [[prune]].
+    *
+    * Policy note for the dedup stores: [[graft.operators.Corpus
+    * .deleteDocs]] deliberately KEEPS index signatures so deleted
+    * content stays banned; retract is the OTHER policy — content
+    * becomes re-admittable. A full un-ingest composes both. */
+  def rewrite(s: SparkSession, root: String,
+      f: DataFrame => DataFrame): Long = {
+    val active = activeSet(s, root)
+    if (active.isEmpty) throw new IllegalStateException(
+      s"rewrite needs a committed base generation under $root")
+    requireSingleTable(s, root, "rewrite")
+    write(s, root, currentGen(s, root).get + 1, f(readCurrent(s, root)),
+      records = recordsOf(s, root, active))
+  }
+
   /** The generation number the next committed write will claim —
     * exposed so a writer can stamp the number INTO its rows (the
     * tokenizer artifact's provenance column) before handing them to

@@ -619,4 +619,52 @@ class DeltaAdvanceSpec extends SparkSuite {
     assert(left == Set("gen=1"), s"prune left $left")
     assert(IndexGenerations.readCurrent(spark, root).count() == 2)
   }
+
+  test("retraction (rewrite) un-ingests: the id leaves the live index, " +
+    "its content is judged unique again and RE-folds, replay records " +
+    "survive, history stays pinned until prune") {
+    val root = Files.createTempDirectory("retract_idx").toString
+    val u1 = freshText("rtu1w")
+    TextDedupOps.d24Build(spark, root,
+      docs(0L -> freshText("rtb0w")))
+    // night 1 admits 10; a recorded fold stamps replay evidence
+    IndexGenerations.advanceByConfRecorded(spark, root,
+      TextDedupOps.intraUniqueSigs(TextDedupOps.d24Sig(docs(10L -> u1))),
+      Some("stream_batch_hwm" -> "rt:0"))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 10L))
+    val genBefore = IndexGenerations.currentGen(spark, root).get
+
+    // retract 10: gone from the live view, records carried, history
+    // still served at the pinned generation
+    IndexGenerations.rewrite(spark, root,
+      _.filter(!org.apache.spark.sql.functions.col("doc_id").isin(10L)))
+    assert(IndexGenerations.readCurrent(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(0L))
+    assert(IndexGenerations.records(spark, root, "stream_batch_hwm")
+      .contains("rt:0"),
+      "a retraction erased stream replay evidence")
+    assert(IndexGenerations.readAt(spark, root, genBefore)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 10L),
+      "pre-retraction history must stay readable until prune")
+
+    // the content is re-admittable: tonight's advance judges the SAME
+    // text unique and folds it under its new id
+    val v = TextDedupOps.d24Advance(spark, root, docs(20L -> u1))
+      .select("verdict").as[String].collect().toSeq
+    Pinned.releaseAll(spark)
+    assert(v == Seq("unique"),
+      s"retraction did not re-open admission: $v")
+    assert(IndexGenerations.readCurrent(spark, root)
+      .select("doc_id").as[Long].collect().toSet == Set(0L, 20L))
+
+    // the fence holds: a held lease fails a rewrite cleanly
+    val lease = Paths.get(root, "_WRITER_LEASE")
+    Files.write(lease, System.currentTimeMillis().toString.getBytes)
+    val e = intercept[IllegalStateException] {
+      IndexGenerations.rewrite(spark, root, identity)
+    }
+    assert(e.getMessage.contains("lease"))
+    Files.delete(lease)
+  }
 }

@@ -184,6 +184,11 @@ class NightlySpec extends SparkSuite {
     assert(graft.operators.Corpus.readCommitted(spark, shards)
       .select("doc_id").as[Long].collect().toSet == Set(101L, 201L),
       "the CLI takedown did not remove exactly the requested doc")
+    // the full un-ingest composes delete-docs (corpus) with retract
+    // (index): doc 100's signature leaves the live index too
+    val ret = Nightly.run(spark,
+      Seq("text", "retract", idx, "--ids", "100"))
+    assert(ret.contains("\"removed\":1"), ret)
   }
 
   test("night crash windows: a torn night (shards written, advance " +
