@@ -23,6 +23,9 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> prune   <indexDir>
   * graft.Nightly <text|media|vec> status  <indexDir>
   * graft.Nightly <text|media|vec> retract <indexDir> --ids <id,...>
+  * graft.Nightly all night  <indexBase> <docsParquet> --id <nightId>
+  *                          --shards <root> [--emb <embParquet>] [--prune]
+  * graft.Nightly all status <indexBase>
   * graft.Nightly text compact-shards <shardsRoot> --into <nightId>
   * graft.Nightly text prune-shards   <shardsRoot>
   * graft.Nightly text shards-status  <shardsRoot>
@@ -70,6 +73,38 @@ object Nightly {
   def run(s: SparkSession, args: Seq[String]): String = {
     require(args.length >= 3, Usage)
     val Seq(axis, cmd, indexDir) = args.take(3)
+    // `all` fans one night (or status) across the three axes — ONE
+    // cron entry for the whole production night. Here `indexDir` is
+    // the BASE: each axis's store lives at <base>/<axis>. Axes are
+    // independently exactly-once on their own ledgers, so a crash
+    // between axes heals on rerun (the committed ones skip). The vec
+    // axis needs --emb <embeddings parquet> and is skipped without it.
+    if (axis == "all") {
+      require(Set("night", "status")(cmd),
+        s"'all' supports night|status, not '$cmd'\n$Usage")
+      val rest0 = args.drop(3)
+      val emb = rest0.sliding(2)
+        .collectFirst { case Seq("--emb", v) => v }
+      require(!rest0.contains("--verdicts"),
+        "--verdicts is per-axis; run the single-axis night for it")
+      val sub = {
+        val b = Seq.newBuilder[String]; var i = 0
+        while (i < rest0.length) {
+          if (rest0(i) == "--emb") i += 2
+          else { b += rest0(i); i += 1 }
+        }
+        b.result()
+      }
+      val axes = Seq("text", "media") ++
+        (if (cmd == "status" || emb.isDefined) Seq("vec") else Nil)
+      val per = axes.map { ax =>
+        val input =
+          if (ax == "vec" && cmd == "night") emb.toSeq ++ sub.drop(1)
+          else sub
+        s""""$ax":${run(s, Seq(ax, cmd, s"$indexDir/$ax") ++ input)}"""
+      }
+      return per.mkString(s"""{"metric":"nightly_all_$cmd",""", ",", "}")
+    }
     require(Set("text", "media", "vec")(axis), Usage)
     val rest = args.drop(3)
     def docsAt(path: String): DataFrame = s.read.parquet(path)

@@ -361,4 +361,59 @@ class NightlySpec extends SparkSuite {
       Nightly.run(spark, Seq("text", "frobnicate", "/tmp/x"))
     }
   }
+
+  test("'all night' fans one id across the three axes, each " +
+    "independently exactly-once: one cron entry, a crashed-between-" +
+    "axes rerun completes only the missing axes") {
+    val base = Files.createTempDirectory("nl_all").toString
+    val shards = Files.createTempDirectory("nl_all_sh").toString
+    def embDir(rows: (Long, Int)*): String = {
+      val dir = Files.createTempDirectory("nl_all_emb").toString
+      rows.map { case (id, hot) =>
+        (id, (0 until 64).map(i => if (i == hot) 1f else 0f), id % 7)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    // each axis's store needs its committed base first
+    Nightly.run(spark, Seq("text", "build", s"$base/text",
+      writeDocs((0L to 3L).map(i => i -> freshText(s"al${i}w")): _*)))
+    Nightly.run(spark, Seq("media", "build", s"$base/media",
+      writeDocs((0L to 3L).map(i => i -> freshText(s"am${i}w")): _*)))
+    Nightly.run(spark, Seq("vec", "build", s"$base/vec",
+      embDir((0L to 3L).map(i => i -> i.toInt): _*)))
+
+    val docs = writeDocs(100L -> freshText("au1w"))
+    val emb = embDir(100L -> 9)
+    val out = Nightly.run(spark, Seq("all", "night", base, docs,
+      "--id", "a1", "--shards", shards, "--emb", emb))
+    assert(out.contains("\"metric\":\"nightly_all_night\"") &&
+      out.split("\"skipped\":false").length == 4, out)
+    assert(spark.read.parquet(shards).count() == 1L)
+    Seq("text", "media", "vec").foreach { ax =>
+      assert(IndexGenerations.currentGen(spark, s"$base/$ax")
+        .contains(1L), s"$ax did not advance")
+    }
+
+    // rerun: every axis skips
+    val rerun = Nightly.run(spark, Seq("all", "night", base, docs,
+      "--id", "a1", "--shards", shards, "--emb", emb))
+    assert(rerun.split("\"skipped\":true").length == 4, rerun)
+
+    // crash-between-axes: media's night a2 already committed by a
+    // partial earlier run — the all-night completes text + vec only
+    val docs2 = writeDocs(200L -> freshText("au2w"))
+    Nightly.run(spark,
+      Seq("media", "night", s"$base/media", docs2, "--id", "a2"))
+    val heal = Nightly.run(spark, Seq("all", "night", base, docs2,
+      "--id", "a2", "--shards", shards, "--emb", embDir(200L -> 21)))
+    assert(heal.contains("\"media\":{\"metric\":\"nightly_night\"") &&
+      heal.split("\"skipped\":false").length == 3 &&
+      heal.split("\"skipped\":true").length == 2, heal)
+
+    // without --emb the vec axis is skipped entirely; status spans all
+    val st = Nightly.run(spark, Seq("all", "status", base))
+    assert(st.contains("\"metric\":\"nightly_all_status\"") &&
+      st.split("\"metric\":\"nightly_status\"").length == 4, st)
+  }
 }
