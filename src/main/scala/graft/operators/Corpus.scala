@@ -143,8 +143,12 @@ object Corpus {
     val conf = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val prev = s.conf.getOption(conf)
     s.conf.set(conf, "false")
+    // mergeSchema: a pipeline that GAINS a column between months must
+    // not have old reads silently drop it (the default samples one
+    // file's schema); the footer-merge cost is bounded by compaction
     val df =
       try s.read.option("basePath", root)
+        .option("mergeSchema", "true")
         .parquet(live.map(id => s"$root/$NightPrefix$id"): _*)
       finally prev match {
         case Some(v) => s.conf.set(conf, v)
@@ -245,26 +249,25 @@ object Corpus {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(ids.sorted.mkString(",").getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-      live.flatMap { nid =>
+      // ONE scan finds the affected nights (doc_id column only, night
+      // dirs as partitions) — not one probe job per live night
+      val affected =
+        if (!live.exists(hasData(s, root, _))) Set.empty[String]
+        else readCommitted(s, root)
+          .filter(col("doc_id").isin(ids: _*))
+          .select("night").distinct()
+          .collect().map(_.getString(0)).toSet
+      live.filter(affected).map { nid =>
         val dir = s"$root/$NightPrefix$nid"
-        // an all-deleted replacement night is a marker-only dir —
-        // nothing to scan (and schema inference would fail on it)
-        lazy val night = s.read.option("basePath", root).parquet(dir)
-        val hits =
-          if (!hasData(s, root, nid)) 0L
-          else night.filter(col("doc_id").isin(ids: _*))
-            .select("doc_id").limit(1).count()
-        if (hits == 0L) None
-        else {
-          val newId = s"$nid-d$tag"
-          val kept = night.drop("night", "shard")
-            .filter(!col("doc_id").isin(ids: _*))
-          ShardWriter.writeDocs(kept, 16,
-            s"$root/$NightPrefix$newId", onePassPerShard = true)
-          stampCommitted(s, s"$root/$NightPrefix$newId",
-            Seq(newId, AbsorbsTag + nid), onlyIfMissing = false)
-          Some(nid -> newId)
-        }
+        val newId = s"$nid-d$tag"
+        val kept = s.read.option("basePath", root).parquet(dir)
+          .drop("night", "shard")
+          .filter(!col("doc_id").isin(ids: _*))
+        ShardWriter.writeDocs(kept, 16,
+          s"$root/$NightPrefix$newId", onePassPerShard = true)
+        stampCommitted(s, s"$root/$NightPrefix$newId",
+          Seq(newId, AbsorbsTag + nid), onlyIfMissing = false)
+        nid -> newId
       }.toMap
     }
   }

@@ -304,6 +304,33 @@ class CorpusSpec extends SparkSuite {
       .toSeq == Seq("foreign", "n1"))
   }
 
+  test("schema evolution across nights: a later night's new column " +
+    "arrives in the committed read (null for older nights), not " +
+    "silently dropped") {
+    val idx = Files.createTempDirectory("ce2_idx").toString
+    val root = Files.createTempDirectory("ce2_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("eb0w")))
+    night(idx, root, "n1", 10L -> freshText("eu1w"))
+    // a v2-pipeline night carries an extra column, written by hand
+    // through ShardWriter with its marker (the real p04Night would do
+    // this the day the pipeline adds the column)
+    ShardWriter.writeDocs(
+      Seq((20L, "s0", freshText("eu2w"), "fr"))
+        .toDF("doc_id", "source", "text", "lang_v2"),
+      16, s"$root/night=n2")
+    Corpus.stampCommitted(spark, s"$root/night=n2", Seq("n2"),
+      onlyIfMissing = false)
+
+    val served = Corpus.readCommitted(spark, root)
+    assert(served.columns.contains("lang_v2"),
+      s"the evolved column was dropped: ${served.columns.mkString(",")}")
+    val byId = served
+      .select("doc_id", "lang_v2")
+      .as[(Long, Option[String])].collect().toMap
+    assert(byId(20L) == Some("fr") && byId(10L).isEmpty,
+      s"evolved column values wrong: $byId")
+  }
+
   test("an empty root: readCommitted throws without a schema, reads as " +
     "an empty frame with one") {
     val root = Files.createTempDirectory("ce_root").toString
