@@ -270,13 +270,20 @@ object Nightly {
           case "text" => "doc_id"; case "media" => "media_id"
           case "vec" => "vec_id"
         }
-        val before = IndexGenerations.readCurrent(s, indexDir).count()
+        val colId = org.apache.spark.sql.functions.col(idCol)
+        val liveIdx = IndexGenerations.readCurrent(s, indexDir)
+        val hitIds = liveIdx.filter(colId.isin(ids: _*))
+          .select(idCol).distinct().count()
+        val before = liveIdx.count()
         IndexGenerations.rewrite(s, indexDir,
-          _.filter(!org.apache.spark.sql.functions.col(idCol)
-            .isin(ids: _*)))
+          _.filter(!colId.isin(ids: _*)))
         val after = IndexGenerations.readCurrent(s, indexDir).count()
+        // ids vs rows differ by design: a text/media doc is one row
+        // per band in some stores — report both so an operator can
+        // tell "2 docs un-ingested" from the row mechanics
         line("metric" -> "\"nightly_retract\"", "axis" -> s""""$axis"""",
-          genField, "removed" -> (before - after).toString,
+          genField, "removed_ids" -> hitIds.toString,
+          "removed_rows" -> (before - after).toString,
           "index_rows" -> after.toString)
 
       case "prune" =>
@@ -313,22 +320,22 @@ object Nightly {
         require(axis == "text", "shards exist only on the text axis")
         val committed = operators.Corpus.committedNights(s, indexDir)
         val live = operators.Corpus.liveNights(s, indexDir)
-        val nights =
-          if (live.isEmpty) "{}"
-          else operators.Corpus.nightStats(s, indexDir)
-            .collect().sortBy(_.getString(0))
-            .map(r => s""""${r.getString(0)}":{"n_docs":${r.getLong(1)},""" +
-              s""""n_toks":${r.getLong(2)}}""")
-            .mkString("{", ",", "}")
-        val rows =
-          if (live.isEmpty) -1L
-          else operators.Corpus.readCommitted(s, indexDir).count()
+        // ONE corpus scan: rows is the sum of the per-night counts
+        // (total on data-less roots — a fully-taken-down corpus still
+        // reports instead of crashing monitoring)
+        val stats = operators.Corpus.nightStats(s, indexDir)
+          .collect().sortBy(_.getString(0))
+        val nights = stats
+          .map(r => s""""${r.getString(0)}":{"n_docs":${r.getLong(1)},""" +
+            s""""n_toks":${r.getLong(2)}}""")
+          .mkString("{", ",", "}")
         line("metric" -> "\"shards_status\"",
           "committed" -> committed.map { case (id, _) => s""""$id"""" }
             .mkString("[", ",", "]"),
           "live" -> live.map(id => s""""$id"""")
             .mkString("[", ",", "]"),
-          "rows" -> rows.toString, "nights" -> nights)
+          "rows" -> stats.map(_.getLong(1)).sum.toString,
+          "nights" -> nights)
 
       case "delete-docs" =>
         // the retention face: rewrite only the affected nights minus

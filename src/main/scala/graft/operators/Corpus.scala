@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 import org.apache.spark.sql.types.StructType
 
 /** The corpus root's night-partition lifecycle — the read/compact/prune
@@ -57,15 +58,21 @@ object Corpus {
 
   /** Stamp `nightDir`'s committed marker (lines = `content`). With
     * `onlyIfMissing` an existing marker stays byte-frozen — the
-    * rerun-repair face ([[graft.queries.TextDedupOps.p04Night]]). */
+    * rerun-repair face ([[graft.queries.TextDedupOps.p04Night]]).
+    * Marker CONTENT is load-bearing (`absorbs:` lines), so the stamp
+    * is write-temp-then-rename: a reader can never observe a visible
+    * but empty marker, which for a compaction would read as "commits
+    * nothing absorbed" and double-serve every absorbed row. */
   private[graft] def stampCommitted(s: SparkSession, nightDir: String,
       content: Seq[String], onlyIfMissing: Boolean): Unit = {
     val fs = fsOf(s, nightDir)
     val p = new Path(nightDir, Marker)
     if (!(onlyIfMissing && fs.exists(p))) {
-      val out = fs.create(p, true)
+      val tmp = new Path(nightDir, Marker + ".tmp")
+      val out = fs.create(tmp, true)
       try out.write(content.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
     }
   }
 
@@ -130,9 +137,19 @@ object Corpus {
     if (live.isEmpty && schema.isEmpty)
       throw new IllegalStateException(
         s"no committed corpus data under $root (and no explicit schema)")
-    if (live.isEmpty)
+    if (live.isEmpty) {
+      // keep the documented shape: night/shard ride along even on the
+      // empty read, so a consumer's `filter(col("night") ...)` does
+      // not break the first time it meets a fresh root
+      val withParts = Seq("night" -> types.StringType,
+        "shard" -> types.LongType)
+        .foldLeft(schema.get) { case (sc, (n, t)) =>
+          if (sc.fieldNames.contains(n)) sc
+          else sc.add(types.StructField(n, t))
+        }
       return s.createDataFrame(
-        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema.get)
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], withParts)
+    }
     // partition-type inference would make a digit-only night id an INT
     // column, and a cast back to string sits between a reader's
     // `night = '20260815'` filter and the partition pruner. Inference
@@ -204,7 +221,9 @@ object Corpus {
     * shuffle beyond the hash), `nights` bounded by the night count.
     * Empty result = the artifact is self-consistent. */
   def exactDupGroups(s: SparkSession, root: String): DataFrame =
-    readCommitted(s, root)
+    readData(s, root, StructType(Seq(
+      types.StructField("doc_id", types.LongType),
+      types.StructField("text", types.StringType))))
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"),
         min(col("doc_id")).as("min_doc_id"),
@@ -215,9 +234,19 @@ object Corpus {
     * n_toks) — the shard-root face of the night's JSON line, readable
     * long after the line scrolled away. */
   def nightStats(s: SparkSession, root: String): DataFrame =
-    readCommitted(s, root)
+    readData(s, root, StructType(Seq(
+      types.StructField("doc_id", types.LongType),
+      types.StructField("n_toks", types.LongType))))
       .groupBy(col("night"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+
+  /** [[readCommitted]] that is TOTAL on data-less roots (fully taken
+    * down, or every live night an empty replacement): falls back to
+    * the given core schema so the status/audit faces keep working on
+    * exactly the states the lifecycle produces. */
+  private def readData(s: SparkSession, root: String,
+      fallback: StructType): DataFrame =
+    readCommitted(s, root, Some(fallback))
 
   /** Targeted document deletion — the retention face (takedowns,
     * right-to-be-forgotten). Rewrites ONLY the nights that contain a

@@ -2501,17 +2501,34 @@ object TextDedupOps {
       s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
         "it names the night's shard partition under the corpus root")
     val nightDir = s"$outDir/night=$nightId"
+    val ndPath = new org.apache.hadoop.fs.Path(nightDir)
+    val fs = ndPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (alreadyDone) {
       // skipped rerun of a committed night — but repair the shard-side
       // marker if it is missing: a crash in the window between the
       // index advance (the night's commit point) and the marker stamp
       // would otherwise leave a committed night that shard-only
       // consumers skip forever. onlyIfMissing keeps a healthy rerun
-      // byte-frozen (NightlySpec pins that).
-      graft.operators.Corpus.stampCommitted(s, nightDir, Seq(nightId),
-        onlyIfMissing = true)
+      // byte-frozen (NightlySpec pins that), and the dir-exists guard
+      // keeps a replayed EMPTY stream batch (hwm-covered, dir never
+      // written) from minting a phantom marker-only night.
+      if (fs.exists(ndPath))
+        graft.operators.Corpus.stampCommitted(s, nightDir, Seq(nightId),
+          onlyIfMissing = true)
       return None
     }
+    // night ids share one corpus-root namespace with compaction and
+    // delete-replacement nights, which the INDEX ledger knows nothing
+    // about — a committed marker on a night this ledger has not
+    // recorded means the id belongs to one of those, and running would
+    // overwrite-destroy it (a pruned compaction is the whole corpus)
+    if (fs.exists(new org.apache.hadoop.fs.Path(ndPath,
+        graft.operators.Corpus.Marker)))
+      throw new IllegalStateException(
+        s"night id '$nightId' collides with an existing committed " +
+          s"corpus partition at $nightDir that this index never " +
+          "recorded (a compaction or delete replacement?) — pick a " +
+          "different id")
     graft.functions.HashSketch.register(s)
     val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(d24Sig(deltaDocs))

@@ -188,7 +188,8 @@ class NightlySpec extends SparkSuite {
     // (index): doc 100's signature leaves the live index too
     val ret = Nightly.run(spark,
       Seq("text", "retract", idx, "--ids", "100"))
-    assert(ret.contains("\"removed\":1"), ret)
+    assert(ret.contains("\"removed_ids\":1,") &&
+      ret.contains("\"removed_rows\":1,"), ret)
   }
 
   test("night crash windows: a torn night (shards written, advance " +

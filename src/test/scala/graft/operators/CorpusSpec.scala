@@ -194,8 +194,12 @@ class CorpusSpec extends SparkSuite {
             .toDF("doc_id", "source", "text")
             .write.parquet(s"$root/night=crash$step")
         case 5 =>
-          // rerun of a random committed night: recorded no-op
-          model.keys.toSeq.sorted.headOption.filter(_.startsWith("n"))
+          // rerun of a random committed night: recorded no-op. Only
+          // REAL night ids qualify — a delete replacement ("n3-d<tag>")
+          // is corpus-side only, and p04Night correctly REFUSES its id
+          // (the collision guard), which is its own pinned test below
+          model.keys.toSeq.sorted.headOption
+            .filter(id => id.startsWith("n") && !id.contains("-d"))
             .foreach { id =>
               assert(TextDedupOps.p04Night(spark, idx,
                 docsDf(freshRows(1): _*), root, id).isEmpty,
@@ -302,6 +306,61 @@ class CorpusSpec extends SparkSuite {
       dups(0).getAs[Long]("min_doc_id") == 10L, dups.mkString(";"))
     assert(dups(0).getAs[scala.collection.Seq[String]]("nights")
       .toSeq == Seq("foreign", "n1"))
+  }
+
+  test("a night id colliding with a committed compaction is REFUSED — " +
+    "the index ledger does not know corpus-side ids, and running " +
+    "would overwrite-destroy the compacted corpus") {
+    val idx = Files.createTempDirectory("cx_idx").toString
+    val root = Files.createTempDirectory("cx_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("xb0w")))
+    night(idx, root, "n1", 10L -> freshText("xu1w"))
+    assert(Corpus.compactNights(spark, root, "20260815"))
+    assert(Corpus.pruneNights(spark, root) == Seq("n1"))
+    val frozen = walk(root)
+    val e = intercept[IllegalStateException] {
+      TextDedupOps.p04Night(spark, idx,
+        docsDf(20L -> freshText("xu2w")), root, "20260815")
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    assert(walk(root) == frozen,
+      "the refused night touched the corpus root")
+    assert(servedIds(root) == Set(10L))
+  }
+
+  test("a replayed EMPTY stream batch mints no phantom night: the " +
+    "marker repair only fires for a dir that exists") {
+    val idx = Files.createTempDirectory("cph_idx").toString
+    val root = Files.createTempDirectory("cph_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("hb0w")))
+    // batch 3 recorded; a replay of EMPTY batch 2 is hwm-covered
+    assert(graft.streaming.StoreDedup.nightBatch(spark, idx, root,
+      docsDf(10L -> freshText("hu1w")).toDF(), "ph", 3L))
+    assert(!graft.streaming.StoreDedup.nightBatch(spark, idx, root,
+      docsDf().toDF(), "ph", 2L))
+    assert(Corpus.liveNights(spark, root) == Seq("ph.3"),
+      "an empty replayed batch minted a phantom night")
+    assert(!Files.exists(Paths.get(s"$root/night=ph.2")))
+  }
+
+  test("status faces stay total on a fully-taken-down corpus: every " +
+    "live night marker-only after delete + prune") {
+    val idx = Files.createTempDirectory("ct_idx").toString
+    val root = Files.createTempDirectory("ct_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("tb0w")))
+    night(idx, root, "n1", 10L -> freshText("tu1w"))
+    Corpus.deleteDocs(spark, root, Seq(10L))
+    Corpus.pruneNights(spark, root)
+    // the only live night is the empty replacement
+    assert(Corpus.liveNights(spark, root).head.startsWith("n1-d"))
+    assert(Corpus.nightStats(spark, root).count() == 0L)
+    assert(Corpus.exactDupGroups(spark, root).count() == 0L)
+    val st = graft.Nightly.run(spark,
+      Seq("text", "shards-status", root))
+    assert(st.contains("\"rows\":0"), st)
+    val audit = graft.Nightly.run(spark,
+      Seq("text", "audit-shards", root))
+    assert(audit.contains("\"clean\":true"), audit)
   }
 
   test("schema evolution across nights: a later night's new column " +
