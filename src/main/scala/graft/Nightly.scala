@@ -24,13 +24,14 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> status  <indexDir>
   * graft.Nightly <text|media|vec> retract <indexDir> --ids <id,...>
   * graft.Nightly all night  <indexBase> <docsParquet> --id <nightId>
-  *                          --shards <root> [--emb <embParquet>] [--prune]
+  *                          --shards <root> [--media-shards <root>]
+  *                          [--emb <embParquet>] [--prune]
   * graft.Nightly all status <indexBase>
-  * graft.Nightly text compact-shards <shardsRoot> --into <nightId>
-  * graft.Nightly text prune-shards   <shardsRoot>
-  * graft.Nightly text shards-status  <shardsRoot>
-  * graft.Nightly text audit-shards   <shardsRoot>
-  * graft.Nightly text delete-docs    <shardsRoot> --ids <id,id,...>
+  * graft.Nightly <text|media> compact-shards <shardsRoot> --into <nightId>
+  * graft.Nightly <text|media> prune-shards   <shardsRoot>
+  * graft.Nightly <text|media> shards-status  <shardsRoot>
+  * graft.Nightly <text|media> audit-shards   <shardsRoot>
+  * graft.Nightly <text|media> delete-docs    <shardsRoot> --ids <id,...>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -64,7 +65,7 @@ object Nightly {
     "usage: graft.Nightly <text|media|vec> " +
       "<build|advance|night|compact|prune|status|retract> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
-      "[--id <nightId> --shards <dir>] | graft.Nightly text " +
+      "[--id <nightId> --shards <dir>] | graft.Nightly <text|media> " +
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
       "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>]"
 
@@ -83,24 +84,35 @@ object Nightly {
       require(Set("night", "status")(cmd),
         s"'all' supports night|status, not '$cmd'\n$Usage")
       val rest0 = args.drop(3)
-      val emb = rest0.sliding(2)
-        .collectFirst { case Seq("--emb", v) => v }
+      def flagOf(name: String): Option[String] = rest0.sliding(2)
+        .collectFirst { case Seq(`name`, v) => v }
+      val emb = flagOf("--emb")
+      val mediaShards = flagOf("--media-shards")
       require(!rest0.contains("--verdicts"),
         "--verdicts is per-axis; run the single-axis night for it")
-      val sub = {
+      def strip(in: Seq[String], names: Set[String]): Seq[String] = {
         val b = Seq.newBuilder[String]; var i = 0
-        while (i < rest0.length) {
-          if (rest0(i) == "--emb") i += 2
-          else { b += rest0(i); i += 1 }
+        while (i < in.length) {
+          if (names(in(i))) i += 2
+          else { b += in(i); i += 1 }
         }
         b.result()
       }
+      val sub = strip(rest0, Set("--emb", "--media-shards"))
       val axes = Seq("text", "media") ++
         (if (cmd == "status" || emb.isDefined) Seq("vec") else Nil)
       val per = axes.map { ax =>
-        val input =
-          if (ax == "vec" && cmd == "night") emb.toSeq ++ sub.drop(1)
-          else sub
+        // each axis gets its OWN corpus root: --shards is the text
+        // corpus; --media-shards the media payload corpus (the two
+        // cannot share a root — night ids are one namespace per root)
+        val input = ax match {
+          case "text" => sub
+          case "media" => strip(sub, Set("--shards")) ++
+            mediaShards.toSeq.flatMap(v => Seq("--shards", v))
+          case "vec" if cmd == "night" =>
+            emb.toSeq ++ strip(sub.drop(1), Set("--shards"))
+          case _ => sub
+        }
         s""""$ax":${run(s, Seq(ax, cmd, s"$indexDir/$ax") ++ input)}"""
       }
       return per.mkString(s"""{"metric":"nightly_all_$cmd",""", ",", "}")
@@ -113,6 +125,8 @@ object Nightly {
     def line(fields: (String, String)*): String =
       fields.map { case (k, v) => s""""$k":$v""" }
         .mkString("{", ",", "}")
+    def corpusIdCol(ax: String): String =
+      if (ax == "media") "media_id" else "doc_id"
     def genField = "gen" ->
       IndexGenerations.currentGen(s, indexDir).getOrElse(-1L).toString
     cmd match {
@@ -199,8 +213,10 @@ object Nightly {
               Seq(vf, "shards" -> shards.toString, pruneField)
             }
           case "media" =>
+            // --shards arms the media corpus half: the night's admitted
+            // unique payloads land under <shards>/night=<id>
             queries.MultimodalOps.m12Night(s, indexDir, mediaAt(path),
-              nightId).map { v =>
+              nightId, flag("--shards")).map { v =>
               val vf = verdictField(v)
               Pinned.releaseAll(s)
               Seq(vf, pruneField)
@@ -293,22 +309,24 @@ object Nightly {
             IndexGenerations.committed(s, indexDir).size.toString)
 
       // the corpus-root lifecycle (graft.operators.Corpus) — here the
-      // third positional is the SHARDS root, not an index dir. Text
-      // only: shards are the text night's output.
+      // third positional is the SHARDS root, not an index dir. The
+      // text corpus keys on doc_id/text; the media payload corpus
+      // (m12Night --shards) on media_id/payload.
       case "compact-shards" =>
-        require(axis == "text", "shards exist only on the text axis")
+        require(axis != "vec", "no shard corpus on the vec axis")
         val into = rest.sliding(2)
           .collectFirst { case Seq("--into", v) => v }
           .getOrElse(sys.error(
             "compact-shards requires --into <nightId>\n" + Usage))
-        val ran = operators.Corpus.compactNights(s, indexDir, into)
+        val ran = operators.Corpus.compactNights(s, indexDir, into,
+          idCol = corpusIdCol(axis))
         line("metric" -> "\"shards_compact\"",
           "into" -> s""""$into"""", "skipped" -> (!ran).toString,
           "live" -> operators.Corpus.liveNights(s, indexDir)
             .map(id => s""""$id"""").mkString("[", ",", "]"))
 
       case "prune-shards" =>
-        require(axis == "text", "shards exist only on the text axis")
+        require(axis != "vec", "no shard corpus on the vec axis")
         val deleted = operators.Corpus.pruneNights(s, indexDir)
         line("metric" -> "\"shards_prune\"",
           "deleted" -> deleted.map(id => s""""$id"""")
@@ -317,7 +335,7 @@ object Nightly {
             .map(id => s""""$id"""").mkString("[", ",", "]"))
 
       case "shards-status" =>
-        require(axis == "text", "shards exist only on the text axis")
+        require(axis != "vec", "no shard corpus on the vec axis")
         val committed = operators.Corpus.committedNights(s, indexDir)
         val live = operators.Corpus.liveNights(s, indexDir)
         // ONE corpus scan: rows is the sum of the per-night counts
@@ -341,13 +359,14 @@ object Nightly {
         // the retention face: rewrite only the affected nights minus
         // the requested ids (absorption commit point, crash-safe);
         // bytes leave disk at the NEXT prune-shards
-        require(axis == "text", "shards exist only on the text axis")
+        require(axis != "vec", "no shard corpus on the vec axis")
         val ids = rest.sliding(2)
           .collectFirst { case Seq("--ids", v) => v }
           .getOrElse(sys.error(
             "delete-docs requires --ids <id,id,...>\n" + Usage))
           .split(",").map(_.trim.toLong).toSeq
-        val replaced = operators.Corpus.deleteDocs(s, indexDir, ids)
+        val replaced = operators.Corpus.deleteDocs(s, indexDir, ids,
+          idCol = corpusIdCol(axis))
         line("metric" -> "\"shards_delete\"",
           "requested" -> ids.length.toString,
           "replaced" -> replaced.toSeq.sorted
@@ -358,8 +377,10 @@ object Nightly {
         // the self-consistency check an operator runs on a root of
         // unknown provenance: any cross-night exact dup means the
         // increments did NOT all flow through one index lineage
-        require(axis == "text", "shards exist only on the text axis")
-        val dups = operators.Corpus.exactDupGroups(s, indexDir)
+        require(axis != "vec", "no shard corpus on the vec axis")
+        val dups = operators.Corpus.exactDupGroups(s, indexDir,
+          idCol = corpusIdCol(axis),
+          contentCol = if (axis == "media") "payload" else "text")
         val groups = dups.count()
         line("metric" -> "\"shards_audit\"",
           "dup_groups" -> groups.toString,

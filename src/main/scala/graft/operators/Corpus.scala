@@ -180,7 +180,7 @@ object Corpus {
     * rerun discipline of the night itself. Runs under the root's
     * writer lease. */
   def compactNights(s: SparkSession, root: String, into: String,
-      nShards: Int = 16): Boolean = {
+      nShards: Int = 16, idCol: String = "doc_id"): Boolean = {
     require(into.matches("[A-Za-z0-9._-]+"),
       s"night id '$into' must be directory-safe ([A-Za-z0-9._-]+)")
     IndexGenerations.withLease(s, root) {
@@ -200,7 +200,8 @@ object Corpus {
           // stream-through write leaves tasks × shards files, which
           // is the problem compaction exists to fix)
           ShardWriter.writeDocs(docs, nShards,
-            s"$root/$NightPrefix$into", onePassPerShard = true)
+            s"$root/$NightPrefix$into", onePassPerShard = true,
+            idCol = idCol)
         }
         // an all-empty live set still merges: N marker-only nights
         // collapse to one
@@ -220,25 +221,32 @@ object Corpus {
     * over the committed corpus (map-side combinable, no text in the
     * shuffle beyond the hash), `nights` bounded by the night count.
     * Empty result = the artifact is self-consistent. */
-  def exactDupGroups(s: SparkSession, root: String): DataFrame =
+  def exactDupGroups(s: SparkSession, root: String,
+      idCol: String = "doc_id", contentCol: String = "text"): DataFrame =
     readData(s, root, StructType(Seq(
-      types.StructField("doc_id", types.LongType),
-      types.StructField("text", types.StringType))))
-      .groupBy(md5(col("text")).as("content_hash"))
+      types.StructField(idCol, types.LongType),
+      types.StructField(contentCol,
+        if (contentCol == "payload") types.BinaryType
+        else types.StringType))))
+      .groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"),
-        min(col("doc_id")).as("min_doc_id"),
+        min(col(idCol)).as("min_doc_id"),
         sort_array(collect_set(col("night"))).as("nights"))
       .filter(col("n_copies") > 1)
 
   /** Per-night accounting of the committed corpus: (night, n_docs,
     * n_toks) — the shard-root face of the night's JSON line, readable
-    * long after the line scrolled away. */
-  def nightStats(s: SparkSession, root: String): DataFrame =
-    readData(s, root, StructType(Seq(
-      types.StructField("doc_id", types.LongType),
+    * long after the line scrolled away. A corpus without a token
+    * column (the media payload root) reports n_toks −1. */
+  def nightStats(s: SparkSession, root: String): DataFrame = {
+    val df = readData(s, root, StructType(Seq(
       types.StructField("n_toks", types.LongType))))
-      .groupBy(col("night"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_toks"))
+    val toks =
+      if (df.columns.contains("n_toks")) sum(col("n_toks"))
+      else max(lit(-1L))
+    df.groupBy(col("night"))
+      .agg(count(lit(1)).as("n_docs"), toks.as("n_toks"))
+  }
 
   /** [[readCommitted]] that is TOTAL on data-less roots (fully taken
     * down, or every live night an empty replacement): falls back to
@@ -267,8 +275,8 @@ object Corpus {
     * through the nightly loop. (Index verdicts may therefore name a
     * deleted doc_id as winner — the ledger of what was seen, not of
     * what is served.) Returns (oldNightId → replacementId). */
-  def deleteDocs(s: SparkSession, root: String, ids: Seq[Long])
-      : Map[String, String] = {
+  def deleteDocs(s: SparkSession, root: String, ids: Seq[Long],
+      idCol: String = "doc_id"): Map[String, String] = {
     require(ids.nonEmpty, "empty deletion request")
     IndexGenerations.withLease(s, root) {
       val committed = committedNights(s, root)
@@ -278,12 +286,12 @@ object Corpus {
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(ids.sorted.mkString(",").getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
-      // ONE scan finds the affected nights (doc_id column only, night
+      // ONE scan finds the affected nights (the id column only, night
       // dirs as partitions) — not one probe job per live night
       val affected =
         if (!live.exists(hasData(s, root, _))) Set.empty[String]
         else readCommitted(s, root)
-          .filter(col("doc_id").isin(ids: _*))
+          .filter(col(idCol).isin(ids: _*))
           .select("night").distinct()
           .collect().map(_.getString(0)).toSet
       live.filter(affected).map { nid =>
@@ -291,9 +299,10 @@ object Corpus {
         val newId = s"$nid-d$tag"
         val kept = s.read.option("basePath", root).parquet(dir)
           .drop("night", "shard")
-          .filter(!col("doc_id").isin(ids: _*))
+          .filter(!col(idCol).isin(ids: _*))
         ShardWriter.writeDocs(kept, 16,
-          s"$root/$NightPrefix$newId", onePassPerShard = true)
+          s"$root/$NightPrefix$newId", onePassPerShard = true,
+          idCol = idCol)
         stampCommitted(s, s"$root/$NightPrefix$newId",
           Seq(newId, AbsorbsTag + nid), onlyIfMissing = false)
         nid -> newId

@@ -56,11 +56,12 @@ object ShardWriter {
     * shuffle of the final gated corpus is far cheaper than the
     * metadata storm. */
   def writeDocs(docs: DataFrame, nShards: Int, path: String,
-      onePassPerShard: Boolean = false): DataFrame = {
+      onePassPerShard: Boolean = false,
+      idCol: String = "doc_id"): DataFrame = {
     val onePass = onePassPerShard || docs.sparkSession.conf
       .getOption("spark.graft.shards.onePassPerShard")
       .exists(_.toBoolean)
-    val sharded0 = docs.withColumn("shard", shardCol(col("doc_id"), nShards))
+    val sharded0 = docs.withColumn("shard", shardCol(col(idCol), nShards))
     val sharded =
       if (onePass) sharded0.repartition(col("shard")) else sharded0
     sharded

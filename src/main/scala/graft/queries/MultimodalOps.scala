@@ -366,15 +366,19 @@ object MultimodalOps {
 
   private def m12AdvanceRecorded(s: SparkSession, indexDir: String,
       deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
-      record: Option[(String, String)]): DataFrame = {
+      record: Option[(String, String)],
+      beforeAdvance: DataFrame => Unit = _ => ()): DataFrame = {
     val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(m12Fingerprints(deltaMedia))
     val v = graft.Pinned.pin(mediaDeltaVerdicts(index, delta))
     val uniques = delta
       .join(v.filter(col("verdict") === "unique").select("media_id"),
         Seq("media_id"))
+    // pinned: the shard hook and the fold both consume it
+    val admitted = graft.Pinned.pin(intraUniqueFps(uniques))
+    beforeAdvance(admitted)
     graft.operators.IndexGenerations.advanceByConfRecorded(s, indexDir,
-      intraUniqueFps(uniques), record)
+      admitted, record)
     v
   }
 
@@ -390,15 +394,61 @@ object MultimodalOps {
     * [[graft.Pinned.releaseAll]]. */
   def m12Night(s: SparkSession, indexDir: String,
       deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
-      nightId: String): Option[DataFrame] = {
+      nightId: String): Option[DataFrame] =
+    m12Night(s, indexDir, deltaMedia, nightId, None)
+
+  /** [[m12Night]] WITH the corpus half — `shardsDir = Some(root)`
+    * writes the night's admitted unique payloads (post intra-dedup, the
+    * exact asset set whose fingerprints fold) as a
+    * `night=<nightId>` partition of a media corpus root, hash-sharded
+    * on media_id — p04Night's shape on the media axis, same write
+    * order (shards first, the recorded advance as the commit point,
+    * marker last), same collision refusal, same marker repair on a
+    * skipped rerun. The root serves through
+    * [[graft.operators.Corpus.readCommitted]] and compacts/deletes via
+    * the idCol="media_id", contentCol="payload" faces. */
+  def m12Night(s: SparkSession, indexDir: String,
+      deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
+      nightId: String, shardsDir: Option[String]): Option[DataFrame] = {
     require(nightId.matches("[A-Za-z0-9._-]+"),
       s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
         "night ids are one namespace across both axes")
-    if (graft.operators.IndexGenerations
-        .records(s, indexDir, graft.queries.TextDedupOps.NightRecord)
-        .contains(nightId)) None
-    else Some(m12AdvanceRecorded(s, indexDir, deltaMedia,
-      Some(graft.queries.TextDedupOps.NightRecord -> nightId)))
+    val done = graft.operators.IndexGenerations
+      .records(s, indexDir, graft.queries.TextDedupOps.NightRecord)
+      .contains(nightId)
+    val record = Some(graft.queries.TextDedupOps.NightRecord -> nightId)
+    shardsDir match {
+      case None =>
+        if (done) None
+        else Some(m12AdvanceRecorded(s, indexDir, deltaMedia, record))
+      case Some(out) =>
+        val nightDir = s"$out/night=$nightId"
+        val ndPath = new org.apache.hadoop.fs.Path(nightDir)
+        val fs = ndPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (done) {
+          if (fs.exists(ndPath))
+            graft.operators.Corpus.stampCommitted(s, nightDir,
+              Seq(nightId), onlyIfMissing = true)
+          return None
+        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(ndPath,
+            graft.operators.Corpus.Marker)))
+          throw new IllegalStateException(
+            s"night id '$nightId' collides with an existing committed " +
+              s"corpus partition at $nightDir that this index never " +
+              "recorded — pick a different id")
+        val v = m12AdvanceRecorded(s, indexDir, deltaMedia, record,
+          beforeAdvance = admitted => {
+            graft.operators.ShardWriter.writeDocs(
+              deltaMedia.toDF().join(admitted.select("media_id"),
+                Seq("media_id")),
+              16, nightDir, idCol = "media_id")
+            ()
+          })
+        graft.operators.Corpus.stampCommitted(s, nightDir, Seq(nightId),
+          onlyIfMissing = false)
+        Some(v)
+    }
   }
 
   /** [[graft.queries.TextDedupOps.intraUniqueSigs]]' media twin: dedup

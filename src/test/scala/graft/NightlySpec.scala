@@ -249,18 +249,35 @@ class NightlySpec extends SparkSuite {
     "rerun of a committed night is a no-op, and a later night still " +
     "catches the re-upload") {
     val idx = Files.createTempDirectory("nl_mnight").toString
+    val mroot = Files.createTempDirectory("nl_mnight_sh").toString
     Nightly.run(spark, Seq("media", "build", idx,
       writeDocs((0L to 5L).map(i => i -> freshText(s"mn${i}v")): _*)))
     val t = (0 until 9).map(i => s"QQQQQQQ$i QZ").mkString(" | ")
     val delta1 = writeDocs(100L -> t)
     val out1 = Nightly.run(spark,
-      Seq("media", "night", idx, delta1, "--id", "m1"))
+      Seq("media", "night", idx, delta1, "--id", "m1",
+        "--shards", mroot))
     assert(out1.contains("\"skipped\":false") &&
       out1.contains("\"unique\":1") && out1.contains("\"gen\":1"), out1)
+    // the media corpus half: the admitted payload landed as night=m1,
+    // keyed on media_id, served by the committed read
+    val mServed = graft.operators.Corpus.readCommitted(spark, mroot)
+    assert(mServed.select("media_id").as[Long].collect().toSeq ==
+      Seq(100L), "the media night did not shard its admitted payload")
+    assert(mServed.columns.contains("payload"))
+    val mAudit = Nightly.run(spark, Seq("media", "audit-shards", mroot))
+    assert(mAudit.contains("\"clean\":true"), mAudit)
     val rowsAfter = IndexGenerations.readCurrent(spark, idx).count()
     val rerun = Nightly.run(spark,
-      Seq("media", "night", idx, delta1, "--id", "m1"))
+      Seq("media", "night", idx, delta1, "--id", "m1",
+        "--shards", mroot))
     assert(rerun.contains("\"skipped\":true"), rerun)
+    // retention on the payload corpus: media_id-keyed delete
+    assert(graft.operators.Corpus
+      .deleteDocs(spark, mroot, Seq(100L), idCol = "media_id")
+      .keySet == Set("m1"))
+    assert(graft.operators.Corpus.nightStats(spark, mroot).count() == 0L,
+      "the media takedown left served payload rows")
     assert(gens(idx) == Seq(0L, 1L) &&
       IndexGenerations.readCurrent(spark, idx).count() == rowsAfter,
       "a skipped media night touched the store")
@@ -384,13 +401,22 @@ class NightlySpec extends SparkSuite {
     Nightly.run(spark, Seq("vec", "build", s"$base/vec",
       embDir((0L to 3L).map(i => i -> i.toInt): _*)))
 
+    val mediaShards = Files.createTempDirectory("nl_all_msh").toString
     val docs = writeDocs(100L -> freshText("au1w"))
     val emb = embDir(100L -> 9)
     val out = Nightly.run(spark, Seq("all", "night", base, docs,
-      "--id", "a1", "--shards", shards, "--emb", emb))
+      "--id", "a1", "--shards", shards, "--emb", emb,
+      "--media-shards", mediaShards))
     assert(out.contains("\"metric\":\"nightly_all_night\"") &&
       out.split("\"skipped\":false").length == 4, out)
     assert(spark.read.parquet(shards).count() == 1L)
+    // freshText-derived payloads may be judged perceptual near-dups of
+    // the base (the m12 fixture discipline), so the increment can be
+    // legitimately empty — what the all-night must guarantee is that
+    // the media axis got ITS OWN root and committed its night there
+    // (the data path is pinned by the single-axis media night test)
+    assert(graft.operators.Corpus.liveNights(spark, mediaShards) ==
+      Seq("a1"), "the all-night missed the media corpus half")
     Seq("text", "media", "vec").foreach { ax =>
       assert(IndexGenerations.currentGen(spark, s"$base/$ax")
         .contains(1L), s"$ax did not advance")
