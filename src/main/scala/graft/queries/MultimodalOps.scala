@@ -409,14 +409,28 @@ object MultimodalOps {
     * the idCol="media_id", contentCol="payload" faces. */
   def m12Night(s: SparkSession, indexDir: String,
       deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
-      nightId: String, shardsDir: Option[String]): Option[DataFrame] = {
+      nightId: String, shardsDir: Option[String]): Option[DataFrame] =
+    m12NightRecorded(s, indexDir, deltaMedia, nightId, shardsDir,
+      graft.queries.TextDedupOps.NightRecord, nightId,
+      alreadyDone = graft.operators.IndexGenerations
+        .records(s, indexDir, graft.queries.TextDedupOps.NightRecord)
+        .contains(nightId))
+
+  /** [[m12Night]] with the commit record under the caller's control —
+    * the streaming micro-night face
+    * ([[graft.streaming.StoreMediaDedup.nightBatch]]), exactly
+    * [[graft.queries.TextDedupOps.p04NightRecorded]]'s contract on the
+    * media axis. */
+  private[graft] def m12NightRecorded(s: SparkSession, indexDir: String,
+      deltaMedia: org.apache.spark.sql.Dataset[Media.MediaRecord],
+      nightId: String, shardsDir: Option[String],
+      recordName: String, recordValue: String, alreadyDone: Boolean)
+      : Option[DataFrame] = {
     require(nightId.matches("[A-Za-z0-9._-]+"),
       s"nightId '$nightId' must be directory-safe ([A-Za-z0-9._-]+) — " +
         "night ids are one namespace across both axes")
-    val done = graft.operators.IndexGenerations
-      .records(s, indexDir, graft.queries.TextDedupOps.NightRecord)
-      .contains(nightId)
-    val record = Some(graft.queries.TextDedupOps.NightRecord -> nightId)
+    val done = alreadyDone
+    val record = Some(recordName -> recordValue)
     shardsDir match {
       case None =>
         if (done) None

@@ -275,6 +275,54 @@ object StoreMediaDedup {
     } finally graft.Pinned.releaseAll(s)
   }
 
+  /** One micro-batch as a FULL media production night — the
+    * corpus-writing face ([[graft.streaming.StoreDedup.nightBatch]]'s
+    * media twin): verdicts vs the live m12 index, intra-batch dedup,
+    * a `night=<streamId>.<batchId>` PAYLOAD partition under
+    * `corpusRoot` (media_id-sharded), and the fingerprint fold — one
+    * decode pass, exactly-once per batch on the shared
+    * [[StoreDedup.NightRecordName]] hwm ledger. Empty batches skip
+    * unrecorded; a replayed batch skips byte-frozen and repairs a
+    * missing marker for a dir that exists. */
+  def nightBatch(s: SparkSession, indexDir: String, corpusRoot: String,
+      media: Dataset[Media.MediaRecord], streamId: String,
+      batchId: Long): Boolean = {
+    require(streamId.matches("[A-Za-z0-9._-]+"),
+      s"streamId '$streamId' must be directory-safe ([A-Za-z0-9._-]+) " +
+        "— it prefixes the night partitions this stream writes")
+    val prefix = streamId + ":"
+    val done = IndexGenerations
+      .records(s, indexDir, StoreDedup.NightRecordName)
+      .collect { case r if r.startsWith(prefix) =>
+        r.stripPrefix(prefix).toLong }
+    val replay = done.nonEmpty && done.max >= batchId
+    if (!replay && media.isEmpty) false
+    else try {
+      graft.queries.MultimodalOps.m12NightRecorded(s, indexDir, media,
+        s"$streamId.$batchId", Some(corpusRoot),
+        StoreDedup.NightRecordName, prefix + batchId,
+        alreadyDone = replay).isDefined
+    } finally graft.Pinned.releaseAll(s)
+  }
+
+  /** Assemble and start the corpus-writing media ingest: each
+    * micro-batch runs as one [[nightBatch]] production night, its
+    * admitted payloads landing under `corpusRoot/night=<streamId>.<n>`.
+    * The index must have a committed base generation. */
+  def ingestNights(media: Dataset[Media.MediaRecord], indexDir: String,
+      corpusRoot: String, checkpointDir: String, streamId: String)
+      : StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch {
+        (batch: Dataset[Media.MediaRecord], batchId: Long) =>
+          nightBatch(batch.sparkSession, indexDir, corpusRoot,
+            batch, streamId, batchId)
+          ()
+      }
+      .start()
+
   /** Assemble and start the store-backed media ingest: decode → band →
     * bootstrap from the m12 index → admit → fold each batch's uniques
     * back. The index must have a committed base generation

@@ -151,4 +151,61 @@ class StoreMediaDedupSpec extends SparkSuite {
       spark.conf.unset("spark.graft.stream.indexCheck")
     }
   }
+
+  test("ingestNights: each media micro-batch lands its admitted " +
+    "payloads as a committed corpus night AND folds the index; " +
+    "replays and empty batches leave nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = Files.createTempDirectory("smn_idx").toString
+    val corpus = Files.createTempDirectory("smn_corpus").toString
+    MultimodalOps.m12Build(spark, idx,
+      mediaOf((0L to 5L).map(i => i -> freshText(s"snb${i}w")): _*))
+
+    // distinct SHAPES, not just distinct letters — same-shape families
+    // render within the phash near threshold (the fixture discipline)
+    val p1 = (0 until 9).map(i => s"QQQQQQQ$i SA").mkString(" | ")
+    val p2 = (0 until 25).map(i => s"n$i marimba$i").mkString(" ")
+    val in = MemoryStream[Media.MediaRecord]
+    val q = StoreMediaDedup.ingestNights(in.toDS(), idx, corpus,
+      Files.createTempDirectory("smn_c").toString, "mcrawl")
+    try {
+      // batch 0: a re-upload of indexed asset 2 (same kind, ids
+      // congruent mod 3) + one fresh payload
+      in.addData(mediaOf(200L -> freshText("snb2w")).collect().head,
+        mediaOf(100L -> p1).collect().head)
+      q.processAllAvailable()
+      // batch 1: a re-upload of batch 0's admitted asset + one fresh
+      in.addData(mediaOf(103L -> p1).collect().head,
+        mediaOf(202L -> p2).collect().head)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(indexIds(idx) == Set(0L, 1L, 2L, 3L, 4L, 5L, 100L, 202L),
+      "the media micro-nights folded the wrong admitted set")
+    assert(graft.operators.Corpus.liveNights(spark, corpus) ==
+      Seq("mcrawl.0", "mcrawl.1"))
+    val served = graft.operators.Corpus.readCommitted(spark, corpus)
+    assert(served.select("media_id").as[Long].collect().toSet ==
+      Set(100L, 202L),
+      "the payload increments disagree with the index folds")
+
+    // replay of batch 1: hwm-covered, root byte-frozen; empty batch 2:
+    // skipped unrecorded
+    import scala.jdk.CollectionConverters._
+    def files() = java.nio.file.Files
+      .walk(java.nio.file.Paths.get(corpus)).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString -> java.nio.file.Files.size(p))
+      .toSeq.sortBy(_._1)
+    val frozen = files()
+    assert(!StoreMediaDedup.nightBatch(spark, idx, corpus,
+      mediaOf(202L -> p2), "mcrawl", 1L))
+    assert(!StoreMediaDedup.nightBatch(spark, idx, corpus,
+      mediaOf(), "mcrawl", 2L))
+    assert(files() == frozen, "a replayed/empty media night wrote")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$corpus/night=mcrawl.2")))
+    assert(Pinned.outstanding(spark) == 0,
+      "the media micro-night fold leaked pinned frames")
+  }
 }
