@@ -27,11 +27,14 @@ import graft.operators.IndexGenerations
   *                          --shards <root> [--media-shards <root>]
   *                          [--emb <embParquet>] [--prune]
   * graft.Nightly all status <indexBase>
+  * graft.Nightly all reconcile <indexBase> --shards <root>
+  *                             --media-shards <root>
   * graft.Nightly <text|media> compact-shards <shardsRoot> --into <nightId>
   * graft.Nightly <text|media> prune-shards   <shardsRoot>
   * graft.Nightly <text|media> shards-status  <shardsRoot>
   * graft.Nightly <text|media> audit-shards   <shardsRoot>
   * graft.Nightly <text|media> delete-docs    <shardsRoot> --ids <id,...>
+  * graft.Nightly <text|media> reconcile <indexDir> --shards <root>
   * }}}
   *
   * `night` is the exactly-once production night: on text it writes the
@@ -67,7 +70,8 @@ object Nightly {
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly <text|media> " +
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
-      "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>]"
+      "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>] | " +
+      "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -81,8 +85,8 @@ object Nightly {
     // between axes heals on rerun (the committed ones skip). The vec
     // axis needs --emb <embeddings parquet> and is skipped without it.
     if (axis == "all") {
-      require(Set("night", "status")(cmd),
-        s"'all' supports night|status, not '$cmd'\n$Usage")
+      require(Set("night", "status", "reconcile")(cmd),
+        s"'all' supports night|status|reconcile, not '$cmd'\n$Usage")
       val rest0 = args.drop(3)
       def flagOf(name: String): Option[String] = rest0.sliding(2)
         .collectFirst { case Seq(`name`, v) => v }
@@ -99,8 +103,11 @@ object Nightly {
         b.result()
       }
       val sub = strip(rest0, Set("--emb", "--media-shards"))
+      // vec joins status always, night only when fed — and never
+      // reconcile (no shard corpus to reconcile against)
       val axes = Seq("text", "media") ++
-        (if (cmd == "status" || emb.isDefined) Seq("vec") else Nil)
+        (if (cmd == "status" ||
+          (cmd == "night" && emb.isDefined)) Seq("vec") else Nil)
       val per = axes.map { ax =>
         // each axis gets its OWN corpus root: --shards is the text
         // corpus; --media-shards the media payload corpus (the two
@@ -372,6 +379,31 @@ object Nightly {
           "replaced" -> replaced.toSeq.sorted
             .map { case (o, nw) => s""""$o":"$nw"""" }
             .mkString("{", ",", "}"))
+
+      case "reconcile" =>
+        // the cross-store invariant: every id the corpus SERVES is
+        // banned in the LIVE index. Violations (a retract without its
+        // delete-docs twin, an index reset under a live corpus, two
+        // lineages merged by hand) mean future nights can re-admit
+        // duplicates of already-served content — the alarm an operator
+        // wants BEFORE the next night runs, not after the dup lands.
+        require(axis != "vec", "no shard corpus on the vec axis")
+        val shardsRoot = rest.sliding(2)
+          .collectFirst { case Seq("--shards", v) => v }
+          .getOrElse(sys.error(
+            "reconcile requires --shards <corpusRoot>\n" + Usage))
+        val bad = operators.Corpus.servedNotBanned(s, shardsRoot,
+          indexDir, idCol = corpusIdCol(axis))
+        // sample ids make the line actionable without a second query;
+        // the full frame stays available through the library face
+        val sample = bad.orderBy(corpusIdCol(axis)).limit(10)
+          .collect().map(_.getLong(0))
+        val n = bad.count()
+        line("metric" -> "\"nightly_reconcile\"",
+          "axis" -> s""""$axis"""", genField,
+          "served_not_banned" -> n.toString,
+          "sample_ids" -> sample.mkString("[", ",", "]"),
+          "clean" -> (n == 0L).toString)
 
       case "audit-shards" =>
         // the self-consistency check an operator runs on a root of

@@ -196,7 +196,8 @@ object ScaleRehearsal {
       k -> spark.conf.getOption(k) }
     corpusConfs.foreach { case (k, v) => spark.conf.set(k, v) }
     val corpusRoot = s"$work/corpus"
-    val (nightSecs, corpusRows, filesBefore, filesAfter, compactSecs) = {
+    val (nightSecs, corpusRows, filesBefore, filesAfter, compactSecs,
+      reconcileBad, reconcileSecs) = {
       // a third fresh token derivation ("c" per-token prefix — shares
       // no shingles with the originals, the reversal feed, or the "b"
       // prefix feed)
@@ -234,7 +235,11 @@ object ScaleRehearsal {
         .readCommitted(spark, corpusRoot).count()
       require(rows1 == rows0,
         s"compaction changed the served corpus: $rows0 -> $rows1")
-      (ns, rows1, before, parquetFiles, cs)
+      // the cross-store invariant at 10×: every served id banned in
+      // the live index (id-only anti-join against the banded store)
+      val (bad, rs) = timed(graft.operators.Corpus
+        .servedNotBanned(spark, corpusRoot, streamIdx).count())
+      (ns, rows1, before, parquetFiles, cs, bad, rs)
     }
     savedCorpus.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
@@ -341,6 +346,8 @@ object ScaleRehearsal {
       s""""corpus_files_before":$filesBefore,""" +
       s""""corpus_files_after":$filesAfter,""" +
       s""""corpus_compact_secs":$compactSecs,""" +
+      s""""reconcile_bad":$reconcileBad,""" +
+      s""""reconcile_secs":$reconcileSecs,""" +
       s""""ann_vecs":${10 * ne},"ann_build_secs":$annBuildSecs,""" +
       s""""ann_serve_rows":$annServeRows,""" +
       s""""ann_append_secs":$annAppendSecs,""" +

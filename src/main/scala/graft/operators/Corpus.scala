@@ -234,6 +234,39 @@ object Corpus {
         sort_array(collect_set(col("night"))).as("nights"))
       .filter(col("n_copies") > 1)
 
+  /** Index↔corpus reconciliation — the cross-store invariant checker
+    * beside [[exactDupGroups]]'s intra-corpus one: every id the
+    * committed corpus SERVES must be banned in the LIVE index (its
+    * signature folded by the night that admitted it), or a future
+    * night can admit an exact re-crawl of already-served content and
+    * the corpus accretes the very duplicates the pipeline exists to
+    * reject. The nightly writers cannot break this (the fold and the
+    * shard write share one commit point), so violations are
+    * operational damage: a `retract` without its corpus-side
+    * `deleteDocs` twin, an index `reset` under a live corpus, roots
+    * from two lineages merged by hand. The REVERSE direction —
+    * banned-but-not-served — is healthy by design (the base build
+    * folds without sharding; `deleteDocs` keeps content banned) and is
+    * deliberately not flagged.
+    *
+    * Returns the violating ids with the night that serves them, empty
+    * = consistent. Id-only anti-join (ids + night strings shuffle,
+    * text/payloads never do); total on data-less roots like the other
+    * audit faces. */
+  def servedNotBanned(s: SparkSession, root: String, indexDir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(IndexGenerations.committed(s, indexDir).nonEmpty,
+      s"no committed index generation under $indexDir — reconcile " +
+        "compares the corpus against a LIVE index, not an empty root")
+    readData(s, root, StructType(Seq(
+      types.StructField(idCol, types.LongType))))
+      .select(col(idCol), col("night"))
+      .join(IndexGenerations.readCurrent(s, indexDir).select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("night"))).as("nights"))
+  }
+
   /** Per-night accounting of the committed corpus: (night, n_docs,
     * n_toks) — the shard-root face of the night's JSON line, readable
     * long after the line scrolled away. A corpus without a token

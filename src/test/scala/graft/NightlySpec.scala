@@ -245,6 +245,54 @@ class NightlySpec extends SparkSuite {
       "the marker repair touched shard data")
   }
 
+  test("reconcile: every served corpus id is banned in the live index " +
+    "— clean after nights and after delete-docs alone, a retract " +
+    "without its corpus twin is flagged with the serving night, the " +
+    "completed un-ingest restores clean") {
+    val idx = Files.createTempDirectory("nl_rec_idx").toString
+    Nightly.run(spark, Seq("text", "build", idx,
+      writeDocs((0L to 2L).map(i => i -> freshText(s"rc${i}w")): _*)))
+    val shards = Files.createTempDirectory("nl_rec_sh").toString
+    Nightly.run(spark, Seq("text", "night", idx,
+      writeDocs(100L -> freshText("rcu1w"), 101L -> freshText("rcu2w")),
+      "--id", "r1", "--shards", shards))
+    val rec1 = Nightly.run(spark,
+      Seq("text", "reconcile", idx, "--shards", shards))
+    assert(rec1.contains("\"served_not_banned\":0") &&
+      rec1.contains("\"clean\":true"), rec1)
+    // delete-docs ALONE (banned-but-not-served) is the healthy
+    // retention posture — reconcile must not flag it
+    Nightly.run(spark, Seq("text", "delete-docs", shards,
+      "--ids", "101"))
+    Nightly.run(spark, Seq("text", "prune-shards", shards))
+    val rec2 = Nightly.run(spark,
+      Seq("text", "reconcile", idx, "--shards", shards))
+    assert(rec2.contains("\"clean\":true"),
+      s"delete-docs alone must stay clean: $rec2")
+    // retract WITHOUT the corpus twin: doc 100 is served but no longer
+    // banned — the exact damage reconcile exists to catch, named by id
+    // and by the night that serves it
+    Nightly.run(spark, Seq("text", "retract", idx, "--ids", "100"))
+    val rec3 = Nightly.run(spark,
+      Seq("text", "reconcile", idx, "--shards", shards))
+    assert(rec3.contains("\"served_not_banned\":1") &&
+      rec3.contains("\"sample_ids\":[100]") &&
+      rec3.contains("\"clean\":false"), rec3)
+    val viol = graft.operators.Corpus
+      .servedNotBanned(spark, shards, idx)
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(viol.map(_._1) == Seq(100L) &&
+      viol.head._2.exists(_.startsWith("r1")),
+      s"the violation must name the serving night: $viol")
+    // completing the un-ingest (the corpus half) restores the invariant
+    Nightly.run(spark, Seq("text", "delete-docs", shards,
+      "--ids", "100"))
+    Nightly.run(spark, Seq("text", "prune-shards", shards))
+    val rec4 = Nightly.run(spark,
+      Seq("text", "reconcile", idx, "--shards", shards))
+    assert(rec4.contains("\"clean\":true"), rec4)
+  }
+
   test("media night: the recorded advance is exactly-once per id — " +
     "rerun of a committed night is a no-op, and a later night still " +
     "catches the re-upload") {
@@ -267,6 +315,10 @@ class NightlySpec extends SparkSuite {
     assert(mServed.columns.contains("payload"))
     val mAudit = Nightly.run(spark, Seq("media", "audit-shards", mroot))
     assert(mAudit.contains("\"clean\":true"), mAudit)
+    val mRec = Nightly.run(spark,
+      Seq("media", "reconcile", idx, "--shards", mroot))
+    assert(mRec.contains("\"served_not_banned\":0") &&
+      mRec.contains("\"clean\":true"), mRec)
     val rowsAfter = IndexGenerations.readCurrent(spark, idx).count()
     val rerun = Nightly.run(spark,
       Seq("media", "night", idx, delta1, "--id", "m1",
@@ -442,5 +494,13 @@ class NightlySpec extends SparkSuite {
     val st = Nightly.run(spark, Seq("all", "status", base))
     assert(st.contains("\"metric\":\"nightly_all_status\"") &&
       st.split("\"metric\":\"nightly_status\"").length == 4, st)
+
+    // all-reconcile: both corpora against their indexes in one command
+    // — never the vec axis (no shard corpus), even with --emb present
+    val rec = Nightly.run(spark, Seq("all", "reconcile", base,
+      "--shards", shards, "--media-shards", mediaShards, "--emb", emb))
+    assert(rec.contains("\"metric\":\"nightly_all_reconcile\"") &&
+      rec.split("\"clean\":true").length == 3 &&
+      !rec.contains("\"vec\""), rec)
   }
 }

@@ -82,6 +82,8 @@ class ScaleRehearsalSpec extends SparkSuite {
       s"night compaction did not shrink the corpus file count: $j")
     assert(field("corpus_files_after") <= 16.0,
       s"the compacted night must hold ~one file per shard: $j")
+    assert(field("reconcile_bad") == 0.0,
+      s"served-not-banned violations on a healthy 10x lifecycle: $j")
     assert(field("ann_vecs") == 20000.0, j)
     assert(field("ann_serve_rows") > 0, j)
     assert(field("ann_serve2_rows") >= field("ann_serve_rows"),
