@@ -104,8 +104,12 @@ object Nightly {
       }
       val sub = strip(rest0, Set("--emb", "--media-shards"))
       // vec joins status always, night only when fed — and never
-      // reconcile (no shard corpus to reconcile against)
-      val axes = Seq("text", "media") ++
+      // reconcile (no shard corpus to reconcile against). A reconcile
+      // checks only the corpora it was handed roots for: a text-only
+      // deployment omits --media-shards and still gets its answer.
+      val axes = Seq("text") ++
+        (if (cmd != "reconcile" || mediaShards.isDefined) Seq("media")
+         else Nil) ++
         (if (cmd == "status" ||
           (cmd == "night" && emb.isDefined)) Seq("vec") else Nil)
       val per = axes.map { ax =>

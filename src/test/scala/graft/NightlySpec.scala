@@ -502,5 +502,11 @@ class NightlySpec extends SparkSuite {
     assert(rec.contains("\"metric\":\"nightly_all_reconcile\"") &&
       rec.split("\"clean\":true").length == 3 &&
       !rec.contains("\"vec\""), rec)
+    // a text-only deployment omits --media-shards: media leg skipped,
+    // text still answers
+    val recT = Nightly.run(spark, Seq("all", "reconcile", base,
+      "--shards", shards))
+    assert(recT.split("\"clean\":true").length == 2 &&
+      !recT.contains("\"media\""), recT)
   }
 }
