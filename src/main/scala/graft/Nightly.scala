@@ -396,13 +396,16 @@ object Nightly {
           .collectFirst { case Seq("--shards", v) => v }
           .getOrElse(sys.error(
             "reconcile requires --shards <corpusRoot>\n" + Usage))
-        val bad = operators.Corpus.servedNotBanned(s, shardsRoot,
-          indexDir, idCol = corpusIdCol(axis))
+        // pin: sample + count below would otherwise each re-run the
+        // full corpus-vs-index anti-join
+        val bad = Pinned.pin(operators.Corpus.servedNotBanned(s,
+          shardsRoot, indexDir, idCol = corpusIdCol(axis)))
         // sample ids make the line actionable without a second query;
         // the full frame stays available through the library face
+        val n = bad.count()
         val sample = bad.orderBy(corpusIdCol(axis)).limit(10)
           .collect().map(_.getLong(0))
-        val n = bad.count()
+        Pinned.releaseAll(s)
         line("metric" -> "\"nightly_reconcile\"",
           "axis" -> s""""$axis"""", genField,
           "served_not_banned" -> n.toString,

@@ -113,6 +113,30 @@ object Corpus {
       case l if l.startsWith(AbsorbsTag) => l.stripPrefix(AbsorbsTag)
     }).toSet
 
+  /** A night id named in any COMMITTED marker's `absorbs:` line is
+    * permanently retired, even after [[pruneNights]] deletes its dir:
+    * re-committing it would make the new night and its old absorber
+    * absorb EACH OTHER — both drop out of [[liveNights]] (the whole
+    * corpus reads as empty) and the next prune deletes both dirs.
+    * Every id-choosing writer (compaction, the recorded nights) must
+    * refuse such an id up front. */
+  private[graft] def refuseAbsorbedId(absorbed: Set[String], id: String,
+      root: String): Unit =
+    if (absorbed.contains(id)) throw new IllegalStateException(
+      s"night id '$id' was absorbed by a committed compaction under " +
+        s"$root and is permanently retired — committing it again " +
+        "would make the absorber and the new night absorb each other " +
+        "(every read of the corpus goes empty and the next prune " +
+        "deletes both); pick a fresh id")
+
+  /** [[refuseAbsorbedId]] against the root's current committed set —
+    * the form the night writers (which don't hold the marker listing)
+    * call before claiming an id. */
+  private[graft] def refuseAbsorbedId(s: SparkSession, root: String,
+      id: String): Unit =
+    if (fsOf(s, root).exists(new Path(root)))
+      refuseAbsorbedId(absorbedOf(committedNights(s, root)), id, root)
+
   /** The night ids a read serves: committed minus absorbed-by-a-
     * committed-compaction (absorption chains resolve because every
     * absorbed id appears in SOME committed marker). */
@@ -150,6 +174,16 @@ object Corpus {
       return s.createDataFrame(
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row], withParts)
     }
+    readNightDirs(s, root, live)
+  }
+
+  /** Read EXACTLY the given night dirs (no re-listing) — the shared
+    * tail of [[readCommitted]], also used directly by the lifecycle
+    * writers ([[compactNights]], [[deleteDocs]]) so the set they read
+    * is the set their markers account for, immune to a night committed
+    * between their listing and the scan. */
+  private def readNightDirs(s: SparkSession, root: String,
+      ids: Seq[String]): DataFrame = {
     // partition-type inference would make a digit-only night id an INT
     // column, and a cast back to string sits between a reader's
     // `night = '20260815'` filter and the partition pruner. Inference
@@ -166,7 +200,7 @@ object Corpus {
     val df =
       try s.read.option("basePath", root)
         .option("mergeSchema", "true")
-        .parquet(live.map(id => s"$root/$NightPrefix$id"): _*)
+        .parquet(ids.map(id => s"$root/$NightPrefix$id"): _*)
       finally prev match {
         case Some(v) => s.conf.set(conf, v)
         case None    => s.conf.unset(conf)
@@ -188,11 +222,19 @@ object Corpus {
       if (committed.exists(_._1 == into)) false
       else {
         val absorbed = absorbedOf(committed)
+        refuseAbsorbedId(absorbed, into, root)
         val live = committed.map(_._1).filterNot(absorbed)
         if (live.isEmpty) throw new IllegalStateException(
           s"nothing to compact under $root — no committed nights")
-        if (live.exists(hasData(s, root, _))) {
-          val docs = readCommitted(s, root).drop("night", "shard")
+        val withData = live.filter(hasData(s, root, _))
+        if (withData.nonEmpty) {
+          // read EXACTLY the live set pinned above — a re-listing
+          // readCommitted here would merge in a night committed after
+          // the listing (night writes are lease-less by design) whose
+          // rows the marker below would NOT absorb: served twice,
+          // forever
+          val docs = readNightDirs(s, root, withData)
+            .drop("night", "shard")
           // writeDocs re-derives shard from doc_id — the same
           // deterministic assignment every night used — and the
           // compaction posture pays one shuffle on the shard key so
@@ -309,7 +351,7 @@ object Corpus {
     * deleted doc_id as winner — the ledger of what was seen, not of
     * what is served.) Returns (oldNightId → replacementId). */
   def deleteDocs(s: SparkSession, root: String, ids: Seq[Long],
-      idCol: String = "doc_id"): Map[String, String] = {
+      idCol: String = "doc_id", nShards: Int = 16): Map[String, String] = {
     require(ids.nonEmpty, "empty deletion request")
     IndexGenerations.withLease(s, root) {
       val committed = committedNights(s, root)
@@ -320,10 +362,15 @@ object Corpus {
         .digest(ids.sorted.mkString(",").getBytes("UTF-8"))
         .take(6).map("%02x".format(_)).mkString
       // ONE scan finds the affected nights (the id column only, night
-      // dirs as partitions) — not one probe job per live night
+      // dirs as partitions) — not one probe job per live night. The
+      // scan reads EXACTLY the pinned live set: a night committed
+      // after the listing above must not surface as "affected" when
+      // the rewrite loop below (live.filter) would skip it — the
+      // caller would be told its ids were handled when they were not.
+      val withData = live.filter(hasData(s, root, _))
       val affected =
-        if (!live.exists(hasData(s, root, _))) Set.empty[String]
-        else readCommitted(s, root)
+        if (withData.isEmpty) Set.empty[String]
+        else readNightDirs(s, root, withData)
           .filter(col(idCol).isin(ids: _*))
           .select("night").distinct()
           .collect().map(_.getString(0)).toSet
@@ -333,7 +380,7 @@ object Corpus {
         val kept = s.read.option("basePath", root).parquet(dir)
           .drop("night", "shard")
           .filter(!col(idCol).isin(ids: _*))
-        ShardWriter.writeDocs(kept, 16,
+        ShardWriter.writeDocs(kept, nShards,
           s"$root/$NightPrefix$newId", onePassPerShard = true,
           idCol = idCol)
         stampCommitted(s, s"$root/$NightPrefix$newId",

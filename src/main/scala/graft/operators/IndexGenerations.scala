@@ -105,26 +105,42 @@ object IndexGenerations {
     val timeoutMs = s.conf
       .getOption("spark.graft.index.leaseTimeoutMs")
       .map(_.toLong).getOrElse(3600000L)
+    // the lease content is "<stamp>:<uuid>" — the stamp bounds
+    // staleness, the uuid makes ownership CHECKABLE: takeover and exit
+    // both verify the content instead of trusting the path, so a
+    // contender can never delete a lease it did not judge stale, and a
+    // usurped writer can never delete its usurper's fresh lease
+    val token = System.currentTimeMillis().toString + ":" +
+      java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lp, false)
-        try out.write(
-          System.currentTimeMillis().toString.getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def holder(): Option[String] =
+      try {
+        val in = fs.open(lp)
+        try Some(new String(in.readAllBytes(), "UTF-8").trim)
+        finally in.close()
+      } catch { case _: java.io.IOException => None }
     val acquired = tryAcquire() || {
-      // stale-lease takeover: one delete + one retry, bounded
-      val stale =
-        try {
-          val st = fs.getFileStatus(lp)
-          val in = fs.open(lp)
-          val stamp = try new String(in.readAllBytes(), "UTF-8").trim
-          finally in.close()
-          val t = stamp.toLongOption.getOrElse(st.getModificationTime)
+      // stale-lease takeover: one compare-and-delete + one retry,
+      // bounded. The pre-delete re-read pins the delete to the EXACT
+      // lease judged stale — if another contender already took over
+      // (fresh foreign token), this one backs off instead of deleting
+      // the winner's lease out from under it.
+      val seen = holder()
+      val stale = seen match {
+        case None => true // vanished between create-fail and read
+        case Some(tok) =>
+          val t = tok.takeWhile(_ != ':').toLongOption.getOrElse(
+            try fs.getFileStatus(lp).getModificationTime
+            catch { case _: java.io.IOException => Long.MaxValue })
           System.currentTimeMillis() - t > timeoutMs
-        } catch { case _: java.io.IOException => true } // vanished: retry
-      if (stale) fs.delete(lp, false)
+      }
+      if (stale && holder() == seen) fs.delete(lp, false)
       stale && tryAcquire()
     }
     if (!acquired) throw new IllegalStateException(
@@ -132,7 +148,19 @@ object IndexGenerations {
         s"fresh) — the store is single-writer; stop the other " +
         s"build/advance/prune first, or wait out the " +
         s"${timeoutMs / 1000}s stale-lease bound if it crashed")
-    try body finally fs.delete(lp, false)
+    // ownership verify: two contenders racing the SAME stale lease can
+    // interleave delete/create so that both `tryAcquire` calls return
+    // true in sequence — the content says who actually holds it now
+    if (!holder().contains(token)) throw new IllegalStateException(
+      s"lost the stale-lease takeover race on $root — another writer " +
+        "acquired between this one's create and verify; retry")
+    // a holder whose body outlives leaseTimeoutMs can be legitimately
+    // taken over mid-body; the verified delete means it exits without
+    // touching the usurper's lease (set the timeout above the longest
+    // expected job — the takeover window itself is inherent to a
+    // lease-with-timeout without storage-side fencing)
+    try body
+    finally if (holder().contains(token)) fs.delete(lp, false)
   }
 
   /** The lost-race backstop inside the lease: refuse to touch a
@@ -220,7 +248,8 @@ object IndexGenerations {
       val in = fs.open(lp)
       val body = try new String(in.readAllBytes(), "UTF-8").trim
       finally in.close()
-      Some(body.toLongOption
+      // "<stamp>:<uuid>" since the token format; bare "<stamp>" before
+      Some(body.takeWhile(_ != ':').toLongOption
         .getOrElse(fs.getFileStatus(lp).getModificationTime))
     }
   }

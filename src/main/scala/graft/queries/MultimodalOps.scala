@@ -451,6 +451,10 @@ object MultimodalOps {
             s"night id '$nightId' collides with an existing committed " +
               s"corpus partition at $nightDir that this index never " +
               "recorded — pick a different id")
+        // an ABSORBED id is poisoned even after its dir is pruned:
+        // re-committing it mutual-absorbs with its absorber and blanks
+        // the whole corpus (p04NightRecorded's guard, media twin)
+        graft.operators.Corpus.refuseAbsorbedId(s, out, nightId)
         val v = m12AdvanceRecorded(s, indexDir, deltaMedia, record,
           beforeAdvance = admitted => {
             graft.operators.ShardWriter.writeDocs(

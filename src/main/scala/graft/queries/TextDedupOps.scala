@@ -2529,6 +2529,10 @@ object TextDedupOps {
           s"corpus partition at $nightDir that this index never " +
           "recorded (a compaction or delete replacement?) — pick a " +
           "different id")
+    // an ABSORBED id is poisoned even after its dir is pruned (no
+    // marker left to collide with): committing it again would mutual-
+    // absorb with its absorber and blank the whole corpus
+    graft.operators.Corpus.refuseAbsorbedId(s, outDir, nightId)
     graft.functions.HashSketch.register(s)
     val index = graft.operators.IndexGenerations.readCurrent(s, indexDir)
     val delta = graft.Pinned.pin(d24Sig(deltaDocs))

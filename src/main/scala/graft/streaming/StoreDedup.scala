@@ -95,6 +95,21 @@ object StoreDedup {
     * membership ledger would grow a line per batch. */
   private[streaming] val NightRecordName = "stream_night_hwm"
 
+  /** The fold ledger's pre-hwm name: stores built before the rename
+    * carry their replay evidence under this. Writes use [[RecordName]];
+    * READS must union both or an upgraded store's checkpoint replay
+    * finds no record and re-folds its last batch. The generation
+    * store's compact/rewrite carry record files generically, so legacy
+    * lines survive the lifecycle until their store is rebuilt. */
+  private[streaming] val LegacyRecordName = "stream_batch"
+
+  /** All fold-ledger lines for `indexDir`, current + legacy name — the
+    * one read the three bridges' replay skips share. */
+  private[streaming] def foldRecords(s: SparkSession, indexDir: String)
+      : Seq[String] =
+    IndexGenerations.records(s, indexDir, RecordName) ++
+      IndexGenerations.records(s, indexDir, LegacyRecordName)
+
   /** d24's signature + banding over an ingest frame: one row per (LSH
     * band, doc) for signature-bearing docs, plus one EXACT-arm row per
     * doc bucketed on the content hash itself (prefix `h:` — disjoint
@@ -327,7 +342,7 @@ object StoreDedup {
   def foldBatch(s: SparkSession, indexDir: String, admissions: DataFrame,
       streamId: String, batchId: Long): Boolean = {
     val prefix = streamId + ":"
-    val done = IndexGenerations.records(s, indexDir, RecordName)
+    val done = foldRecords(s, indexDir)
       .collect { case r if r.startsWith(prefix) =>
         r.stripPrefix(prefix).toLong }
     if (done.nonEmpty && done.max >= batchId) false

@@ -239,7 +239,7 @@ object StoreMediaDedup {
   def foldBatch(s: SparkSession, indexDir: String, admissions: DataFrame,
       streamId: String, batchId: Long): Boolean = {
     val prefix = streamId + ":"
-    val done = IndexGenerations.records(s, indexDir, StoreDedup.RecordName)
+    val done = StoreDedup.foldRecords(s, indexDir)
       .collect { case r if r.startsWith(prefix) =>
         r.stripPrefix(prefix).toLong }
     if (done.nonEmpty && done.max >= batchId) false

@@ -328,6 +328,69 @@ class CorpusSpec extends SparkSuite {
     assert(servedIds(root) == Set(10L))
   }
 
+  test("an ABSORBED night id stays retired even after prune deletes " +
+    "its dir: reuse by compaction or a recorded night is refused " +
+    "(mutual absorption would blank the corpus and let prune delete " +
+    "it) — while an id whose own absorber was pruned is free again") {
+    val idx = Files.createTempDirectory("ret_idx").toString
+    val root = Files.createTempDirectory("ret_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("rb0w")))
+    night(idx, root, "n1", 10L -> freshText("ru1w"))
+    assert(Corpus.compactNights(spark, root, "c1")) // c1 absorbs n1
+    assert(Corpus.compactNights(spark, root, "c2")) // c2 absorbs c1
+    assert(Corpus.pruneNights(spark, root).toSet == Set("n1", "c1"))
+    val frozen = walk(root)
+    // c1 is still named in c2's committed marker: retired forever —
+    // with NO marker of its own left to collide with, the absorbed
+    // set is the only evidence
+    val e1 = intercept[IllegalStateException] {
+      Corpus.compactNights(spark, root, "c1")
+    }
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      TextDedupOps.p04Night(spark, idx,
+        docsDf(20L -> freshText("ru2w")), root, "c1")
+    }
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    assert(walk(root) == frozen, "a refused reuse touched the root")
+    assert(Corpus.liveNights(spark, root) == Seq("c2"))
+    assert(servedIds(root) == Set(10L))
+    // n1's absorber c1 is pruned: no committed marker names n1, so the
+    // id is free again for a writer whose own ledger allows it —
+    // compaction reuses it cleanly. (A RECORDED night id like n1 stays
+    // exactly-once on the index ledger regardless; this guard is the
+    // corpus-side namespace only.)
+    assert(Corpus.compactNights(spark, root, "n1"))
+    assert(Corpus.pruneNights(spark, root) == Seq("c2"))
+    assert(Corpus.liveNights(spark, root) == Seq("n1"))
+    assert(servedIds(root) == Set(10L))
+  }
+
+  test("deleteDocs honors a non-default shard count: a root compacted " +
+    "at nShards=4 keeps shard = hash(id) % 4 through the deletion " +
+    "rewrite, so consumers' derived-shard filters stay correct") {
+    val idx = Files.createTempDirectory("sh4_idx").toString
+    val root = Files.createTempDirectory("sh4_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("sb0w")))
+    night(idx, root, "s1",
+      (10L to 17L).map(i => i -> freshText(s"su${i}w")): _*)
+    assert(Corpus.compactNights(spark, root, "sc1", nShards = 4))
+    Corpus.pruneNights(spark, root)
+    assert(Corpus.deleteDocs(spark, root, Seq(10L),
+      nShards = 4).keySet == Set("sc1"))
+    Corpus.pruneNights(spark, root)
+    import org.apache.spark.sql.functions.col
+    val served = Corpus.readCommitted(spark, root)
+    assert(served.select("doc_id").as[Long].collect().toSet ==
+      (11L to 17L).toSet)
+    // every surviving row still sits in its hash(id) % 4 shard — the
+    // deterministic-assignment contract a non-default corpus relies on
+    assert(served
+      .filter(col("shard") =!= ShardWriter.shardCol(col("doc_id"), 4))
+      .count() == 0L,
+      "the deletion rewrite re-sharded the replacement night")
+  }
+
   test("a replayed EMPTY stream batch mints no phantom night: the " +
     "marker repair only fires for a dir that exists") {
     val idx = Files.createTempDirectory("cph_idx").toString

@@ -75,6 +75,56 @@ class WriterFenceSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.index.leaseTimeoutMs")
   }
 
+  test("lease takeover is content-verified: a fresh tokened foreign " +
+    "lease fences cleanly and survives, a stale legacy bare-stamp " +
+    "lease is taken over, and status parses both formats") {
+    val root = Files.createTempDirectory("fence_token").toString
+    seed(root)
+    val lease = Paths.get(root, "_WRITER_LEASE")
+    spark.conf.set("spark.graft.index.leaseTimeoutMs", "50")
+    try {
+      // legacy bare-stamp lease (pre-token stores), stale: taken over
+      Files.write(lease,
+        (System.currentTimeMillis() - 10000L).toString.getBytes)
+      IndexGenerations.advance(spark, root, Seq(1L -> "x").toDF("id", "v"))
+      assert(!Files.exists(lease), "takeover must release on exit")
+      // fresh tokened foreign lease: fenced out, content untouched —
+      // the compare-and-delete must never fall on a fresh lease.
+      // (restore the real staleness bound first — under the 50ms test
+      // bound ANY lease is stale by the time the writer reads it)
+      spark.conf.unset("spark.graft.index.leaseTimeoutMs")
+      val stamp = System.currentTimeMillis()
+      val foreign = stamp.toString + ":foreign-uuid"
+      Files.write(lease, foreign.getBytes)
+      intercept[IllegalStateException] {
+        IndexGenerations.advance(spark, root,
+          Seq(2L -> "y").toDF("id", "v"))
+      }
+      assert(Files.exists(lease) &&
+        new String(Files.readAllBytes(lease), "UTF-8") == foreign,
+        "a fenced-out writer touched the holder's tokened lease")
+      // status reads the stamp out of the tokened format
+      assert(IndexGenerations.leaseStamp(spark, root).contains(stamp))
+      Files.delete(lease)
+    } finally spark.conf.unset("spark.graft.index.leaseTimeoutMs")
+  }
+
+  test("a holder whose lease was usurped mid-body exits WITHOUT " +
+    "deleting the usurper's lease") {
+    val root = Files.createTempDirectory("fence_usurp").toString
+    val lease = Paths.get(root, "_WRITER_LEASE")
+    val usurper = System.currentTimeMillis().toString + ":usurper-uuid"
+    IndexGenerations.withLease(spark, root) {
+      // simulate a legitimate timeout takeover while the body runs
+      Files.write(lease, usurper.getBytes)
+      42
+    }
+    assert(Files.exists(lease) &&
+      new String(Files.readAllBytes(lease), "UTF-8") == usurper,
+      "the usurped holder deleted the usurper's lease on exit")
+    Files.delete(lease)
+  }
+
   test("lost-race backstop: a write targeting an ALREADY-COMMITTED " +
     "generation errors instead of overwriting the winner") {
     val root = Files.createTempDirectory("fence_race").toString

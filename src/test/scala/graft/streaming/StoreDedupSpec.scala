@@ -162,6 +162,34 @@ class StoreDedupSpec extends SparkSuite {
     assert(indexIds(idx) == Set(0L, 10L, 12L))
   }
 
+  test("an upgraded store's LEGACY replay ledger still skips: records " +
+    "written under the pre-hwm name are read by the fold's replay " +
+    "check, so the rename cannot double-fold a checkpoint replay") {
+    val idx = Files.createTempDirectory("sd_leg_idx").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("lb0k")))
+    def admissionsOf(id: Long, p: String) =
+      bandDocs(Seq(IngestDoc(id, "s", freshText(p))).toDS()).toDF()
+        .withColumn("verdict", org.apache.spark.sql.functions.lit("unique"))
+        .withColumn("winner", org.apache.spark.sql.functions.lit(-1L))
+    // simulate the r-era store: the batch-5 record lives under the
+    // OLD name inside the committed generation
+    val gen = IndexGenerations.currentGen(spark, idx).get
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, s"gen=$gen",
+        "_" + StoreDedup.LegacyRecordName),
+      "ckL:5".getBytes("UTF-8"))
+    // the checkpoint replay of batch 5 after the upgrade: skipped
+    val gens = IndexGenerations.committed(spark, idx)
+    assert(!foldBatch(spark, idx, admissionsOf(10L, "lu1k"), "ckL", 5L),
+      "the fold lost the legacy ledger and re-folded a replayed batch")
+    assert(IndexGenerations.committed(spark, idx) == gens)
+    // batch 6 is new work — folds, recorded under the current name
+    assert(foldBatch(spark, idx, admissionsOf(11L, "lu2k"), "ckL", 6L))
+    assert(indexIds(idx) == Set(0L, 11L))
+    assert(IndexGenerations
+      .records(spark, idx, StoreDedup.RecordName).contains("ckL:6"))
+  }
+
   test("the fold's exactly-once survives compact + prune: a checkpoint " +
     "replay of the last pre-compact batch finds its record in the " +
     "compacted total and skips") {
