@@ -30,7 +30,7 @@ import graft.operators.IndexGenerations
   * graft.Nightly all reconcile <indexBase> --shards <root>
   *                             --media-shards <root>
   * graft.Nightly <text|media> compact-shards <shardsRoot> --into <nightId>
-  * graft.Nightly <text|media> prune-shards   <shardsRoot>
+  * graft.Nightly <text|media> prune-shards   <shardsRoot> [--pin <id,...>]
   * graft.Nightly <text|media> shards-status  <shardsRoot>
   * graft.Nightly <text|media> audit-shards   <shardsRoot>
   * graft.Nightly <text|media> delete-docs    <shardsRoot> --ids <id,...>
@@ -338,7 +338,13 @@ object Nightly {
 
       case "prune-shards" =>
         require(axis != "vec", "no shard corpus on the vec axis")
-        val deleted = operators.Corpus.pruneNights(s, indexDir)
+        // --pin <id,...>: absorbed nights a long-running consumer is
+        // still re-reading via readNights survive this prune
+        val pins = rest.sliding(2)
+          .collectFirst { case Seq("--pin", v) => v }
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty[String])
+        val deleted = operators.Corpus.pruneNights(s, indexDir, pins)
         line("metric" -> "\"shards_prune\"",
           "deleted" -> deleted.map(id => s""""$id"""")
             .mkString("[", ",", "]"),

@@ -392,15 +392,68 @@ object Corpus {
 
   /** Delete the dirs of absorbed nights (their rows live on in a
     * committed compaction). Never touches an uncommitted dir — that is
-    * an in-flight writer's, not garbage. Returns the deleted ids. */
-  def pruneNights(s: SparkSession, root: String): Seq[String] =
+    * an in-flight writer's, not garbage. Returns the deleted ids.
+    *
+    * `pinned` ids (plus the session-wide
+    * `spark.graft.corpus.pinNights` comma list) survive the prune even
+    * when absorbed — the corpus twin of the index store's
+    * `readGen`-honoring prune: a long training run records
+    * [[liveNights]] at start and keeps re-reading that EXACT set via
+    * [[readNights]] while compaction and retention churn the root
+    * around it; prune reclaims the pinned dirs only after the pin is
+    * lifted. (Retention note: a [[deleteDocs]] takedown's bytes leave
+    * disk at the prune — a pin on the OLD night defers exactly that,
+    * so lift pins before a deletion's retention clock matters.) */
+  def pruneNights(s: SparkSession, root: String,
+      pinned: Set[String] = Set.empty): Seq[String] =
     IndexGenerations.withLease(s, root) {
+      val pins = pinned ++ s.conf
+        .getOption("spark.graft.corpus.pinNights")
+        .iterator.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
       val committed = committedNights(s, root)
       val dead = absorbedOf(committed)
-        .intersect(committed.map(_._1).toSet).toSeq.sorted
+        .intersect(committed.map(_._1).toSet)
+        .diff(pins).toSeq.sorted
       val fs = fsOf(s, root)
       dead.foreach(id =>
         fs.delete(new Path(s"$root/$NightPrefix$id"), true))
       dead
     }
+
+  /** Read an EXPLICIT night set — the reproducible-read face, the
+    * corpus twin of the index store's `readAt`: a consumer records
+    * [[liveNights]] when it starts and re-reads that exact set for as
+    * long as the dirs survive, immune to compactions committed in
+    * between (an absorbed night's dir serves history until a
+    * [[pruneNights]] that does not pin it). Every id must carry a
+    * committed marker (an uncommitted dir is an in-flight writer's,
+    * not history); a pruned id fails loudly with the pin to use —
+    * never a silent subset. Marker-only ids (a takedown replaced every
+    * row) contribute no rows, exactly as they did when live. */
+  def readNights(s: SparkSession, root: String, ids: Seq[String])
+      : DataFrame = {
+    require(ids.nonEmpty, "empty night set")
+    val committed = committedNights(s, root).map(_._1).toSet
+    val fs = fsOf(s, root)
+    ids.foreach { id =>
+      if (!committed.contains(id))
+        throw new IllegalStateException(
+          if (fs.exists(new Path(s"$root/$NightPrefix$id")))
+            s"night '$id' under $root is not committed — an in-flight " +
+              "or torn write is not readable history"
+          else
+            s"night '$id' under $root was pruned — pin a snapshot " +
+              "across the lifecycle with pruneNights(pinned=...) or " +
+              "spark.graft.corpus.pinNights before reclaiming it")
+    }
+    val withData = ids.distinct.filter(hasData(s, root, _))
+    if (withData.isEmpty)
+      // every id in the set was taken down to marker-only: no data
+      // columns survive to infer, so serve the bare partition shape
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          types.StructField("night", types.StringType),
+          types.StructField("shard", types.LongType))))
+    else readNightDirs(s, root, withData)
+  }
 }

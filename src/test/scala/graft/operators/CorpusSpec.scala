@@ -391,6 +391,51 @@ class CorpusSpec extends SparkSuite {
       "the deletion rewrite re-sharded the replacement night")
   }
 
+  test("readNights + pinned prune: a consumer's recorded snapshot " +
+    "re-reads byte-identically across a compaction, survives a PINNED " +
+    "prune, and fails loudly (never a silent subset) once unpinned " +
+    "reclamation deletes it") {
+    val idx = Files.createTempDirectory("snap_idx").toString
+    val root = Files.createTempDirectory("snap_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("pb0w")))
+    night(idx, root, "p1", 10L -> freshText("pu1w"))
+    night(idx, root, "p2", 20L -> freshText("pu2w"))
+    // the consumer starts: record the live set, remember the rows
+    val snapshot = Corpus.liveNights(spark, root)
+    assert(snapshot == Seq("p1", "p2"))
+    def snapIds() = Corpus.readNights(spark, root, snapshot)
+      .select("doc_id").as[Long].collect().toSet
+    val rows0 = snapIds()
+    assert(rows0 == Set(10L, 20L))
+    // lifecycle churns around the snapshot: compact, then prune WITH
+    // the pin — the absorbed dirs survive and the snapshot re-reads
+    assert(Corpus.compactNights(spark, root, "pc1"))
+    assert(Corpus.pruneNights(spark, root, pinned = snapshot.toSet)
+      .isEmpty, "a pinned prune deleted a pinned night")
+    assert(snapIds() == rows0,
+      "the snapshot read changed across compact + pinned prune")
+    assert(servedIds(root) == Set(10L, 20L),
+      "the live read must serve the compaction meanwhile")
+    // the conf form pins too (the session-wide knob a read-only
+    // consumer can set without touching the prune call site)
+    spark.conf.set("spark.graft.corpus.pinNights", "p1,p2")
+    try assert(Corpus.pruneNights(spark, root).isEmpty)
+    finally spark.conf.unset("spark.graft.corpus.pinNights")
+    // pins lifted: reclamation proceeds, and the stale snapshot fails
+    // loudly with the remedy instead of serving a silent subset
+    assert(Corpus.pruneNights(spark, root).toSet == Set("p1", "p2"))
+    val e = intercept[IllegalStateException] { snapIds() }
+    assert(e.getMessage.contains("pruned") &&
+      e.getMessage.contains("pinNights"), e.getMessage)
+    // an uncommitted (torn) dir is not readable history either
+    Seq((99L, "s1", "junk")).toDF("doc_id", "source", "text")
+      .write.parquet(s"$root/night=torn")
+    val e2 = intercept[IllegalStateException] {
+      Corpus.readNights(spark, root, Seq("torn"))
+    }
+    assert(e2.getMessage.contains("not committed"), e2.getMessage)
+  }
+
   test("a replayed EMPTY stream batch mints no phantom night: the " +
     "marker repair only fires for a dir that exists") {
     val idx = Files.createTempDirectory("cph_idx").toString
