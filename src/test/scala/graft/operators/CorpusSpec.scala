@@ -157,26 +157,35 @@ class CorpusSpec extends SparkSuite {
   }
 
   test("corpus model property: any interleaving of nights / compacts / " +
-    "prunes / crashed partials / committed-night reruns serves exactly " +
-    "the model's rows") {
+    "prunes (pinned and not) / crashed partials / committed-night " +
+    "reruns / snapshot reads / retired-id reuse serves exactly the " +
+    "model's rows") {
     val rnd = new scala.util.Random(4242)
     val idx = Files.createTempDirectory("cmp_idx").toString
     val root = Files.createTempDirectory("cmp_root").toString
     TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("qb0w")))
-    // model: the live night ids and the doc ids each contributes
+    // model: the live night ids and the doc ids each contributes;
+    // markers mirrors every committed marker ON DISK (live + absorbed-
+    // but-unpruned) with its absorbs lines — the source of the retired
+    // set and of what a prune deletes
     var model = Map.empty[String, Set[Long]]
+    var markers = Map.empty[String, Set[String]]
+    // a long-running consumer: the night set + rows it recorded, kept
+    // pinned through every prune while held
+    var snapshot = Option.empty[(Seq[String], Set[Long])]
     var nextId = 100L
     def freshRows(k: Int): Seq[(Long, String)] =
       (0 until k).map { _ =>
         val id = nextId; nextId += 1
         id -> freshText(s"qq${id}z")
       }
-    (1 to 16).foreach { step =>
-      rnd.nextInt(7) match {
+    (1 to 22).foreach { step =>
+      rnd.nextInt(9) match {
         case 0 | 1 =>
           val rows = freshRows(1 + rnd.nextInt(2))
           night(idx, root, s"n$step", rows: _*)
           model += (s"n$step" -> rows.map(_._1).toSet)
+          markers += (s"n$step" -> Set.empty)
         case 2 =>
           if (model.isEmpty)
             intercept[IllegalStateException] {
@@ -184,10 +193,18 @@ class CorpusSpec extends SparkSuite {
             }
           else {
             assert(Corpus.compactNights(spark, root, s"c$step"))
+            markers += (s"c$step" -> model.keySet)
             model = Map(s"c$step" -> model.values.flatten.toSet)
           }
         case 3 =>
-          Corpus.pruneNights(spark, root) // never changes the served set
+          // prune never changes the SERVED set; a held snapshot rides
+          // through pinned, exactly as its consumer would run it
+          val pins = snapshot.map(_._1.toSet).getOrElse(Set.empty)
+          val dead = markers.values.flatten.toSet
+            .intersect(markers.keySet).diff(pins)
+          assert(Corpus.pruneNights(spark, root, pins).toSet == dead,
+            s"step $step: prune deleted a different set than the model")
+          markers --= dead
         case 4 =>
           // a writer crashed mid-night: real files, no marker
           Seq((888L + step, "sx", "junk " * 5))
@@ -221,7 +238,39 @@ class CorpusSpec extends SparkSuite {
               if (v.contains(victim)) s"$k-d$tag" -> (v - victim)
               else k -> v
             }
+            markers ++= markers.collect {
+              case (k, _) if model.contains(s"$k-d$tag") =>
+                s"$k-d$tag" -> Set(k)
+            }
           }
+        case 7 =>
+          // the consumer lifecycle: record a snapshot if none is held
+          // (live ids + their rows, frozen), else finish and unpin
+          snapshot = snapshot match {
+            case None if model.nonEmpty =>
+              Some(model.keys.toSeq.sorted -> model.values.flatten.toSet)
+            case _ => None
+          }
+        case 8 =>
+          // reuse of a RETIRED id (named in any on-disk marker's
+          // absorbs lines): while its own dir survives it reads as a
+          // committed rerun (recorded no-op, false); once pruned, the
+          // refusal guard is the only evidence left and must throw
+          val retired = markers.values.flatten.toSet
+          (retired -- markers.keySet).toSeq.sorted.headOption
+            .foreach { id =>
+              val e = intercept[IllegalStateException] {
+                Corpus.compactNights(spark, root, id)
+              }
+              assert(e.getMessage.contains("retired"),
+                s"step $step: ${e.getMessage}")
+            }
+          retired.intersect(markers.keySet).toSeq.sorted.headOption
+            .foreach { id =>
+              assert(!Corpus.compactNights(spark, root, id),
+                s"step $step: absorbed-unpruned id reuse must be a " +
+                  "recorded no-op")
+            }
       }
       val served =
         if (model.values.flatten.isEmpty) Set.empty[Long]
@@ -230,6 +279,15 @@ class CorpusSpec extends SparkSuite {
         s"step $step: served $served != model")
       assert(Corpus.liveNights(spark, root).toSet == model.keySet,
         s"step $step: live nights disagree with the model")
+      // the held snapshot re-reads its FROZEN rows at every step, no
+      // matter what compaction/deletion/prune did meanwhile — original
+      // rows, including docs later deleted from the live view
+      snapshot.foreach { case (ids, rows) =>
+        val got = Corpus.readNights(spark, root, ids)
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == rows,
+          s"step $step: snapshot read $got != frozen $rows")
+      }
     }
   }
 
