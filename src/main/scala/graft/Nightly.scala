@@ -73,10 +73,24 @@ object Nightly {
       "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>] | " +
       "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
+  /** Flags that take no value; every other `--flag` must be followed
+    * by one. Validated up front because several value flags have a
+    * LEGITIMATE absent default (`--pin` → no pins, `--shards` on a
+    * media night → no corpus half): a dangling flag parsed as "absent"
+    * would silently do the destructive default — prune the nights the
+    * operator meant to pin, skip the corpus increment they meant to
+    * write — instead of erroring. */
+  private val BoolFlags = Set("--prune")
+
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
   def run(s: SparkSession, args: Seq[String]): String = {
     require(args.length >= 3, Usage)
+    args.zipWithIndex.foreach { case (a, i) =>
+      if (a.startsWith("--") && !BoolFlags(a))
+        require(args.lift(i + 1).exists(!_.startsWith("--")),
+          s"flag $a requires a value\n$Usage")
+    }
     val Seq(axis, cmd, indexDir) = args.take(3)
     // `all` fans one night (or status) across the three axes — ONE
     // cron entry for the whole production night. Here `indexDir` is

@@ -129,13 +129,48 @@ object Corpus {
         "(every read of the corpus goes empty and the next prune " +
         "deletes both); pick a fresh id")
 
-  /** [[refuseAbsorbedId]] against the root's current committed set —
+  /** [[refuseAbsorbedId]] against the root's current retired set —
     * the form the night writers (which don't hold the marker listing)
-    * call before claiming an id. */
+    * call before claiming an id. Reads the O(1) [[Retired]] cache when
+    * present so an always-on micro-night stream pays one small-file
+    * read per commit, not a marker scan that grows with night count;
+    * roots from before the cache fall back to the scan until their
+    * first compact/delete/prune writes it. */
   private[graft] def refuseAbsorbedId(s: SparkSession, root: String,
       id: String): Unit =
     if (fsOf(s, root).exists(new Path(root)))
-      refuseAbsorbedId(absorbedOf(committedNights(s, root)), id, root)
+      refuseAbsorbedId(retiredOf(s, root), id, root)
+
+  /** The root-level retired-id cache: exactly the `absorbs:` union of
+    * the markers on disk, maintained by the only writers that change
+    * it — [[compactNights]]/[[deleteDocs]] append their new
+    * absorptions, [[pruneNights]] recomputes after deleting markers
+    * (an id whose every naming marker is gone leaves the set — the
+    * freed-id semantics the model property pins). Temp-then-rename
+    * write, so the lease-less night writers read it atomically. */
+  private[graft] val Retired = "_RETIRED"
+
+  private def retiredOf(s: SparkSession, root: String): Set[String] = {
+    val fs = fsOf(s, root)
+    val p = new Path(root, Retired)
+    if (!fs.exists(p))
+      return absorbedOf(committedNights(s, root))
+    val in = fs.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8")
+    finally in.close()
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+  }
+
+  private def writeRetired(s: SparkSession, root: String,
+      ids: Set[String]): Unit = {
+    val fs = fsOf(s, root)
+    val p = new Path(root, Retired)
+    val tmp = new Path(root, Retired + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(ids.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, p)) { fs.delete(p, false); fs.rename(tmp, p) }
+  }
 
   /** The night ids a read serves: committed minus absorbed-by-a-
     * committed-compaction (absorption chains resolve because every
@@ -249,6 +284,7 @@ object Corpus {
         // collapse to one
         stampCommitted(s, s"$root/$NightPrefix$into",
           into +: live.map(AbsorbsTag + _), onlyIfMissing = false)
+        writeRetired(s, root, absorbed ++ live)
         true
       }
     }
@@ -351,7 +387,7 @@ object Corpus {
     * deleted doc_id as winner — the ledger of what was seen, not of
     * what is served.) Returns (oldNightId → replacementId). */
   def deleteDocs(s: SparkSession, root: String, ids: Seq[Long],
-      idCol: String = "doc_id", nShards: Int = 16): Map[String, String] = {
+      idCol: String = "doc_id"): Map[String, String] = {
     require(ids.nonEmpty, "empty deletion request")
     IndexGenerations.withLease(s, root) {
       val committed = committedNights(s, root)
@@ -374,19 +410,35 @@ object Corpus {
           .filter(col(idCol).isin(ids: _*))
           .select("night").distinct()
           .collect().map(_.getString(0)).toSet
-      live.filter(affected).map { nid =>
+      val replacements = live.filter(affected)
+        .map(nid => nid -> s"$nid-d$tag")
+      // refuse RETIRED replacement ids BEFORE any rewrite (deleteDocs
+      // is an id-choosing writer like compaction and the nights): the
+      // collision needs a reused night id plus the same deletion
+      // request recurring after its earlier replacement was absorbed
+      // and pruned — rare, but stamping it would mutual-absorb and
+      // blank the corpus. Up-front means the refusal leaves no
+      // partial rewrite; vary the request (one extra absent id
+      // changes the tag) to proceed.
+      replacements.foreach { case (_, newId) =>
+        refuseAbsorbedId(absorbed, newId, root)
+      }
+      val done = replacements.map { case (nid, newId) =>
         val dir = s"$root/$NightPrefix$nid"
-        val newId = s"$nid-d$tag"
+        // each kept row KEEPS the shard its night assigned it — the
+        // rewrite is per-night-correct for any historical shard
+        // count, with no caller-supplied count to get wrong
         val kept = s.read.option("basePath", root).parquet(dir)
-          .drop("night", "shard")
+          .drop("night")
           .filter(!col(idCol).isin(ids: _*))
-        ShardWriter.writeDocs(kept, nShards,
-          s"$root/$NightPrefix$newId", onePassPerShard = true,
-          idCol = idCol)
+        ShardWriter.writeSharded(kept, s"$root/$NightPrefix$newId")
         stampCommitted(s, s"$root/$NightPrefix$newId",
           Seq(newId, AbsorbsTag + nid), onlyIfMissing = false)
         nid -> newId
       }.toMap
+      if (done.nonEmpty)
+        writeRetired(s, root, absorbed ++ done.keys)
+      done
     }
   }
 
@@ -417,6 +469,11 @@ object Corpus {
       val fs = fsOf(s, root)
       dead.foreach(id =>
         fs.delete(new Path(s"$root/$NightPrefix$id"), true))
+      // deleting markers can FREE ids (an id named only by a
+      // now-deleted marker leaves the retired set) — recompute the
+      // cache from the surviving markers
+      writeRetired(s, root,
+        absorbedOf(committed.filterNot(c => dead.contains(c._1))))
       dead
     }
 

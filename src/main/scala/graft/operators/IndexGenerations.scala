@@ -106,10 +106,13 @@ object IndexGenerations {
       .getOption("spark.graft.index.leaseTimeoutMs")
       .map(_.toLong).getOrElse(3600000L)
     // the lease content is "<stamp>:<uuid>" — the stamp bounds
-    // staleness, the uuid makes ownership CHECKABLE: takeover and exit
-    // both verify the content instead of trusting the path, so a
-    // contender can never delete a lease it did not judge stale, and a
-    // usurped writer can never delete its usurper's fresh lease
+    // staleness, the uuid makes ownership checkable. Takeover and exit
+    // never blind-delete the lease PATH: both first claim it with an
+    // atomic RENAME to a private name, so exactly one contender ever
+    // holds the claimed file, then act on its verified content — a
+    // fresh lease that got claimed by mistake is renamed straight
+    // back. (A claimer crashing mid-takeover strands only its inert
+    // claim file; the lease path itself is already free.)
     val token = System.currentTimeMillis().toString + ":" +
       java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
@@ -119,48 +122,82 @@ object IndexGenerations {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def holder(): Option[String] =
-      try {
-        val in = fs.open(lp)
-        try Some(new String(in.readAllBytes(), "UTF-8").trim)
-        finally in.close()
-      } catch { case _: java.io.IOException => None }
+    // content read with a short retry ladder: a transient IO hiccup
+    // must not be mistaken for "absent" (that misread could strand a
+    // lease or skip a restore); a genuinely missing file returns fast
+    def readPath(p: Path): Option[String] = {
+      var attempt = 0
+      while (attempt < 3) {
+        try {
+          val in = fs.open(p)
+          return Some(
+            try new String(in.readAllBytes(), "UTF-8").trim
+            finally in.close())
+        } catch {
+          case _: java.io.FileNotFoundException => return None
+          case _: java.io.IOException =>
+            attempt += 1
+            if (attempt < 3) Thread.sleep(20L << attempt)
+        }
+      }
+      None
+    }
+    def claimPath(kind: String) =
+      new Path(rp, Lease + "." + kind + "." + token.takeRight(12))
     val acquired = tryAcquire() || {
-      // stale-lease takeover: one compare-and-delete + one retry,
-      // bounded. The pre-delete re-read pins the delete to the EXACT
-      // lease judged stale — if another contender already took over
-      // (fresh foreign token), this one backs off instead of deleting
-      // the winner's lease out from under it.
-      val seen = holder()
-      val stale = seen match {
-        case None => true // vanished between create-fail and read
-        case Some(tok) =>
-          val t = tok.takeWhile(_ != ':').toLongOption.getOrElse(
+      readPath(lp) match {
+        case None => tryAcquire() // vanished between create-fail & read
+        case Some(seen) =>
+          val t = seen.takeWhile(_ != ':').toLongOption.getOrElse(
             try fs.getFileStatus(lp).getModificationTime
             catch { case _: java.io.IOException => Long.MaxValue })
-          System.currentTimeMillis() - t > timeoutMs
+          val stale = System.currentTimeMillis() - t > timeoutMs
+          stale && {
+            // atomic claim: of all contenders judging this lease
+            // stale, the rename admits exactly one
+            val claim = claimPath("takeover")
+            val won =
+              try fs.rename(lp, claim)
+              catch { case _: java.io.IOException => false }
+            won && {
+              if (readPath(claim).contains(seen)) {
+                // the exact lease judged stale: retire it and race
+                // create-exclusive for the now-free path (losing that
+                // race to a third writer is a clean failure below)
+                fs.delete(claim, false)
+                tryAcquire()
+              } else {
+                // a fresh lease landed between the read and the
+                // rename — give it straight back, never touch it
+                fs.rename(claim, lp)
+                false
+              }
+            }
+          }
       }
-      if (stale && holder() == seen) fs.delete(lp, false)
-      stale && tryAcquire()
     }
     if (!acquired) throw new IllegalStateException(
       s"another writer holds the lease on $root ($Lease present and " +
         s"fresh) — the store is single-writer; stop the other " +
         s"build/advance/prune first, or wait out the " +
         s"${timeoutMs / 1000}s stale-lease bound if it crashed")
-    // ownership verify: two contenders racing the SAME stale lease can
-    // interleave delete/create so that both `tryAcquire` calls return
-    // true in sequence — the content says who actually holds it now
-    if (!holder().contains(token)) throw new IllegalStateException(
-      s"lost the stale-lease takeover race on $root — another writer " +
-        "acquired between this one's create and verify; retry")
     // a holder whose body outlives leaseTimeoutMs can be legitimately
-    // taken over mid-body; the verified delete means it exits without
-    // touching the usurper's lease (set the timeout above the longest
-    // expected job — the takeover window itself is inherent to a
-    // lease-with-timeout without storage-side fencing)
+    // taken over mid-body (set the timeout above the longest expected
+    // job); the claimed exit below means it then leaves WITHOUT
+    // touching the usurper's lease
     try body
-    finally if (holder().contains(token)) fs.delete(lp, false)
+    finally {
+      val out = claimPath("exit")
+      val won =
+        try fs.rename(lp, out)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        if (readPath(out).contains(token)) fs.delete(out, false)
+        // unknown or foreign content: restore rather than destroy —
+        // worst case a stranded foreign lease ages out on the bound
+        else fs.rename(out, lp)
+      }
+    }
   }
 
   /** The lost-race backstop inside the lease: refuse to touch a

@@ -79,4 +79,24 @@ object ShardWriter {
       fields.filter(_.name != "shard") :+ fields.find(_.name == "shard").get)
     docs.sparkSession.read.schema(readSchema).parquet(path)
   }
+
+  /** [[writeDocs]] for rows that ALREADY carry their `shard` column —
+    * the deletion-rewrite posture (`Corpus.deleteDocs`): each kept row
+    * keeps the shard its night assigned it, so the rewrite is correct
+    * for ANY historical shard count without the caller knowing it.
+    * One shuffle on the shard key, one file per shard (rewrites are
+    * the compaction posture). */
+  def writeSharded(docs: DataFrame, path: String): DataFrame = {
+    require(docs.columns.contains("shard"),
+      "writeSharded needs the rows' existing shard column")
+    val sharded = docs.repartition(col("shard"))
+    sharded
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(path)
+    val fields = sharded.schema.fields
+    val readSchema = org.apache.spark.sql.types.StructType(
+      fields.filter(_.name != "shard") :+ fields.find(_.name == "shard").get)
+    docs.sparkSession.read.schema(readSchema).parquet(path)
+  }
 }

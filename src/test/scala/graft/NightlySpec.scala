@@ -293,6 +293,24 @@ class NightlySpec extends SparkSuite {
     assert(rec4.contains("\"clean\":true"), rec4)
   }
 
+  test("a dangling value-flag errors loudly instead of reading as " +
+    "absent — '--pin' with the value forgotten must not prune the " +
+    "nights it meant to protect, '--shards' must not skip the corpus") {
+    val root = Files.createTempDirectory("nl_flag").toString
+    Seq("--pin", "--shards", "--ids", "--verdicts").foreach { f =>
+      val e = intercept[IllegalArgumentException] {
+        Nightly.run(spark, Seq("text", "prune-shards", root, f))
+      }
+      assert(e.getMessage.contains("requires a value"), e.getMessage)
+    }
+    // a flag followed by another flag is dangling too
+    val e = intercept[IllegalArgumentException] {
+      Nightly.run(spark,
+        Seq("text", "night", root, root, "--shards", "--prune"))
+    }
+    assert(e.getMessage.contains("requires a value"), e.getMessage)
+  }
+
   test("media night: the recorded advance is exactly-once per id — " +
     "rerun of a committed night is a no-op, and a later night still " +
     "catches the re-upload") {

@@ -410,7 +410,21 @@ class CorpusSpec extends SparkSuite {
         docsDf(20L -> freshText("ru2w")), root, "c1")
     }
     assert(e2.getMessage.contains("retired"), e2.getMessage)
-    assert(walk(root) == frozen, "a refused reuse touched the root")
+    // a root from before the _RETIRED cache existed (or whose cache
+    // was lost): the guard falls back to the marker scan (delete the
+    // local-FS .crc sidecar too, or it lingers in the walk)
+    java.nio.file.Files.delete(Paths.get(root, Corpus.Retired))
+    java.nio.file.Files.deleteIfExists(
+      Paths.get(root, "." + Corpus.Retired + ".crc"))
+    val e3 = intercept[IllegalStateException] {
+      TextDedupOps.p04Night(spark, idx,
+        docsDf(21L -> freshText("ru4w")), root, "c1")
+    }
+    assert(e3.getMessage.contains("retired"),
+      s"cache-less fallback failed: ${e3.getMessage}")
+    val frozen2 = walk(root)
+    assert(frozen2 == frozen.filterNot(_._1.contains(Corpus.Retired)),
+      "a refused reuse touched the root")
     assert(Corpus.liveNights(spark, root) == Seq("c2"))
     assert(servedIds(root) == Set(10L))
     // n1's absorber c1 is pruned: no committed marker names n1, so the
@@ -424,9 +438,10 @@ class CorpusSpec extends SparkSuite {
     assert(servedIds(root) == Set(10L))
   }
 
-  test("deleteDocs honors a non-default shard count: a root compacted " +
-    "at nShards=4 keeps shard = hash(id) % 4 through the deletion " +
-    "rewrite, so consumers' derived-shard filters stay correct") {
+  test("deleteDocs preserves each row's original shard: a root " +
+    "compacted at nShards=4 keeps shard = hash(id) % 4 through the " +
+    "deletion rewrite with NO caller-supplied count, so consumers' " +
+    "derived-shard filters stay correct on any-shard-count corpora") {
     val idx = Files.createTempDirectory("sh4_idx").toString
     val root = Files.createTempDirectory("sh4_root").toString
     TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("sb0w")))
@@ -434,15 +449,15 @@ class CorpusSpec extends SparkSuite {
       (10L to 17L).map(i => i -> freshText(s"su${i}w")): _*)
     assert(Corpus.compactNights(spark, root, "sc1", nShards = 4))
     Corpus.pruneNights(spark, root)
-    assert(Corpus.deleteDocs(spark, root, Seq(10L),
-      nShards = 4).keySet == Set("sc1"))
+    assert(Corpus.deleteDocs(spark, root, Seq(10L)).keySet == Set("sc1"))
     Corpus.pruneNights(spark, root)
     import org.apache.spark.sql.functions.col
     val served = Corpus.readCommitted(spark, root)
     assert(served.select("doc_id").as[Long].collect().toSet ==
       (11L to 17L).toSet)
     // every surviving row still sits in its hash(id) % 4 shard — the
-    // deterministic-assignment contract a non-default corpus relies on
+    // deterministic-assignment contract a non-default corpus relies
+    // on, held because the rewrite keeps the rows' OWN shard column
     assert(served
       .filter(col("shard") =!= ShardWriter.shardCol(col("doc_id"), 4))
       .count() == 0L,
