@@ -147,7 +147,15 @@ object Corpus {
     * absorptions, [[pruneNights]] recomputes after deleting markers
     * (an id whose every naming marker is gone leaves the set — the
     * freed-id semantics the model property pins). Temp-then-rename
-    * write, so the lease-less night writers read it atomically. */
+    * write, so the lease-less night writers read it atomically.
+    *
+    * Crash-staleness is SAFE in both directions: a crash before the
+    * cache write leaves it missing fresh absorptions, but those ids'
+    * own dirs and markers still exist (nothing pruned yet), so the
+    * marker-collision check catches any reuse until the next prune
+    * rewrites the cache; a crash mid-prune leaves the cache
+    * over-retiring freed ids — conservative, healed by the next
+    * prune. */
   private[graft] val Retired = "_RETIRED"
 
   private def retiredOf(s: SparkSession, root: String): Set[String] = {
