@@ -509,6 +509,43 @@ class CorpusSpec extends SparkSuite {
     assert(e2.getMessage.contains("not committed"), e2.getMessage)
   }
 
+  test("a STALE retired cache (crash before its write) is safe: ids " +
+    "it misses still have dirs + markers, so reuse hits the collision " +
+    "check until the next prune rewrites the cache") {
+    val idx = Files.createTempDirectory("stale_idx").toString
+    val root = Files.createTempDirectory("stale_root").toString
+    TextDedupOps.d24Build(spark, idx, docsDf(0L -> freshText("tb0w")))
+    night(idx, root, "t1", 10L -> freshText("tu1w"))
+    // simulate the crash window: compact commits its marker but the
+    // cache write never lands (blank it back to the pre-compact state)
+    assert(Corpus.compactNights(spark, root, "tc1"))
+    java.nio.file.Files.write(Paths.get(root, Corpus.Retired),
+      Array.empty[Byte])
+    // t1 is absorbed but missing from the cache — its dir + marker
+    // still exist (nothing pruned), so a reuse attempt is caught by
+    // the committed-rerun/collision layer, not the retired guard.
+    // (The reuse comes from a DIFFERENT index lineage — the original
+    // index's own night ledger would skip t1 as a recorded rerun long
+    // before either corpus guard, which is the healthy path.)
+    val idx2 = Files.createTempDirectory("stale_idx2").toString
+    TextDedupOps.d24Build(spark, idx2, docsDf(0L -> freshText("tb2w")))
+    assert(!Corpus.compactNights(spark, root, "t1"),
+      "reusing a marker-bearing id must read as a committed no-op")
+    val e = intercept[IllegalStateException] {
+      TextDedupOps.p04Night(spark, idx2,
+        docsDf(20L -> freshText("tu2w")), root, "t1")
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    // the next prune heals the cache: t1's dir goes, and the guard
+    // alone now carries the refusal
+    assert(Corpus.pruneNights(spark, root) == Seq("t1"))
+    val e2 = intercept[IllegalStateException] {
+      TextDedupOps.p04Night(spark, idx2,
+        docsDf(21L -> freshText("tu3w")), root, "t1")
+    }
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+  }
+
   test("a replayed EMPTY stream batch mints no phantom night: the " +
     "marker repair only fires for a dir that exists") {
     val idx = Files.createTempDirectory("cph_idx").toString
