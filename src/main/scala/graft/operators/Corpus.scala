@@ -158,16 +158,21 @@ object Corpus {
     * prune. */
   private[graft] val Retired = "_RETIRED"
 
-  private def retiredOf(s: SparkSession, root: String): Set[String] = {
-    val fs = fsOf(s, root)
-    val p = new Path(root, Retired)
-    if (!fs.exists(p))
-      return absorbedOf(committedNights(s, root))
-    val in = fs.open(p)
-    val body = try new String(in.readAllBytes(), "UTF-8")
-    finally in.close()
-    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
-  }
+  private def retiredOf(s: SparkSession, root: String): Set[String] =
+    // open-and-catch, not exists-then-open: on stores where
+    // rename-to-existing fails (HDFS), writeRetired's delete+rename
+    // fallback makes the rewrite momentarily non-atomic, and a
+    // lease-less night commit racing it must fall back to the marker
+    // scan instead of crashing on the vanished file
+    try {
+      val in = fsOf(s, root).open(new Path(root, Retired))
+      val body = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+      body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSet
+    } catch {
+      case _: java.io.FileNotFoundException =>
+        absorbedOf(committedNights(s, root))
+    }
 
   private def writeRetired(s: SparkSession, root: String,
       ids: Set[String]): Unit = {
@@ -475,11 +480,19 @@ object Corpus {
         .intersect(committed.map(_._1).toSet)
         .diff(pins).toSeq.sorted
       val fs = fsOf(s, root)
+      // heal the cache BEFORE any dir leaves disk: a compact that
+      // crashed between its marker and its cache write left retired
+      // ids covered only by their surviving markers — deleting those
+      // markers first would open a window (permanent, if this prune
+      // crashed mid-delete) where neither guard covers the id
+      writeRetired(s, root, absorbedOf(committed))
       dead.foreach(id =>
         fs.delete(new Path(s"$root/$NightPrefix$id"), true))
       // deleting markers can FREE ids (an id named only by a
-      // now-deleted marker leaves the retired set) — recompute the
-      // cache from the surviving markers
+      // now-deleted marker leaves the retired set) — recompute from
+      // the survivors. A crash before this line leaves the
+      // conservative over-retiring cache above: safe, healed by the
+      // next prune.
       writeRetired(s, root,
         absorbedOf(committed.filterNot(c => dead.contains(c._1))))
       dead

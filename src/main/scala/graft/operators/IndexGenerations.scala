@@ -152,7 +152,12 @@ object IndexGenerations {
             try fs.getFileStatus(lp).getModificationTime
             catch { case _: java.io.IOException => Long.MaxValue })
           val stale = System.currentTimeMillis() - t > timeoutMs
-          stale && {
+          // double-check just before the claim: if the content already
+          // changed (another takeover completed), abort WITHOUT the
+          // rename — a fresh lease must never leave the path, even for
+          // the verify instant, because a naive create-exclusive would
+          // slip into that instant with no staleness judgment at all
+          stale && readPath(lp).contains(seen) && {
             // atomic claim: of all contenders judging this lease
             // stale, the rename admits exactly one
             val claim = claimPath("takeover")
@@ -167,9 +172,15 @@ object IndexGenerations {
                 fs.delete(claim, false)
                 tryAcquire()
               } else {
-                // a fresh lease landed between the read and the
-                // rename — give it straight back, never touch it
-                fs.rename(claim, lp)
+                // a fresh lease landed inside the re-read→rename gap
+                // (needs a FULL takeover inside microseconds — the
+                // residual bound of filesystem primitives without
+                // compare-and-swap; an object-store deployment that
+                // needs tighter should front a CAS lock service):
+                // restore it; if a third writer claimed the free path
+                // meanwhile, the displaced lease is already dead —
+                // drop the claim file as debris rather than strand it
+                if (!fs.rename(claim, lp)) fs.delete(claim, false)
                 false
               }
             }
@@ -187,15 +198,22 @@ object IndexGenerations {
     // touching the usurper's lease
     try body
     finally {
-      val out = claimPath("exit")
-      val won =
-        try fs.rename(lp, out)
-        catch { case _: java.io.IOException => false }
-      if (won) {
-        if (readPath(out).contains(token)) fs.delete(out, false)
-        // unknown or foreign content: restore rather than destroy —
-        // worst case a stranded foreign lease ages out on the bound
-        else fs.rename(out, lp)
+      // only touch a lease that still READS as ours (a usurped holder
+      // leaves the usurper's lease strictly alone), then claim-verify
+      // it off the path; the read→rename gap is the same µs residual
+      // bound as the takeover's
+      if (readPath(lp).contains(token)) {
+        val out = claimPath("exit")
+        val won =
+          try fs.rename(lp, out)
+          catch { case _: java.io.IOException => false }
+        if (won) {
+          if (readPath(out).contains(token)) fs.delete(out, false)
+          // foreign or unreadable content: restore; if the path was
+          // re-acquired meanwhile the displaced lease is dead — drop
+          // the claim as debris
+          else if (!fs.rename(out, lp)) fs.delete(out, false)
+        }
       }
     }
   }

@@ -64,20 +64,7 @@ object ShardWriter {
     val sharded0 = docs.withColumn("shard", shardCol(col(idCol), nShards))
     val sharded =
       if (onePass) sharded0.repartition(col("shard")) else sharded0
-    sharded
-      .write.mode("overwrite")
-      .partitionBy("shard")
-      .parquet(path)
-    // explicit schema on the read-back: a 0-row corpus writes no part
-    // files, and schema INFERENCE over an empty directory throws —
-    // the "new deployment, nothing ingested" state must read as an
-    // empty frame, not an AnalysisException (EmptyCorpusSpec).
-    // partitionBy moves `shard` last in the on-disk layout; reorder the
-    // declared schema to match so non-empty reads bind correctly.
-    val fields = sharded.schema.fields
-    val readSchema = org.apache.spark.sql.types.StructType(
-      fields.filter(_.name != "shard") :+ fields.find(_.name == "shard").get)
-    docs.sparkSession.read.schema(readSchema).parquet(path)
+    writeAndReadBack(sharded, path)
   }
 
   /** [[writeDocs]] for rows that ALREADY carry their `shard` column —
@@ -89,7 +76,18 @@ object ShardWriter {
   def writeSharded(docs: DataFrame, path: String): DataFrame = {
     require(docs.columns.contains("shard"),
       "writeSharded needs the rows' existing shard column")
-    val sharded = docs.repartition(col("shard"))
+    writeAndReadBack(docs.repartition(col("shard")), path)
+  }
+
+  /** The shared write + receipt tail. Explicit schema on the
+    * read-back: a 0-row corpus writes no part files, and schema
+    * INFERENCE over an empty directory throws — the "new deployment,
+    * nothing ingested" state must read as an empty frame, not an
+    * AnalysisException (EmptyCorpusSpec). partitionBy moves `shard`
+    * last in the on-disk layout; reorder the declared schema to match
+    * so non-empty reads bind correctly. */
+  private def writeAndReadBack(sharded: DataFrame, path: String)
+      : DataFrame = {
     sharded
       .write.mode("overwrite")
       .partitionBy("shard")
@@ -97,6 +95,6 @@ object ShardWriter {
     val fields = sharded.schema.fields
     val readSchema = org.apache.spark.sql.types.StructType(
       fields.filter(_.name != "shard") :+ fields.find(_.name == "shard").get)
-    docs.sparkSession.read.schema(readSchema).parquet(path)
+    sharded.sparkSession.read.schema(readSchema).parquet(path)
   }
 }
