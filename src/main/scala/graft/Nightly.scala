@@ -16,6 +16,9 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> build   <indexDir> <docsParquet>
   * graft.Nightly <text|media|vec> advance <indexDir> <deltaParquet>
   *                                        [--verdicts <dir>] [--prune]
+  *   (text/media doc inputs also accept JSONL crawl dumps —
+  *    `--format jsonl`, or automatically for .jsonl/.json paths —
+  *    via [[graft.sources.Jsonl]]; embeddings stay parquet)
   * graft.Nightly <text|media|vec> night   <indexDir> <deltaParquet>
   *                                        --id <nightId>
   *                                        [--shards <root>] [--prune]
@@ -135,7 +138,8 @@ object Nightly {
           case "media" => strip(sub, Set("--shards")) ++
             mediaShards.toSeq.flatMap(v => Seq("--shards", v))
           case "vec" if cmd == "night" =>
-            emb.toSeq ++ strip(sub.drop(1), Set("--shards"))
+            // embeddings stay parquet: --format governs the doc axes
+            emb.toSeq ++ strip(sub.drop(1), Set("--shards", "--format"))
           case _ => sub
         }
         s""""$ax":${run(s, Seq(ax, cmd, s"$indexDir/$ax") ++ input)}"""
@@ -144,7 +148,23 @@ object Nightly {
     }
     require(Set("text", "media", "vec")(axis), Usage)
     val rest = args.drop(3)
-    def docsAt(path: String): DataFrame = s.read.parquet(path)
+    // --format jsonl reads the crawl dump through the ingestion face
+    // (graft.sources.Jsonl: explicit schema, reject capture, id
+    // synthesis) instead of documents-shaped parquet; a .jsonl/.json
+    // path switches automatically. Embeddings (the vec axis) stay
+    // parquet-shaped.
+    val jsonlFlag = rest.sliding(2)
+      .collectFirst { case Seq("--format", v) => v }
+      .map { v =>
+        require(Set("parquet", "jsonl")(v),
+          s"unknown --format '$v' (parquet|jsonl)\n$Usage")
+        v == "jsonl"
+      }
+    def docsAt(path: String): DataFrame =
+      if (axis != "vec" && jsonlFlag.getOrElse(
+          path.endsWith(".jsonl") || path.endsWith(".json")))
+        sources.Jsonl.documents(s, path)
+      else s.read.parquet(path)
     def mediaAt(path: String) =
       graft.multimodal.Media.mediaFromDocuments(docsAt(path))
     def line(fields: (String, String)*): String =
