@@ -89,4 +89,34 @@ object Jsonl {
         col(Corrupt).as("raw_line"),
         when(col(Corrupt).isNotNull, "malformed_json")
           .otherwise("empty_text").as("reason"))
+
+  /** The always-on twin: watch a drop DIRECTORY for JSONL files and
+    * serve clean lines as the ingest stream the store bridges consume
+    * — a crawler drops one file per fetch batch, and
+    * `StoreDedup.ingestNights(streamDocuments(...), ...)` turns each
+    * micro-batch into a committed corpus night + index fold with no
+    * batch scheduler at all. Same schema/clean/id contract as
+    * [[documents]]; rejected lines are FILTERED here (a streaming
+    * query has one sink — run [[rejects]] as a periodic batch job
+    * over the same directory for the quarantine channel, which its
+    * one-pass shape makes cheap). `maxFilesPerTrigger` bounds a
+    * backlog catch-up to corpus-night-sized micro-batches instead of
+    * one giant replay batch. */
+  def streamDocuments(s: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 8)
+      : org.apache.spark.sql.Dataset[graft.streaming.StoreDedup.IngestDoc] = {
+    import s.implicits._
+    s.readStream
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", Corrupt)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      .filter(clean)
+      .select(
+        coalesce(col("doc_id"), synthId).as("doc_id"),
+        coalesce(col("source"), lit("unknown")).as("source"),
+        col("text"))
+      .as[graft.streaming.StoreDedup.IngestDoc]
+  }
 }

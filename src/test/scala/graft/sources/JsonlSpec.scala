@@ -64,6 +64,46 @@ class JsonlSpec extends SparkSuite {
       "the malformed reject must carry the raw line for debugging")
   }
 
+  test("a JSONL drop directory drives the always-on corpus ingest: " +
+    "each file the crawler drops lands as a committed night + index " +
+    "fold, re-crawls of the base are kept out, broken lines filtered") {
+    val idx = Files.createTempDirectory("jst_idx").toString
+    val u0 = freshText("jsb0w")
+    graft.queries.TextDedupOps.d24Build(spark, idx,
+      Seq((0L, "s0", u0), (1L, "s0", freshText("jsb1w")))
+        .toDF("doc_id", "source", "text"))
+    val drop = Files.createTempDirectory("jst_drop").toString
+    val corpus = Files.createTempDirectory("jst_corpus").toString
+    val ckpt = Files.createTempDirectory("jst_ckpt").toString
+    def dropFile(name: String, lines: String*): Unit =
+      Files.write(Paths.get(drop, name),
+        lines.mkString("\n").getBytes("UTF-8"))
+    val u1 = freshText("jsu1w")
+    dropFile("fetch0.jsonl",
+      s"""{"doc_id": 100, "text": "$u0"}""", // re-crawl of the base
+      s"""{"doc_id": 101, "text": "$u1"}""",
+      """broken {{ line""")
+    val q = graft.streaming.StoreDedup.ingestNights(
+      Jsonl.streamDocuments(spark, drop), idx, corpus, ckpt, "crawl")
+    try {
+      q.processAllAvailable()
+      assert(graft.operators.Corpus.liveNights(spark, corpus) ==
+        Seq("crawl.0"))
+      assert(graft.operators.Corpus.readCommitted(spark, corpus)
+        .select("doc_id").as[Long].collect().toSet == Set(101L),
+        "the night must hold the fresh doc only — no re-crawl, no " +
+          "broken line")
+      // the crawler drops another file: a second committed night
+      dropFile("fetch1.jsonl",
+        s"""{"doc_id": 102, "text": "${freshText("jsu2w")}"}""")
+      q.processAllAvailable()
+      assert(graft.operators.Corpus.readCommitted(spark, corpus)
+        .select("doc_id").as[Long].collect().toSet == Set(101L, 102L))
+      assert(graft.operators.IndexGenerations.readCurrent(spark, idx)
+        .count() == 4L, "both fresh docs must have folded")
+    } finally q.stop()
+  }
+
   test("a JSONL crawl dump drives the nightly CLI end to end: build " +
     "from the dump, a delta night catches its own re-crawl exactly") {
     val idx = Files.createTempDirectory("jnl_idx").toString
