@@ -60,11 +60,14 @@ object Jsonl {
     col(Corrupt).isNull && col("text").isNotNull &&
       length(trim(col("text"))) > 0
 
-  /** The deterministic id for id-less lines: 60-bit hash of
-    * (source, text) — engine-portable, rerun-stable. */
+  /** The deterministic id for id-less lines: a 60-bit hash of the
+    * separator-joined (source, text) pair — engine-portable and
+    * rerun-stable. The control-char separator keeps the pair
+    * injective: bare concatenation would hash ("web","x") and
+    * ("we","bx") identically. */
   private def synthId: Column =
     graft.functions.Portable.hash60(
-      concat_ws("", coalesce(col("source"), lit("unknown")),
+      concat_ws("\u0001", coalesce(col("source"), lit("unknown")),
         col("text")), 7177)
 
   /** The documents-shaped clean read of a JSONL dump. */

@@ -48,7 +48,10 @@ object MediaFiles {
       case (acc, (e, k)) => when(ext === e, k).otherwise(acc)
     }
     df.select(
-      graft.functions.Portable.hash60(name, 9341).as("media_id"),
+      // the FULL path, not the basename: two hosts dropping
+      // "img1.png" must not share an id (duplicate media_ids would
+      // collide in the corpus join and the index's winner naming)
+      graft.functions.Portable.hash60(col("path"), 9341).as("media_id"),
       kind.as("kind"),
       col("content").as("payload"),
       element_at(split(col("path"), "/"), -2).as("source"))
