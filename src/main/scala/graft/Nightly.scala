@@ -22,6 +22,8 @@ import graft.operators.IndexGenerations
   * graft.Nightly <text|media|vec> night   <indexDir> <deltaParquet>
   *                                        --id <nightId>
   *                                        [--shards <root>] [--prune]
+  * graft.Nightly <text|media|vec> judge   <indexDir> <deltaParquet>
+  *                                        [--verdicts <dir>]
   * graft.Nightly <text|media|vec> compact <indexDir>
   * graft.Nightly <text|media|vec> prune   <indexDir>
   * graft.Nightly <text|media|vec> status  <indexDir>
@@ -285,6 +287,40 @@ object Nightly {
               "id" -> s""""$nightId"""", "skipped" -> "false") ++
               fields: _*)
         }
+
+      case "judge" =>
+        // the dry-run: tonight's delta judged against the LIVE index
+        // — nothing folded, nothing recorded, the root byte-untouched.
+        // An operator previews the dedup rate (and optionally keeps
+        // the verdict artifact) BEFORE committing the night; the same
+        // flags then drive `night` for real.
+        val path = rest.headOption.getOrElse(sys.error(Usage))
+        val flags = rest.tail
+        graft.functions.HashSketch.register(s)
+        val index = IndexGenerations.readCurrent(s, indexDir)
+        val v = axis match {
+          case "text" => queries.TextDedupOps.deltaVerdicts(index,
+            Pinned.pin(queries.TextDedupOps.d24Sig(
+              docsAt(path).select("doc_id", "source", "text"))))
+          case "media" => queries.MultimodalOps.mediaDeltaVerdicts(
+            index,
+            Pinned.pin(queries.MultimodalOps.m12Fingerprints(
+              mediaAt(path))))
+          case "vec" => queries.SimilarityOps.vecDeltaVerdicts(index,
+            Pinned.pin(queries.SimilarityOps.s24Sig(docsAt(path))))
+        }
+        val pinnedV = Pinned.pin(v)
+        val counts = pinnedV.groupBy("verdict").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        flags.sliding(2).collectFirst { case Seq("--verdicts", d) => d }
+          .foreach(d => pinnedV.write.mode("overwrite").parquet(d))
+        Pinned.releaseAll(s)
+        line("metric" -> "\"nightly_judge\"", "axis" -> s""""$axis"""",
+          genField,
+          "verdicts" -> Seq("exact", "near", "unique")
+            .map(k => s""""$k":${counts.getOrElse(k, 0L)}""")
+            .mkString("{", ",", "}"),
+          "folded" -> "false")
 
       case "status" =>
         // read-only store inspection — what an operator checks before

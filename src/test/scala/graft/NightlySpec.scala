@@ -293,6 +293,42 @@ class NightlySpec extends SparkSuite {
     assert(rec4.contains("\"clean\":true"), rec4)
   }
 
+  test("judge is the read-only dry-run: tonight's verdicts against " +
+    "the live index with nothing folded, nothing recorded, the store " +
+    "byte-untouched — then the real night folds the same delta") {
+    val idx = Files.createTempDirectory("nl_judge").toString
+    Nightly.run(spark, Seq("text", "build", idx,
+      writeDocs((0L to 2L).map(i => i -> freshText(s"jd${i}w")): _*)))
+    val u1 = freshText("jdu1w")
+    Nightly.run(spark, Seq("text", "advance", idx, writeDocs(10L -> u1)))
+    val delta = writeDocs(20L -> u1, 21L -> freshText("jdu2w"))
+    val vdir = Files.createTempDirectory("nl_judge_v").toString
+    val before = IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().toSet
+    val out = Nightly.run(spark,
+      Seq("text", "judge", idx, delta, "--verdicts", vdir))
+    assert(out.contains("\"metric\":\"nightly_judge\"") &&
+      out.contains("\"exact\":1") && out.contains("\"unique\":1") &&
+      out.contains("\"folded\":false"), out)
+    assert(spark.read.parquet(vdir).count() == 2L,
+      "the dry-run verdict artifact is missing rows")
+    assert(IndexGenerations.committed(spark, idx) == Seq(0L, 1L) &&
+      IndexGenerations.readCurrent(spark, idx)
+        .select("doc_id").as[Long].collect().toSet == before,
+      "judge must not touch the store")
+    // judged twice = same answer (read-only); the real night then
+    // folds the same delta and the unique is admitted
+    assert(Nightly.run(spark, Seq("text", "judge", idx, delta))
+      .contains("\"unique\":1"))
+    val night = Nightly.run(spark, Seq("text", "night", idx, delta,
+      "--id", "jn1", "--shards",
+      Files.createTempDirectory("nl_judge_sh").toString))
+    assert(night.contains("\"unique\":1") &&
+      night.contains("\"skipped\":false"), night)
+    assert(IndexGenerations.readCurrent(spark, idx)
+      .select("doc_id").as[Long].collect().toSet == before + 21L)
+  }
+
   test("a dangling value-flag errors loudly instead of reading as " +
     "absent — '--pin' with the value forgotten must not prune the " +
     "nights it meant to protect, '--shards' must not skip the corpus") {
