@@ -104,8 +104,8 @@ object Nightly {
     // between axes heals on rerun (the committed ones skip). The vec
     // axis needs --emb <embeddings parquet> and is skipped without it.
     if (axis == "all") {
-      require(Set("night", "status", "reconcile")(cmd),
-        s"'all' supports night|status|reconcile, not '$cmd'\n$Usage")
+      require(Set("night", "status", "reconcile", "judge")(cmd),
+        s"'all' supports night|status|reconcile|judge, not '$cmd'\n$Usage")
       val rest0 = args.drop(3)
       def flagOf(name: String): Option[String] = rest0.sliding(2)
         .collectFirst { case Seq(`name`, v) => v }
@@ -122,7 +122,7 @@ object Nightly {
         b.result()
       }
       val sub = strip(rest0, Set("--emb", "--media-shards"))
-      // vec joins status always, night only when fed — and never
+      // vec joins status always, night/judge only when fed — and never
       // reconcile (no shard corpus to reconcile against). A reconcile
       // checks only the corpora it was handed roots for: a text-only
       // deployment omits --media-shards and still gets its answer.
@@ -130,7 +130,8 @@ object Nightly {
         (if (cmd != "reconcile" || mediaShards.isDefined) Seq("media")
          else Nil) ++
         (if (cmd == "status" ||
-          (cmd == "night" && emb.isDefined)) Seq("vec") else Nil)
+          (Set("night", "judge")(cmd) && emb.isDefined)) Seq("vec")
+         else Nil)
       val per = axes.map { ax =>
         // each axis gets its OWN corpus root: --shards is the text
         // corpus; --media-shards the media payload corpus (the two
@@ -139,7 +140,7 @@ object Nightly {
           case "text" => sub
           case "media" => strip(sub, Set("--shards")) ++
             mediaShards.toSeq.flatMap(v => Seq("--shards", v))
-          case "vec" if cmd == "night" =>
+          case "vec" if Set("night", "judge")(cmd) =>
             // embeddings stay parquet: --format governs the doc axes
             emb.toSeq ++ strip(sub.drop(1), Set("--shards", "--format"))
           case _ => sub

@@ -549,6 +549,17 @@ class NightlySpec extends SparkSuite {
     assert(st.contains("\"metric\":\"nightly_all_status\"") &&
       st.split("\"metric\":\"nightly_status\"").length == 4, st)
 
+    // all-judge: the dry-run fans across the fed axes, nothing folds
+    val gensBefore = Seq("text", "media", "vec")
+      .map(ax => IndexGenerations.committed(spark, s"$base/$ax"))
+    val jd = Nightly.run(spark, Seq("all", "judge", base, docs2,
+      "--emb", embDir(300L -> 31)))
+    assert(jd.contains("\"metric\":\"nightly_all_judge\"") &&
+      jd.split("\"folded\":false").length == 4, jd)
+    assert(Seq("text", "media", "vec")
+      .map(ax => IndexGenerations.committed(spark, s"$base/$ax")) ==
+      gensBefore, "all-judge advanced a store")
+
     // all-reconcile: both corpora against their indexes in one command
     // — never the vec axis (no shard corpus), even with --emb present
     val rec = Nightly.run(spark, Seq("all", "reconcile", base,
