@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, length, lit, sum}
 
 import graft.operators.IndexGenerations
 
@@ -75,7 +76,9 @@ object Nightly {
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly <text|media> " +
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
-      "delete-docs> <shardsRoot> [--into <nightId>] [--ids <id,...>] | " +
+      "delete-docs|feed> <shardsRoot> [--into <nightId>] " +
+      "[--ids <id,...>] [--epoch <n> --readers <k> [--nights <id,...>] " +
+      "[--out <dir>]] | " +
       "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
   /** Flags that take no value; every other `--flag` must be followed
@@ -442,6 +445,61 @@ object Nightly {
             .mkString("[", ",", "]"),
           "rows" -> stats.map(_.getLong(1)).sum.toString,
           "nights" -> nights)
+
+      case "feed" =>
+        // the trainer hand-off: deterministic epoch shuffle +
+        // token-balanced reader slices over the committed corpus
+        // (media balances by payload bytes). --nights pins an explicit
+        // snapshot (the readNights discipline — REQUIRED for a
+        // multi-epoch run, so a night committed mid-run cannot shift
+        // the next epoch's order); --out writes the (id, pos, reader)
+        // assignment table under <out>/epoch=N, one partition per
+        // reader rank. Without --out it is a dry-run balance report.
+        require(axis != "vec", "no shard corpus on the vec axis")
+        def intFlag(name: String): Int = rest.sliding(2)
+          .collectFirst { case Seq(`name`, v) => v.toInt }
+          .getOrElse(sys.error(s"feed requires $name <n>\n$Usage"))
+        val epoch = intFlag("--epoch")
+        val readers = intFlag("--readers")
+        val nights = rest.sliding(2)
+          .collectFirst { case Seq("--nights", v) => v }
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val outFlag = rest.sliding(2)
+          .collectFirst { case Seq("--out", v) => v }
+        val idc = corpusIdCol(axis)
+        val docs = nights match {
+          case Some(ids) => operators.Corpus.readNights(s, indexDir, ids)
+          case None      => operators.Corpus.readCommitted(s, indexDir)
+        }
+        val withTok =
+          if (axis == "media")
+            docs.withColumn("__feed_tok",
+              length(col("payload")).cast("long"))
+          else docs.withColumn("__feed_tok", col("n_toks").cast("long"))
+        val assign = graft.Pinned.pin(operators.EpochFeed
+          .feed(withTok, epoch, readers, "__feed_tok", idc)
+          .select(col(idc), col("pos"), col("reader"),
+            col("__feed_tok").as("n_toks")))
+        try {
+          outFlag.foreach { out =>
+            assign.write.mode("overwrite").partitionBy("reader")
+              .parquet(s"$out/epoch=$epoch")
+          }
+          // driver-plane rollup: one row per reader rank (bounded by
+          // --readers), the balance report a trainer checks for skew
+          val perReader = assign.groupBy(col("reader"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+            .collect().sortBy(_.getLong(0))
+          line("metric" -> "\"feed\"",
+            "epoch" -> epoch.toString,
+            "readers" -> readers.toString,
+            "rows" -> perReader.map(_.getLong(1)).sum.toString,
+            "written" -> outFlag.isDefined.toString,
+            "balance" -> perReader.map(r =>
+              s""""${r.getLong(0)}":{"n_docs":${r.getLong(1)},""" +
+                s""""n_toks":${r.getLong(2)}}""")
+              .mkString("{", ",", "}"))
+        } finally Pinned.releaseAll(s)
 
       case "delete-docs" =>
         // the retention face: rewrite only the affected nights minus

@@ -534,4 +534,25 @@ object Corpus {
           types.StructField("shard", types.LongType))))
     else readNightDirs(s, root, withData)
   }
+
+  /** The training feed over the corpus — [[EpochFeed.feed]]'s
+    * deterministic epoch shuffle + token-balanced reader slices over
+    * the committed nights (or over an EXPLICIT night snapshot, the
+    * [[readNights]] discipline — a multi-epoch training run records
+    * `liveNights` once and passes that set for every epoch, so a night
+    * committed mid-run cannot shift epoch 3's order relative to epoch
+    * 2's, and compaction cannot rewrite it mid-read). Returns the per-
+    * document frame (`pos`, `toks_before`, `reader` + the corpus
+    * columns); callers project the (id, pos, reader) assignment table
+    * or aggregate the per-rank balance report. */
+  def epochFeed(s: SparkSession, root: String, epoch: Int, nReaders: Int,
+      nights: Option[Seq[String]] = None, tokCol: String = "n_toks",
+      idCol: String = "doc_id",
+      buckets: Int = PrefixSum.DefaultBuckets): DataFrame = {
+    val docs = nights match {
+      case Some(ids) => readNights(s, root, ids)
+      case None      => readCommitted(s, root)
+    }
+    EpochFeed.feed(docs, epoch, nReaders, tokCol, idCol, buckets)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic epoch ordering + token-balanced reader slicing — the
+  * last mile between a served corpus and a distributed trainer's data
+  * loaders.
+  *
+  * A training job wants, per epoch: (1) a GLOBAL shuffle of the corpus
+  * that is deterministic (any worker can recompute any position — resume
+  * after preemption without a stored order table), different per epoch,
+  * and independent of cluster layout; (2) a split of that order into N
+  * contiguous, token-balanced slices, one per data-loader rank, so every
+  * rank does equal work and no document is read twice or skipped.
+  *
+  * Both come from identity hashing, the same discipline as the d15 split
+  * and d13 mixture sampling: the epoch-`e` sort key of a document is the
+  * portable 60-bit hash of its id under seed `SeedBase + e`
+  * ([[graft.functions.Portable.hash60]] — engine-portable, so the DuckDB
+  * oracle replays the exact order). No RNG state, no persisted
+  * permutation — the order IS a pure function of (id, epoch).
+  *
+  * The global position/running-token-total over that order is the
+  * classic global-rank problem. A naive
+  * `row_number().over(Window.orderBy(key))` funnels the ENTIRE corpus
+  * through one task's sort — the canonical 100 TB scale-killer. Instead
+  * this uses [[PrefixSum.exclusiveMulti]]'s bucketed two-pass
+  * decomposition with ONE constant partition key: the 60-bit hash is
+  * uniform by construction, so fixed-width range buckets are
+  * automatically balanced (the skew caveat in PrefixSum's scaladoc
+  * cannot arise here), parallelism = the bucket count, and position +
+  * token prefix compute together in a single pass. The hash is the
+  * leading sort key and the unique id breaks the (astronomically rare
+  * but possible) 60-bit collisions — `exclusiveMulti`'s `tie` column —
+  * so the order is total and bit-stable across engines and runs.
+  *
+  * Slices: reader = `(N * tokens_before) DIV total_tokens` — monotone in
+  * position (tokens_before is non-decreasing along the order), hence
+  * contiguous per reader, and each slice holds ~`total/N` tokens (off by
+  * at most one document). `tokens_before < total` for any document with
+  * tokens after it, so the value is always in `[0, N)`; the `least`
+  * guard only matters for zero-token documents at the very end of the
+  * order.
+  *
+  * Reference: dewi-alliance/helium-etl-lite has no training-data
+  * surface; this is part of the LLM-pipeline extension (SURVEY §2 —
+  * t24/t25, the consumer side of t12's packing and the Corpus nights).
+  */
+object EpochFeed {
+
+  /** Seed namespace for epoch keys — distinct from every other portable
+    * seed in the repo (d13: 555/888, d15: 777, shards: 424…). */
+  val SeedBase = 9000
+
+  /** The epoch-`epoch` sort key of an id: portable 60-bit hash, uniform
+    * over [0, 2^60). Pure codegen'd built-ins (md5/conv/substring). */
+  def shuffleKey(id: Column, epoch: Int): Column =
+    graft.functions.Portable.hash60(id.cast("string"), SeedBase + epoch)
+
+  /** DuckDB fragment computing the same key (oracle twin). */
+  def sqlShuffleKey(idExpr: String, epoch: Int): String =
+    graft.functions.Portable.sqlHash60(idExpr, SeedBase + epoch)
+
+  /** Adds `shuffle_key` and `pos` (0-based global position in the
+    * epoch's deterministic order). Input must have a unique integral
+    * `idCol`. */
+  def withOrder(docs: DataFrame, epoch: Int, idCol: String = "doc_id",
+                buckets: Int = PrefixSum.DefaultBuckets): DataFrame =
+    PrefixSum.exclusiveMulti(
+      docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch))
+        .withColumn("__one", lit(1L))
+        .withColumn("__g", lit(0)),
+      "__g", "shuffle_key", Some(idCol), Seq("__one" -> "pos"), buckets)
+      .drop("__one", "__g")
+
+  /** The full feed frame: `shuffle_key`, `pos`, `toks_before` (exclusive
+    * running token total in epoch order) and `reader` ∈ [0, nReaders) —
+    * token-contiguous balanced slices. `tokCol` must be integral and
+    * non-negative. Cost: one pass of the bucketed prefix-sum (position
+    * and token total share it) + a 1-row broadcast for the grand total.
+    *
+    * The input subtree is evaluated by PrefixSum's three passes plus the
+    * total — persist upstream if it is expensive (t25 pins the narrow
+    * projection, the t12 discipline). */
+  def feed(docs: DataFrame, epoch: Int, nReaders: Int, tokCol: String,
+           idCol: String = "doc_id",
+           buckets: Int = PrefixSum.DefaultBuckets): DataFrame = {
+    require(nReaders >= 1, s"nReaders must be >= 1, got $nReaders")
+    val ordered = PrefixSum.exclusiveMulti(
+      docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch))
+        .withColumn("__one", lit(1L))
+        .withColumn("__g", lit(0)),
+      "__g", "shuffle_key", Some(idCol),
+      Seq("__one" -> "pos", tokCol -> "toks_before"), buckets)
+    val tot = docs.agg(sum(col(tokCol)).cast("long").as("__tot"))
+    ordered.crossJoin(broadcast(tot))
+      .withColumn("reader",
+        expr(s"least($nReaders - 1L, " +
+          s"($nReaders * toks_before) DIV greatest(__tot, 1L))"))
+      .drop("__one", "__g", "__tot")
+  }
+}

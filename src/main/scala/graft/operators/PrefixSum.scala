@@ -92,8 +92,34 @@ object PrefixSum {
     *     .rowsBetween(unboundedPreceding, -1)) }}}
     * but never funnels a whole partition key through one task. */
   def exclusive(df: DataFrame, part: String, ord: String, value: String,
-                out: String, buckets: Int = DefaultBuckets): DataFrame = {
+                out: String, buckets: Int = DefaultBuckets): DataFrame =
+    exclusiveMulti(df, part, ord, None, Seq(value -> out), buckets)
+
+  /** [[exclusive]] with a tie-break column: rows are ordered by
+    * `(ord, tie)` within each `part` group, so `ord` need not be unique —
+    * only the PAIR must be. The range buckets still derive from `ord`
+    * alone (bucketing is monotone in the leading sort key, which is all
+    * the decomposition needs); `tie` only disambiguates order WITHIN a
+    * bucket, and equal-`ord` rows always land in the same bucket, so the
+    * result is bit-identical to the single-window
+    * `orderBy(ord, tie)` formulation. The epoch-shuffle feed uses this
+    * with `ord` = a 60-bit hash (collisions possible in principle) and
+    * `tie` = the unique document id. */
+  def exclusiveTied(df: DataFrame, part: String, ord: String, tie: String,
+                    value: String, out: String,
+                    buckets: Int = DefaultBuckets): DataFrame =
+    exclusiveMulti(df, part, ord, Some(tie), Seq(value -> out), buckets)
+
+  /** The general form: several exclusive prefix sums over the SAME order
+    * in one pass — `pairs` maps each value column to its output column.
+    * One bucketing, one subtotal shuffle, one final window evaluate all
+    * the sums (the epoch feed needs both a position counter and a token
+    * running total; computing them separately would double every pass). */
+  def exclusiveMulti(df: DataFrame, part: String, ord: String,
+                     tie: Option[String], pairs: Seq[(String, String)],
+                     buckets: Int = DefaultBuckets): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(pairs.nonEmpty, "need at least one (value -> out) pair")
     // pass 0: per-part ord range — #parts rows, broadcast back.
     // width = (hi-lo) DIV buckets + 1 guarantees bucket ids in
     // [0, buckets): for hi-lo = b*q + r (r < b), width = q+1 and
@@ -108,21 +134,27 @@ object PrefixSum {
     // pass 1: per-bucket subtotals (map-side combinable), then exclusive
     // offsets via a window over the parts × buckets frame — each window
     // partition holds at most `buckets` rows, a config-plane bound.
+    val subAggs = pairs.map { case (v, o) => sum(col(v)).as(s"__sub_$o") }
     val subs = bucketed.groupBy(col(part), col("__bkt"))
-      .agg(sum(col(value)).as("__sub"))
+      .agg(subAggs.head, subAggs.tail: _*)
     val wOff = Window.partitionBy(col(part)).orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = subs
-      .withColumn("__off", coalesce(sum(col("__sub")).over(wOff), lit(0L)))
-      .select(col(part), col("__bkt"), col("__off"))
+    val offsets = pairs.foldLeft(subs) { case (acc, (_, o)) =>
+      acc.withColumn(s"__off_$o",
+        coalesce(sum(col(s"__sub_$o")).over(wOff), lit(0L)))
+    }.select((col(part) +: col("__bkt") +:
+      pairs.map { case (_, o) => col(s"__off_$o") }): _*)
     // pass 2: bucket-local running sum + broadcast offset. The ordered
     // window now partitions on (part, bucket) — parallelism scales with
     // the bucket count, not the number of distinct partition keys.
-    val wLoc = Window.partitionBy(col(part), col("__bkt")).orderBy(col(ord))
+    val ordCols = col(ord) +: tie.map(col).toSeq
+    val wLoc = Window.partitionBy(col(part), col("__bkt"))
+      .orderBy(ordCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq(part, "__bkt"))
-      .withColumn(out,
-        col("__off") + coalesce(sum(col(value)).over(wLoc), lit(0L)))
-      .drop("__bkt", "__off")
+    pairs.foldLeft(bucketed.join(broadcast(offsets), Seq(part, "__bkt"))) {
+      case (acc, (v, o)) =>
+        acc.withColumn(o,
+          col(s"__off_$o") + coalesce(sum(col(v)).over(wLoc), lit(0L)))
+    }.drop(("__bkt" +: pairs.map { case (_, o) => s"__off_$o" }): _*)
   }
 }

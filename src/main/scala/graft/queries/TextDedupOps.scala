@@ -2267,6 +2267,54 @@ object TextDedupOps {
         col("e.lb").as("lb"))
   }
 
+  /** Epoch-shuffle order audit — the deterministic global training
+    * order ([[graft.operators.EpochFeed.withOrder]], epoch 1) rolled up
+    * per (source, position-decile): a well-shuffled corpus spreads every
+    * source across all ten deciles, a sorted-by-source corpus
+    * concentrates — the check a training job runs before trusting its
+    * data order. `sum_pos`/`min_pos` make the oracle comparison
+    * position-exact, not just count-exact: DuckDB replays the identical
+    * order from the portable hash, so a single transposed document would
+    * hash-mismatch. Global rank WITHOUT a global single-task sort — the
+    * bucketed prefix-sum (see EpochFeed's scaladoc for the 100 TB
+    * argument). */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val ordered = graft.operators.EpochFeed.withOrder(
+      documents(s, d).select(col("doc_id"), col("source")),
+      epoch = 1, buckets = packBuckets(s))
+    val tot = documents(s, d).agg(count(lit(1)).as("n_total"))
+    ordered.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10L * pos) DIV n_total"))
+      .groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos")).as("sum_pos"),
+        min(col("pos")).as("min_pos"))
+  }
+
+  /** Token-balanced reader slices — [[graft.operators.EpochFeed.feed]]
+    * splits epoch 1's deterministic order into 8 contiguous slices, one
+    * per data-loader rank, balanced by TOKEN budget (not document
+    * count): reader = (8 · tokens_before) DIV total_tokens, monotone in
+    * position so each rank reads one contiguous range. The report per
+    * reader (docs, tokens, position span) is what a trainer checks for
+    * rank skew before launch; min/max_pos prove contiguity to the
+    * oracle. Position counter and token running-total share ONE
+    * bucketed prefix-sum pass ([[graft.operators.PrefixSum
+    * .exclusiveMulti]]); the grand total is a 1-row broadcast. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    // pinned: the feed's prefix-sum passes + the total would otherwise
+    // each re-tokenize the corpus; 24 bytes/row (t12's discipline)
+    val base = graft.Pinned.pin(docsWithTokens(s, d)
+      .select(col("doc_id"), col("n_words").cast("long").as("n_toks")))
+    graft.operators.EpochFeed.feed(base, epoch = 1, nReaders = 8,
+        tokCol = "n_toks", buckets = packBuckets(s))
+      .groupBy(col("reader"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -2315,6 +2363,8 @@ object TextDedupOps {
     "t21_overlap_chunks" -> t21 _,
     "t22_dsir_weights" -> t22 _,
     "t23_tokenizer_store" -> t23 _,
+    "t24_epoch_order" -> t24 _,
+    "t25_reader_slices" -> t25 _,
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
@@ -3627,6 +3677,45 @@ object TextDedupOps {
          |  SUM(bin)::BIGINT AS sum_bin,
          |  md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS ids_md5
          |FROM packed GROUP BY 1""".stripMargin,
+    // SQL twin of t24 — the identical epoch-1 order replayed from the
+    // portable hash: ROW_NUMBER over (key, doc_id) is the single-window
+    // formulation the bucketed prefix-sum is bit-identical to
+    "t24_epoch_order" ->
+      s"""WITH k AS (
+         |  SELECT source, doc_id,
+         |    ${graft.operators.EpochFeed.sqlShuffleKey("doc_id::VARCHAR", 1)}
+         |      AS key
+         |  FROM documents),
+         |p AS (
+         |  SELECT source,
+         |    ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos
+         |  FROM k),
+         |t AS (SELECT COUNT(*) AS n_total FROM documents)
+         |SELECT source, (10 * pos) // n_total AS decile,
+         |  COUNT(*) AS n_docs,
+         |  SUM(pos)::BIGINT AS sum_pos,
+         |  MIN(pos)::BIGINT AS min_pos
+         |FROM p, t GROUP BY 1, 2""".stripMargin,
+    "t25_reader_slices" ->
+      s"""WITH t0 AS (
+         |  SELECT doc_id, len($toksSql)::BIGINT AS n_toks,
+         |    ${graft.operators.EpochFeed.sqlShuffleKey("doc_id::VARCHAR", 1)}
+         |      AS key
+         |  FROM documents),
+         |p AS (
+         |  SELECT n_toks,
+         |    ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos,
+         |    COALESCE(SUM(n_toks) OVER (ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum
+         |  FROM t0),
+         |tot AS (SELECT SUM(n_toks)::BIGINT AS t FROM t0)
+         |SELECT LEAST(7, (8 * cum) // GREATEST(t, 1)) AS reader,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  MIN(pos)::BIGINT AS min_pos,
+         |  MAX(pos)::BIGINT AS max_pos
+         |FROM p, tot GROUP BY 1""".stripMargin,
     // SQL twin of p04 — the incremental night: d24's verdict CTEs, the
     // intra-unique dedup (min-id per content hash, then drop docs near
     // any SMALLER admitted doc — the advance-fold rule), then the p01

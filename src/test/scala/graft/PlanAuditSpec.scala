@@ -170,6 +170,25 @@ class PlanAuditSpec extends SparkSuite {
       s"t12 lost its range/offset broadcasts:\n$p")
   }
 
+  test("t24/t25 epoch feed: global rank WITHOUT a global sort — windows " +
+    "partition on the range bucket, side frames broadcast") {
+    for (name <- Seq("t24_epoch_order", "t25_reader_slices")) {
+      val p = plan(name)
+      // the whole point: no rangepartitioning exchange anywhere — a
+      // row_number().over(orderBy(key)) formulation would globally sort
+      assert(!p.contains("Exchange rangepartitioning"),
+        s"$name globally sorts:\n$p")
+      // the data window partitions on the bucket and orders by
+      // (shuffle_key, doc_id) — the tie-broken bucket-local rank
+      assert(("windowspecdefinition\\(__bkt#\\d+L?, shuffle_key#\\d+L?" +
+        " ASC NULLS FIRST, doc_id").r.findFirstIn(p).isDefined,
+        s"$name lost the bucket-local tied window:\n$p")
+      // range probe + per-bucket offsets come back as broadcasts
+      assert("BroadcastExchange".r.findAllIn(p).size >= 2,
+        s"$name lost its range/offset broadcasts:\n$p")
+    }
+  }
+
   test("p01 packing stage: no per-source-only ordered window either") {
     val p = graft.queries.TextDedupOps.p01Corpus(spark, sf)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,181 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.helium.SparkSuite
+import graft.queries.TextDedupOps
+
+/** The training feed's contracts: the tied multi-value prefix sum is
+  * bit-identical to the naive (ord, tie) window; epoch positions are a
+  * deterministic permutation independent of cluster layout; reader
+  * slices are contiguous, complete, and token-balanced; and the corpus
+  * hand-off (Corpus.epochFeed + the Nightly feed CLI) serves exactly
+  * the committed nights. */
+class EpochFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- exclusiveMulti: ties + several sums in one pass ----
+
+  /** Heavy-tie fixture: ord collides ON PURPOSE (mod 7), tie (doc_id)
+    * is unique — the epoch feed's 60-bit-collision shape, exaggerated. */
+  private lazy val tied = {
+    val rnd = new scala.util.Random(7)
+    (1 to 3000).map { i =>
+      ("g" + (i % 3), (i % 7).toLong, i.toLong, (rnd.nextInt(9) + 1).toLong)
+    }.toDF("part", "ord", "tie", "v").repartition(8)
+  }
+
+  test("exclusiveMulti with a tie column is bit-identical to the " +
+    "(ord, tie) ordered window, for every output, at every bucket count") {
+    val w = Window.partitionBy(col("part")).orderBy(col("ord"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = tied
+      .withColumn("one", lit(1L))
+      .withColumn("cnt", coalesce(sum(col("one")).over(w), lit(0L)))
+      .withColumn("cum", coalesce(sum(col("v")).over(w), lit(0L)))
+      .select("part", "tie", "cnt", "cum")
+      .as[(String, Long, Long, Long)].collect()
+      .map { r => (r._1, r._2) -> (r._3, r._4) }.toMap
+    for (b <- Seq(1, 2, 7, 32, 997)) {
+      val got = PrefixSum.exclusiveMulti(
+        tied.withColumn("one", lit(1L)), "part", "ord", Some("tie"),
+        Seq("one" -> "cnt", "v" -> "cum"), b)
+        .select("part", "tie", "cnt", "cum")
+        .as[(String, Long, Long, Long)].collect()
+        .map { r => (r._1, r._2) -> (r._3, r._4) }.toMap
+      assert(got == expected, s"divergence at buckets=$b")
+    }
+  }
+
+  // ---- withOrder: a deterministic permutation ----
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, "s" + (i % 4), (i % 13 + 1).toLong))
+      .toDF("doc_id", "source", "n_toks")
+
+  test("withOrder assigns a permutation of 0..n-1, stable across runs " +
+    "and across input partitioning, and different per epoch") {
+    val d = docs(500)
+    def posMap(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      EpochFeed.withOrder(df, epoch)
+        .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    val e1 = posMap(d, 1)
+    assert(e1.values.toSeq.sorted == (0L until 500L), "not a permutation")
+    assert(posMap(d, 1) == e1, "two runs disagree")
+    assert(posMap(d.repartition(17), 1) == e1,
+      "order depends on input partitioning")
+    assert(posMap(d.repartition(1), 1) == e1,
+      "order depends on input partitioning (single partition)")
+    val e2 = posMap(d, 2)
+    assert(e2.values.toSeq.sorted == (0L until 500L))
+    assert(e1 != e2, "epoch 1 and 2 produced the same order")
+  }
+
+  test("the epoch order actually interleaves sources (shuffle quality)") {
+    // 4 sources striped by doc_id: if the order were id-order, the
+    // first quartile would hold exactly one source per residue — the
+    // hash order must mix all 4 sources into the first quartile
+    val first = EpochFeed.withOrder(docs(400), 1)
+      .filter(col("pos") < 100)
+      .select("source").distinct().as[String].collect().toSet
+    assert(first == Set("s0", "s1", "s2", "s3"),
+      s"first quartile missing sources: $first")
+  }
+
+  // ---- feed: contiguous, complete, balanced slices ----
+
+  test("feed slices are contiguous in position, cover every document " +
+    "exactly once, and balance tokens to within one document") {
+    val n = 1000
+    val readers = 8
+    val rows = EpochFeed.feed(docs(n), epoch = 3, nReaders = readers,
+        tokCol = "n_toks")
+      .select("doc_id", "pos", "reader", "n_toks")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.length == n)
+    assert(rows.map(_._2).sorted.toSeq == (0L until n.toLong),
+      "positions not a permutation")
+    // contiguity + completeness: sorted by pos, reader is non-decreasing
+    val byPos = rows.sortBy(_._2)
+    assert(byPos.map(_._3).sliding(2).forall(p => p(0) <= p(1)),
+      "a reader's slice is not contiguous")
+    assert(byPos.map(_._3).distinct.toSeq == (0L until readers.toLong),
+      "some reader rank got no slice")
+    // balance: every rank within one max-document of the ideal share
+    val total = rows.map(_._4).sum
+    val maxTok = rows.map(_._4).max
+    val perReader = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+    perReader.foreach { case (r, t) =>
+      assert(math.abs(t - total / readers) <= 2 * maxTok + 1,
+        s"reader $r holds $t tokens vs ideal ${total / readers}")
+    }
+  }
+
+  test("feed edge cases: one reader takes everything; zero-token tail " +
+    "documents stay in range") {
+    val one = EpochFeed.feed(docs(50), 1, 1, "n_toks")
+      .select("reader").distinct().as[Long].collect().toSeq
+    assert(one == Seq(0L))
+    // all-zero tokens: reader must stay in [0, n) via the least() guard
+    val zeros = (0 until 20).map(i => (i.toLong, "s", 0L))
+      .toDF("doc_id", "source", "n_toks")
+    val rs = EpochFeed.feed(zeros, 1, 4, "n_toks")
+      .select("reader").as[Long].collect()
+    assert(rs.forall(r => r >= 0 && r < 4), s"reader out of range: ${rs.toSeq}")
+  }
+
+  // ---- the corpus hand-off ----
+
+  test("Corpus.epochFeed + Nightly feed serve exactly the committed " +
+    "nights, snapshot-pinnable, with a balanced per-rank report") {
+    val idx = Files.createTempDirectory("ef_idx").toString
+    val root = Files.createTempDirectory("ef_root").toString
+    val out = Files.createTempDirectory("ef_out").toString
+    def text(p: String) = (0 until 40).map(i => s"$p$i").mkString(" ")
+    def df(ids: Range, p: String) =
+      ids.map(i => (i.toLong, "s" + (i % 2), text(s"$p$i")))
+        .toDF("doc_id", "source", "text")
+    TextDedupOps.d24Build(spark, idx, df(0 until 6, "base"))
+    assert(TextDedupOps.p04Night(spark, idx, df(100 until 140, "na"),
+      root, "na").isDefined)
+    assert(TextDedupOps.p04Night(spark, idx, df(200 until 240, "nb"),
+      root, "nb").isDefined)
+    graft.Pinned.releaseAll(spark)
+
+    val served = Corpus.readCommitted(spark, root)
+      .select("doc_id").as[Long].collect().toSet
+    val feed = Corpus.epochFeed(spark, root, epoch = 1, nReaders = 4)
+    val got = feed.select("doc_id", "pos", "reader")
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == served,
+      "feed does not cover exactly the served corpus")
+    assert(got.map(_._2).sorted.toSeq ==
+      (0L until served.size.toLong))
+
+    // a pinned single-night snapshot feeds only that night, and its
+    // order is reproducible after more nights land
+    val naOnly = Corpus.epochFeed(spark, root, 1, 4, Some(Seq("na")))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    assert(naOnly.keySet == (100L until 140L).toSet)
+    assert(TextDedupOps.p04Night(spark, idx, df(300 until 320, "nc"),
+      root, "nc").isDefined)
+    graft.Pinned.releaseAll(spark)
+    assert(Corpus.epochFeed(spark, root, 1, 4, Some(Seq("na")))
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap == naOnly,
+      "pinned snapshot order shifted after a new night committed")
+
+    // the CLI face: assignment table written per epoch, balance report
+    val lineOut = graft.Nightly.run(spark, Seq("text", "feed", root,
+      "--epoch", "2", "--readers", "4", "--out", out))
+    assert(lineOut.contains(""""metric":"feed""""), lineOut)
+    assert(lineOut.contains(""""written":true"""), lineOut)
+    val written = spark.read.parquet(s"$out/epoch=2")
+    assert(written.select("doc_id").as[Long].collect().toSet ==
+      served ++ (300L until 320L).toSet)
+    assert(written.select("reader").distinct().as[Long].collect()
+      .toSet == Set(0L, 1L, 2L, 3L))
+  }
+}
