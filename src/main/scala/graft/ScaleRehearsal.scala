@@ -255,6 +255,31 @@ object ScaleRehearsal {
       r
     }
 
+    // --- training feed at 10×: the global-rank path — position + token
+    // running totals over ONE constant partition key, 500k docs through
+    // the bucketed prefix sum (no global sort), sliced into 64 reader
+    // ranks. Balance is asserted here (each rank within two max-docs of
+    // every other), wall time goes in the JSON. Token counts ride the
+    // stored n_chars so the timing measures the rank path, not
+    // tokenization. ---
+    val (feedReaders, feedSecs) = timed {
+      val docs10 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("n_chars DIV 5").cast("long").as("n_toks"))
+      val maxTok = docs10.agg(max(col("n_toks"))).head().getLong(0)
+      val per = graft.operators.EpochFeed
+        .feed(docs10, epoch = 1, nReaders = 64, tokCol = "n_toks",
+          buckets = 256)
+        .groupBy(col("reader")).agg(sum(col("n_toks")).as("t"))
+        .collect()
+      require(per.length == 64,
+        s"expected 64 reader ranks, got ${per.length}")
+      val ts = per.map(_.getLong(1))
+      require(ts.max - ts.min <= 2 * maxTok + 1,
+        s"reader skew ${ts.max - ts.min} exceeds the two-document bound")
+      per.length.toLong
+    }
+
     // --- m12 media cycle on the same 10× corpus: build + serve, then
     // one advance night (the d24 lifecycle on the media axis — decode,
     // fingerprints, and the fold all stay executor-side) ---
@@ -337,6 +362,7 @@ object ScaleRehearsal {
       s""""d24_rows":$d24Rows,"d24_secs":$d24Secs,""" +
       s""""adv_rows":$advRows,"adv_secs":$advSecs,""" +
       s""""p04_rows":$p04Rows,"p04_secs":$p04Secs,""" +
+      s""""feed_readers":$feedReaders,"feed_secs":$feedSecs,""" +
       s""""m12_rows":$m12Rows,"m12_secs":$m12Secs,""" +
       s""""m12_adv_rows":$mAdvRows,"m12_adv_secs":$mAdvSecs,""" +
       s""""stream_boot_secs":$bootSecs,"stream_state_rows":$stateRows,""" +

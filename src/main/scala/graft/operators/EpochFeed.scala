@@ -62,6 +62,31 @@ object EpochFeed {
   def sqlShuffleKey(idExpr: String, epoch: Int): String =
     graft.functions.Portable.sqlHash60(idExpr, SeedBase + epoch)
 
+  /** Seed namespace for per-epoch mixture sampling — distinct from the
+    * order keys so "which docs an epoch SEES" and "in what order" are
+    * independent coins. */
+  val MixSeedBase = 8800
+
+  /** Per-epoch deterministic mixture membership: doc kept in epoch `e`
+    * iff `hash(id, MixSeedBase + e) mod 1000 < ratePm`. With per-source
+    * rates (the d13 mixture-weights shape) this is the "epochs see
+    * different subsets of the down-weighted sources" semantics a
+    * training mixture wants: across epochs the samples are independent
+    * coins per document, so E epochs at rate r cover `1 - (1-r)^E` of a
+    * source instead of re-reading one frozen r-sample E times.
+    * Up-weighting (rate > 1000‰) is NOT expressed here — repetition is
+    * the trainer's epoch loop, not a sampling filter. Pure per-row
+    * predicate; composes with [[feed]] by filtering before ordering. */
+  def mixtureKeep(id: Column, ratePm: Column, epoch: Int): Column =
+    graft.functions.Portable.hash60(id.cast("string"), MixSeedBase + epoch)
+      .mod(lit(1000L)) < ratePm
+
+  /** DuckDB fragment computing the same membership (oracle twin). */
+  def sqlMixtureKeep(idExpr: String, ratePmExpr: String,
+      epoch: Int): String =
+    s"(${graft.functions.Portable.sqlHash60(idExpr, MixSeedBase + epoch)}" +
+      s" % 1000 < $ratePmExpr)"
+
   /** Adds `shuffle_key` and `pos` (0-based global position in the
     * epoch's deterministic order). Input must have a unique integral
     * `idCol`. */

@@ -2315,6 +2315,63 @@ object TextDedupOps {
         max(col("pos")).as("max_pos"))
   }
 
+  /** Packed-sequence materialization — the step t12 only ACCOUNTS for:
+    * each (source, bin) of the token-budget packing becomes one
+    * training sequence, its documents concatenated in deterministic
+    * doc_id order with a separator token. The report carries the
+    * sequence's md5 (position-exact against the oracle: one transposed
+    * or missing document changes the hash), doc count, and token mass.
+    * Scale shape: the running-token bin assignment is the bucketed
+    * prefix sum (t12's plan), and the per-bin `collect_list` is bounded
+    * by the PACK BUDGET — a group is ~256 tokens of text by
+    * construction, so the aggregation state is config-bounded, never
+    * corpus-bounded. */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val budget = 256L
+    val base = graft.Pinned.pin(docsWithTokens(s, d)
+      .select(col("source"), col("doc_id"),
+        col("n_words").cast("long").as("n_toks"), col("text")))
+    graft.operators.PrefixSum
+      .exclusive(base, "source", "doc_id", "n_toks", "cum_before",
+        packBuckets(s))
+      .withColumn("bin", expr(s"cum_before DIV $budget"))
+      .groupBy(col("source"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        expr("md5(concat_ws(' <|doc|> ', " +
+          "transform(array_sort(collect_list(struct(doc_id, text))), " +
+          "s -> s.text)))").as("seq_md5"))
+  }
+
+  /** Per-epoch mixture sampling — d13's per-source rate map resampled
+    * with an EPOCH-SEEDED coin ([[graft.operators.EpochFeed
+    * .mixtureKeep]]): every epoch sees a DIFFERENT deterministic subset
+    * of each down-weighted source, so E epochs at rate r cover
+    * `1-(1-r)^E` of the source instead of re-reading one frozen sample.
+    * The rollup reports epochs 1 and 2 side by side with their overlap
+    * — the independence a trainer audits (n_both ≈ r²·n, not r·n). One
+    * scan, two per-row predicates, one narrow rollup. */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val keep1 = graft.operators.EpochFeed
+      .mixtureKeep(col("doc_id"), col("rate_pm"), 1)
+    val keep2 = graft.operators.EpochFeed
+      .mixtureKeep(col("doc_id"), col("rate_pm"), 2)
+    documents(s, d)
+      // the d13 rate map: 200–900‰ derived from the source name
+      .withColumn("rate_pm",
+        lit(200L) +
+          (graft.functions.Portable.hash60(col("source"), 555) % 8L) * 100L)
+      .withColumn("k1", keep1)
+      .withColumn("k2", keep2)
+      .groupBy(col("source"), col("rate_pm"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("k1"), 1L).otherwise(0L)).as("n_epoch1"),
+        sum(when(col("k2"), 1L).otherwise(0L)).as("n_epoch2"),
+        sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("n_both"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -2365,6 +2422,8 @@ object TextDedupOps {
     "t23_tokenizer_store" -> t23 _,
     "t24_epoch_order" -> t24 _,
     "t25_reader_slices" -> t25 _,
+    "t26_packed_sequences" -> t26 _,
+    "t27_mixture_epochs" -> t27 _,
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
@@ -3716,6 +3775,41 @@ object TextDedupOps {
          |  MIN(pos)::BIGINT AS min_pos,
          |  MAX(pos)::BIGINT AS max_pos
          |FROM p, tot GROUP BY 1""".stripMargin,
+    // SQL twin of t26 — the same window-formulated packing as t12's
+    // oracle, then one string_agg per bin in doc_id order
+    "t26_packed_sequences" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, text, len($toksSql)::BIGINT AS n_toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, text, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_before
+         |  FROM t),
+         |b AS (SELECT source, doc_id, text, n_toks,
+         |        (cum_before // 256)::BIGINT AS bin FROM c)
+         |SELECT source, bin, COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  md5(string_agg(text, ' <|doc|> ' ORDER BY doc_id)) AS seq_md5
+         |FROM b GROUP BY 1, 2""".stripMargin,
+    "t27_mixture_epochs" ->
+      s"""WITH r AS (
+         |  SELECT source, doc_id,
+         |    200 + (${sqlHash60("source", 555)} % 8) * 100 AS rate_pm
+         |  FROM documents),
+         |k AS (
+         |  SELECT source, rate_pm,
+         |    ${graft.operators.EpochFeed
+                .sqlMixtureKeep("doc_id::VARCHAR", "rate_pm", 1)} AS k1,
+         |    ${graft.operators.EpochFeed
+                .sqlMixtureKeep("doc_id::VARCHAR", "rate_pm", 2)} AS k2
+         |  FROM r)
+         |SELECT source, rate_pm::BIGINT AS rate_pm, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN k1 THEN 1 ELSE 0 END)::BIGINT AS n_epoch1,
+         |  SUM(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n_epoch2,
+         |  SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n_both
+         |FROM k GROUP BY 1, 2""".stripMargin,
     // SQL twin of p04 — the incremental night: d24's verdict CTEs, the
     // intra-unique dedup (min-id per content hash, then drop docs near
     // any SMALLER admitted doc — the advance-fold rule), then the p01

@@ -189,6 +189,21 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("t26 sequence materialization rides t12's packing plan — " +
+    "bucket-local windows, and the only aggregation state is per-bin") {
+    val p = plan("t26_packed_sequences")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"t26 must not globally sort:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, doc_id".r.findFirstIn(p).isEmpty,
+      s"t26 regressed to the per-source ordered window:\n$p")
+    assert("windowspecdefinition\\(source#\\d+, __bkt#\\d+L?, doc_id".r
+      .findFirstIn(p).isDefined,
+      s"t26 lost the bucket-local window:\n$p")
+    // the concat groups by (source, bin) — budget-bounded state, and
+    // collect_list must aggregate there, not in a window over the corpus
+    assert(p.contains("collect_list"), p)
+  }
+
   test("p01 packing stage: no per-source-only ordered window either") {
     val p = graft.queries.TextDedupOps.p01Corpus(spark, sf)
       .queryExecution.executedPlan.toString

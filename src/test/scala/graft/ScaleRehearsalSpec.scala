@@ -60,6 +60,8 @@ class ScaleRehearsalSpec extends SparkSuite {
     assert(field("p04_rows") > 0, j)
     assert(field("p04_secs") < field("p01_secs"),
       s"the incremental night should beat the full rebuild at 10x: $j")
+    assert(field("feed_readers") == 64.0,
+      s"training feed lost reader ranks at 10×: $j")
     assert(field("m12_rows") > 0, j)
     assert(field("m12_adv_rows") > 0, j)
     // the stream bridge leg: hydration completed under the bound and

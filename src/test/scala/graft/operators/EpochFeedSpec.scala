@@ -127,6 +127,32 @@ class EpochFeedSpec extends SparkSuite {
     assert(rs.forall(r => r >= 0 && r < 4), s"reader out of range: ${rs.toSeq}")
   }
 
+  // ---- per-epoch mixture sampling ----
+
+  test("mixtureKeep realizes the requested rate and epochs draw " +
+    "independent subsets") {
+    val n = 20000
+    val d = (0 until n).map(i => (i.toLong, 400L))
+      .toDF("doc_id", "rate_pm")
+    val flags = d
+      .withColumn("k1", EpochFeed.mixtureKeep(col("doc_id"), col("rate_pm"), 1))
+      .withColumn("k2", EpochFeed.mixtureKeep(col("doc_id"), col("rate_pm"), 2))
+      .select("k1", "k2").as[(Boolean, Boolean)].collect()
+    val n1 = flags.count(_._1); val n2 = flags.count(_._2)
+    val both = flags.count(f => f._1 && f._2)
+    // rate 400‰ over 20k coins: ±3σ ≈ ±21‰
+    assert(math.abs(n1 * 1000L / n - 400) < 25, s"epoch1 rate ${n1 * 1000L / n}")
+    assert(math.abs(n2 * 1000L / n - 400) < 25, s"epoch2 rate ${n2 * 1000L / n}")
+    // independence: overlap ≈ 160‰ (= 0.4²), NOT 400‰ (same subset)
+    assert(math.abs(both * 1000L / n - 160) < 30,
+      s"epoch overlap ${both * 1000L / n}‰ — epochs are not independent draws")
+    // determinism: same epoch, same coin
+    val again = d.withColumn("k1",
+      EpochFeed.mixtureKeep(col("doc_id"), col("rate_pm"), 1))
+      .select("k1").as[Boolean].collect()
+    assert(again.toSeq == flags.map(_._1).toSeq)
+  }
+
   // ---- the corpus hand-off ----
 
   test("Corpus.epochFeed + Nightly feed serve exactly the committed " +
