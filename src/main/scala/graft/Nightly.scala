@@ -78,7 +78,7 @@ object Nightly {
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
       "delete-docs|feed> <shardsRoot> [--into <nightId>] " +
       "[--ids <id,...>] [--epoch <n> --readers <k> [--nights <id,...>] " +
-      "[--out <dir>]] | " +
+      "[--rates <src=pm,...>] [--out <dir>] [--materialize]] | " +
       "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
   /** Flags that take no value; every other `--flag` must be followed
@@ -88,7 +88,7 @@ object Nightly {
     * would silently do the destructive default — prune the nights the
     * operator meant to pin, skip the corpus increment they meant to
     * write — instead of erroring. */
-  private val BoolFlags = Set("--prune")
+  private val BoolFlags = Set("--prune", "--materialize")
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -452,9 +452,13 @@ object Nightly {
         // (media balances by payload bytes). --nights pins an explicit
         // snapshot (the readNights discipline — REQUIRED for a
         // multi-epoch run, so a night committed mid-run cannot shift
-        // the next epoch's order); --out writes the (id, pos, reader)
-        // assignment table under <out>/epoch=N, one partition per
-        // reader rank. Without --out it is a dry-run balance report.
+        // the next epoch's order); --rates src=pm,... composes the
+        // per-epoch mixture coin in front (unlisted sources keep
+        // 1000‰); --out writes the (id, pos, reader) assignment table
+        // under <out>/epoch=N, one partition per reader rank — or,
+        // with --materialize, the FULL corpus rows in epoch order, one
+        // file per rank, the layout a loader reads sequentially with
+        // no join-back. Without --out it is a dry-run balance report.
         require(axis != "vec", "no shard corpus on the vec axis")
         def intFlag(name: String): Int = rest.sliding(2)
           .collectFirst { case Seq(`name`, v) => v.toInt }
@@ -466,24 +470,50 @@ object Nightly {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         val outFlag = rest.sliding(2)
           .collectFirst { case Seq("--out", v) => v }
+        val rates = rest.sliding(2)
+          .collectFirst { case Seq("--rates", v) => v }
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf('=')
+            require(i > 0, s"bad --rates entry '$kv' (want source=pm)")
+            kv.take(i) -> kv.drop(i + 1).toLong
+          }.toMap)
+        val materialize = rest.contains("--materialize")
+        require(!materialize || outFlag.isDefined,
+          "--materialize requires --out\n" + Usage)
         val idc = corpusIdCol(axis)
-        val docs = nights match {
+        val docs0 = nights match {
           case Some(ids) => operators.Corpus.readNights(s, indexDir, ids)
           case None      => operators.Corpus.readCommitted(s, indexDir)
+        }
+        val docs = rates.fold(docs0) { rm =>
+          // per-source per-mille map rides a tiny when-chain (config-
+          // sized); membership is the epoch-seeded coin, so the next
+          // epoch's feed draws an independent subset (t27 semantics)
+          val ratePm = rm.foldLeft(lit(1000L)) { case (acc, (src, pm)) =>
+            org.apache.spark.sql.functions
+              .when(col("source") === src, lit(pm)).otherwise(acc)
+          }
+          docs0.filter(
+            operators.EpochFeed.mixtureKeep(col(idc), ratePm, epoch))
         }
         val withTok =
           if (axis == "media")
             docs.withColumn("__feed_tok",
               length(col("payload")).cast("long"))
           else docs.withColumn("__feed_tok", col("n_toks").cast("long"))
-        val assign = graft.Pinned.pin(operators.EpochFeed
-          .feed(withTok, epoch, readers, "__feed_tok", idc)
+        val full = graft.Pinned.pin(operators.EpochFeed
+          .feed(withTok, epoch, readers, "__feed_tok", idc))
+        val assign = full
           .select(col(idc), col("pos"), col("reader"),
-            col("__feed_tok").as("n_toks")))
+            col("__feed_tok").as("n_toks"))
         try {
           outFlag.foreach { out =>
-            assign.write.mode("overwrite").partitionBy("reader")
-              .parquet(s"$out/epoch=$epoch")
+            if (materialize)
+              operators.EpochFeed.writeMaterialized(
+                full.drop("__feed_tok"), readers, s"$out/epoch=$epoch")
+            else
+              assign.write.mode("overwrite").partitionBy("reader")
+                .parquet(s"$out/epoch=$epoch")
           }
           // driver-plane rollup: one row per reader rank (bounded by
           // --readers), the balance report a trainer checks for skew

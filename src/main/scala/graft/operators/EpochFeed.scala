@@ -99,6 +99,25 @@ object EpochFeed {
       "__g", "shuffle_key", Some(idCol), Seq("__one" -> "pos"), buckets)
       .drop("__one", "__g")
 
+  /** Write the feed MATERIALIZED: one `reader=R` directory per rank,
+    * rows in epoch order inside each file — the layout a data loader
+    * reads strictly sequentially with zero join-back. One shuffle
+    * (hash on the rank id, so all of a rank's rows land in one task →
+    * exactly one file per rank dir) + an in-partition sort on
+    * `(reader, pos)`; the leading `reader` key satisfies the dynamic-
+    * partition writer's required ordering, so it inserts no sort of
+    * its own that could disturb `pos` order. At 100 TB this is the
+    * unavoidable cost of a physically shuffled corpus — one full
+    * shuffle of the gated text, same class as the shard write.
+    * Callers size `nReaders` so a rank's slice (~total/N tokens) fits
+    * a task. */
+  def writeMaterialized(feedDf: DataFrame, nReaders: Int,
+      outDir: String): Unit =
+    feedDf.drop("shuffle_key", "toks_before")
+      .repartition(nReaders, col("reader"))
+      .sortWithinPartitions(col("reader"), col("pos"))
+      .write.mode("overwrite").partitionBy("reader").parquet(outDir)
+
   /** The full feed frame: `shuffle_key`, `pos`, `toks_before` (exclusive
     * running token total in epoch order) and `reader` ∈ [0, nReaders) —
     * token-contiguous balanced slices. `tokCol` must be integral and

@@ -203,5 +203,44 @@ class EpochFeedSpec extends SparkSuite {
       served ++ (300L until 320L).toSet)
     assert(written.select("reader").distinct().as[Long].collect()
       .toSet == Set(0L, 1L, 2L, 3L))
+
+    // --materialize: full corpus rows land in epoch order, one file
+    // per rank — each rank dir is strictly ascending in pos and
+    // carries the text, so a loader reads sequentially with no join
+    val mat = Files.createTempDirectory("ef_mat").toString
+    graft.Nightly.run(spark, Seq("text", "feed", root,
+      "--epoch", "2", "--readers", "4", "--out", mat, "--materialize"))
+    val allMat = spark.read.parquet(s"$mat/epoch=2")
+    assert(allMat.columns.contains("text"), allMat.columns.mkString(","))
+    assert(allMat.select("doc_id").as[Long].collect().toSet ==
+      written.select("doc_id").as[Long].collect().toSet)
+    for (r <- 0 to 3) {
+      val dir = new java.io.File(s"$mat/epoch=2/reader=$r")
+      val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"rank $r has ${files.length} files — expected exactly one")
+      val ps = spark.read.parquet(files.head.toString)
+        .select("pos").as[Long].collect()
+      assert(ps.sameElements(ps.sorted),
+        s"rank $r file is not in epoch order")
+    }
+    // materialized assignment matches the assignment-table run
+    val matAssign = allMat.select("doc_id", "pos", "reader")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(matAssign == written.select("doc_id", "pos", "reader")
+      .as[(Long, Long, Long)].collect().toSet)
+
+    // --rates: the epoch-seeded mixture coin thins the named source
+    // deterministically; unlisted sources keep everything
+    val lineR = graft.Nightly.run(spark, Seq("text", "feed", root,
+      "--epoch", "2", "--readers", "2", "--rates", "s0=400"))
+    val kept = Corpus.readCommitted(spark, root)
+      .filter(col("source") =!= "s0" ||
+        EpochFeed.mixtureKeep(col("doc_id"), lit(400L), 2))
+      .count()
+    assert(lineR.contains(s""""rows":$kept"""), s"$lineR vs $kept")
+    assert(graft.Nightly.run(spark, Seq("text", "feed", root,
+      "--epoch", "2", "--readers", "2", "--rates", "s0=400")) == lineR,
+      "rates feed not deterministic")
   }
 }
