@@ -243,4 +243,46 @@ class EpochFeedSpec extends SparkSuite {
       "--epoch", "2", "--readers", "2", "--rates", "s0=400")) == lineR,
       "rates feed not deterministic")
   }
+
+  test("media feed balances by payload bytes and covers every served " +
+    "asset exactly once") {
+    val idx = Files.createTempDirectory("ef_midx").toString
+    val mroot = Files.createTempDirectory("ef_mroot").toString
+    def text(p: String) = (0 until 40).map(i => s"$p$i").mkString(" ")
+    def writeDocs(rows: (Long, String)*): String = {
+      val dir = Files.createTempDirectory("ef_mdocs").toString
+      rows.map { case (id, t) =>
+        (id, t, "en", s"src${id % 2}", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    graft.Nightly.run(spark, Seq("media", "build", idx,
+      writeDocs((0L to 5L).map(i => i -> text(s"mf${i}v")): _*)))
+    graft.Nightly.run(spark, Seq("media", "night", idx,
+      writeDocs((100L to 111L).map(i => i -> text(s"mfd${i}x")): _*),
+      "--id", "m1", "--shards", mroot))
+    val line = graft.Nightly.run(spark, Seq("media", "feed", mroot,
+      "--epoch", "1", "--readers", "2"))
+    assert(line.contains(""""metric":"feed""""), line)
+    val served = Corpus.readCommitted(spark, mroot).count()
+    assert(served > 0, "media fixture served nothing")
+    val rows = """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    assert(rows == served, s"$line vs served $served")
+    // the API face: byte-balanced, every asset exactly once, readers
+    // in range — the media twin of the text feed contract
+    val feed = EpochFeed.feed(
+      Corpus.readCommitted(spark, mroot)
+        .withColumn("n_bytes", length(col("payload")).cast("long")),
+      epoch = 1, nReaders = 2, tokCol = "n_bytes", idCol = "media_id")
+      .select("media_id", "pos", "reader", "n_bytes")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(feed.length == served)
+    assert(feed.map(_._2).sorted.toSeq == (0L until served))
+    assert(feed.map(_._3).forall(r => r == 0L || r == 1L))
+    val perRank = feed.groupBy(_._3).view.mapValues(_.map(_._4).sum)
+    val maxBytes = feed.map(_._4).max
+    assert(perRank.values.max - perRank.values.min <= 2 * maxBytes + 1,
+      s"media rank byte skew: $perRank")
+  }
 }
