@@ -78,7 +78,8 @@ object Nightly {
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
       "delete-docs|feed> <shardsRoot> [--into <nightId>] " +
       "[--ids <id,...>] [--epoch <n> --readers <k> [--nights <id,...>] " +
-      "[--rates <src=pm,...>] [--out <dir>] [--materialize]] | " +
+      "[--split <train|val|test>] [--rates <src=pm,...>] " +
+      "[--out <dir>] [--materialize]] | " +
       "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
   /** Flags that take no value; every other `--flag` must be followed
@@ -485,7 +486,21 @@ object Nightly {
           case Some(ids) => operators.Corpus.readNights(s, indexDir, ids)
           case None      => operators.Corpus.readCommitted(s, indexDir)
         }
-        val docs = rates.fold(docs0) { rm =>
+        // --split train|val|test: the d15 identity-hash split (ONE
+        // shared definition — TextDedupOps.splitCol — so a feed's
+        // train set and the d15/d16 audits can never disagree). The
+        // usual production call is '--split train': eval documents
+        // never enter a training feed, recomputed from the id with no
+        // assignment table.
+        val splitFlag = rest.sliding(2)
+          .collectFirst { case Seq("--split", v) => v }
+        splitFlag.foreach(v => require(Set("train", "val", "test")(v),
+          s"unknown --split '$v' (train|val|test)\n$Usage"))
+        val docsS = splitFlag.fold(docs0) { sp =>
+          docs0.filter(
+            queries.TextDedupOps.splitCol(col(idc)) === sp)
+        }
+        val docs = rates.fold(docsS) { rm =>
           // per-source per-mille map rides a tiny when-chain (config-
           // sized); membership is the epoch-seeded coin, so the next
           // epoch's feed draws an independent subset (t27 semantics)
@@ -493,7 +508,7 @@ object Nightly {
             org.apache.spark.sql.functions
               .when(col("source") === src, lit(pm)).otherwise(acc)
           }
-          docs0.filter(
+          docsS.filter(
             operators.EpochFeed.mixtureKeep(col(idc), ratePm, epoch))
         }
         val withTok =

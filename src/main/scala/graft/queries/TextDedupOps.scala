@@ -706,7 +706,7 @@ object TextDedupOps {
     * runs, and cluster sizes, with no stored assignment table and no
     * shuffle — any stage recomputes a doc's split locally from its id
     * (the same property d13 exploits for mixture sampling). */
-  private def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def splitCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val bucket =
       graft.functions.Portable.hash60(docId.cast("string"), 777) % 1000L
     when(bucket < 800, "train").when(bucket < 900, "val").otherwise("test")

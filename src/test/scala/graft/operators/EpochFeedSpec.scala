@@ -244,6 +244,36 @@ class EpochFeedSpec extends SparkSuite {
       "rates feed not deterministic")
   }
 
+  test("feed --split partitions the corpus by the d15 identity hash — " +
+    "train/val/test are disjoint, complete, and eval never feeds") {
+    val idx = Files.createTempDirectory("ef_sidx").toString
+    val root = Files.createTempDirectory("ef_sroot").toString
+    def text(p: String) = (0 until 40).map(i => s"$p$i").mkString(" ")
+    def df(ids: Range, p: String) =
+      ids.map(i => (i.toLong, "s" + (i % 2), text(s"$p$i")))
+        .toDF("doc_id", "source", "text")
+    TextDedupOps.d24Build(spark, idx, df(0 until 4, "sb"))
+    assert(TextDedupOps.p04Night(spark, idx, df(500 until 700, "sn"),
+      root, "n1").isDefined)
+    graft.Pinned.releaseAll(spark)
+    def rowsOf(split: String): Long = {
+      val line = graft.Nightly.run(spark, Seq("text", "feed", root,
+        "--epoch", "1", "--readers", "2", "--split", split))
+      """"rows":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    }
+    val served = Corpus.readCommitted(spark, root)
+    val total = served.count()
+    val parts = Seq("train", "val", "test").map(s => s -> rowsOf(s)).toMap
+    assert(parts.values.sum == total,
+      s"splits do not partition the corpus: $parts vs $total")
+    assert(parts("train") > parts("val") && parts("train") > parts("test"),
+      s"800/100/100 shape lost: $parts")
+    // the shared definition: the CLI's train count IS d15's
+    val d15Train = served.filter(
+      TextDedupOps.splitCol(col("doc_id")) === "train").count()
+    assert(parts("train") == d15Train)
+  }
+
   test("media feed balances by payload bytes and covers every served " +
     "asset exactly once") {
     val idx = Files.createTempDirectory("ef_midx").toString
