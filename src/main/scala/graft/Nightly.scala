@@ -516,16 +516,22 @@ object Nightly {
             docs.withColumn("__feed_tok",
               length(col("payload")).cast("long"))
           else docs.withColumn("__feed_tok", col("n_toks").cast("long"))
-        val full = graft.Pinned.pin(operators.EpochFeed
-          .feed(withTok, epoch, readers, "__feed_tok", idc))
-        val assign = full
+        // the rank computation runs on a NARROW (id, token) projection
+        // — at 100 TB the text/payload must not ride the prefix sum's
+        // bucket window sort; the materialized write joins it back by
+        // id (one wide shuffle, the honest minimum for a physically
+        // shuffled corpus)
+        val assign = graft.Pinned.pin(operators.EpochFeed
+          .feed(withTok.select(col(idc), col("__feed_tok")),
+            epoch, readers, "__feed_tok", idc)
           .select(col(idc), col("pos"), col("reader"),
-            col("__feed_tok").as("n_toks"))
+            col("__feed_tok").as("n_toks")))
         try {
           outFlag.foreach { out =>
             if (materialize)
               operators.EpochFeed.writeMaterialized(
-                full.drop("__feed_tok"), readers, s"$out/epoch=$epoch")
+                docs.join(assign.drop("n_toks"), Seq(idc)),
+                readers, s"$out/epoch=$epoch")
             else
               assign.write.mode("overwrite").partitionBy("reader")
                 .parquet(s"$out/epoch=$epoch")

@@ -92,11 +92,11 @@ object EpochFeed {
     * `idCol`. */
   def withOrder(docs: DataFrame, epoch: Int, idCol: String = "doc_id",
                 buckets: Int = PrefixSum.DefaultBuckets): DataFrame =
-    PrefixSum.exclusiveMulti(
+    PrefixSum.exclusiveTied(
       docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch))
         .withColumn("__one", lit(1L))
         .withColumn("__g", lit(0)),
-      "__g", "shuffle_key", Some(idCol), Seq("__one" -> "pos"), buckets)
+      "__g", "shuffle_key", idCol, "__one", "pos", buckets)
       .drop("__one", "__g")
 
   /** Write the feed MATERIALIZED: one `reader=R` directory per rank,
