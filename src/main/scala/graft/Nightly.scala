@@ -521,25 +521,47 @@ object Nightly {
         // bucket window sort; the materialized write joins it back by
         // id (one wide shuffle, the honest minimum for a physically
         // shuffled corpus)
+        // `weight` is tokens on the text axis, payload bytes on media
         val assign = graft.Pinned.pin(operators.EpochFeed
           .feed(withTok.select(col(idc), col("__feed_tok")),
             epoch, readers, "__feed_tok", idc)
           .select(col(idc), col("pos"), col("reader"),
-            col("__feed_tok").as("n_toks")))
+            col("__feed_tok").as("weight")))
         try {
           outFlag.foreach { out =>
+            val dir = s"$out/epoch=$epoch"
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val marker =
+              new org.apache.hadoop.fs.Path(dir, "_FEED_COMMITTED")
+            // overwrite discipline: parquet overwrite is delete+write,
+            // not atomic — drop the marker FIRST so a reader honoring
+            // it sees "in-flight" for the whole rewrite instead of a
+            // torn mix of old and new files, and stamp it LAST with
+            // the spec that produced the artifact
+            fs.delete(marker, false)
             if (materialize)
               operators.EpochFeed.writeMaterialized(
-                docs.join(assign.drop("n_toks"), Seq(idc)),
-                readers, s"$out/epoch=$epoch")
+                docs.join(assign.drop("weight"), Seq(idc)),
+                readers, dir)
             else
               assign.write.mode("overwrite").partitionBy("reader")
-                .parquet(s"$out/epoch=$epoch")
+                .parquet(dir)
+            val os = fs.create(marker, true)
+            try os.write((Seq(
+              s"axis=$axis", s"epoch=$epoch", s"readers=$readers",
+              s"materialize=$materialize") ++
+              splitFlag.map(v => s"split=$v") ++
+              rates.map(rm => "rates=" + rm.toSeq.sorted
+                .map { case (k, v) => s"$k=$v" }.mkString(",")) ++
+              nights.map(ns => "nights=" + ns.mkString(",")))
+              .mkString("\n").getBytes("UTF-8"))
+            finally os.close()
           }
           // driver-plane rollup: one row per reader rank (bounded by
           // --readers), the balance report a trainer checks for skew
           val perReader = assign.groupBy(col("reader"))
-            .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("toks"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("w"))
             .collect().sortBy(_.getLong(0))
           line("metric" -> "\"feed\"",
             "epoch" -> epoch.toString,
@@ -548,7 +570,7 @@ object Nightly {
             "written" -> outFlag.isDefined.toString,
             "balance" -> perReader.map(r =>
               s""""${r.getLong(0)}":{"n_docs":${r.getLong(1)},""" +
-                s""""n_toks":${r.getLong(2)}}""")
+                s""""weight":${r.getLong(2)}}""")
               .mkString("{", ",", "}"))
         } finally Pinned.releaseAll(s)
 

@@ -203,6 +203,13 @@ class EpochFeedSpec extends SparkSuite {
       served ++ (300L until 320L).toSet)
     assert(written.select("reader").distinct().as[Long].collect()
       .toSet == Set(0L, 1L, 2L, 3L))
+    // the commit marker stamps the spec that produced the artifact —
+    // a reader honoring it never sees a torn overwrite
+    val markerSpec = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/epoch=2/_FEED_COMMITTED")), "UTF-8")
+    assert(markerSpec.contains("epoch=2") &&
+      markerSpec.contains("readers=4") &&
+      markerSpec.contains("materialize=false"), markerSpec)
 
     // --materialize: full corpus rows land in epoch order, one file
     // per rank — each rank dir is strictly ascending in pos and
@@ -212,6 +219,9 @@ class EpochFeedSpec extends SparkSuite {
       "--epoch", "2", "--readers", "4", "--out", mat, "--materialize"))
     val allMat = spark.read.parquet(s"$mat/epoch=2")
     assert(allMat.columns.contains("text"), allMat.columns.mkString(","))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$mat/epoch=2/_FEED_COMMITTED")), "UTF-8")
+      .contains("materialize=true"))
     assert(allMat.select("doc_id").as[Long].collect().toSet ==
       written.select("doc_id").as[Long].collect().toSet)
     for (r <- 0 to 3) {
