@@ -79,7 +79,7 @@ object Nightly {
       "delete-docs|feed> <shardsRoot> [--into <nightId>] " +
       "[--ids <id,...>] [--epoch <n> --readers <k> [--nights <id,...>] " +
       "[--split <train|val|test>] [--rates <src=pm,...>] " +
-      "[--out <dir>] [--materialize]] | " +
+      "[--budgets <src=n,...>] [--out <dir>] [--materialize]] | " +
       "graft.Nightly <text|media> reconcile <indexDir> --shards <root>"
 
   /** Flags that take no value; every other `--flag` must be followed
@@ -511,11 +511,40 @@ object Nightly {
           docsS.filter(
             operators.EpochFeed.mixtureKeep(col(idc), ratePm, epoch))
         }
-        val withTok =
+        val withTok0 =
           if (axis == "media")
             docs.withColumn("__feed_tok",
               length(col("payload")).cast("long"))
           else docs.withColumn("__feed_tok", col("n_toks").cast("long"))
+        // --budgets src=n,...: cap listed sources at n tokens (media:
+        // bytes) for THIS epoch — t28's rule: keep a doc iff its
+        // source's running total before it, in epoch order, is under
+        // the budget. Applied after --rates (the budget caps what the
+        // coin kept). The per-source running total computes on a
+        // narrow (id, source, weight) projection and rejoins as an
+        // id-only semi-join, the same payload-free discipline as the
+        // rank computation below.
+        val budgets = rest.sliding(2)
+          .collectFirst { case Seq("--budgets", v) => v }
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+            val i = kv.lastIndexOf('=')
+            require(i > 0, s"bad --budgets entry '$kv' (want source=n)")
+            kv.take(i) -> kv.drop(i + 1).toLong
+          }.toMap)
+        val withTok = budgets.fold(withTok0) { bm =>
+          val budgetCol = bm.foldLeft(lit(Long.MaxValue)) {
+            case (acc, (src, n)) =>
+              org.apache.spark.sql.functions
+                .when(col("source") === src, lit(n)).otherwise(acc)
+          }
+          val keptIds = operators.EpochFeed
+            .withSourceCum(
+              withTok0.select(col(idc), col("source"), col("__feed_tok")),
+              epoch, "__feed_tok", idc)
+            .filter(col("src_cum_before") < budgetCol)
+            .select(col(idc))
+          withTok0.join(keptIds, Seq(idc), "left_semi")
+        }
         // the rank computation runs on a NARROW (id, token) projection
         // — at 100 TB the text/payload must not ride the prefix sum's
         // bucket window sort; the materialized write joins it back by

@@ -99,6 +99,24 @@ object EpochFeed {
       "__g", "shuffle_key", idCol, "__one", "pos", buckets)
       .drop("__one", "__g")
 
+  /** Adds `src_cum_before` — each document's exclusive running token
+    * total WITHIN ITS SOURCE, taken in the epoch's shuffle order. This
+    * is the primitive behind per-source token-BUDGET caps (the other
+    * half of mixture design: rates say "keep 40‰ of source X", budgets
+    * say "at most N tokens of source X per epoch"): filtering on
+    * `src_cum_before < budget` keeps an epoch-seeded random sample of
+    * the source truncated at the budget — deterministic, engine-
+    * portable, different docs each epoch, overshooting by at most one
+    * document. Per-source tied prefix sum: partition key = source
+    * (low-cardinality — exactly the shape PrefixSum's bucketing
+    * parallelizes), order = (shuffle_key, id). */
+  def withSourceCum(docs: DataFrame, epoch: Int, tokCol: String,
+      idCol: String = "doc_id", srcCol: String = "source",
+      buckets: Int = PrefixSum.DefaultBuckets): DataFrame =
+    PrefixSum.exclusiveTied(
+      docs.withColumn("shuffle_key", shuffleKey(col(idCol), epoch)),
+      srcCol, "shuffle_key", idCol, tokCol, "src_cum_before", buckets)
+
   /** Write the feed MATERIALIZED: one `reader=R` directory per rank,
     * rows in epoch order inside each file — the layout a data loader
     * reads strictly sequentially with zero join-back. One shuffle

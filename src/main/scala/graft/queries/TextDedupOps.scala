@@ -2372,6 +2372,39 @@ object TextDedupOps {
         sum(when(col("k1") && col("k2"), 1L).otherwise(0L)).as("n_both"))
   }
 
+  /** Per-source token-budget caps — the other half of mixture design:
+    * d13/t27's rates say "keep 40‰ of source X", a budget says "at
+    * most N tokens of source X this epoch" (the production lever that
+    * caps low-quality web at a token count, not a ratio). A document
+    * survives iff its source's running token total BEFORE it — taken
+    * in the epoch-1 shuffle order ([[graft.operators.EpochFeed
+    * .withSourceCum]]) — is under the source's budget: an
+    * epoch-seeded deterministic random sample truncated at the
+    * budget, overshooting by at most one document, different docs
+    * next epoch. Budgets here derive from the source name (the config
+    * stand-in, like d13's rates); the Nightly feed CLI takes explicit
+    * `--budgets src=n,...`. Per-source tied prefix sum — the
+    * low-cardinality partition key IS PrefixSum's target shape. */
+  private def t28(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Pinned.pin(docsWithTokens(s, d)
+      .select(col("source"), col("doc_id"),
+        col("n_words").cast("long").as("n_toks")))
+    graft.operators.EpochFeed
+      .withSourceCum(base, epoch = 1, tokCol = "n_toks",
+        buckets = packBuckets(s))
+      .withColumn("budget",
+        (lit(1L) +
+          graft.functions.Portable.hash60(col("source"), 321) % 5L) * 100L)
+      .withColumn("kept", col("src_cum_before") < col("budget"))
+      .groupBy(col("source"), col("budget"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L))
+          .as("kept_tokens"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -2424,6 +2457,7 @@ object TextDedupOps {
     "t25_reader_slices" -> t25 _,
     "t26_packed_sequences" -> t26 _,
     "t27_mixture_epochs" -> t27 _,
+    "t28_source_budget_caps" -> t28 _,
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
@@ -3810,6 +3844,28 @@ object TextDedupOps {
          |  SUM(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n_epoch2,
          |  SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n_both
          |FROM k GROUP BY 1, 2""".stripMargin,
+    // SQL twin of t28 — the per-source running total replayed as the
+    // (key, doc_id)-ordered window inside each source partition
+    "t28_source_budget_caps" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_toks,
+         |    ${graft.operators.EpochFeed.sqlShuffleKey("doc_id::VARCHAR", 1)}
+         |      AS key
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, n_toks,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS cum,
+         |    (1 + ${sqlHash60("source", 321)} % 5) * 100 AS budget
+         |  FROM t)
+         |SELECT source, budget::BIGINT AS budget, COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  SUM(CASE WHEN cum < budget THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  SUM(CASE WHEN cum < budget THEN n_toks ELSE 0 END)::BIGINT
+         |    AS kept_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
     // SQL twin of p04 — the incremental night: d24's verdict CTEs, the
     // intra-unique dedup (min-id per content hash, then drop docs near
     // any SMALLER admitted doc — the advance-fold rule), then the p01

@@ -252,6 +252,20 @@ class EpochFeedSpec extends SparkSuite {
     assert(graft.Nightly.run(spark, Seq("text", "feed", root,
       "--epoch", "2", "--readers", "2", "--rates", "s0=400")) == lineR,
       "rates feed not deterministic")
+
+    // --budgets: the named source is capped at its token budget in
+    // epoch order; the unlisted source rides through whole
+    val lineB = graft.Nightly.run(spark, Seq("text", "feed", root,
+      "--epoch", "2", "--readers", "2", "--budgets", "s0=50"))
+    val servedAll = Corpus.readCommitted(spark, root)
+    val droppedB = EpochFeed.withSourceCum(
+        servedAll.select(col("doc_id"), col("source"),
+          col("n_toks").cast("long").as("w")), 2, "w")
+      .filter(col("source") === "s0" && col("src_cum_before") >= 50)
+      .count()
+    val keptB = servedAll.count() - droppedB
+    assert(droppedB > 0, "the 50-token budget did not bite")
+    assert(lineB.contains(s""""rows":$keptB"""), s"$lineB vs $keptB")
   }
 
   test("feed --split partitions the corpus by the d15 identity hash — " +
@@ -282,6 +296,37 @@ class EpochFeedSpec extends SparkSuite {
     val d15Train = served.filter(
       TextDedupOps.splitCol(col("doc_id")) === "train").count()
     assert(parts("train") == d15Train)
+  }
+
+  test("withSourceCum + feed --budgets cap a source at its token " +
+    "budget in epoch order, overshooting by at most one document") {
+    val d = docs(300) // 4 sources striped, n_toks in 1..13
+    val cum = EpochFeed.withSourceCum(d, epoch = 1, tokCol = "n_toks")
+      .select("source", "doc_id", "n_toks", "src_cum_before")
+      .as[(String, Long, Long, Long)].collect()
+    // the running total is the per-source (key, id)-ordered window
+    val keyed = d.withColumn("k", EpochFeed.shuffleKey(col("doc_id"), 1))
+      .select("source", "doc_id", "n_toks", "k")
+      .as[(String, Long, Long, Long)].collect()
+    val expect = keyed.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._4, r._2)).toSeq
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3))
+        .map { case (r, c) => (r._2, c) }
+    }.toMap
+    assert(cum.map(r => r._2 -> r._4).toMap == expect)
+    // capping: kept tokens land within one doc of the budget
+    val budget = 60L
+    val kept = cum.filter(_._4 < budget)
+    val perSrc = kept.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+    perSrc.foreach { case (src, t) =>
+      assert(t < budget + 13 && t > 0, s"$src kept $t vs budget $budget")
+    }
+    // a different epoch caps a DIFFERENT subset of each source
+    val cum2 = EpochFeed.withSourceCum(d, epoch = 2, tokCol = "n_toks")
+      .select("doc_id", "src_cum_before").as[(Long, Long)].collect()
+      .filter(_._2 < budget).map(_._1).toSet
+    assert(cum2 != kept.map(_._2).toSet,
+      "epoch 1 and 2 budget-kept the same docs")
   }
 
   test("media feed balances by payload bytes and covers every served " +
