@@ -264,7 +264,7 @@ object ScaleRehearsal {
     // tokenization. ---
     val (feedReaders, feedSecs) = timed {
       val docs10 = spark.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("source"),
           expr("n_chars DIV 5").cast("long").as("n_toks"))
       val maxTok = docs10.agg(max(col("n_toks"))).head().getLong(0)
       val per = graft.operators.EpochFeed
@@ -277,6 +277,17 @@ object ScaleRehearsal {
       val ts = per.map(_.getLong(1))
       require(ts.max - ts.min <= 2 * maxTok + 1,
         s"reader skew ${ts.max - ts.min} exceeds the two-document bound")
+      // the budget path at 10×: per-source running totals (the
+      // low-cardinality partition shape), every source capped within
+      // one doc of a 100k-token budget
+      val capped = graft.operators.EpochFeed
+        .withSourceCum(docs10, epoch = 1, tokCol = "n_toks",
+          buckets = 256)
+        .filter(col("src_cum_before") < 100000L)
+        .groupBy(col("source")).agg(sum(col("n_toks")).as("t"))
+        .collect()
+      capped.foreach(r => require(r.getLong(1) < 100000L + maxTok,
+        s"budget overshoot on ${r.getString(0)}: ${r.getLong(1)}"))
       per.length.toLong
     }
 
