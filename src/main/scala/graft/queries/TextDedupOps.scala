@@ -2405,6 +2405,41 @@ object TextDedupOps {
           .as("kept_tokens"))
   }
 
+  /** Line-level boilerplate cleaning — the standard crawl-cleaning step
+    * BETWEEN raw HTML extraction and document-level quality scoring:
+    * drop navigation/footer lines (too few words, or matching a
+    * stop-phrase pattern) and keep the rest, per line, inside each
+    * document. The testdata corpus is single-line by construction, so
+    * the positive path runs on PLANTED multi-line variants (the
+    * d01/t05 probe discipline — five docs re-planted with a 2-word
+    * "subscribe now" line and a regex-matched cookie/click-here line
+    * between two real copies of their text, expressed identically in
+    * the oracle). Pure per-row array ops (split → filter → measure),
+    * no shuffle before the narrow rollup; the kept-line chars come
+    * from an `aggregate` fold, never re-concatenation. */
+  private def t29(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val planted = docs.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + lit(2L * graft.Tables.ProbeShift))
+      .withColumn("text", concat_ws("\n",
+        col("text"), lit("subscribe now"),
+        lit("click here to accept our cookie policy"), col("text")))
+    docs.unionByName(planted)
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("kept", expr(
+        "filter(lines, l -> size(split(l, ' ')) >= 3 " +
+          "AND NOT l rlike '(click here|cookie policy|subscribe)')"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("lines"))).cast("long").as("n_lines"),
+        sum(size(col("kept"))).cast("long").as("n_kept_lines"),
+        sum(length(col("text"))).cast("long").as("chars_before"),
+        sum(expr(
+          "aggregate(kept, 0L, (a, l) -> a + length(l))"))
+          .as("kept_chars"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -2458,6 +2493,7 @@ object TextDedupOps {
     "t26_packed_sequences" -> t26 _,
     "t27_mixture_epochs" -> t27 _,
     "t28_source_budget_caps" -> t28 _,
+    "t29_line_cleaning" -> t29 _,
     "p01_corpus_pipeline" -> p01 _,
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
@@ -3844,6 +3880,33 @@ object TextDedupOps {
          |  SUM(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n_epoch2,
          |  SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n_both
          |FROM k GROUP BY 1, 2""".stripMargin,
+    // SQL twin of t29 — the same planted multi-line docs, the same
+    // line rules over DuckDB's list ops
+    "t29_line_cleaning" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${2L * graft.Tables.ProbeShift} AS doc_id,
+         |    source,
+         |    text || chr(10) || 'subscribe now' || chr(10) ||
+         |    'click here to accept our cookie policy' || chr(10) || text
+         |      AS text
+         |  FROM documents WHERE doc_id < 5),
+         |l AS (
+         |  SELECT source, text,
+         |    string_split(text, chr(10)) AS lines,
+         |    list_filter(string_split(text, chr(10)),
+         |      l -> len(string_split(l, ' ')) >= 3
+         |        AND NOT regexp_matches(l,
+         |          '(click here|cookie policy|subscribe)')) AS kept
+         |  FROM base)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  SUM(len(lines))::BIGINT AS n_lines,
+         |  SUM(len(kept))::BIGINT AS n_kept_lines,
+         |  SUM(len(text))::BIGINT AS chars_before,
+         |  SUM(COALESCE(list_sum(list_transform(kept, l -> len(l))), 0))
+         |    ::BIGINT AS kept_chars
+         |FROM l GROUP BY 1""".stripMargin,
     // SQL twin of t28 — the per-source running total replayed as the
     // (key, doc_id)-ordered window inside each source partition
     "t28_source_budget_caps" ->
