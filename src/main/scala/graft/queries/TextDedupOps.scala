@@ -2440,6 +2440,55 @@ object TextDedupOps {
           .as("kept_chars"))
   }
 
+  /** p05 — the COMPLETE trainer hand-off as one composed, oracled
+    * pipeline (the p03 discipline applied to the feed family): d15's
+    * train split → t27's per-epoch mixture rates → t28's per-source
+    * token-budget caps → t24's epoch order → t25's token-balanced
+    * reader slices, in exactly the order the `Nightly feed` CLI
+    * composes them. The per-reader report carries `order_check` =
+    * Σ (pos+1)·(doc_id mod 1000003) — an order-sensitive aggregate
+    * checksum (a transposed pair changes it) that stays a plain sum,
+    * never a corpus-sized collect. Every stage is an already-oracled
+    * formula; what this entry proves is the COMPOSITION: one engine
+    * disagreement anywhere in the five-stage chain hash-mismatches
+    * the final eight rows. */
+  private def p05(s: SparkSession, d: String): DataFrame = {
+    val epoch = 1
+    val base = graft.Pinned.pin(docsWithTokens(s, d)
+      .select(col("source"), col("doc_id"),
+        col("n_words").cast("long").as("n_toks")))
+    val train = base.filter(splitCol(col("doc_id")) === "train")
+    val rated = train
+      .withColumn("rate_pm",
+        lit(200L) +
+          (graft.functions.Portable.hash60(col("source"), 555) % 8L) * 100L)
+      .filter(graft.operators.EpochFeed
+        .mixtureKeep(col("doc_id"), col("rate_pm"), epoch))
+      .drop("rate_pm")
+    // pinned: feed's three prefix passes + the grand total would each
+    // re-run the budget stage's own three-pass window chain (≈12
+    // evaluations of the base); 24 bytes/row, released via releaseAll
+    val capped = graft.Pinned.pin(graft.operators.EpochFeed
+      .withSourceCum(rated, epoch, tokCol = "n_toks",
+        buckets = packBuckets(s))
+      .withColumn("budget",
+        (lit(1L) +
+          graft.functions.Portable.hash60(col("source"), 321) % 5L) * 100L)
+      .filter(col("src_cum_before") < col("budget"))
+      .drop("shuffle_key", "src_cum_before", "budget"))
+    graft.operators.EpochFeed
+      .feed(capped, epoch, nReaders = 8, tokCol = "n_toks",
+        buckets = packBuckets(s))
+      .groupBy(col("reader"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("sum_tokens"),
+        min(col("pos")).as("min_pos"),
+        max(col("pos")).as("max_pos"),
+        sum((col("pos") + 1L) * (col("doc_id") % 1000003L))
+          .as("order_check"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
@@ -2498,6 +2547,7 @@ object TextDedupOps {
     "p02_corpus_report" -> p02 _,
     "p03_build_and_report" -> p03 _,
     "p04_incremental_shards" -> p04 _,
+    "p05_training_epoch" -> p05 _,
   )
 
   /** p03 — [[buildAndReport]] as a query-surface entry: the composed
@@ -3880,6 +3930,47 @@ object TextDedupOps {
          |  SUM(CASE WHEN k2 THEN 1 ELSE 0 END)::BIGINT AS n_epoch2,
          |  SUM(CASE WHEN k1 AND k2 THEN 1 ELSE 0 END)::BIGINT AS n_both
          |FROM k GROUP BY 1, 2""".stripMargin,
+    // SQL twin of p05 — the five-stage trainer hand-off replayed as
+    // one CTE chain: train split, epoch-1 mixture coin, per-source
+    // budget window, global (key, doc_id) rank, token slices
+    "p05_training_epoch" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql)::BIGINT AS n_toks,
+         |    ${graft.operators.EpochFeed.sqlShuffleKey("doc_id::VARCHAR", 1)}
+         |      AS key
+         |  FROM documents),
+         |tr AS (SELECT * FROM t WHERE ${splitCaseSqlFor("doc_id")} = 'train'),
+         |rt AS (
+         |  SELECT source, doc_id, n_toks, key FROM (
+         |    SELECT *,
+         |      200 + (${sqlHash60("source", 555)} % 8) * 100 AS rate_pm
+         |    FROM tr)
+         |  WHERE ${graft.operators.EpochFeed
+                .sqlMixtureKeep("doc_id::VARCHAR", "rate_pm", 1)}),
+         |cum AS (
+         |  SELECT source, doc_id, n_toks, key,
+         |    COALESCE(SUM(n_toks) OVER (PARTITION BY source
+         |      ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS scum,
+         |    (1 + ${sqlHash60("source", 321)} % 5) * 100 AS budget
+         |  FROM rt),
+         |cap AS (SELECT doc_id, n_toks, key FROM cum WHERE scum < budget),
+         |ord AS (
+         |  SELECT doc_id, n_toks,
+         |    ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos,
+         |    COALESCE(SUM(n_toks) OVER (ORDER BY key, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS c2
+         |  FROM cap),
+         |tot AS (SELECT SUM(n_toks)::BIGINT AS tt FROM cap)
+         |SELECT LEAST(7, (8 * c2) // GREATEST(tt, 1)) AS reader,
+         |  COUNT(*) AS n_docs,
+         |  SUM(n_toks)::BIGINT AS sum_tokens,
+         |  MIN(pos)::BIGINT AS min_pos,
+         |  MAX(pos)::BIGINT AS max_pos,
+         |  SUM((pos + 1) * (doc_id % 1000003))::BIGINT AS order_check
+         |FROM ord, tot GROUP BY 1""".stripMargin,
     // SQL twin of t29 — the same planted multi-line docs, the same
     // line rules over DuckDB's list ops
     "t29_line_cleaning" ->
