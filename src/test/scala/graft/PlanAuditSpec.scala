@@ -204,6 +204,19 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("collect_list"), p)
   }
 
+  test("p05 composed hand-off: two prefix-sum chains, still no global " +
+    "sort and no per-source-only ordered window") {
+    val p = plan("p05_training_epoch")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"p05 globally sorts:\n$p")
+    // budget stage: per-(source, bucket) windows only
+    assert("windowspecdefinition\\(source#\\d+, shuffle_key".r
+      .findFirstIn(p).isEmpty,
+      s"p05's budget stage regressed to the per-source-only window:\n$p")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"p05 lost its range/offset/total broadcasts:\n$p")
+  }
+
   test("p01 packing stage: no per-source-only ordered window either") {
     val p = graft.queries.TextDedupOps.p01Corpus(spark, sf)
       .queryExecution.executedPlan.toString
