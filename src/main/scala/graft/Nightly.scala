@@ -74,6 +74,7 @@ object Nightly {
     "usage: graft.Nightly <text|media|vec> " +
       "<build|advance|night|compact|prune|status|retract> " +
       "<indexDir> [<parquetDir>] [--verdicts <dir>] [--prune] " +
+      "[--clean-lines] " +
       "[--id <nightId> --shards <dir>] | graft.Nightly <text|media> " +
       "<compact-shards|prune-shards|shards-status|audit-shards|" +
       "delete-docs|feed> <shardsRoot> [--into <nightId>] " +
@@ -89,7 +90,7 @@ object Nightly {
     * would silently do the destructive default — prune the nights the
     * operator meant to pin, skip the corpus increment they meant to
     * write — instead of erroring. */
-  private val BoolFlags = Set("--prune", "--materialize")
+  private val BoolFlags = Set("--prune", "--materialize", "--clean-lines")
 
   /** Execute one command; returns the JSON summary line (also the
     * spec-assertable result). */
@@ -167,11 +168,28 @@ object Nightly {
           s"unknown --format '$v' (parquet|jsonl)\n$Usage")
         v == "jsonl"
       }
-    def docsAt(path: String): DataFrame =
-      if (axis != "vec" && jsonlFlag.getOrElse(
-          path.endsWith(".jsonl") || path.endsWith(".json")))
-        sources.Jsonl.documents(s, path)
-      else s.read.parquet(path)
+    // --clean-lines: ingest-time line-level boilerplate scrub — t29's
+    // rule (graft.functions.TextFns.cleanLines, the ONE definition) on
+    // the text axis only (media derives payload bytes from the text,
+    // which a scrub would silently change)
+    val cleanLinesFlag = rest.contains("--clean-lines")
+    require(!cleanLinesFlag || axis == "text",
+      "--clean-lines is a text-axis option\n" + Usage)
+    def docsAt(path: String): DataFrame = {
+      val raw =
+        if (axis != "vec" && jsonlFlag.getOrElse(
+            path.endsWith(".jsonl") || path.endsWith(".json")))
+          sources.Jsonl.documents(s, path)
+        else s.read.parquet(path)
+      if (!cleanLinesFlag) raw
+      else {
+        val cleaned = raw.withColumn("text",
+          graft.functions.TextFns.cleanLines(col("text")))
+        if (cleaned.columns.contains("n_chars"))
+          cleaned.withColumn("n_chars", length(col("text")).cast("long"))
+        else cleaned
+      }
+    }
     def mediaAt(path: String) =
       graft.multimodal.Media.mediaFromDocuments(docsAt(path))
     def line(fields: (String, String)*): String =

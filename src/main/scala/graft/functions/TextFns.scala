@@ -145,6 +145,21 @@ object TextFns {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z ]", ""),
       " +", " ")))
 
+  /** The surviving lines of a document under the boilerplate rules —
+    * drop lines with fewer than 3 words or matching the stop-phrase
+    * pattern (nav/footer shapes). ONE definition feeding the t29 audit
+    * query and ingest-time cleaning (`Nightly --clean-lines`), so the
+    * report and the applied scrub cannot drift. Pure per-row array
+    * ops; the SQL twin lives beside t29's oracle. */
+  def keptLines(text: Column): Column =
+    filter(split(text, "\n"), l =>
+      size(split(l, " ")) >= 3 &&
+        !l.rlike("(click here|cookie policy|subscribe)"))
+
+  /** [[keptLines]] reassembled — the cleaned document text. */
+  def cleanLines(text: Column): Column =
+    array_join(keptLines(text), "\n")
+
   /** Occurrences of the most frequent element of a long array (the mode's
     * COUNT, not its value) as a zero-shuffle per-row fold: sort, then max
     * equal-run length. Replaces the explode→count→max→join-back plan for

@@ -2426,9 +2426,8 @@ object TextDedupOps {
         lit("click here to accept our cookie policy"), col("text")))
     docs.unionByName(planted)
       .withColumn("lines", split(col("text"), "\n"))
-      .withColumn("kept", expr(
-        "filter(lines, l -> size(split(l, ' ')) >= 3 " +
-          "AND NOT l rlike '(click here|cookie policy|subscribe)')"))
+      // the ONE rule definition, shared with ingest-time cleaning
+      .withColumn("kept", keptLines(col("text")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

@@ -395,6 +395,31 @@ class NightlySpec extends SparkSuite {
     assert(gens(idx) == Seq(2L), s"prune left ${gens(idx)}")
   }
 
+  test("--clean-lines scrubs boilerplate lines at ingest — the stored " +
+    "corpus text is the cleaned text, and the flag refuses non-text axes") {
+    val idx = Files.createTempDirectory("nl_clean").toString
+    val root = Files.createTempDirectory("nl_clean_sh").toString
+    Nightly.run(spark, Seq("text", "build", idx,
+      writeDocs((0L to 3L).map(i => i -> freshText(s"cl${i}v")): _*)))
+    val body = freshText("clean100w")
+    val dirty = body + "\nsubscribe now\n" +
+      "click here to accept our cookie policy\n" + body
+    Nightly.run(spark, Seq("text", "night", idx, writeDocs(100L -> dirty),
+      "--id", "c1", "--shards", root, "--clean-lines"))
+    val stored = operators.Corpus.readCommitted(spark, root)
+      .filter($"doc_id" === 100L).select("text", "n_toks")
+      .as[(String, Long)].collect()
+    assert(stored.length == 1, "cleaned doc did not land")
+    assert(stored.head._1 == body + "\n" + body,
+      s"stored text not cleaned: ${stored.head._1.take(120)}")
+    // the same rule as the t29 audit: kept mass only
+    val e = intercept[IllegalArgumentException] {
+      Nightly.run(spark, Seq("media", "build", idx,
+        writeDocs(0L -> "x y z"), "--clean-lines"))
+    }
+    assert(e.getMessage.contains("text-axis option"), e.getMessage)
+  }
+
   test("vec axis through the CLI: build, a night that folds one new " +
     "direction exactly once, and a later advance that catches its " +
     "re-embedding") {
