@@ -136,6 +136,31 @@ object EpochFeed {
       .sortWithinPartitions(col("reader"), col("pos"))
       .write.mode("overwrite").partitionBy("reader").parquet(outDir)
 
+  /** Read a feed artifact (assignment table or materialized corpus)
+    * written by the Nightly feed CLI — the consumer face of the
+    * `_FEED_COMMITTED` discipline: the marker is dropped before a
+    * rewrite and stamped after, so a dir without it is in-flight or
+    * torn and this read REFUSES it instead of serving a mix of old
+    * and new files. Returns the frame plus the marker's spec string
+    * (what flags produced the artifact — a trainer logs it beside the
+    * run). */
+  def readFeed(s: org.apache.spark.sql.SparkSession, outDir: String,
+      epoch: Int): (DataFrame, String) = {
+    val dir = s"$outDir/epoch=$epoch"
+    val marker = new org.apache.hadoop.fs.Path(dir, "_FEED_COMMITTED")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker))
+      throw new IllegalStateException(
+        s"feed artifact at $dir carries no _FEED_COMMITTED marker — " +
+          "an in-flight or torn rewrite is not readable; re-run " +
+          "'Nightly feed --out' for this epoch")
+    val in = fs.open(marker)
+    val spec =
+      try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    (s.read.parquet(dir), spec)
+  }
+
   /** The full feed frame: `shuffle_key`, `pos`, `toks_before` (exclusive
     * running token total in epoch order) and `reader` ∈ [0, nReaders) —
     * token-contiguous balanced slices. `tokCol` must be integral and

@@ -204,12 +204,19 @@ class EpochFeedSpec extends SparkSuite {
     assert(written.select("reader").distinct().as[Long].collect()
       .toSet == Set(0L, 1L, 2L, 3L))
     // the commit marker stamps the spec that produced the artifact —
-    // a reader honoring it never sees a torn overwrite
-    val markerSpec = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$out/epoch=2/_FEED_COMMITTED")), "UTF-8")
+    // a reader honoring it never sees a torn overwrite; readFeed IS
+    // that reader, and refuses a marker-less (in-flight/torn) dir
+    val (feedBack, markerSpec) = EpochFeed.readFeed(spark, out, 2)
+    assert(feedBack.count() == written.count())
     assert(markerSpec.contains("epoch=2") &&
       markerSpec.contains("readers=4") &&
       markerSpec.contains("materialize=false"), markerSpec)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$out/epoch=2/_FEED_COMMITTED"))
+    val torn = intercept[IllegalStateException] {
+      EpochFeed.readFeed(spark, out, 2)
+    }
+    assert(torn.getMessage.contains("_FEED_COMMITTED"), torn.getMessage)
 
     // --materialize: full corpus rows land in epoch order, one file
     // per rank — each rank dir is strictly ascending in pos and
