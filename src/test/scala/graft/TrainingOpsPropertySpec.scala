@@ -283,4 +283,43 @@ class TrainingOpsPropertySpec extends SparkSuite {
       } finally q.stop()
     }
   }
+
+  test("epoch feed invariants hold for random corpora, reader counts, " +
+    "and epochs: permutation, contiguity, balance, rank coverage") {
+    val gen = for {
+      n <- Gen.chooseNum(20, 400)
+      readers <- Gen.chooseNum(1, 13)
+      epoch <- Gen.chooseNum(1, 9)
+      toks <- Gen.listOfN(n, Gen.chooseNum(0L, 40L)) // zero-token docs too
+    } yield (n, readers, epoch, toks)
+    samples(gen, 5).zipWithIndex.foreach {
+      case ((n, readers, epoch, toks), si) =>
+        val d = toks.zipWithIndex
+          .map { case (t, i) => (i.toLong * 7 + 3, s"s${i % 3}", t) }
+          .toDF("doc_id", "source", "n_toks")
+        val rows = graft.operators.EpochFeed
+          .feed(d, epoch, readers, "n_toks")
+          .select("doc_id", "pos", "reader", "n_toks")
+          .as[(Long, Long, Long, Long)].collect()
+        assert(rows.length == n, s"sample $si lost docs")
+        assert(rows.map(_._2).sorted.toSeq == (0L until n.toLong),
+          s"sample $si: positions not a permutation")
+        val byPos = rows.sortBy(_._2)
+        assert(byPos.map(_._3).sliding(2)
+          .forall(p => p.length < 2 || p(0) <= p(1)),
+          s"sample $si: a reader slice is not contiguous")
+        assert(rows.forall(r => r._3 >= 0 && r._3 < readers),
+          s"sample $si: rank out of range")
+        val total = rows.map(_._4).sum
+        if (total > 0) {
+          val maxTok = rows.map(_._4).max
+          val perRank = (0L until readers.toLong).map(r =>
+            rows.filter(_._3 == r).map(_._4).sum)
+          perRank.zipWithIndex.foreach { case (t, r) =>
+            assert(math.abs(t - total / readers) <= 2 * maxTok + 1,
+              s"sample $si: rank $r holds $t of $total over $readers")
+          }
+        }
+    }
+  }
 }
