@@ -291,6 +291,36 @@ object ScaleRehearsal {
       per.length.toLong
     }
 
+    // --- materialized feed at 10×: the production write path — narrow
+    // rank computation, wide join-back, rank-hash shuffle, in-partition
+    // (reader, pos) sort, one file per rank. The corpus text rides
+    // exactly ONE shuffle; the receipt re-reads the files. ---
+    val (feedMatFiles, feedMatSecs) = timed {
+      val docsAll = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("n_chars DIV 5").cast("long").as("n_toks"))
+      val assign = graft.operators.EpochFeed
+        .feed(docsAll.select("doc_id", "n_toks"), epoch = 1,
+          nReaders = 16, tokCol = "n_toks", buckets = 256)
+        .select(col("doc_id"), col("pos"), col("reader"))
+      graft.operators.EpochFeed.writeMaterialized(
+        docsAll.join(assign, Seq("doc_id")), 16, s"$work/feed_mat")
+      val back = spark.read.parquet(s"$work/feed_mat")
+      require(back.count() == 10 * n,
+        "materialized feed lost documents")
+      val st = java.nio.file.Files
+        .walk(java.nio.file.Paths.get(s"$work/feed_mat"))
+      val files =
+        try {
+          val it = st.iterator(); var c = 0L
+          while (it.hasNext)
+            if (it.next().toString.endsWith(".parquet")) c += 1
+          c
+        } finally st.close()
+      require(files == 16L, s"expected 16 rank files, got $files")
+      files
+    }
+
     // --- m12 media cycle on the same 10× corpus: build + serve, then
     // one advance night (the d24 lifecycle on the media axis — decode,
     // fingerprints, and the fold all stay executor-side) ---
@@ -374,6 +404,7 @@ object ScaleRehearsal {
       s""""adv_rows":$advRows,"adv_secs":$advSecs,""" +
       s""""p04_rows":$p04Rows,"p04_secs":$p04Secs,""" +
       s""""feed_readers":$feedReaders,"feed_secs":$feedSecs,""" +
+      s""""feed_mat_files":$feedMatFiles,"feed_mat_secs":$feedMatSecs,""" +
       s""""m12_rows":$m12Rows,"m12_secs":$m12Secs,""" +
       s""""m12_adv_rows":$mAdvRows,"m12_adv_secs":$mAdvSecs,""" +
       s""""stream_boot_secs":$bootSecs,"stream_state_rows":$stateRows,""" +

@@ -62,6 +62,8 @@ class ScaleRehearsalSpec extends SparkSuite {
       s"the incremental night should beat the full rebuild at 10x: $j")
     assert(field("feed_readers") == 64.0,
       s"training feed lost reader ranks at 10×: $j")
+    assert(field("feed_mat_files") == 16.0,
+      s"materialized feed lost its one-file-per-rank layout at 10×: $j")
     assert(field("m12_rows") > 0, j)
     assert(field("m12_adv_rows") > 0, j)
     // the stream bridge leg: hydration completed under the bound and
