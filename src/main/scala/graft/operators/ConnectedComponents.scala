@@ -60,7 +60,15 @@ object ConnectedComponents {
   def run(edges: DataFrame, src: String = "src", dst: String = "dst",
       maxRounds: Int = 50, localCutoff: Long = LocalEdgeCutoff): DataFrame = {
     val e = edges.select(col(src).cast("long").as("a"), col(dst).cast("long").as("b"))
-    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    // symmetrize with ONE evaluation of the edge subtree: the union-of-
+    // swapped-projections form runs the (often expensive — a full LSH
+    // band join) pair pipeline twice, once per branch; a per-row
+    // two-way explode emits both orientations in a single pass
+    val sym = e
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

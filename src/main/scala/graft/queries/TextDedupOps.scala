@@ -760,10 +760,21 @@ object TextDedupOps {
     * (identity hash — no assignment join, endpoints classify locally);
     * the drop set is pair-bounded and left-joins back to the narrow
     * (doc_id, source) projection. */
+  /** Both orientations of an unordered (a_id, b_id) pair list as (x, y),
+    * with ONE evaluation of the pair subtree: the union-of-swapped-
+    * projections form runs the upstream pair pipeline (a full LSH band
+    * join) twice, once per branch; the per-row two-way explode emits
+    * both orientations in a single pass. */
+  private def pairsBothWays(pairs: DataFrame): DataFrame =
+    pairs
+      .select(explode(array(
+        struct(col("a_id").as("x"), col("b_id").as("y")),
+        struct(col("b_id").as("x"), col("a_id").as("y")))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+
   private def d18(s: SparkSession, d: String): DataFrame = {
     val pairs = leakagePairs(s, d)
-    val sym = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    val sym = pairsBothWays(pairs)
     val drop = sym
       .filter(splitCol(col("x")) === "train" && splitCol(col("y")) =!= "train")
       .select(col("x").as("doc_id")).distinct()
@@ -2085,8 +2096,7 @@ object TextDedupOps {
     val cleaned = pin(spanDedupedDocs(survivors)
       .select(col("doc_id"), col("source"), col("clean_text").as("text")))
     val pairs = leakagePairsOf(s, cleaned)
-    val sym = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    val sym = pairsBothWays(pairs)
     val leaky = sym
       .filter(splitCol(col("x")) === "train" && splitCol(col("y")) =!= "train")
       .select(col("x").as("doc_id")).distinct()
