@@ -2040,6 +2040,11 @@ object TextDedupOps {
     val base = graft.Pinned.pin(withTokens(documents(s, d))
       .select(col("doc_id"), col("source"), col("text"), col("n_words")))
     val (corpus, release) = p01Build(s, base, production = true)
+    // Measured and REJECTED (r15): overlapping the shard write with an
+    // eager pin+count of the report — the report pin executes its deep
+    // chain as a cached plan, and p03 benched 6.2 -> 7.7 s even with
+    // the overlap hiding it behind the write. The lazy report (chain
+    // runs at the caller's action, WITH AQE) stays the contract.
     val written =
       try graft.operators.ShardWriter.writeDocs(corpus, NShards, outDir)
       finally release()
@@ -2106,16 +2111,21 @@ object TextDedupOps {
     val train = cut(cleaned
       .filter(splitCol(col("doc_id")) === "train")
       .join(leaky, Seq("doc_id"), "left_anti"))
-    val scored = cut(scoredOf(train)
-      .select(col("doc_id"), col("source"), col("score_pm"),
-        col("n_words").cast("long").as("n_toks")))
+    // scored and lm are INDEPENDENT chains over the checkpointed train —
+    // materialize them concurrently (overlap independent jobs): the
+    // second chain's tasks back-fill slots freed by the first chain's
+    // straggler tail instead of waiting for a serialized job wall.
+    // lm feeds the p90 threshold AND the gate join — its narrow
+    // (doc_id, lm_pm) cut means the model chain runs once.
+    val (scored, lm) = graft.operators.Overlap.both(s,
+      cut(scoredOf(train)
+        .select(col("doc_id"), col("source"), col("score_pm"),
+          col("n_words").cast("long").as("n_toks"))),
+      cut(lmScoresOf(train)
+        .select(col("doc_id"), col("score_pm").as("lm_pm"))))
     val thr = scored.groupBy(col("source"))
       .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
         .cast("long").as("p10"))
-    // lm feeds the p90 threshold AND the gate join — persist the narrow
-    // (doc_id, lm_pm) result so the model chain runs once
-    val lm = cut(lmScoresOf(train)
-      .select(col("doc_id"), col("score_pm").as("lm_pm")))
     val lmThr = scored.select(col("doc_id"), col("source"))
       .join(lm, Seq("doc_id"))
       .groupBy(col("source"))
