@@ -68,14 +68,9 @@ object SimilarityOps {
       members = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("c_id"), col("vec_id"), col("qv"))
-      cents = graft.operators.Iterate.truncate(members
-        .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(col("q")).as("s"))
-        .groupBy(col("c_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-          x => x.getField("s")).as("c_qv"))
-        .withColumn("c_n2", norm2q(col("c_qv"))))
+      cents = graft.operators.Iterate.truncate(
+        sumVecByKey(members, col("c_id"), "c_qv")
+          .withColumn("c_n2", norm2q(col("c_qv"))))
     }
     (members, cents)
   }
@@ -105,11 +100,18 @@ object SimilarityOps {
     val scored = side.crossJoin(broadcast(cents))
       .withColumn("c_cos",
         cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("c_cos").desc, col("c_id").asc)
-    scored.withColumn("crk", row_number().over(w))
-      .filter(col("crk") <= top)
-      .drop("c_qv", "c_n2", "c_cos", "crk")
+    if (top == 1) {
+      // the common single-list assignment is a per-key argmax — partial
+      // aggregation instead of a Window sort over the k-fanout
+      val payload = side.columns.filterNot(_ == idCol) :+ "c_id"
+      argmax1(scored, idCol, col("c_cos"), col("c_id"), payload.toSeq)
+    } else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("c_cos").desc, col("c_id").asc)
+      scored.withColumn("crk", row_number().over(w))
+        .filter(col("crk") <= top)
+        .drop("c_qv", "c_n2", "c_cos", "crk")
+    }
   }
 
   /** Split (vec_id, qv) rows into SUB subvector rows — the PQ subspace
@@ -230,13 +232,14 @@ object SimilarityOps {
   /** Per-label centroid stats on the quantized grid — integer-exact. */
   private def s03(s: SparkSession, d: String): DataFrame = {
     val emb = withQ(embeddings(s, d))
-    val sums = emb
-      .select(col("label"), posexplode(col("qv")).as(Seq("pos", "q")))
-      .groupBy(col("label"), col("pos"))
-      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
-    sums.groupBy(col("label"))
-      .agg(sum(col("s") * col("s")).as("centroid_norm2"),
-        max(col("n")).as("n_vecs"))
+    // one-shuffle form: Σ_pos (Σ_rows q_pos)² is the squared norm of the
+    // per-label sum vector, and the per-position row count (qv is
+    // fixed-width) equals the label's row count — identical values to
+    // the old posexplode → (label, pos) → label two-shuffle rollup
+    sumVecByKey(emb, col("label"), "sv",
+        extra = Seq(count(lit(1)).as("n_vecs")))
+      .select(col("label"), norm2q(col("sv")).as("centroid_norm2"),
+        col("n_vecs"))
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold), all-pairs.
@@ -277,31 +280,64 @@ object SimilarityOps {
     * vector IS the centroid and every coordinate stays an exact
     * integer). */
   private def labelCentroidsQ(emb: DataFrame): DataFrame =
-    emb
-      .select(col("label").as("c_label"), posexplode(col("qv")).as(Seq("pos", "q")))
-      .groupBy(col("c_label"), col("pos"))
-      .agg(sum(col("q")).as("s"))
-      .groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
-        x => x.getField("s")).as("cqv"))
+    sumVecByKey(emb, col("label").as("c_label"), "cqv")
       .withColumn("cn2", norm2q(col("cqv")))
+
+  /** Elementwise sum of the fixed-width `qv` arrays per key, plus any
+    * `extra` aggregates, in ONE map-side-combinable shuffle: DIMS
+    * per-position `sum(element_at(qv, i))` columns reassembled into an
+    * array. Replaces the posexplode → groupBy(key, pos) →
+    * collect_list/array_sort rebuild, which multiplies rows by DIMS
+    * before the exchange and pays a SECOND shuffle to reassemble.
+    * Bit-identical output (long sums per position, array order =
+    * position order); partial aggregation reduces each map task to one
+    * 64-long row per key before anything moves. */
+  private def sumVecByKey(df: DataFrame, key: org.apache.spark.sql.Column,
+      out: String,
+      extra: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    // try_element_at + zero-fill: dirty inputs may carry short/empty
+    // vectors (EmbBoundarySpec), and a position no row has sums to NULL.
+    // Zero-filling is value-equivalent to the old posexplode form for
+    // every downstream use — a missing position contributes 0 to any
+    // dot/norm exactly as a truncated array drops the pair.
+    val sums = (0 until DIMS).map(i =>
+      coalesce(sum(try_element_at(col("qv"), lit(i + 1))), lit(0L))
+        .as(s"__s$i"))
+    val aggs = sums ++ extra
+    df.groupBy(key)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(out, array((0 until DIMS).map(i => col(s"__s$i")): _*))
+      .drop((0 until DIMS).map(i => s"__s$i"): _*)
+  }
+
+  /** Deterministic per-key argmax by (ord DESC, tie ASC) — the
+    * Window(rank=1) replacement for single-winner selection: the groupBy
+    * partial-aggregates map-side, so the exchange carries one row per
+    * key per map task instead of the full k-fanout, and no partition
+    * sort runs. The (ord, -tie) struct makes the max unique whenever
+    * `tie` is unique within a key, which every caller guarantees
+    * (one scored row per centroid id). */
+  private def argmax1(df: DataFrame, key: String, ord: org.apache.spark.sql.Column,
+      tieAsc: org.apache.spark.sql.Column, payload: Seq[String]): DataFrame =
+    df.groupBy(col(key))
+      .agg(max_by(struct(payload.map(col): _*), struct(ord, negate(tieAsc)))
+        .as("__w"))
+      .select(col(key) +: payload.map(c => col(s"__w.$c").as(c)): _*)
 
   /** Every vector scored against every centroid, argmax kept (ties to
     * the smaller label): the `(vec_id, label, assigned, cos)` frame both
     * centroid consumers slice. The vec_id window is bounded by |labels|
     * rows per key — never a scale shape. */
-  private def nearestCentroidQ(emb: DataFrame): DataFrame = {
-    val scored = emb.select(col("vec_id"), col("label"), col("qv"), col("n2"))
-      .crossJoin(broadcast(labelCentroidsQ(emb)))
-      .withColumn("cos",
-        cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("c_label").asc)
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+  private def nearestCentroidQ(emb: DataFrame): DataFrame =
+    argmax1(
+      emb.select(col("vec_id"), col("label"), col("qv"), col("n2"))
+        .crossJoin(broadcast(labelCentroidsQ(emb)))
+        .withColumn("cos",
+          cosineQ(dotq(col("qv"), col("cqv")), col("n2"), col("cn2"))),
+      "vec_id", col("cos"), col("c_label"),
+      Seq("label", "c_label", "cos"))
       .select(col("vec_id"), col("label"), col("c_label").as("assigned"),
         col("cos"))
-  }
 
   private def s06(s: SparkSession, d: String): DataFrame =
     nearestCentroidQ(withQ(embeddings(s, d)))
@@ -564,23 +600,19 @@ object SimilarityOps {
       .crossJoin(broadcast(cents))
       .withColumn("cos",
         cosineQ(dotq(col("qv"), col("c_qv")), col("n2"), col("c_n2")))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos").desc, col("c_id").asc)
-    val members = scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+    val members = argmax1(scored, "vec_id", col("cos"), col("c_id"),
+        Seq("c_id", "qv"))
       .select(col("c_id"), col("vec_id"), col("qv"))
-    val dims = members
-      .select(col("c_id"), posexplode(col("qv")).as(Seq("pos", "q")))
-      .groupBy(col("c_id"), col("pos"))
-      .agg(sum(col("q")).as("s"))
-    val oldDims = cents
-      .select(col("c_id"), posexplode(col("c_qv")).as(Seq("pos", "cq")))
-    val stats = dims.join(oldDims, Seq("c_id", "pos"))
-      .groupBy(col("c_id"))
-      .agg(sum(col("s")).as("sum_total"),
-        sum(col("s") * col("cq")).as("align"))
-    members.groupBy(col("c_id")).agg(count(lit(1)).as("n_members"))
-      .join(stats, Seq("c_id"))
+    // membership count + per-position sums in the SAME one-shuffle agg;
+    // sum_total / align are per-row integer folds over the 16 summed
+    // vectors against the broadcast old centroids — no (c_id, pos)
+    // explode, no second shuffle
+    sumVecByKey(members, col("c_id"), "sv",
+        extra = Seq(count(lit(1)).as("n_members")))
+      .join(broadcast(cents.select(col("c_id"), col("c_qv"))), Seq("c_id"))
+      .select(col("c_id"), col("n_members"),
+        aggregate(col("sv"), lit(0L), (a, x) => a + x).as("sum_total"),
+        dotq(col("sv"), col("c_qv")).as("align"))
   }
 
   private val LLOYD_ROUNDS = 3
