@@ -194,12 +194,21 @@ object TextDedupOps {
     * (10⁷–10⁸ rows at 100 TB) through one task, while the aggregator's
     * map-side partials bound the shuffle at langs × 3 rows. */
   private def t07(s: SparkSession, d: String): DataFrame = {
-    val tok = documents(s, d)
+    // ONE tokenize+explode pass: both rollups derive from the same
+    // (token, lang, doc_id) pre-aggregation — its exchange is shared
+    // via ReuseExchange, so the corpus is scanned and tokenized once
+    // (the old two-branch form paid the explode twice). df per token =
+    // row count of the pre-agg (lang is functional on doc_id, so its
+    // rows are exactly the distinct (token, doc_id) pairs); tf =
+    // per-(lang, token) sum of the partial counts.
+    val tokDoc = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-    val df_ = tok.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-    val tf = tok.groupBy(col("lang"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"), col("lang"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val df_ = tokDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
+    val tf = tokDoc.groupBy(col("lang"), col("token"))
+      .agg(sum(col("n")).as("tf"))
     val topk = udaf(new graft.functions.TopKByScoreStr(3),
       org.apache.spark.sql.Encoders.product[
         graft.functions.TopKByScoreStr.Scored])
@@ -265,6 +274,15 @@ object TextDedupOps {
       .withColumn("sig", graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
       .select(col("doc_id"), col("hs"), col("sig"))
       .transform(graft.Pinned.pin)
+    d03PairsFrom(sigd)
+  }
+
+  /** The LSH band-join + verify tail over a PREPARED (doc_id, hs, sig)
+    * table — factored so a composed consumer (d10 runs the LSH chain
+    * beside the exact chain over the SAME shingle sets) can feed both
+    * from one pinned base instead of tokenizing and shingling the
+    * corpus twice. */
+  private def d03PairsFrom(sigd: DataFrame): DataFrame = {
     val banded = sigd.select(
       col("doc_id"),
       explode(array((0 until BANDS).map(b =>
@@ -346,6 +364,13 @@ object TextDedupOps {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), size(col("hs")).as("n"))
       .transform(graft.Pinned.pin)
+    d05PairsFrom(hsTab)
+  }
+
+  /** The exact inverted-index tail over a PREPARED (doc_id, hs, n)
+    * table — the [[d03PairsFrom]] factoring for the exact chain. */
+  private def d05PairsFrom(hsTab: DataFrame): DataFrame = {
+    val s = hsTab.sparkSession
     // df>1 prefilter behind the conf flag above. Default-off on merit,
     // twice measured: (round 4) the groupBy(shingle)+collect_list pair
     // generation — one fewer exchange on paper — benched 2.4 s vs this
@@ -568,13 +593,26 @@ object TextDedupOps {
     * (k, bands). False positives are structurally impossible (d03
     * Jaccard-verifies every candidate), so the report is exact-count,
     * lsh-count, true positives, and integer per-mille recall. */
-  private def d10(s: SparkSession, d: String): DataFrame =
+  private def d10(s: SparkSession, d: String): DataFrame = {
     // one pass per side (the SimilarityOps.recallReport shape): the
     // full-outer join on the pair keys feeds a single aggregate, so the
     // d03 and d05 chains each run ONCE instead of twice (own count +
     // semi-join). Both sides are key-distinct pair sets by construction.
-    d03(s, d).select(col("a_id"), col("b_id")).withColumn("g", lit(1L))
-      .join(d05(s, d).select(col("a_id"), col("b_id"))
+    // Both chains derive from the SAME shingle sets, so one pinned
+    // (doc_id, hs, n, sig) base feeds them — the corpus is tokenized,
+    // shingled, and cached once instead of once per chain.
+    graft.functions.HashSketch.register(s)
+    val base = documents(s, d)
+      .withColumn("th", tokenHashSeq(col("text")))
+      .withColumn("hs",
+        array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
+      .filter(size(col("hs")) > 0)
+      .withColumn("sig",
+        graft.functions.HashSketch.minhashSig(col("hs"), MINHASH_K))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("n"), col("sig"))
+      .transform(graft.Pinned.pin)
+    d03PairsFrom(base).select(col("a_id"), col("b_id")).withColumn("g", lit(1L))
+      .join(d05PairsFrom(base).select(col("a_id"), col("b_id"))
         .withColumn("t", lit(1L)), Seq("a_id", "b_id"), "full_outer")
       .agg(
         coalesce(sum(col("g")), lit(0L)).as("n_lsh"),
@@ -583,6 +621,7 @@ object TextDedupOps {
       .withColumn("recall_pm",
         when(col("n_exact") > 0, expr("(1000L * n_tp) DIV n_exact"))
           .otherwise(1000L))
+  }
 
   /** Cross-corpus repeated-shingle census — the document-frequency
     * histogram of distinct K-token shingles (df=1 unique … df≥5 heavily
