@@ -2665,13 +2665,20 @@ object TextDedupOps {
     val isDelta =
       pmod(graft.functions.Portable.hash60(col("doc_id").cast("string"),
         424), lit(5L)) === 0L
-    if (s.conf.getOption("spark.graft.p04.buildIndex").forall(_.toBoolean))
-      graft.operators.IndexGenerations.reset(s, indexDir,
-        d24Sig(docs.filter(!isDelta)))
-    val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
     val deltaDocs = docs.filter(isDelta)
       .select(col("doc_id"), col("source"), col("text"))
     val delta = pin(d24Sig(deltaDocs))
+    // the base-index write and the delta signature pass read DISJOINT
+    // doc subsets — overlap them (independent jobs): the delta pin
+    // materializes while the index write's commit tail drains, instead
+    // of serializing two signature chains. No-ops in audit mode (no
+    // pin to force) and when serving a pre-built index.
+    if (s.conf.getOption("spark.graft.p04.buildIndex").forall(_.toBoolean))
+      graft.operators.Overlap.both(s,
+        graft.operators.IndexGenerations.reset(s, indexDir,
+          d24Sig(docs.filter(!isDelta))),
+        if (production) { delta.count(); () } else ())
+    val index = graft.operators.IndexGenerations.readByConf(s, indexDir)
     val v = deltaVerdicts(index, delta)
     val admittedIds = intraUniqueSigs(
       delta.join(v.filter(col("verdict") === "unique").select("doc_id"),
