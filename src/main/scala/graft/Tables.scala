@@ -17,12 +17,6 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** [[t]] with the scan-parallelism floor of [[fanOut]] — used by the
-    * loaders whose consumers do heavy per-row work right in the scan
-    * stage (token hashing, media synth/decode, vector math). */
-  private def tf(spark: SparkSession, dir: String, name: String): DataFrame =
-    fanOut(t(spark, dir, name))
-
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")
   def customer(s: SparkSession, d: String)  = t(s, d, "customer")
@@ -53,36 +47,42 @@ object Tables {
     case TimestampType => unix_micros(col("ts"))
     case _             => unix_micros(col("ts").cast(TimestampType))
   }
-  /** Floor a compute-heavy scan's parallelism at the session's core count.
+  /** Floor a compute-heavy operator's input parallelism at the session's
+    * core count.
     *
-    * The documents/embeddings scans feed the engine's expensive per-row
-    * work (token hashing, shingling, MinHash/SimHash signatures, media
-    * synthesis + codec decode, quantized vector math). Parquet splits by
-    * row group, so a small input — one row group per file, the shape of
-    * every local testdata table — plans as a ONE-task scan stage and the
-    * whole signature/decode pass runs serially while the other cores
-    * idle. A production 100 TB table has orders of magnitude more row
-    * groups than cores, so there this is a pure no-op (the `<` guard
-    * fails and no exchange is added); when the scan IS narrower than the
-    * cluster, one round-robin exchange of the (small by premise) input
-    * buys full-width execution of everything downstream — the
-    * "derive parallelism from the input, not a constant" rule.
+    * Parquet splits by row group, so a small input — one row group per
+    * file, the shape of every local testdata table — plans as a ONE-task
+    * scan stage and any expensive per-row pass over it (MinHash/SimHash
+    * signatures, media synthesis + codec decode, multi-pass feed chains)
+    * runs serially while the other cores idle. A production 100 TB table
+    * has orders of magnitude more row groups than cores, so there this is
+    * a pure no-op (the `<` guard fails and no exchange is added); when the
+    * input IS narrower than the cluster, one round-robin exchange of the
+    * (small by premise) input buys full-width execution of everything
+    * downstream — the "derive parallelism from the input, not a constant"
+    * rule.
     *
-    * Row-order independence: every declared query is oracle-checked
-    * under sorted compare and already runs over hash/AQE-coalesced
-    * partitionings at varying core counts; money aggregates go through
-    * [[dec]]. Round-robin repartition keeps task retries deterministic
-    * (sort-before-repartition, SPARK-23207). Opt out with
-    * `spark.graft.scan.fanout=false`. */
-  private def fanOut(df: DataFrame): DataFrame = {
+    * Scoped to the CONSUMERS that do heavy per-row work (media decode,
+    * the p05 feed base), NOT the table loaders: r15 applied it blanket in
+    * `documents`/`embeddings` and the ~0.1–0.3 s fixed exchange+stage tax
+    * regressed every scan-bound light query 30–60% (PERF_r15), while only
+    * the decode-heavy m-family and p05 won. Row-order independence: every
+    * declared query is oracle-checked under sorted compare and already
+    * runs over hash/AQE-coalesced partitionings at varying core counts;
+    * money aggregates go through [[dec]]. Round-robin repartition keeps
+    * task retries deterministic (sort-before-repartition, SPARK-23207).
+    * Opt out with `spark.graft.scan.fanout=false` (unparseable values
+    * read as the default true). */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    val on = s.conf.getOption("spark.graft.scan.fanout").forall(_.toBoolean)
+    val on = s.conf.getOption("spark.graft.scan.fanout")
+      .forall(v => !v.equalsIgnoreCase("false"))
     val target = s.sparkContext.defaultParallelism
     if (on && df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
-  def documents(s: SparkSession, d: String) = tf(s, d, "documents")
-  def embeddings(s: SparkSession, d: String) = tf(s, d, "embeddings")
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
 
   /** Id shift for [[documentsWithProbe]]: a multiple of 3, so the media
     * kind derived from `doc_id % 3` is preserved for the planted rows,

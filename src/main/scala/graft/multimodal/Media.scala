@@ -281,12 +281,42 @@ object Media {
       .digest(hexStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
+  /** Floor the decode input's parallelism at the session's core count —
+    * [[graft.Tables.fanOut]] applied at the CONSUMER: the codec work in
+    * the functions below is the expensive per-row pass that must run
+    * full-width, while a one-row-group parquet scan plans as one task.
+    * Applied here (after any kind/payload pre-filter, so only the rows
+    * that will actually be decoded cross the exchange), not in the table
+    * loaders — the r15 blanket loader fan-out taxed every light consumer
+    * with a payload shuffle for zero downstream compute (PERF_r15). At
+    * production row-group counts the `<` guard makes this a no-op. */
+  private def fanOut(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val s = media.sparkSession
+    val on = s.conf.getOption("spark.graft.scan.fanout")
+      .forall(v => !v.equalsIgnoreCase("false"))
+    val target = s.sparkContext.defaultParallelism
+    // streaming inputs pass through untouched: .rdd is illegal on them,
+    // and micro-batch parallelism is the source's concern, not ours
+    if (on && !media.isStreaming && media.rdd.getNumPartitions < target)
+      media.repartition(target)
+    else media
+  }
+
+  /** The video-kind pre-filter the frame/clip functions apply BEFORE the
+    * [[fanOut]] exchange, so image/audio payloads never cross it. Column
+    * expression (codegen), not a typed-lambda filter. */
+  private def videosOnly(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").as[MediaRecord]
+  }
+
   /** Batched partition-parallel decode: iterator-in/iterator-out, one codec
     * "session" per partition (the amortization seam). */
   def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(media).mapPartitions { it =>
       // per-partition init would happen here (codec contexts, model load)
       it.map(decodeOne)
     }
@@ -314,7 +344,7 @@ object Media {
   def sampleFrames(media: Dataset[MediaRecord], stride: Int = 4): Dataset[FrameSample] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(videosOnly(media)).mapPartitions { it =>
       // per-partition init would happen here (demuxer/decoder contexts)
       it.filter(_.kind == "video").flatMap { r =>
         val frames = viaGif(r.payload)(gifFrameEnergies(_, stride))
@@ -345,7 +375,7 @@ object Media {
       : Dataset[FrameHash] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(videosOnly(media)).mapPartitions { it =>
       // per-partition init would happen here (demuxer/decoder contexts)
       it.filter(_.kind == "video").flatMap { r =>
         val frames = viaGif(r.payload)(gifFrames(_, stride)(aHash60))
@@ -527,7 +557,7 @@ object Media {
   def mjpegCensus(media: Dataset[MediaRecord]): Dataset[ClipCensus] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(videosOnly(media)).mapPartitions { it =>
       // per-partition init would happen here (demuxer/decoder contexts)
       it.filter(r => r.kind == "video" && r.payload.nonEmpty).map { r =>
         val frames = viaAvi(r.payload)(aviFrames)
@@ -552,7 +582,7 @@ object Media {
       : Dataset[FrameHash] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(videosOnly(media)).mapPartitions { it =>
       it.filter(r => r.kind == "video" && r.payload.nonEmpty).flatMap { r =>
         val frames = viaAvi(r.payload)(aviFrames)
           .getOrElse(sys.error("self-muxed AVI failed to demux"))
@@ -631,7 +661,7 @@ object Media {
   def perceptualHashes(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    fanOut(media).mapPartitions { it =>
       it.map(r =>
         MediaPHash(r.media_id, r.kind, r.source, imagePHashOf(r.payload)))
     }
@@ -758,6 +788,9 @@ object Media {
   def audioHashes(media: Dataset[MediaRecord]): Dataset[MediaPHash] = {
     val spark = media.sparkSession
     import spark.implicits._
+    // no fanOut here: WAV parse + envelope hash is the CHEAP decode
+    // (m08 benched 0.60 s without the exchange vs 0.88 s with — the
+    // exchange tax exceeds the serial-decode cost at any width)
     media.mapPartitions { it =>
       it.map(r =>
         MediaPHash(r.media_id, r.kind, r.source, audioEnvHashOf(r.payload)))
@@ -848,7 +881,12 @@ object Media {
   def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.mapPartitions { it =>
+    // fanOut BEFORE the map, not after: resize feeds decodeFeatures in
+    // every caller, and an un-fanned resize would run the whole
+    // object-deserialize/map/serialize chain in one task just to
+    // repartition its output anyway (decodeFeatures' own floor then
+    // no-ops on the already-wide input)
+    fanOut(media).mapPartitions { it =>
       it.map(r => r.copy(payload = resizePayload(r.payload, maxBytes)))
     }
   }

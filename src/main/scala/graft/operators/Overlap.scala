@@ -39,7 +39,18 @@ object Overlap {
       : (A, B) = {
     if (s.conf.getOption("spark.graft.overlap").forall(_.toBoolean)) {
       val fa = Future(a)(pool)
-      val rb = b
+      val rb =
+        try b
+        catch {
+          case t: Throwable =>
+            // drain the background leg before rethrowing: the caller's
+            // finally/releaseAll would otherwise unpin caches the pool
+            // thread is still reading (recomputation + confusing
+            // concurrent failures); its own failure is secondary here
+            try Await.result(fa, Duration.Inf)
+            catch { case _: Throwable => () }
+            throw t
+        }
       (Await.result(fa, Duration.Inf), rb)
     } else (a, b)
   }

@@ -137,22 +137,33 @@ object SimilarityOps {
       .withColumn("n2", norm2q(col("qv")))
   }
 
-  /** The quantized embedding base, PINNED once per query — the
-    * similarity-side twin of d03's cached signature table. Every
-    * similarity query references the (vec_id, label, qv, n2) projection
-    * from several branches (band table sides, verify joins, query/
-    * candidate splits, Lloyd rounds), and without materialization each
-    * branch re-runs the scan + the interpreted qvec/norm lambda chain —
-    * the s15 plan embedded FOURTEEN embedding scans before this pin.
-    * At 100 TB this is the materialized quantized table an ANN pipeline
-    * keeps beside the index; released per query via Pinned.releaseAll. */
-  private def embQ(s: SparkSession, d: String): DataFrame =
-    graft.Pinned.pin(withQ(embeddings(s, d))
-      .select(col("vec_id"), col("label"), col("qv"), col("n2")))
+  /** The quantized embedding base — the (vec_id, label, qv, n2)
+    * projection every similarity query slices. `pin` materializes it
+    * once per query (the similarity-side twin of d03's cached signature
+    * table): worth it when MANY branches would otherwise re-run the
+    * scan + the qvec/norm chain (the s15 plan embedded FOURTEEN
+    * embedding scans before the pin), a net loss when the cache
+    * write+read costs more than the 2–3 rescans it saves (PERF_r15:
+    * 16/24 s-queries regressed under the unconditional pin, s20 3×) —
+    * so each call site declares its own reuse. At 100 TB the pinned
+    * form is the materialized quantized table an ANN pipeline keeps
+    * beside the index; released per query via Pinned.releaseAll.
+    * `spark.graft.sim.embPin` overrides every call site (A/B knob). */
+  private def embQ(s: SparkSession, d: String, pin: Boolean = true): DataFrame = {
+    val base = withQ(embeddings(s, d))
+      .select(col("vec_id"), col("label"), col("qv"), col("n2"))
+    val on = s.conf.getOption("spark.graft.sim.embPin").map(_.toBoolean)
+      .getOrElse(pin)
+    // fan out BEFORE pinning: the cached partitioning IS the parallelism
+    // of every downstream crossJoin/band scan over the base (a
+    // one-row-group scan would pin one partition and serialize the
+    // per-row vector math — s15's truth pass doubled without this)
+    if (on) graft.Pinned.pin(graft.Tables.fanOut(base)) else base
+  }
 
   /** Brute-force exact cosine top-k for each query vector. */
   private def s01(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val queries = emb.filter(col("vec_id") < NQ)
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2"))
@@ -178,7 +189,7 @@ object SimilarityOps {
     * 4-bit so buckets stay populated at any corpus size. */
   private def s02(s: SparkSession, d: String): DataFrame = {
     graft.functions.HashSketch.register(s)
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
       .withColumn("probe", explode(array((0 until TABLES).map(t =>
         struct(lit(t).as("tab"),
           // fused native signature (one pass over qv for all 4 planes);
@@ -194,7 +205,7 @@ object SimilarityOps {
         Seq("tab", "sig"))
       .select("query_id", "cand_id")
       .dropDuplicates("query_id", "cand_id")
-    val side = embQ(s, d)
+    val side = embQ(s, d, pin = false)
     val scored = cand
       .join(side.select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("n2").as("q_n2")), Seq("query_id"))
@@ -219,7 +230,7 @@ object SimilarityOps {
     * step is an equi-join or window Catalyst shuffles/broadcasts by size.
     * Complements s02 (LSH) as the second ANN scale path. */
   private def s05(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val cents = ivfCentroids(emb)
     val lists = assignToCentroids(cents,
       emb.filter(col("vec_id") >= NQ)
@@ -263,8 +274,13 @@ object SimilarityOps {
     * This is the EXACT AUDIT (O(n²) by definition — the role d05 plays for
     * text dedup): it defines ground truth for the banded scale path (s11)
     * and feeds the recall report (s12). Production pipelines run s11. */
-  private def s04(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+  private def s04(s: SparkSession, d: String): DataFrame =
+    s04From(embQ(s, d, pin = false))
+
+  /** s04's exact all-pairs chain over a caller-supplied quantized base —
+    * factored so composed consumers (s12, s15) can feed it a SHARED
+    * pinned base instead of re-running the scan+qvec chain per branch. */
+  private def s04From(emb: DataFrame): DataFrame = {
     val a = emb.select(col("vec_id").as("a_id"), col("qv").as("a_qv"),
       col("n2").as("a_n2"))
     val b = emb.select(col("vec_id").as("b_id"), col("qv").as("b_qv"),
@@ -354,7 +370,7 @@ object SimilarityOps {
         col("cos"))
 
   private def s06(s: SparkSession, d: String): DataFrame =
-    nearestCentroidQ(embQ(s, d))
+    nearestCentroidQ(embQ(s, d, pin = false))
       .groupBy(col("label"), col("assigned"))
       .agg(count(lit(1)).as("n_vecs"))
 
@@ -376,9 +392,14 @@ object SimilarityOps {
     * cos θ: 1 − (1 − p^k)^L for p = 1 − θ/π — k, L are the tuning knobs,
     * chosen here (4, 8) for ~0.8 at the test threshold 0.45; production
     * near-dup thresholds (≥0.9, p ≈ 0.9) give ≥0.98 with the same shape. */
-  private def s11(s: SparkSession, d: String): DataFrame = {
+  private def s11(s: SparkSession, d: String): DataFrame =
+    s11From(s, embQ(s, d, pin = false))
+
+  /** s11's banded pair chain over a caller-supplied quantized base —
+    * the [[s04From]] factoring for the LSH path (s15 pins one base and
+    * feeds its own truth pass AND this chain from it). */
+  private def s11From(s: SparkSession, emb: DataFrame): DataFrame = {
     graft.functions.HashSketch.register(s)
-    val emb = embQ(s, d)
     val banded = emb.select(col("vec_id"),
       explode(array((0 until NDTABLES).map(t =>
         struct(lit(t).as("tab"),
@@ -418,11 +439,15 @@ object SimilarityOps {
     * audit s04 (truth), the d10/s08 pattern: the metric that drives the
     * (planes, tables) tuning loop. Precision is 1.0 by construction (s11
     * exact-verifies every candidate), so recall_pm is the whole story. */
-  private def s12(s: SparkSession, d: String): DataFrame =
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    // shared UNPINNED base: the pinned variant benched 1.81 s vs 1.47 s
+    // here (6 refs still lose to the cache write at this base size)
+    val emb = embQ(s, d, pin = false)
     recallReport(
-      s04(s, d).select(col("a_id"), col("b_id")),
-      s11(s, d).select(col("a_id"), col("b_id")),
+      s04From(emb).select(col("a_id"), col("b_id")),
+      s11From(s, emb).select(col("a_id"), col("b_id")),
       Seq("a_id", "b_id"))
+  }
 
   /** Per-mille of ids in the s15 recall sample — a session conf so the
     * sample can shrink as the corpus grows (the estimator's variance
@@ -458,6 +483,11 @@ object SimilarityOps {
     * states as n_tp = n_got. */
   private def s15(s: SparkSession, d: String): DataFrame = {
     val pm = recallSamplePm(s)
+    // the ONE pin winner: s15 references the base from the sample,
+    // truth, n_sample and (via s11) four band/verify branches — A/B'd
+    // at r16: 2.07 s pinned+fanned vs 4.03 s unpinned vs 4.01 s pinned
+    // unfanned. Every other s-query measured FASTER unpinned (the
+    // cache write+read job costs more than the 2-3 rescans it saves).
     val emb = embQ(s, d)
     val sample = emb.filter(inSample(col("vec_id"), pm))
       .select(col("vec_id").as("s_id"), col("qv").as("s_qv"),
@@ -475,8 +505,10 @@ object SimilarityOps {
         greatest(col("vec_id"), col("s_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
     // s11's pairs restricted to the same universe (≥1 sampled endpoint);
-    // membership recomputed from the id — no join against the sample
-    val got = s11(s, d)
+    // membership recomputed from the id — no join against the sample.
+    // The chain reads the SAME pinned base as the truth pass (s11From),
+    // so its four band/verify branches hit the cache, not the scan.
+    val got = s11From(s, emb)
       .filter(inSample(col("a_id"), pm) || inSample(col("b_id"), pm))
       .select(col("a_id"), col("b_id"))
     emb.agg(sum(when(inSample(col("vec_id"), pm), 1L).otherwise(0L))
@@ -557,7 +589,7 @@ object SimilarityOps {
     * 100 TB ANN index stores instead of 64 floats — 16× compression with
     * the reported sum_dist2 as the fidelity metric. */
   private def s10(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     // dist2 via the polarization identity |a|^2 + |b|^2 - 2a.b: norms are
     // computed ONCE per subvector (8/row) instead of once per (sub, code)
     // pair (128/row), and the remaining per-pair work is a single fused
@@ -608,7 +640,7 @@ object SimilarityOps {
     * sums, then per-cluster rollup) — no row ever carries more than one
     * (dim, value) pair into an exchange. */
   private def s13(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val cents = seedCentroids(emb)
     val scored = emb.select(col("vec_id"), col("qv"), col("n2"))
       .crossJoin(broadcast(cents))
@@ -646,7 +678,7 @@ object SimilarityOps {
     * inside [[lloydChain]] (the CC pattern), so the plan stays flat in
     * round count. */
   private def s16(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
       .select(col("vec_id"), col("qv"), col("n2"))
     val (members, cents) = lloydChain(emb, LLOYD_ROUNDS)
     members.groupBy(col("c_id"))
@@ -808,14 +840,14 @@ object SimilarityOps {
   }
 
   private def s17(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     serveAnnIndex(emb, buildAnnIndex(emb))
   }
 
   /** The quantized embedding view build/serve operate on — exposed for
     * the index round-trip spec. */
   private[graft] def annEmb(s: SparkSession, d: String): DataFrame =
-    embQ(s, d)
+    embQ(s, d, pin = false)
 
   /** SemDeDup-style semantic dedup (cluster-then-prune): assign every
     * embedding to its nearest coarse centroid (the [[ivfCentroids]]
@@ -837,7 +869,7 @@ object SimilarityOps {
     * is exactly the SemDeDup bargain. Spec pins both directions of the
     * decision against s04's truth restricted to same-cluster pairs. */
   private def s18(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val assigned = assignToCentroids(ivfCentroids(emb),
       emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id", top = 1)
       .select(col("c_id"), col("vec_id"), col("qv"), col("n2"))
@@ -870,7 +902,7 @@ object SimilarityOps {
     * SAME conf-switched [[ivfCentroids]] s18 reads, so the report moves
     * with the refined-centroid mode. */
   private def s19(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val truth = s04(s, d).select(col("a_id"), col("b_id"))
     val assigned = assignToCentroids(ivfCentroids(emb),
       emb.select(col("vec_id"), col("qv"), col("n2")), "vec_id", top = 1)
@@ -956,7 +988,7 @@ object SimilarityOps {
     * |probed ∩ allowed|, and recall_pm is the knob-tuning metric
     * (the s08 discipline). */
   private def s22(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     val cents = ivfCentroids(emb)
     val lists = assignToCentroids(cents,
       emb.filter(col("vec_id") >= NQ &&
@@ -1003,7 +1035,7 @@ object SimilarityOps {
     * index SHIPS (8× bandwidth/memory), and recall_pm is the knob
     * deciding whether SQ suffices or PQ/rerank is needed. */
   private def s23(s: SparkSession, d: String): DataFrame = {
-    val emb = embQ(s, d)
+    val emb = embQ(s, d, pin = false)
     // ragged vectors drop at the index boundary (the s09 screen's
     // documented rule): the reconstruction transform indexes all DIMS
     // positions strictly, unlike the native dotq whose loop bounds by
@@ -1048,7 +1080,7 @@ object SimilarityOps {
     val topk = udaf(new graft.functions.TopKByScore(SampleK),
       org.apache.spark.sql.Encoders.product[
         graft.functions.TopKByScore.ScoredId])
-    nearestCentroidQ(embQ(s, d))
+    nearestCentroidQ(embQ(s, d, pin = false))
       .groupBy(col("assigned"))
       // the product-encoded udaf takes ScoredId's fields positionally
       .agg(topk(col("cos"), col("vec_id"), col("label").cast("long"))

@@ -195,16 +195,18 @@ object TextDedupOps {
     * map-side partials bound the shuffle at langs × 3 rows. */
   private def t07(s: SparkSession, d: String): DataFrame = {
     // ONE tokenize+explode pass: both rollups derive from the same
-    // (token, lang, doc_id) pre-aggregation — its exchange is shared
-    // via ReuseExchange, so the corpus is scanned and tokenized once
-    // (the old two-branch form paid the explode twice). df per token =
-    // row count of the pre-agg (lang is functional on doc_id, so its
-    // rows are exactly the distinct (token, doc_id) pairs); tf =
-    // per-(lang, token) sum of the partial counts.
-    val tokDoc = documents(s, d)
+    // PINNED (token, lang, doc_id) pre-aggregation. r15 relied on
+    // ReuseExchange to share the pre-agg between the df and tf branches
+    // and it never fired (the committed after-plan showed two full
+    // scan→tokenize→explode→agg subtrees — t07 0.93→1.32 s); the pin
+    // materializes it once, the d05/t19 discipline. df per token = row
+    // count of the pre-agg (lang is functional on doc_id, so its rows
+    // are exactly the distinct (token, doc_id) pairs); tf = per-(lang,
+    // token) sum of the partial counts.
+    val tokDoc = graft.Pinned.pin(documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"), col("lang"), col("doc_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     val df_ = tokDoc.groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
     val tf = tokDoc.groupBy(col("lang"), col("token"))
@@ -349,8 +351,16 @@ object TextDedupOps {
         .filter(col("df") > 1).select(key),
       Seq(key), "left_semi")
 
+  // fanOut at the raw-scan entry: d05's shingle build + inverted-index
+  // explode is the expensive per-row pass and a one-row-group scan runs
+  // it one-wide. Applied at the QUERY entry, not inside d05Pairs —
+  // p01/p03 feed that chain mid-pipeline frames that are already wide,
+  // where the guard's plan probe would only add planning cost. Same-
+  // subset A/B (r16): d05 1.51 vs 1.77 s, d06 1.74 vs 1.96, d14 1.65 vs
+  // 1.95 with/without; the sibling entries (d03, d10, t18, t19, t22,
+  // d21, t07) measured FLAT or WORSE with the floor and stay unfanned.
   private def d05(s: SparkSession, d: String): DataFrame =
-    d05Pairs(s, documents(s, d))
+    d05Pairs(s, graft.Tables.fanOut(documents(s, d)))
 
   /** d05's exact inverted-index pair chain, input-parameterized like
     * [[d03Pairs]] (the `leakage.exactPairs` switch must work inside the
@@ -2512,7 +2522,13 @@ object TextDedupOps {
     * the final eight rows. */
   private def p05(s: SparkSession, d: String): DataFrame = {
     val epoch = 1
-    val base = graft.Pinned.pin(docsWithTokens(s, d)
+    // fanOut at the consumer: the pinned base feeds ~12 downstream
+    // passes (mixture, budget caps, three feed prefix sums), so its
+    // cached partitioning IS the parallelism of the whole chain — a
+    // one-row-group scan would pin one partition and serialize every
+    // pass (p05 benched 5.3 s without the floor, 2.6 s with, r15).
+    val base = graft.Pinned.pin(
+      withTokens(graft.Tables.fanOut(documents(s, d)))
       .select(col("source"), col("doc_id"),
         col("n_words").cast("long").as("n_toks")))
     val train = base.filter(splitCol(col("doc_id")) === "train")

@@ -183,9 +183,22 @@ class MediaSpec extends SparkSuite {
   }
 
   test("decode runs per-partition (partition count preserved, no shuffle)") {
-    val media = mediaFromDocuments(docs).repartition(3)
-    val feats = decodeFeatures(media)
-    assert(feats.rdd.getNumPartitions == 3)
+    // with the parallelism floor off, decode never moves a row
+    spark.conf.set("spark.graft.scan.fanout", "false")
+    try {
+      val media = mediaFromDocuments(docs).repartition(3)
+      val feats = decodeFeatures(media)
+      assert(feats.rdd.getNumPartitions == 3)
+    } finally spark.conf.unset("spark.graft.scan.fanout")
+    // the floor widens a NARROW input to session width (round-robin of
+    // the payload rows into the decode stage — never a key shuffle);
+    // an input at/above width passes through untouched
+    val target = spark.sparkContext.defaultParallelism
+    val narrow = decodeFeatures(mediaFromDocuments(docs).repartition(1))
+    assert(narrow.rdd.getNumPartitions == target)
+    val wide = decodeFeatures(
+      mediaFromDocuments(docs).repartition(target + 1))
+    assert(wide.rdd.getNumPartitions == target + 1)
   }
 
   test("resize truncates oversized payloads only") {
