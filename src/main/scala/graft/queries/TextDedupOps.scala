@@ -194,23 +194,18 @@ object TextDedupOps {
     * (10⁷–10⁸ rows at 100 TB) through one task, while the aggregator's
     * map-side partials bound the shuffle at langs × 3 rows. */
   private def t07(s: SparkSession, d: String): DataFrame = {
-    // ONE tokenize+explode pass: both rollups derive from the same
-    // PINNED (token, lang, doc_id) pre-aggregation. r15 relied on
-    // ReuseExchange to share the pre-agg between the df and tf branches
-    // and it never fired (the committed after-plan showed two full
-    // scan→tokenize→explode→agg subtrees — t07 0.93→1.32 s); the pin
-    // materializes it once, the d05/t19 discipline. df per token = row
-    // count of the pre-agg (lang is functional on doc_id, so its rows
-    // are exactly the distinct (token, doc_id) pairs); tf = per-(lang,
-    // token) sum of the partial counts.
-    val tokDoc = graft.Pinned.pin(documents(s, d)
+    // REVERTED to the r14 two-branch shape: r15's shared (token, lang,
+    // doc_id) pre-agg added an exchange+agg layer per branch without the
+    // claimed ReuseExchange (0.93 → 1.32 s), and pinning the pre-agg
+    // (r16 A/B) still benched 1.34 s — the cache write of the exploded
+    // token table costs as much as the second tokenize pass it saves.
+    // Two cheap scan+explode branches win at every measured scale.
+    val tok = documents(s, d)
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
-      .groupBy(col("token"), col("lang"), col("doc_id"))
-      .agg(count(lit(1)).as("n")))
-    val df_ = tokDoc.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
-    val tf = tokDoc.groupBy(col("lang"), col("token"))
-      .agg(sum(col("n")).as("tf"))
+    val df_ = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tok.groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("tf"))
     val topk = udaf(new graft.functions.TopKByScoreStr(3),
       org.apache.spark.sql.Encoders.product[
         graft.functions.TopKByScoreStr.Scored])
@@ -2172,18 +2167,23 @@ object TextDedupOps {
           col("n_words").cast("long").as("n_toks"))),
       cut(lmScoresOf(train)
         .select(col("doc_id"), col("score_pm").as("lm_pm"))))
-    val thr = scored.groupBy(col("source"))
-      .agg(expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
-        .cast("long").as("p10"))
-    val lmThr = scored.select(col("doc_id"), col("source"))
-      .join(lm, Seq("doc_id"))
-      .groupBy(col("source"))
-      .agg(expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lm_pm)")
-        .cast("long").as("p90"))
-    val kept0 = scored
+    // BOTH per-source gates from ONE aggregation pass: p10 ranks every
+    // scored row; p90 ranks the lm-scored subset — percentile_disc skips
+    // the NULL lm_pm rows the left join leaves, so its population is
+    // exactly the old inner-join aggregation's (a source with no
+    // lm-scored docs gets p90 NULL, the same verdict the old missing
+    // lmThr row produced). One exchange + one broadcast instead of two
+    // of each — two fewer serialized stage walls in a pipeline that is
+    // almost pure stage-wall overhead (47 single-stage jobs, QProfile).
+    val scoredLm = scored.join(lm, Seq("doc_id"), "left")
+    val thr = scoredLm.groupBy(col("source"))
+      .agg(
+        expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY score_pm)")
+          .cast("long").as("p10"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lm_pm)")
+          .cast("long").as("p90"))
+    val kept0 = scoredLm
       .join(broadcast(thr), Seq("source"))
-      .join(lm, Seq("doc_id"), "left")
-      .join(broadcast(lmThr), Seq("source"), "left")
       .filter(col("score_pm") >= col("p10") &&
         (col("lm_pm").isNull || col("lm_pm") <= col("p90")))
       .select(col("doc_id"), col("source"), col("n_toks"))
