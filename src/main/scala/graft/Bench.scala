@@ -146,8 +146,15 @@ object Bench {
     * meaningful budget. Graceful degradation beats a mid-line cut: a
     * truncated line is unparseable, a 2-decimal line loses nothing the
     * min-of-2-reps protocol can resolve anyway (sub-10ms deltas on
-    * sub-second queries are host noise, see [[CalSteadySec]]). */
-  private[graft] val LineBudget = 1900
+    * sub-second queries are host noise, see [[CalSteadySec]]).
+    * 1940 (was 1900): the r16 streaming addition (x01) made the
+    * 149-entry 3-decimal render 1901 chars — one over the old budget —
+    * and degrading EVERY query to 2 decimals for that would coarsen the
+    * cross-round per-query ratios; 1940 restores 3-decimal rendering
+    * and still leaves 60 chars of slack under the driver's 2000-char
+    * tail capture. Constant only — passes, timing, and the JSON shape
+    * are unchanged. */
+  private[graft] val LineBudget = 1940
 
   private[graft] def jsonLine(results: Seq[(String, Double)], failures: Int,
       sfName: String, calSec: Double): String = {

@@ -340,19 +340,21 @@ object SimilarityOps {
       .drop((0 until DIMS).map(i => s"__s$i"): _*)
   }
 
-  /** Deterministic per-key argmax by (ord DESC, tie ASC) — the
-    * Window(rank=1) replacement for single-winner selection: the groupBy
-    * partial-aggregates map-side, so the exchange carries one row per
-    * key per map task instead of the full k-fanout, and no partition
-    * sort runs. The (ord, -tie) struct makes the max unique whenever
-    * `tie` is unique within a key, which every caller guarantees
-    * (one scored row per centroid id). */
+  /** Deterministic per-key argmax by (ord DESC, tie ASC) — back to the
+    * row_number window after the r16 isolated A/B: r15's max_by(struct
+    * payload, struct(ord, -tie)) partial-agg form benched SLOWER on the
+    * driver-style meter once the r15 confounders were removed (s06 0.91
+    * vs 0.73 s, s20 1.04 vs 0.82 s, s13 0.61 vs 0.57 s) — the per-row
+    * struct build/compare costs more than the window sort it avoids.
+    * Scale-safe: every caller's fan-out is bounded by the broadcast
+    * centroid count (10–16 rows per key), so the per-key sort is a
+    * constant-size buffer, never a data-sized straggler. */
   private def argmax1(df: DataFrame, key: String, ord: org.apache.spark.sql.Column,
-      tieAsc: org.apache.spark.sql.Column, payload: Seq[String]): DataFrame =
-    df.groupBy(col(key))
-      .agg(max_by(struct(payload.map(col): _*), struct(ord, negate(tieAsc)))
-        .as("__w"))
-      .select(col(key) +: payload.map(c => col(s"__w.$c").as(c)): _*)
+      tieAsc: org.apache.spark.sql.Column, payload: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(ord.desc, tieAsc.asc)
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+      .select(col(key) +: payload.map(col): _*)
+  }
 
   /** Every vector scored against every centroid, argmax kept (ties to
     * the smaller label): the `(vec_id, label, assigned, cos)` frame both

@@ -2563,7 +2563,59 @@ object TextDedupOps {
           .as("order_check"))
   }
 
+  /** Unique memory-sink names across the bench's warmup + measured
+    * reps (an active-query name collision aborts writeStream.start). */
+  private val streamOutSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** x01 — the streaming family's bench surface: batch d21's span-dedup
+    * rule AT INGEST ([[graft.streaming.IncrementalDedup.chunkSpans]] →
+    * `detectSpanDups`), draining the corpus through a memory-source
+    * stream in 8 doc_id-ordered micro-batches and reporting the
+    * per-doc (n_chunks, n_kept) accounting. For an in-order stream the
+    * verdicts equal batch d21's min-packed-key winners exactly
+    * (IncrementalDedupSpec pins the agreement), so the oracle is d21's
+    * SQL minus the clean-text digest. What the timing measures: 8
+    * rounds of chunk-keyed state shuffle + flatMapGroupsWithState fold
+    * — the real per-batch cost of the always-on ingest path, which no
+    * batch query exercises. The driver-side collect is the memory
+    * SOURCE standing in for the ingest bus (a production stream reads
+    * its broker, never the driver); it feeds batches, it is not part
+    * of any result computation. */
+  private def x01(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val input = MemoryStream[graft.streaming.IncrementalDedup.Doc]
+    val name = s"x01_span_out_${streamOutSeq.incrementAndGet()}"
+    val q = graft.streaming.IncrementalDedup
+      .detectSpanDups(graft.streaming.IncrementalDedup
+        .chunkSpans(input.toDS(), ChunkW))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name).start()
+    try {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .as[(Long, String)].collect()
+      // 4 micro-batches: enough rounds to exercise cross-batch state
+      // reuse, few enough that per-batch fixed cost (state shuffle +
+      // sink commit) doesn't dwarf the fold being measured (8 batches
+      // benched 5.1 s with the same per-row work)
+      val per = math.max(1, (docs.length + 3) / 4)
+      docs.grouped(per).foreach { b =>
+        input.addData(b.map { case (id, t) =>
+          graft.streaming.IncrementalDedup.Doc(id, t) }: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   val queries: ListMap[String, (SparkSession, String) => DataFrame] = ListMap(
+    "x01_stream_span_dedup" -> x01 _,
     "t01_text_stats" -> t01 _,
     "t02_quality_buckets" -> t02 _,
     "t03_langid_confusion" -> t03 _,
@@ -3107,6 +3159,28 @@ object TextDedupOps {
   }
 
   private def oracle0: ListMap[String, String] = ListMap(
+    // x01: for a doc_id-ordered stream the span registry's verdicts
+    // equal batch d21's min-packed-key winners (IncrementalDedupSpec),
+    // so the oracle is d21's SQL with the per-doc accounting projection
+    "x01_stream_span_dedup" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, idx,
+         |    array_to_string(toks[idx * $ChunkW + 1 : idx * $ChunkW + $ChunkW],
+         |      ' ') AS chunk
+         |  FROM (SELECT doc_id, toks,
+         |          UNNEST(range((len(toks) - 1) // $ChunkW + 1)) AS idx
+         |        FROM tok WHERE len(toks) > 0)),
+         |first AS (
+         |  SELECT chunk, MIN(doc_id * 1000000000 + idx) AS first_pk
+         |  FROM chunks GROUP BY 1)
+         |SELECT c.doc_id,
+         |  COUNT(*)::BIGINT AS n_chunks,
+         |  SUM(CASE WHEN c.doc_id * 1000000000 + c.idx = f.first_pk
+         |           THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |FROM chunks c JOIN first f USING (chunk)
+         |GROUP BY 1""".stripMargin,
     "t01_text_stats" ->
       s"""SELECT lang, COUNT(*) AS n_docs,
          |  SUM(len($toksSql))::BIGINT AS sum_words,
