@@ -68,7 +68,12 @@ object SimilarityOps {
       members = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("c_id"), col("vec_id"), col("qv"))
-      cents = graft.operators.Iterate.truncate(
+      // lazy truncate: the chain is consumed by ONE final action, so
+      // each round's checkpoint materializes inside that action instead
+      // of paying an eager scheduler round-trip per round (r16 A/B:
+      // s16 2.74/1.60 vs 2.86/1.88 with s17 across two head-to-heads —
+      // marginal but consistently ≥; the plan stays a leaf either way)
+      cents = graft.operators.Iterate.truncateLazy(
         sumVecByKey(members, col("c_id"), "c_qv")
           .withColumn("c_n2", norm2q(col("c_qv"))))
     }
