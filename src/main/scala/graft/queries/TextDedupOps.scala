@@ -1300,7 +1300,10 @@ object TextDedupOps {
   private def t18(s: SparkSession, d: String): DataFrame = {
     // per-doc distinct via array_distinct BEFORE the explode: a per-row
     // narrow op instead of a corpus-sized dropDuplicates shuffle
-    val bg = docsWithTokens(s, d)
+    // fanOut kept here on paired-run evidence (t18 0.87/0.89 s fanned
+    // vs 1.01/1.05 s not, two runs each at matched cal); t19/t22
+    // measured flat with it and stay unfanned
+    val bg = withTokens(graft.Tables.fanOut(documents(s, d)))
       .filter(col("n_words") >= 2)
       .select(col("doc_id"), col("source"), explode(array_distinct(expr(
         "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))")))
