@@ -32,8 +32,14 @@ object Pinned {
       java.util.Queue[DataFrame]]()
 
   /** Persist `df` (default storage level) and register it for
-    * [[releaseAll]]. Returns `df` for call-site chaining. */
+    * [[releaseAll]]. Returns `df` for call-site chaining.
+    * `spark.graft.pin=false` turns every pin into a pass-through — the
+    * A/B knob that measures whether a materialization actually beats
+    * recomputation on a given meter (the r16 s-family audit found most
+    * 2–3-reference pins lose at test scale). */
   def pin(df: DataFrame): DataFrame = {
+    if (df.sparkSession.conf.getOption("spark.graft.pin")
+        .exists(_.equalsIgnoreCase("false"))) return df
     df.persist()
     reg.computeIfAbsent(df.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]())

@@ -678,8 +678,10 @@ object TextDedupOps {
       .withColumn("hs",
         array_distinct(graft.functions.HashSketch.shingleSeq(col("th"), K)))
       .filter(size(col("hs")) > 0)
-      // scanned twice (probe + corpus) — same discipline as d05
-      .transform(graft.Pinned.pin)
+      // UNPINNED (r16 A/B: 0.32 s vs 0.55 s pinned, twice): the probe
+      // branch filters to ten docs, so a pin materializes the whole
+      // corpus' shingles to save a 1.002-pass recompute — the cache
+      // write costs more than the overlap it shares
     val probe = hs.filter(col("doc_id") < 10)
       .select(col("doc_id").as("probe_id"),
         size(col("hs")).cast("long").as("n_shingles"),
@@ -1425,12 +1427,17 @@ object TextDedupOps {
     * includes each scored doc's own transitions, so c ≥ 1 everywhere —
     * no smoothing constant to tune and no division by zero. */
   private def t19(s: SparkSession, d: String): DataFrame =
-    lmScoresOf(documents(s, d))
+    // model pin off (r16 A/B: 1.38 s vs 1.56 s pinned, twice): over the
+    // raw scan the unc rollup's recompute of the model agg is cheaper
+    // than caching it; the pipeline callers keep the pin — their input
+    // is already checkpointed/pinned so the trade differs
+    lmScoresOf(documents(s, d), pinModel = false)
 
   /** t19's bigram-LM scoring chain over an arbitrary (doc_id, text, …)
     * frame — p01 scores the decontaminated CLEANED corpus with a model
     * trained on that same corpus, so the chain is input-parameterized. */
-  private[graft] def lmScoresOf(docs: DataFrame): DataFrame = {
+  private[graft] def lmScoresOf(docs: DataFrame,
+      pinModel: Boolean = true): DataFrame = {
     val trans = withTokens(docs)
       .filter(col("n_words") >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1444,7 +1451,7 @@ object TextDedupOps {
     // this is the cheap side to cache — the d05/t06 discipline)
     val bgc = trans.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c_bg"))
-      .transform(graft.Pinned.pin)
+      .transform(df => if (pinModel) graft.Pinned.pin(df) else df)
     val unc = bgc.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
     trans
       .join(bgc, Seq("w1", "w2"))
@@ -1978,8 +1985,12 @@ object TextDedupOps {
     * pay (content-hash window, chunk group, bigram model). Nothing
     * collects; the report is |sources| rows. */
   private def p02(s: SparkSession, d: String): DataFrame =
-    p02Report(graft.Pinned.pin(withTokens(documents(s, d))
-      .select(col("doc_id"), col("source"), col("text"), col("n_words"))))
+    // UNPINNED standalone (r16 A/B: 0.40 s vs 0.53 s pinned, twice):
+    // four rollup re-tokenizations of the raw scan cost less than the
+    // cache write+reads at this scale. buildAndReport (p03) still pins
+    // ITS base — there the same frame also feeds the whole p01 build.
+    p02Report(withTokens(documents(s, d))
+      .select(col("doc_id"), col("source"), col("text"), col("n_words")))
 
   /** p02 over a caller-supplied (pinned) tokenized docs frame — the
     * composition face: [[buildAndReport]] hands the SAME cached base to

@@ -403,18 +403,22 @@ class PlanAuditSpec extends SparkSuite {
       s"d21 has a non-equi join:\n$p")
   }
 
-  test("t19 LM scoring: model joins are equi-joins, one corpus pass") {
+  test("t19 LM scoring: model joins are equi-joins, bounded corpus passes") {
     val p = plan("t19_bigram_lm_score")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"t19 has a non-equi join:\n$p")
-    // the model table is materialized once and BOTH its consumers (the
-    // scoring join and the prefix rollup) read the cache — without it
-    // the rollup branch re-runs the corpus pass that built the model
-    // (the plan string reprints the cached child per consumer, so count
-    // cache reads, not FileScan occurrences)
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"t19's model consumers don't share one materialization:\n$p")
+    // r16: the STANDALONE query runs the model UNPINNED (A/B'd twice:
+    // 1.38 s vs 1.56 s pinned — recomputing the vocab-bounded model agg
+    // from the raw scan beats the cache write+reads), so the plan shows
+    // plain scans, no cache, and at most three corpus passes (scoring
+    // trans, model build, prefix rollup). The pipeline callers keep the
+    // pin via lmScoresOf's pinModel default — their input is already
+    // checkpointed, a different trade.
+    assert(!p.contains("InMemoryTableScan"),
+      s"t19 standalone regained a pin the A/B rejected:\n$p")
+    assert("documents\\.parquet".r.findAllIn(p).size <= 3,
+      s"t19 grew a fourth corpus pass:\n$p")
   }
 
   test("d22 shard plan: one scan, one aggregation — no join, no window") {
